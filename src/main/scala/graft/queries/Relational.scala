@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** Relational operator inventory over the TPC-H-ish tables — covers every
+  * §2.5 category from SURVEY.md: scan, filter/projection (parquet
+  * pushdown), equi/semi/anti join, hash aggregation, window prefix-sum
+  * (the C8 `scanLeft` analog, reference BlockInputStream.scala:42-59),
+  * sort+limit/top-k, set ops, string/date/math scalar functions, JSON
+  * functions, grouping sets.
+  *
+  * Scale posture: dimension joins are `broadcast()`; fact-side work is a
+  * single shuffle on the grouping/join key; no query collects to the
+  * driver. At 100 TB the same plans hold — AQE handles skew, filters and
+  * projections reach the parquet scan (verified via `.explain`).
+  */
+object Relational {
+
+  /** Exact-arithmetic cast: doubles → DECIMAL(18,s) before aggregation. */
+  private def dec(c: Column, s: Int = 2): Column = c.cast(DecimalType(18, s))
+  /** Stable output type for decimal sums on both engines. */
+  private def dec38(c: Column, s: Int): Column = c.cast(DecimalType(38, s))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Flagship: scan → filter → join → agg (SURVEY §7.2) ──────────────
+    QueryDef(
+      "q01_flagship",
+      (s, d) => {
+        val li = lineitem(s, d).filter(col("l_shipdate") <= lit("1997-06-30").cast("timestamp"))
+        li.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            dec38(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+             |       COUNT(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── TPC-H Q1-style pricing summary: wide hash agg ───────────────────
+    QueryDef(
+      "q02_pricing_summary",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dec38(sum(dec(col("l_quantity"))), 2).as("sum_qty"),
+            dec38(sum(dec(col("l_extendedprice"))), 2).as("sum_base_price"),
+            dec38(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("sum_disc_price"),
+            count(lit(1)).as("count_order"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |       COUNT(*) AS count_order,
+             |       COUNT(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── Selective filter + narrow projection (parquet pushdown) ─────────
+    QueryDef(
+      "q03_filter_scan",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("l_shipdate") <  lit("1996-04-01").cast("timestamp") &&
+                  col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                  col("l_quantity") < 24)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ── Multi-way join through broadcast dims: revenue per region ───────
+    QueryDef(
+      "q04_join_region",
+      (s, d) =>
+        orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            dec38(sum(dec(col("o_totalprice"))), 2).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("r_name")),
+      Some("""SELECT r_name,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+             |       COUNT(*) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ── Semi join (EXISTS) ──────────────────────────────────────────────
+    QueryDef(
+      "q05_semi_join",
+      (s, d) =>
+        orders(s, d)
+          .join(
+            lineitem(s, d).filter(col("l_quantity") > 45).select(col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ── Anti join (NOT EXISTS): customers without in-progress orders ────
+    QueryDef(
+      "q06_anti_join",
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d).filter(col("o_orderstatus") === "P").select(col("o_custkey")),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── Window prefix-sum ≙ C8 scanLeft (BlockInputStream.scala:42-59) ──
+    QueryDef(
+      "q07_window_prefix_sum",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        lineitem(s, d)
+          .filter(col("l_suppkey") <= 5)
+          .withColumn("running_qty",
+            dec38(sum(dec(col("l_quantity"))).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("rn", row_number().over(w))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                  col("running_qty"), col("rn"))
+          .orderBy(col("l_suppkey"), col("rn"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             |            OVER (PARTITION BY l_suppkey
+             |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |            AS DECIMAL(38,2)) AS running_qty,
+             |       ROW_NUMBER() OVER (PARTITION BY l_suppkey
+             |                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+             |FROM lineitem WHERE l_suppkey <= 5
+             |ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // ── Sort + limit (top-k with total tiebreak) ────────────────────────
+    QueryDef(
+      "q08_topk",
+      (s, d) =>
+        orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ── Set ops: UNION (distinct) then EXCEPT ───────────────────────────
+    QueryDef(
+      "q09_set_ops",
+      (s, d) => {
+        val c = customer(s, d)
+        val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        val rich     = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        val finished = orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey"))
+        building.union(rich).distinct().except(finished).orderBy(col("c_custkey"))
+      },
+      Some("""(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             | UNION
+             | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             |EXCEPT
+             |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── String scalar functions ─────────────────────────────────────────
+    QueryDef(
+      "q10_string_fns",
+      (s, d) =>
+        part(s, d)
+          .filter(col("p_partkey") <= 500)
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            substring(col("p_name"), 1, 8).as("name8"),
+            concat(col("p_type"), lit("#"), col("p_size").cast("string")).as("type_tag"),
+            length(col("p_name")).as("name_len"),
+            regexp_replace(col("p_name"), "a", "@").as("name_sub"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, UPPER(p_brand) AS brand_u,
+             |       SUBSTRING(p_name, 1, 8) AS name8,
+             |       p_type || '#' || CAST(p_size AS VARCHAR) AS type_tag,
+             |       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+             |       REGEXP_REPLACE(p_name, 'a', '@', 'g') AS name_sub
+             |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin)),
+
+    // ── Date scalar functions ───────────────────────────────────────────
+    QueryDef(
+      "q11_date_fns",
+      (s, d) =>
+        orders(s, d)
+          .filter(col("o_orderkey") <= 1000)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+             |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+             |       CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dom,
+             |       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |       o_orderdate + INTERVAL 30 DAY AS plus30
+             |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    // ── JSON functions over events.props ────────────────────────────────
+    QueryDef(
+      "q12_json_fns",
+      (s, d) =>
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("k")).as("sum_k"),
+            count(lit(1)).as("n"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             |       COUNT(*) AS n,
+             |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── Grouping sets: ROLLUP ───────────────────────────────────────────
+    QueryDef(
+      "q13_rollup",
+      (s, d) =>
+        lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dec38(sum(dec(col("l_quantity"))), 2).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |       COUNT(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ── Time-bucketed agg (batch twin of the streaming pipeline) ────────
+    QueryDef(
+      "q14_hourly_events",
+      (s, d) =>
+        events(s, d)
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            dec38(sum(dec(col("value"), 4)), 4).as("sum_value"))
+          .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── Conditional aggregation (manual pivot) ──────────────────────────
+    QueryDef(
+      "q15_conditional_agg",
+      (s, d) =>
+        events(s, d)
+          .groupBy((col("user_id") % 10).as("cohort"))
+          .agg(
+            sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+            sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+            sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+            count(lit(1)).as("n_total"))
+          .orderBy(col("cohort")),
+      Some("""SELECT user_id % 10 AS cohort,
+             |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |       COUNT(*) AS n_total
+             |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin)),
+
+    // ── Higher-order array functions over nested data (A6 analog:
+    //    nested-array reduction, reference SnackFileStatus.scala:40) ─────
+    QueryDef(
+      "q16_array_hof",
+      (s, d) =>
+        embeddings(s, d)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("n_dims"),
+            expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+            expr("size(filter(embedding, x -> x < 0))").cast("long").as("n_neg"))
+          .orderBy(col("vec_id")),
+      Some("""SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS n_dims,
+             |       CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+             |       CAST(LEN(LIST_FILTER(embedding, x -> x < 0)) AS BIGINT) AS n_neg
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ── Sessionization: window lag + cumulative gap counting ────────────
+    QueryDef(
+      "q17_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+                 col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+              .otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).cast("long").as("n_sessions"),
+               count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH gaps AS (
+             |  SELECT user_id,
+             |         CASE WHEN LAG(ts) OVER w IS NULL
+             |                OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800
+             |              THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}
