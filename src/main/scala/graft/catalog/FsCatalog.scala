@@ -1,0 +1,218 @@
+package graft.catalog
+
+import java.io.{FileNotFoundException, IOException}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** The metadata catalog: every reference FS verb re-expressed as a pure
+  * transformation over a `Dataset[Inode]`.
+  *
+  * Design for scale: point lookups (`retrieve`) are path-equality filters
+  * that Catalyst pushes into the parquet scan; subtree operations are
+  * prefix (`startsWith`) filters — the exact predicate the reference
+  * hand-compiles into Cassandra secondary-index range scans
+  * (`path > p AND path < p⊕1`, reference ThriftStore.scala:473-540); on a
+  * path-sorted/bucketed catalog both prune to a handful of files. State
+  * transitions (mkdirs/delete/rename/touchz) return a NEW catalog — the
+  * Spark analog of the reference's per-op Cassandra mutations; a real
+  * deployment would checkpoint each transition (Delta-style) rather than
+  * grow the lazy plan, which we document rather than port (single-driver
+  * narrowing, see SURVEY.md §1.3 on the createlock CF).
+  *
+  * Ops keep the reference's exact result/error matrix:
+  *  - mkdirs: per-level fold that still creates what it can
+  *    (MakeDirectoryCommand.scala:68-74)
+  *  - delete: missing→false, non-empty+!recursive→IOException
+  *    (DeleteCommand.scala:34-75)
+  *  - rename: 4-way precondition matrix, src==dst→true no-op
+  *    (RenameCommand.scala:61-107)
+  *  - append: always throws (AppendFileCommand.scala:38-40)
+  */
+final case class FsCatalog(inodes: Dataset[Inode]) {
+  import FsCatalog._
+
+  private def spark = inodes.sparkSession
+
+  // ── B4: retrieveINode ≙ filter-head (ThriftStore.scala:329-350) ───────
+  def retrieve(path: String): Option[Inode] =
+    inodes.filter(col("path") === path).limit(1).collect().headOption
+
+  def exists(path: String): Boolean = retrieve(path).isDefined
+
+  // ── B3: storeINode ≙ upsert: anti-join + union (ThriftStore.scala:281) ─
+  def store(inode: Inode): FsCatalog = {
+    FsCatalog(
+      inodes.filter(col("path") =!= inode.path)
+        .unionByName(spark.createDataset(Seq(inode))))
+  }
+
+  // ── A5: mkdirs — ancestor walk + AND-fold, creating what it can ───────
+  def mkdirs(path: String, user: String = "graft"): (FsCatalog, Boolean) = {
+    val levels = PathOps.ancestors(path)
+    val existing: Map[String, Boolean] = inodes
+      .filter(col("path").isin(levels: _*))
+      .select(col("path"), col("isDir"))
+      .collect()
+      .map(r => r.getString(0) -> r.getBoolean(1))
+      .toMap
+    // mkdir(level): exists-as-file → false (and does NOT overwrite);
+    // exists-as-dir → true; missing → create → true. Result = AND of all
+    // levels — no short-circuit (MakeDirectoryCommand.scala:74).
+    val ok = levels.forall(l => existing.getOrElse(l, true))
+    val missing = levels.filterNot(existing.contains).map(dirInode(_, user))
+    val next =
+      if (missing.isEmpty) this
+      else FsCatalog(inodes.unionByName(spark.createDataset(missing)))
+    (next, ok)
+  }
+
+  // ── A7: delete — anti-join removal with the reference's error matrix ──
+  def delete(path: String, recursive: Boolean): (FsCatalog, Boolean) =
+    retrieve(path) match {
+      case None => (this, false)
+      case Some(node) if node.isFile =>
+        (FsCatalog(inodes.filter(col("path") =!= path)), true)
+      case Some(_) =>
+        val hasChildren =
+          inodes.filter(col("parentPath") === path).limit(1).count() > 0
+        if (!hasChildren)
+          (FsCatalog(inodes.filter(col("path") =!= path)), true)
+        else if (!recursive) throw new IOException("Directory is not empty")
+        else
+          (FsCatalog(inodes.filter(
+            col("path") =!= path && !col("path").startsWith(path + "/"))), true)
+    }
+
+  // ── A8: rename — subtree prefix rewrite as ONE distributed transform ──
+  // (the reference loops child-by-child with per-inode delete/store,
+  //  RenameCommand.scala:44-58; a single prefix-rewrite pass is the
+  //  100 TB-safe shape)
+  def rename(src: String, dst: String): (FsCatalog, Boolean) = {
+    if (src == dst) return (this, true)
+    val srcNode = retrieve(src).getOrElse(
+      throw new IOException(s"No such file or directory.$src"))
+    if (exists(dst)) throw new IOException("Destination already exists")
+    val dstParent = PathOps.parent(dst)
+    if (dstParent != null) {
+      val parentNode = retrieve(dstParent).getOrElse(
+        throw new IOException(s"Destination $dstParent directory does not exist."))
+      if (parentNode.isFile)
+        throw new IOException("A file exists with parent of destination.")
+    }
+    val inSubtree = col("path") === src || col("path").startsWith(src + "/")
+    val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
+    val rewritten = inodes
+      .withColumn("path", when(inSubtree, newPath).otherwise(col("path")))
+      .withColumn("parentPath", parentOf(col("path")))
+      .as[Inode]
+    (FsCatalog(rewritten), true)
+  }
+
+  // ── A9/D1: listStatus — shallow children (ListCommand.scala:33-60) ────
+  def listStatus(path: String): DataFrame =
+    retrieve(path) match {
+      case None => throw new FileNotFoundException(path)
+      case Some(node) if node.isFile => statusOf(inodes.filter(col("path") === path))
+      case Some(_) => statusOf(inodes.filter(col("parentPath") === path))
+    }
+
+  // ── D2: lsr — deep listing, the ThriftStore deep-fetch analog ─────────
+  def listStatusRecursive(path: String): DataFrame =
+    statusOf(inodes.filter(col("path").startsWith(path + "/")))
+
+  // ── D3: du — per-shallow-child subtree byte totals, one shuffle ───────
+  def du(path: String): DataFrame = {
+    val rel = expr(s"split_part(substring(path, ${path.length + 2}), '/', 1)")
+    inodes
+      .filter(col("path").startsWith(path + "/"))
+      .groupBy(concat(lit(path + "/"), rel).as("path"))
+      .agg(sum(inodeLen).as("len"))
+      .orderBy(col("path"))
+  }
+
+  // ── D4: dus — single subtree summary ──────────────────────────────────
+  def dus(path: String): DataFrame =
+    subtree(path).agg(lit(path).as("path"), sum(inodeLen).as("len"))
+
+  // ── D5: count — (dirCount, fileCount, contentSize) in one aggregate ───
+  def countSummary(path: String): DataFrame =
+    subtree(path).agg(
+      lit(path).as("path"),
+      sum(when(col("isDir"), 1L).otherwise(0L)).as("dir_count"),
+      sum(when(!col("isDir"), 1L).otherwise(0L)).as("file_count"),
+      sum(inodeLen).as("content_size"))
+
+  // ── A6/D17: getFileStatus / stat ──────────────────────────────────────
+  def getFileStatus(path: String): DataFrame = {
+    if (!exists(path)) throw new FileNotFoundException(path)
+    statusOf(inodes.filter(col("path") === path))
+  }
+
+  // ── D16: -test -[ezd] ─────────────────────────────────────────────────
+  def testE(path: String): Boolean = exists(path)
+  def testD(path: String): Boolean = retrieve(path).exists(_.isDir)
+  def testZ(path: String): Boolean = retrieve(path).exists(n => n.isFile && n.length == 0L)
+
+  // ── D15: touchz — zero-length file ────────────────────────────────────
+  def touchz(path: String, user: String = "graft"): FsCatalog =
+    retrieve(path) match {
+      case Some(n) if n.isDir => throw new IOException(s"$path is a directory")
+      case Some(n) if n.length > 0 =>
+        throw new IOException(s"$path must be a zero-length file")
+      case Some(_) => this
+      case None =>
+        store(Inode(path, PathOps.parent(path), user, user, 420, isDir = false,
+          epoch, Seq.empty))
+    }
+
+  // ── A4: append must throw (AppendFileCommand.scala:38-40) ─────────────
+  def append(path: String): Nothing =
+    throw new UnsupportedOperationException(
+      "Appending to existing file is not supported.")
+
+  private def subtree(path: String) =
+    inodes.filter(col("path") === path || col("path").startsWith(path + "/"))
+}
+
+object FsCatalog {
+  /** Case-class encoder usable from methods where `spark.implicits` is
+    * unavailable (the session is a def, not a stable identifier).
+    */
+  implicit val inodeEncoder: Encoder[Inode] = Encoders.product[Inode]
+
+  private val epoch = new Timestamp(1704067200000L) // 2024-01-01T00:00:00Z
+
+  /** File length: Σ block lengths via codegen'd higher-order fold over the
+    * nested array — no UDF, no explode (A6; SnackFileStatus.scala:40).
+    */
+  val inodeLen: Column =
+    expr("coalesce(aggregate(blocks, CAST(0 AS BIGINT), (acc, b) -> acc + b.length), CAST(0 AS BIGINT))")
+
+  /** blockSize surfaced as the FIRST block's length — the reference's
+    * quirk, kept (SnackFileStatus.scala:24-52).
+    */
+  val inodeBlockSize: Column =
+    expr("coalesce(try_element_at(blocks, 1).length, CAST(0 AS BIGINT))")
+
+  /** Parent of an absolute path as a Column (null for root). */
+  def parentOf(path: Column): Column =
+    when(path === "/", lit(null).cast("string"))
+      .otherwise(
+        when(regexp_replace(path, "/[^/]*$", "") === "", "/")
+          .otherwise(regexp_replace(path, "/[^/]*$", "")))
+
+  def dirInode(path: String, user: String): Inode =
+    Inode(path, PathOps.parent(path), user, user, 493, isDir = true, epoch, null)
+
+  def statusOf(df: Dataset[Inode]): DataFrame =
+    df.select(
+        col("path"),
+        col("isDir").as("is_dir"),
+        inodeLen.as("len"),
+        inodeBlockSize.as("block_size"),
+        col("user"),
+        col("permission"))
+      .orderBy(col("path"))
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.CatalogBuilder
+
+/** The reference's FS/shell verbs (SURVEY.md §2.1/§2.4) as driver-visible
+  * queries over a catalog deterministically derived from `part`
+  * (CatalogBuilder.fromPart), so DuckDB can reproduce every result from
+  * the same parquet. Each query exercises the real FsCatalog machinery —
+  * the oracle reconstructs only the expected OUTPUT, not the operator.
+  */
+object CatalogQueries {
+
+  private val statusCols =
+    """path, is_dir, CAST(len AS BIGINT) AS len,
+      |CAST(block_size AS BIGINT) AS block_size,
+      |'graft' AS "user", CAST(permission AS INTEGER) AS permission""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── D1/A9: ls — shallow children via parent_path equality ───────────
+    QueryDef(
+      "fs_ls",
+      (s, d) => CatalogBuilder.fromPart(s, d).listStatus("/pt"),
+      Some(s"""SELECT '/pt/' || p_brand AS path, TRUE AS is_dir,
+              |       CAST(0 AS BIGINT) AS len, CAST(0 AS BIGINT) AS block_size,
+              |       'graft' AS "user", CAST(493 AS INTEGER) AS permission
+              |FROM (SELECT DISTINCT p_brand FROM part) ORDER BY path""".stripMargin)),
+
+    // ── D2: lsr — deep prefix scan (ThriftStore deep-fetch analog) ──────
+    QueryDef(
+      "fs_lsr",
+      (s, d) => CatalogBuilder.fromPart(s, d).listStatusRecursive("/pt/Brand#13"),
+      Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path, FALSE AS is_dir,
+              |       CAST(p_size AS BIGINT) AS len, CAST(p_size AS BIGINT) AS block_size,
+              |       'graft' AS "user", CAST(420 AS INTEGER) AS permission
+              |FROM part WHERE p_brand = 'Brand#13' ORDER BY path""".stripMargin)),
+
+    // ── D3: du — per-child subtree totals (nested-array HOF + groupBy) ──
+    QueryDef(
+      "fs_du",
+      (s, d) => CatalogBuilder.fromPart(s, d).du("/pt"),
+      Some("""SELECT '/pt/' || p_brand AS path, CAST(SUM(p_size) AS BIGINT) AS len
+             |FROM part GROUP BY p_brand ORDER BY path""".stripMargin)),
+
+    // ── D4: dus — single subtree summary ────────────────────────────────
+    QueryDef(
+      "fs_dus",
+      (s, d) => CatalogBuilder.fromPart(s, d).dus("/pt"),
+      Some("""SELECT '/pt' AS path, CAST(SUM(p_size) AS BIGINT) AS len FROM part""".stripMargin)),
+
+    // ── D5: count — (dirs, files, bytes) in one multi-aggregate ─────────
+    QueryDef(
+      "fs_count",
+      (s, d) => CatalogBuilder.fromPart(s, d).countSummary("/pt"),
+      Some("""SELECT '/pt' AS path,
+             |       CAST(1 + COUNT(DISTINCT p_brand) AS BIGINT) AS dir_count,
+             |       COUNT(*) AS file_count,
+             |       CAST(SUM(p_size) AS BIGINT) AS content_size
+             |FROM part""".stripMargin)),
+
+    // ── A5/D14: mkdirs — ancestor fold, then deep-list what appeared ────
+    QueryDef(
+      "fs_mkdirs",
+      (s, d) => {
+        val (cat, ok) = CatalogBuilder.fromPart(s, d).mkdirs("/pt/new/deep/dir")
+        require(ok, "mkdirs over clean tree must succeed")
+        cat.listStatusRecursive("/pt/new")
+      },
+      Some(s"""SELECT path, is_dir, CAST(len AS BIGINT) AS len,
+              |       CAST(block_size AS BIGINT) AS block_size,
+              |       'graft' AS "user", CAST(permission AS INTEGER) AS permission
+              |FROM (VALUES ('/pt/new/deep', TRUE, 0, 0, 'graft', 493),
+              |             ('/pt/new/deep/dir', TRUE, 0, 0, 'graft', 493))
+              |     t(path, is_dir, len, block_size, "user", permission)
+              |ORDER BY path""".stripMargin)),
+
+    // ── A8/D6: rename — subtree prefix rewrite, then list the new home ──
+    QueryDef(
+      "fs_rename",
+      (s, d) => {
+        val (cat, ok) = CatalogBuilder.fromPart(s, d).rename("/pt/Brand#13", "/pt/archived")
+        require(ok, "rename with satisfied preconditions must succeed")
+        cat.listStatusRecursive("/pt/archived")
+      },
+      Some(s"""SELECT '/pt/archived/part_' || p_partkey AS path, FALSE AS is_dir,
+              |       CAST(p_size AS BIGINT) AS len, CAST(p_size AS BIGINT) AS block_size,
+              |       'graft' AS "user", CAST(420 AS INTEGER) AS permission
+              |FROM part WHERE p_brand = 'Brand#13' ORDER BY path""".stripMargin)),
+
+    // ── A7/D8: recursive delete — anti-join, then summarize survivors ───
+    QueryDef(
+      "fs_delete",
+      (s, d) => {
+        val (cat, ok) = CatalogBuilder.fromPart(s, d).delete("/pt/Brand#13", recursive = true)
+        require(ok, "recursive delete of existing dir must succeed")
+        cat.countSummary("/pt")
+      },
+      Some("""SELECT '/pt' AS path,
+             |       CAST(1 + COUNT(DISTINCT p_brand) AS BIGINT) AS dir_count,
+             |       COUNT(*) AS file_count,
+             |       CAST(SUM(p_size) AS BIGINT) AS content_size
+             |FROM part WHERE p_brand <> 'Brand#13'""".stripMargin)),
+
+    // ── A6/D17: getFileStatus/stat — nested-array length fold ───────────
+    QueryDef(
+      "fs_stat",
+      (s, d) => {
+        val cat = CatalogBuilder.fromPart(s, d)
+        val key = graft.Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#13")
+          .agg(min(col("p_partkey"))).collect()(0).getLong(0)
+        cat.getFileStatus(s"/pt/Brand#13/part_$key")
+      },
+      Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path, FALSE AS is_dir,
+              |       CAST(p_size AS BIGINT) AS len, CAST(p_size AS BIGINT) AS block_size,
+              |       'graft' AS "user", CAST(420 AS INTEGER) AS permission
+              |FROM part
+              |WHERE p_brand = 'Brand#13'
+              |  AND p_partkey = (SELECT MIN(p_partkey) FROM part WHERE p_brand = 'Brand#13')""".stripMargin)),
+
+    // ── D15/D16: touchz + test — zero-length file lifecycle ─────────────
+    QueryDef(
+      "fs_touchz",
+      (s, d) => {
+        val cat = CatalogBuilder.fromPart(s, d).touchz("/pt/zero.txt")
+        require(cat.testE("/pt/zero.txt") && cat.testZ("/pt/zero.txt") &&
+          !cat.testD("/pt/zero.txt"), "touchz must yield a zero-length file")
+        cat.getFileStatus("/pt/zero.txt")
+      },
+      Some(s"""SELECT '/pt/zero.txt' AS path, FALSE AS is_dir,
+              |       CAST(0 AS BIGINT) AS len, CAST(0 AS BIGINT) AS block_size,
+              |       'graft' AS "user", CAST(420 AS INTEGER) AS permission""".stripMargin))
+  )
+}

@@ -1,0 +1,183 @@
+package graft.catalog
+
+import java.io.IOException
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.TestSpark
+
+/** Catalog-semantics matrix mirroring the reference specs:
+  * ThriftStoreSpec.scala:56-132 (store/fetch, deep vs shallow subpath
+  * counts) and SnackFSSpec.scala (mkdir/delete/rename/listStatus/
+  * getFileStatus matrices).
+  */
+class FsCatalogSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  // /a (dir), /a/f1 (10B), /a/f2 (20B), /a/sub (dir), /a/sub/f3 (30B), /b.txt (5B)
+  private def tree: FsCatalog = CatalogBuilder.fromEntries(spark, Seq(
+    ("/", true, 0L),
+    ("/a", true, 0L),
+    ("/a/f1", false, 10L),
+    ("/a/f2", false, 20L),
+    ("/a/sub", true, 0L),
+    ("/a/sub/f3", false, 30L),
+    ("/b.txt", false, 5L)))
+
+  behavior of "store/retrieve (B3/B4)"
+
+  it must "round-trip an inode and upsert in place" in {
+    val cat = tree
+    cat.retrieve("/a/f1").get.length must be(10L)
+    cat.retrieve("/a/f1").get.isFile must be(true)
+    cat.retrieve("/nope") must be(None)
+    val updated = cat.store(cat.retrieve("/a/f1").get.copy(user = "other"))
+    updated.retrieve("/a/f1").get.user must be("other")
+    updated.inodes.filter(org.apache.spark.sql.functions.col("path") === "/a/f1")
+      .count() must be(1L) // upsert, not append
+  }
+
+  behavior of "fetchSubPaths analog (B10): shallow vs deep"
+
+  it must "count shallow children vs deep descendants differently" in {
+    val cat = tree
+    cat.listStatus("/a").count() must be(3L)          // f1, f2, sub
+    cat.listStatusRecursive("/a").count() must be(4L) // + sub/f3
+    cat.listStatus("/b.txt").count() must be(1L)      // file lists itself
+  }
+
+  it must "throw FileNotFoundException listing a missing path" in {
+    a[java.io.FileNotFoundException] must be thrownBy tree.listStatus("/nope")
+  }
+
+  behavior of "getFileStatus (A6)"
+
+  it must "report len as the sum over nested blocks and blockSize as the first block length" in {
+    val row = tree.getFileStatus("/a/sub/f3").collect()(0)
+    row.getAs[Long]("len") must be(30L)
+    // 30B file is split 15/15 by fromEntries; first block length = 15
+    row.getAs[Long]("block_size") must be(15L)
+    row.getAs[Boolean]("is_dir") must be(false)
+  }
+
+  behavior of "mkdirs (A5)"
+
+  it must "create all missing ancestors and report true" in {
+    val (cat, ok) = tree.mkdirs("/x/y/z")
+    ok must be(true)
+    cat.testD("/x") must be(true)
+    cat.testD("/x/y") must be(true)
+    cat.testD("/x/y/z") must be(true)
+  }
+
+  it must "return false when a level is a file but still create what it can" in {
+    // /b.txt is a file; mkdirs below it folds to false yet creates the rest
+    val (cat, ok) = tree.mkdirs("/b.txt/inner")
+    ok must be(false)
+    cat.retrieve("/b.txt").get.isFile must be(true) // not overwritten
+    cat.testD("/b.txt/inner") must be(true)         // still created (reference fold)
+  }
+
+  it must "be idempotent on an existing directory chain" in {
+    val (cat, ok) = tree.mkdirs("/a/sub")
+    ok must be(true)
+    cat.inodes.count() must be(tree.inodes.count())
+  }
+
+  behavior of "delete (A7)"
+
+  it must "return false for a missing path" in {
+    tree.delete("/nope", recursive = false)._2 must be(false)
+  }
+
+  it must "delete a file and an empty directory" in {
+    val (c1, ok1) = tree.delete("/b.txt", recursive = false)
+    ok1 must be(true)
+    c1.exists("/b.txt") must be(false)
+
+    val (c2, _) = tree.delete("/a/sub/f3", recursive = false)
+    val (c3, ok3) = c2.delete("/a/sub", recursive = false)
+    ok3 must be(true)
+    c3.exists("/a/sub") must be(false)
+  }
+
+  it must "throw IOException on non-empty dir without recursive" in {
+    an[IOException] must be thrownBy tree.delete("/a", recursive = false)
+  }
+
+  it must "remove the whole subtree recursively" in {
+    val (cat, ok) = tree.delete("/a", recursive = true)
+    ok must be(true)
+    cat.inodes.count() must be(2L) // "/" and "/b.txt" survive
+    cat.exists("/a/sub/f3") must be(false)
+  }
+
+  behavior of "rename (A8)"
+
+  it must "be a no-op returning true when src == dst" in {
+    val (cat, ok) = tree.rename("/a", "/a")
+    ok must be(true)
+    cat.inodes.count() must be(tree.inodes.count())
+  }
+
+  it must "throw when src is missing" in {
+    an[IOException] must be thrownBy tree.rename("/nope", "/a2")
+  }
+
+  it must "throw when dst exists" in {
+    an[IOException] must be thrownBy tree.rename("/a", "/b.txt")
+  }
+
+  it must "throw when dst parent is missing or a file" in {
+    an[IOException] must be thrownBy tree.rename("/a", "/missing/a")
+    an[IOException] must be thrownBy tree.rename("/a", "/b.txt/a")
+  }
+
+  it must "rewrite the whole subtree prefix, fixing parent paths" in {
+    val (cat, ok) = tree.rename("/a", "/renamed")
+    ok must be(true)
+    cat.exists("/a") must be(false)
+    cat.exists("/a/sub/f3") must be(false)
+    cat.testD("/renamed") must be(true)
+    cat.retrieve("/renamed/sub/f3").get.length must be(30L)
+    cat.retrieve("/renamed/sub/f3").get.parentPath must be("/renamed/sub")
+    cat.listStatus("/renamed").count() must be(3L)
+  }
+
+  it must "satisfy rename(a,b) ∘ rename(b,a) = id" in {
+    val (there, _) = tree.rename("/a", "/tmpmove")
+    val (back, _) = there.rename("/tmpmove", "/a")
+    val before = tree.inodes.collect().map(_.path).sorted
+    val after = back.inodes.collect().map(_.path).sorted
+    after must be(before)
+  }
+
+  behavior of "du/dus/count (D3-D5)"
+
+  it must "aggregate per-child and total byte counts" in {
+    val du = tree.du("/a").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    du must be(Map("/a/f1" -> 10L, "/a/f2" -> 20L, "/a/sub" -> 30L))
+    tree.dus("/a").collect()(0).getLong(1) must be(60L)
+    val cnt = tree.countSummary("/a").collect()(0)
+    cnt.getAs[Long]("dir_count") must be(2L)
+    cnt.getAs[Long]("file_count") must be(3L)
+    cnt.getAs[Long]("content_size") must be(60L)
+  }
+
+  behavior of "touchz/test (D15/D16) and append (A4)"
+
+  it must "create a zero-length file and answer -test flags" in {
+    val cat = tree.touchz("/a/zero")
+    cat.testE("/a/zero") must be(true)
+    cat.testZ("/a/zero") must be(true)
+    cat.testD("/a/zero") must be(false)
+    cat.testZ("/a/f1") must be(false)
+    an[IOException] must be thrownBy cat.touchz("/a") // dir
+    an[IOException] must be thrownBy cat.touchz("/a/f1") // non-empty file
+  }
+
+  it must "always throw on append, mirroring AppendFileCommand.scala:38-40" in {
+    an[UnsupportedOperationException] must be thrownBy tree.append("/a/f1")
+  }
+}
