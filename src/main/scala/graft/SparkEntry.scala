@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CatalogQueries, QueryDef, Relational}
+import graft.queries.{CatalogQueries, DataPlaneQueries, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{CatalogQueries, QueryDef, Relational}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    Relational.defs ++ CatalogQueries.defs
+    Relational.defs ++ CatalogQueries.defs ++ DataPlaneQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

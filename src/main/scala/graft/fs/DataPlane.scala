@@ -1,0 +1,113 @@
+package graft.fs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The data plane: the reference's block/subblock byte streams
+  * (FileSystemOutputStream.scala:55-143, BlockInputStream.scala:42-122)
+  * re-expressed as a distributed dataset of subblock rows
+  *
+  *   (path, block_id, sub_id, block_offset, offset, length, data: BINARY)
+  *
+  * Writing = expression-based chunking (explode over a sequence +
+  * `substring` on BINARY — all codegen'd, no UDF, no driver loop).
+  * Reading = ordered reassembly (sort by absolute offset inside a
+  * higher-order fold). Every op is per-path parallel: at 100 TB each
+  * file's chunks hash to its own groups and nothing ever collects to the
+  * driver; the 8 MB/128 MB defaults mirror the reference's
+  * SnackFSConfiguration.scala:41-42.
+  */
+object DataPlane {
+
+  val DefaultSubBlock: Int = 8 * 1024 * 1024
+  val DefaultBlock: Int = 128 * 1024 * 1024
+
+  /** Split `(path, data: BINARY)` rows into subblock rows — C1/C2/C3:
+    * buffer → subblock flush → block roll, done declaratively.
+    */
+  def chunk(files: DataFrame,
+            subBlockSize: Int = DefaultSubBlock,
+            blockSize: Int = DefaultBlock): DataFrame = {
+    require(subBlockSize > 0 && blockSize % subBlockSize == 0,
+      "blockSize must be a positive multiple of subBlockSize")
+    val sbPerBlock = blockSize / subBlockSize
+    files
+      .select(col("path"), col("data"))
+      .withColumn("n_sb",
+        expr(s"CAST(ceil(octet_length(data) / CAST($subBlockSize AS DOUBLE)) AS INT)"))
+      // zero-length files yield zero subblocks (the reference stores none)
+      .withColumn("i", explode(
+        when(col("n_sb") > 0, expr("sequence(0, n_sb - 1)"))
+          .otherwise(expr("CAST(array() AS ARRAY<INT>)"))))
+      .select(
+        col("path"),
+        (col("i") / sbPerBlock).cast("int").as("block_id"),
+        (col("i") % sbPerBlock).cast("int").as("sub_id"),
+        (floor(col("i") / sbPerBlock) * blockSize).cast("long").as("block_offset"),
+        ((col("i") % sbPerBlock) * subBlockSize).cast("long").as("offset"),
+        expr(s"substring(data, i * $subBlockSize + 1, $subBlockSize)").as("data"))
+      .withColumn("length", octet_length(col("data")).cast("long"))
+  }
+
+  private val absOff = col("block_offset") + col("offset")
+
+  /** C5-C9: ordered reassembly of every path — one row per path with the
+    * full byte payload back. `array_sort(collect_list(struct(...)))` puts
+    * subblocks in absolute-offset order (the prefix-sum walk of
+    * BlockInputStream.findSubBlock, reference :42-59), then a HOF fold
+    * concatenates. The whole file materializes in ONE row — same memory
+    * shape as the reference's per-stream buffer, but per-path parallel.
+    */
+  def reassemble(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy(col("path"))
+      .agg(
+        expr("""aggregate(
+                 transform(array_sort(collect_list(struct(block_offset + offset AS off, data))),
+                           x -> x.data),
+                 CAST('' AS BINARY),
+                 (acc, x) -> concat(acc, x))""").as("data"))
+
+  /** D12: cat — reassembled payload for one path. */
+  def cat(chunks: DataFrame, path: String): DataFrame =
+    reassemble(chunks.filter(col("path") === path))
+
+  /** D18: tail — last `n` bytes per path WITHOUT reading the body: only
+    * subblocks overlapping [total-n, total) are fetched (the Spark analog
+    * of the reference's seek(len-1024), SnackFSShell.scala:508-534).
+    */
+  def tail(chunks: DataFrame, n: Int): DataFrame = {
+    val totals = chunks.groupBy(col("path"))
+      .agg(max(absOff + col("length")).as("total"))
+    val wanted = chunks
+      .join(broadcast(totals), "path")
+      .filter(absOff + col("length") > col("total") - n)
+    wanted
+      .groupBy(col("path"), col("total"))
+      .agg(
+        min(absOff).as("start"),
+        expr("""aggregate(
+                 transform(array_sort(collect_list(struct(block_offset + offset AS off, data))),
+                           x -> x.data),
+                 CAST('' AS BINARY),
+                 (acc, x) -> concat(acc, x))""").as("joined"))
+      .select(
+        col("path"),
+        expr(s"substring(joined, CAST(greatest(total - $n, start) - start + 1 AS INT))")
+          .as("data"))
+  }
+
+  /** D11: getmerge — ordered concat of all files under a prefix into one
+    * payload; ordering = path order (SURVEY §7.5: filename order, the
+    * documented choice for the reference's ambiguous "merge and sort").
+    */
+  def getmerge(chunks: DataFrame, prefix: String): DataFrame =
+    chunks
+      .filter(col("path").startsWith(prefix))
+      .agg(
+        expr("""aggregate(
+                 transform(array_sort(collect_list(struct(path, block_offset + offset AS off, data))),
+                           x -> x.data),
+                 CAST('' AS BINARY),
+                 (acc, x) -> concat(acc, x))""").as("data"))
+}

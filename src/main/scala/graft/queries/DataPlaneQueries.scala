@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.fs.DataPlane
+
+/** Driver-visible data-plane queries: documents.text is treated as the
+  * byte payload of files `/docs/<zero-padded id>`, chunked with a tiny
+  * 64/256 subblock/block config (the sf-scaled analog of the reference's
+  * FileSystemStreamSpec tiny configs), then read back through the real
+  * reassembly path. The oracle reconstructs expected output straight from
+  * `documents`.
+  */
+object DataPlaneQueries {
+
+  private def docFiles(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(lit("/docs/"), lpad(col("doc_id").cast("string"), 8, "0")).as("path"),
+      col("text"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── C1-C9 + D12: chunked write → ordered read-back, byte equality ───
+    QueryDef(
+      "fs_cat_roundtrip",
+      (s, d) => {
+        val docs = docFiles(s, d)
+        val chunks = DataPlane.chunk(
+          docs.select(col("path"), col("text").cast("binary").as("data")), 64, 256)
+        val counts = chunks.groupBy(col("path")).agg(count(lit(1)).as("n_chunks"))
+        val re = DataPlane.reassemble(chunks).withColumnRenamed("data", "redata")
+        docs.join(re, "path").join(counts, "path")
+          .select(
+            col("doc_id"),
+            col("n_chunks"),
+            (decode(col("redata"), "UTF-8") === col("text")).as("ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) AS n_chunks,
+             |       TRUE AS ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── D18: tail — fetch only the overlapping subblocks ────────────────
+    QueryDef(
+      "fs_tail",
+      (s, d) => {
+        val docs = docFiles(s, d).filter(col("doc_id") < 20)
+        val chunks = DataPlane.chunk(
+          docs.select(col("path"), col("text").cast("binary").as("data")), 64, 256)
+        DataPlane.tail(chunks, 100)
+          .join(docs, "path")
+          .select(col("doc_id"), decode(col("data"), "UTF-8").as("tail_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, RIGHT(text, 100) AS tail_text
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
+
+    // ── D11: getmerge — ordered concat, checked by digest ───────────────
+    QueryDef(
+      "fs_getmerge",
+      (s, d) => {
+        val docs = docFiles(s, d).filter(col("doc_id") < 10)
+        val chunks = DataPlane.chunk(
+          docs.select(col("path"), col("text").cast("binary").as("data")), 64, 256)
+        DataPlane.getmerge(chunks, "/docs/")
+          .select(
+            octet_length(col("data")).cast("long").as("n_bytes"),
+            md5(col("data")).as("digest"))
+      },
+      Some("""SELECT CAST(SUM(LENGTH(text)) AS BIGINT) AS n_bytes,
+             |       MD5(STRING_AGG(text, '' ORDER BY doc_id)) AS digest
+             |FROM documents WHERE doc_id < 10""".stripMargin))
+  )
+}

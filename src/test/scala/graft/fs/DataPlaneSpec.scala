@@ -1,0 +1,89 @@
+package graft.fs
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.TestSpark
+
+/** Byte-equality round-trips mirroring the reference's
+  * FileSystemStreamSpec.scala:46-186 — including its tiny 30/10 and
+  * 500/50 block/subblock configs — plus tail and getmerge semantics.
+  */
+class DataPlaneSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def filesDf(files: Seq[(String, Array[Byte])]) = {
+    val s = spark
+    import s.implicits._
+    files.toDF("path", "data")
+  }
+
+  private def roundTrip(payload: Array[Byte], sub: Int, block: Int): Array[Byte] = {
+    val chunks = DataPlane.chunk(filesDf(Seq(("/f", payload))), sub, block)
+    DataPlane.reassemble(chunks).collect()(0).getAs[Array[Byte]]("data")
+  }
+
+  private val rnd = new scala.util.Random(42)
+  private def bytes(n: Int): Array[Byte] = {
+    val b = new Array[Byte](n); rnd.nextBytes(b); b
+  }
+
+  behavior of "chunk → reassemble (C1-C9)"
+
+  it must "round-trip bytes with the reference's 30/10 tiny config" in {
+    val payload = bytes(623) // vsmall.txt size, FIXTURES
+    roundTrip(payload, 10, 30) must be(payload)
+  }
+
+  it must "round-trip bytes with the 500/50 config" in {
+    val payload = bytes(12345)
+    roundTrip(payload, 50, 500) must be(payload)
+  }
+
+  it must "round-trip an exact-multiple payload and a sub-subblock payload" in {
+    val exact = bytes(300)
+    roundTrip(exact, 10, 30) must be(exact)
+    val tiny = bytes(3)
+    roundTrip(tiny, 10, 30) must be(tiny)
+  }
+
+  it must "produce zero subblocks for a zero-length file" in {
+    DataPlane.chunk(filesDf(Seq(("/z", Array.empty[Byte]))), 10, 30).count() must be(0L)
+  }
+
+  it must "lay out block/subblock ids and offsets like the reference" in {
+    val chunks = DataPlane.chunk(filesDf(Seq(("/f", bytes(35)))), 10, 30).collect()
+      .sortBy(r => (r.getAs[Long]("block_offset"), r.getAs[Long]("offset")))
+    chunks.length must be(4) // 10+10+10 in block 0, 5 in block 1
+    chunks.map(_.getAs[Int]("block_id")).toSeq must be(Seq(0, 0, 0, 1))
+    chunks.map(_.getAs[Int]("sub_id")).toSeq must be(Seq(0, 1, 2, 0))
+    chunks.map(_.getAs[Long]("length")).toSeq must be(Seq(10L, 10L, 10L, 5L))
+    chunks.last.getAs[Long]("block_offset") must be(30L)
+  }
+
+  behavior of "tail (D18)"
+
+  it must "return exactly the last n bytes, fetching only overlapping subblocks" in {
+    val payload = bytes(100)
+    val chunks = DataPlane.chunk(filesDf(Seq(("/f", payload))), 10, 30)
+    val t = DataPlane.tail(chunks, 25).collect()(0).getAs[Array[Byte]]("data")
+    t must be(payload.takeRight(25))
+  }
+
+  it must "return the whole payload when shorter than n" in {
+    val payload = bytes(7)
+    val chunks = DataPlane.chunk(filesDf(Seq(("/f", payload))), 10, 30)
+    DataPlane.tail(chunks, 1024).collect()(0).getAs[Array[Byte]]("data") must be(payload)
+  }
+
+  behavior of "getmerge (D11)"
+
+  it must "concatenate files under a prefix in path order" in {
+    val a = "AAAA".getBytes; val b = "BB".getBytes; val c = "CCC".getBytes
+    val chunks = DataPlane.chunk(
+      filesDf(Seq(("/m/1", a), ("/m/2", b), ("/m/3", c), ("/other", "X".getBytes))), 2, 4)
+    val merged = DataPlane.getmerge(chunks, "/m/").collect()(0).getAs[Array[Byte]]("data")
+    merged must be(a ++ b ++ c)
+  }
+}
