@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, decoded batch-wise per partition.
+  *
+  * The decode step itself is a STUB (this container has no image/audio
+  * codecs — see the builder brief): `StubDecoder` derives deterministic
+  * fake dimensions from the payload hash. Everything around it is real
+  * and scale-shaped: binary column handling, partition-wise batched
+  * iteration (`mapPartitions`, the Scala analog of `mapInPandas` batch
+  * processing), explicit output schema, and a metadata projection that
+  * never materializes payloads it doesn't need.
+  */
+object Multimodal {
+
+  /** Decoded media features. A real deployment swaps StubDecoder for a
+    * codec-backed implementation with the same signature.
+    */
+  final case class MediaMeta(
+      path: String,
+      n_bytes: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  trait BinaryDecoder extends Serializable {
+    def decode(path: String, payload: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic fake decode: dimensions derived from payload bytes.
+    * Marked stub: replaces `???` so the plumbing is testable end-to-end.
+    */
+  object StubDecoder extends BinaryDecoder {
+    def decode(path: String, payload: Array[Byte]): MediaMeta = {
+      val h = java.util.Arrays.hashCode(payload)
+      val fmt =
+        if (payload.length >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte) "jpeg"
+        else if (payload.length >= 4 && payload(0) == 0x89.toByte && payload(1) == 'P') "png"
+        else "bin"
+      MediaMeta(path, payload.length.toLong, fmt,
+        width = 64 + math.floorMod(h, 1024),
+        height = 64 + math.floorMod(h >> 10, 1024),
+        n_frames = 1 + math.floorMod(h >> 20, 8))
+    }
+  }
+
+  /** Batched partition-wise decode — the mapInPandas-shaped hot path:
+    * one decoder instance per partition, payload bytes never shuffled.
+    */
+  def decodeMeta(binaries: DataFrame, decoder: BinaryDecoder = StubDecoder): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it => it.map { case (p, bytes) => decoder.decode(p, bytes) } }
+      .toDF()
+  }
+
+  /** Metadata-only projection: length + magic sniff WITHOUT decode —
+    * pure expressions, no payload leaves the scan.
+    */
+  def sniff(binaries: DataFrame): DataFrame =
+    binaries.select(
+      col("path"),
+      octet_length(col("data")).cast("long").as("n_bytes"),
+      hex(expr("substring(data, 1, 4)")).as("magic"))
+}

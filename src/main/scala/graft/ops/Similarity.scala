@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *  - `bruteTopK`: exact cosine top-k of a SMALL broadcast query set
+  *    against the full corpus — one scan, no shuffle of the corpus, the
+  *    correctness baseline. Cosine = zip_with/aggregate HOFs (codegen'd),
+  *    norms computed once per side.
+  *  - `ivfTopK`: IVF-style scale path — corpus bucketed by nearest of K
+  *    deterministic centroids (computed once, broadcast); queries probe
+  *    `nprobe` nearest buckets only, so the per-query work drops from
+  *    O(N) to O(N * nprobe / K). Same HOF cosine inside buckets.
+  */
+object Similarity {
+
+  private val dot =
+    "aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  private def norm(c: String) =
+    s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+
+  /** Cosine scores of each query vector against every corpus vector. */
+  private def scoreAll(queries: DataFrame, corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ev"))
+      .crossJoin(broadcast(
+        queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("score", expr(dot) / (expr(norm("qv")) * expr(norm("ev"))))
+
+  /** Exact top-k per query (rank ties broken by neighbor_id). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scoreAll(queries, corpus)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Assign every vector to its nearest of the K centroid vectors
+    * (centroids = the deterministic first K corpus vectors — a fixed
+    * seed assignment; a production pipeline would k-means them, which
+    * changes the centroids but not the plumbing).
+    */
+  def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), col("embedding").as("ev"))
+      .crossJoin(broadcast(
+        centroids.select(col("vec_id").as("c_id"), col("embedding").as("qv"))))
+      .withColumn("score", expr(dot) / (expr(norm("qv")) * expr(norm("ev"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ev").as("embedding"), col("c_id").as("bucket"))
+
+  /** IVF top-k: probe the query's `nprobe` nearest centroid buckets. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              numCentroids: Int, nprobe: Int, k: Int): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < numCentroids)
+    val bucketed = assignBuckets(corpus, centroids)
+
+    val queryBuckets = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(
+        centroids.select(col("vec_id").as("c_id"), col("embedding").as("ev"))))
+      .withColumn("score", expr(dot) / (expr(norm("qv")) * expr(norm("ev"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("c_id").as("bucket"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    bucketed
+      .join(broadcast(queryBuckets), "bucket")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("embedding").as("ev"))
+      .withColumn("score", expr(dot) / (expr(norm("qv")) * expr(norm("ev"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, all built from
+  * codegen'd built-ins (split/regexp/HOFs) — no UDFs, so every op stays
+  * inside WholeStageCodegen and scales linearly with the corpus. Each op
+  * is a narrow projection: at 100 TB the parquet scan reads only
+  * (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Word tokens (ASCII \w+, lowercased). */
+  val tokens: Column = expr("regexp_extract_all(lower(text), '\\\\w+', 0)")
+
+  /** Token/char/punctuation counting. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(tokens).cast("long").as("n_words"),
+      size(array_distinct(tokens)).cast("long").as("n_distinct_words"),
+      expr("size(regexp_extract_all(text, '[.,!?;:]', 0))").cast("long").as("n_punct"))
+
+  /** Quality scoring: length/punctuation/stopword ratios.
+    * All ratios are a single int/int double division — bit-identical
+    * across engines — then rounded.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      .map(s => s"'$s'").mkString(", ")
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        tokens.as("toks"),
+        expr("size(regexp_extract_all(text, '[.,!?;:]', 0))").cast("long").as("n_punct"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("toks")).cast("long").as("n_words"),
+        round(expr("aggregate(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+          .cast("double") / size(col("toks")), 4).as("avg_word_len"),
+        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+        round(expr(s"size(filter(toks, w -> w IN ($stop)))").cast("double") /
+          size(col("toks")), 6).as("stopword_ratio"))
+      .withColumn("quality_ok",
+        col("n_words") >= 5 && col("punct_ratio") < 0.1)
+  }
+
+  /** Language ID by per-language stopword votes with a fixed tiebreak
+    * order (en > es > de > fr) — a deterministic n-gram-free heuristic
+    * whose CASE ladder is reproducible in ANSI SQL.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    def votes(words: Seq[String]): String =
+      s"size(filter(toks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    docs
+      .select(col("doc_id"), tokens.as("toks"))
+      .withColumn("s_en", expr(votes(Seq("the", "and", "of", "to", "a"))))
+      .withColumn("s_es", expr(votes(Seq("el", "los", "que", "y", "es"))))
+      .withColumn("s_de", expr(votes(Seq("der", "die", "und", "das", "ist"))))
+      .withColumn("s_fr", expr(votes(Seq("le", "les", "et", "des", "une"))))
+      .select(
+        col("doc_id"),
+        when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")), "en")
+          .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("lang_guess"),
+        (col("s_en") + col("s_es") + col("s_de") + col("s_fr")).cast("long").as("n_votes"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text —
+    * the cheap cross-engine-stable dedup key (rolling-hash analog).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+      sha2(col("text"), 256).as("sha"))
+}

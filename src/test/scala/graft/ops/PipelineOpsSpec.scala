@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.TestSpark
+
+class PipelineOpsSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  behavior of "Dedup.minhashPairs (banded LSH)"
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  it must "pair identical documents with jaccard 1.0" in {
+    val pairs = Dedup.minhashPairs(docsDf(Seq(1L -> base, 2L -> base,
+      3L -> "completely different words about database engines and shuffles here")),
+      threshold = 0.5).collect()
+    pairs.length must be(1)
+    pairs(0).getLong(0) must be(1L)
+    pairs(0).getLong(1) must be(2L)
+    pairs(0).getDouble(2) must be(1.0)
+  }
+
+  it must "find near-duplicates and skip disjoint documents" in {
+    val nearDup = base.replace("dog", "cat")
+    val pairs = Dedup.minhashPairs(docsDf(Seq(
+      1L -> base, 2L -> nearDup,
+      3L -> "unrelated text that shares zero shingles with anything else at all ok")),
+      threshold = 0.3).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) must contain((1L, 2L))
+    pairs.map(r => (r.getLong(0), r.getLong(1))) must not contain ((1L, 3L))
+    val j = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    j must be > 0.3
+    j must be < 1.0
+    // exact jaccard verification agrees with the standalone op
+    Dedup.jaccard(docsDf(Seq(1L -> base, 2L -> nearDup)), 1L, 2L) must be(j)
+  }
+
+  behavior of "Dedup.simhash"
+
+  it must "give identical signatures to identical docs and different ones to disjoint docs" in {
+    val rows = Dedup.simhash(docsDf(Seq(
+      1L -> base, 2L -> base,
+      3L -> "zebra quartz lighthouse volcano whisper granite thunder meadow")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows(1L) must be(rows(2L))
+    rows(1L) must not be rows(3L)
+  }
+
+  behavior of "Similarity brute vs IVF"
+
+  private def embDf(vs: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    vs.toDF("vec_id", "embedding")
+  }
+
+  it must "rank the exact nearest neighbor first in bruteTopK" in {
+    val vecs = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f), // nearest to 0
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(0f, 0.9f, 0.1f))) // nearest to 2
+    val top = Similarity.bruteTopK(vecs.filter(col("vec_id") < 1), vecs, k = 2)
+      .collect().sortBy(_.getInt(2))
+    top(0).getLong(1) must be(1L) // rank 1 = vec 1
+    top(0).getDouble(3) must be > 0.99
+  }
+
+  it must "agree with brute force on top-1 when the bucket is probed" in {
+    // 64 vectors in 4 tight clusters around orthogonal axes
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 64L).map { i =>
+      val axis = (i % 4).toInt
+      val v = Array.fill(8)(rnd.nextFloat() * 0.05f)
+      v(axis) = 1f
+      i -> v.toSeq
+    }
+    val df = embDf(vecs)
+    val queries = df.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteTopK(queries, df, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(queries, df, numCentroids = 4, nprobe = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivf must be(brute)
+  }
+
+  behavior of "TextAnalysis"
+
+  it must "count tokens and score quality deterministically" in {
+    val df = TextAnalysis.tokenStats(docsDf(Seq(1L -> "Hello, world! hello again")))
+    val r = df.collect()(0)
+    r.getAs[Long]("n_words") must be(4L)
+    r.getAs[Long]("n_distinct_words") must be(3L) // hello, world, again
+    r.getAs[Long]("n_punct") must be(2L)
+  }
+
+  it must "guess en for stopword-heavy english and apply the tiebreak order" in {
+    val rows = TextAnalysis.langId(docsDf(Seq(
+      1L -> "the cat and the dog of the house",
+      2L -> "der hund und die katze ist das haus")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows(1L) must be("en")
+    rows(2L) must be("de")
+  }
+
+  behavior of "Multimodal stub decode"
+
+  it must "decode deterministic fake dimensions with real binary plumbing" in {
+    val s = spark
+    import s.implicits._
+    val bin = Seq(("/mm/1", "payload-bytes".getBytes),
+      ("/mm/2", Array(0xFF.toByte, 0xD8.toByte, 1.toByte))).toDF("path", "data")
+    val meta = Multimodal.decodeMeta(bin).collect()
+      .map(r => r.getAs[String]("path") -> r).toMap
+    meta("/mm/2").getAs[String]("format") must be("jpeg")
+    meta("/mm/1").getAs[String]("format") must be("bin")
+    meta("/mm/1").getAs[Long]("n_bytes") must be(13L)
+    // determinism: same payload → same fake dimensions
+    val again = Multimodal.decodeMeta(bin).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Int]("width")).toMap
+    again("/mm/1") must be(meta("/mm/1").getAs[Int]("width"))
+  }
+}
