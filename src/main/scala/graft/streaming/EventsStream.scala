@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming view of the `events` table — the capability the
+  * reference lacks entirely (append is unsupported,
+  * AppendFileCommand.scala:38-40); added per SURVEY.md §7.3 step 5.
+  *
+  * The same transformations run in batch (see Relational q14/q17 — the
+  * oracle-checked twins) and in streaming: watermarked tumbling-window
+  * aggregation, and custom session state via flatMapGroupsWithState.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over an events directory (parquet files
+    * appearing over time — the production entry point). The driver's
+    * events files carry TIMESTAMP(NANOS), so ts streams in as a long
+    * (nanosAsLong) and converts ns → µs exactly like Tables.events.
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanoSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream.schema(nanoSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-hour window aggregation with a 2-hour watermark: late
+    * data beyond the watermark is dropped, finalized windows emit once
+    * (Append mode). Batch twin: q14_hourly_events.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionUpdate(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, closed: Boolean)
+
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Custom stateful sessionization: a session closes after `gapSec` of
+    * event-time inactivity — either split by the next in-group event or
+    * closed by the event-time timeout once the watermark passes
+    * session_end + gap. Event-time (not processing-time) timeout keeps
+    * results deterministic and replay-safe, and keeps
+    * `processAllAvailable` usable in tests. Batch twin: q17_sessionize's
+    * lag/gap construction.
+    */
+  def sessionize(events: DataFrame,
+                 gapSec: Long = 1800,
+                 watermarkDelay: String = "1 hour"): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, closed = true))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            var st = state.getOption
+            val out = Seq.newBuilder[SessionUpdate]
+            times.foreach { t =>
+              st match {
+                case Some(s) if t - s.last <= gapSec * 1000 =>
+                  st = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  out += SessionUpdate(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, closed = true)
+                  st = Some(SessionState(t, t, 1))
+                case None =>
+                  st = Some(SessionState(t, t, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last-event + gap; clamp to
+              // stay ahead of an already-advanced watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapSec * 1000,
+                  state.getCurrentWatermarkMs() + 1))
+              out += SessionUpdate(userId, new Timestamp(s.start),
+                new Timestamp(s.last), s.n, closed = false)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

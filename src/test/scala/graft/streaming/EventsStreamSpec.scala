@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.TestSpark
+
+class EventsStreamSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  behavior of "hourlyAgg (watermarked tumbling window)"
+
+  it must "emit finalized hourly windows once the watermark passes" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventsStream.hourlyAgg(df).writeStream
+      .format("memory").queryName("hourly_test").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 10:45:00"), 2L, "click", 2.0, "{}"),
+        (3L, ts("2024-01-01 10:50:00"), 1L, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 window (2h watermark)
+      mem.addData((4L, ts("2024-01-01 13:30:00"), 1L, "click", 4.0, "{}"))
+      q.processAllAvailable()
+
+      val out = spark.table("hourly_test").collect()
+        .map(r => (r.getAs[Timestamp]("hour").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      out must contain(("2024-01-01 10:00:00.0", "click", 2L, 3.0))
+      out must contain(("2024-01-01 10:00:00.0", "view", 1L, 3.0))
+      // the 13:00 window is NOT final yet — append mode must not have it
+      out.map(_._1) must not contain "2024-01-01 13:00:00.0"
+    } finally q.stop()
+  }
+
+  behavior of "sessionize (flatMapGroupsWithState)"
+
+  it must "split a user's events into gap-delimited sessions" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventsStream.sessionize(df, gapSec = 1800).writeStream
+      .format("memory").queryName("session_test").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 10:10:00"), 7L, "view", 1.0, "{}"),
+        // 50-minute gap > 30-minute session gap → new session
+        (3L, ts("2024-01-01 11:00:00"), 7L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+
+      val rows = spark.table("session_test").collect()
+      val closed = rows.filter(_.getAs[Boolean]("closed"))
+      closed.length must be(1)
+      closed(0).getAs[Long]("n_events") must be(2L)
+      closed(0).getAs[Timestamp]("session_start") must be(ts("2024-01-01 10:00:00"))
+      closed(0).getAs[Timestamp]("session_end") must be(ts("2024-01-01 10:10:00"))
+      val open = rows.filterNot(_.getAs[Boolean]("closed"))
+      open.map(_.getAs[Long]("n_events")).max must be(1L)
+
+      // advance the watermark (1h delay) past 11:00 + 30min gap: the idle
+      // session must close via the event-time timeout
+      mem.addData((4L, ts("2024-01-01 13:00:00"), 8L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val closed2 = spark.table("session_test").collect()
+        .filter(r => r.getAs[Boolean]("closed") && r.getAs[Long]("user_id") == 7L)
+      closed2.length must be(2)
+      closed2.map(_.getAs[Timestamp]("session_start").toString).sorted.last must
+        be("2024-01-01 11:00:00.0")
+    } finally q.stop()
+  }
+
+  behavior of "streaming/batch parity"
+
+  it must "produce the same hourly totals as the batch groupBy on the same rows" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(
+      (1L, ts("2024-01-01 08:10:00"), 1L, "click", 1.5, "{}"),
+      (2L, ts("2024-01-01 08:20:00"), 2L, "click", 2.5, "{}"),
+      (3L, ts("2024-01-01 09:10:00"), 1L, "view", 1.0, "{}"))
+
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .collect().map(r => (r.getAs[Timestamp](0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStream.hourlyAgg(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("parity_test").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-01 23:00:00"), 9L, "view", 0.0, "{}")) // advance watermark
+      q.processAllAvailable()
+      val stream = spark.table("parity_test").collect()
+        .map(r => (r.getAs[Timestamp](0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      stream must be(batch)
+    } finally q.stop()
+  }
+}
