@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.GraftFunctions
+
+/** A1/A11/A12 analog: engine bootstrap and session bookkeeping.
+  *
+  * The reference's `initialize` wires config + store + cwd
+  * (SnackFS.scala:51-73); here the equivalent is a tuned SparkSession —
+  * AQE on (runtime re-plan + skew-join handling), shuffle partitions
+  * sized to the machine instead of the 200 default, 128 MB split size
+  * matching the reference's block size (SnackFSConfiguration.scala:42) —
+  * plus registration of graft's native expressions.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = builder(appName, cores).getOrCreate()
+    GraftFunctions.register(spark)
+    spark
+  }
+}
+
+/** `spark.sql.extensions`-style injection for clusters that configure
+  * extensions declaratively:
+  * `--conf spark.sql.extensions=graft.GraftSessionExtensions`.
+  */
+class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected driver
+  * queries so scan pruning (`PushedFilters`/`ReadSchema`), join strategy
+  * (BroadcastHashJoin vs SortMergeJoin), and WholeStageCodegen spans can
+  * be inspected after every change.
+  *
+  *   sbt "runMain graft.PlanAudit [sfDir] [query ...]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_flagship", "q03_filter_scan", "q04_join_region",
+        "dedup_minhash", "ann_brute_topk", "fs_du")
+    val spark = GraftSession.getOrCreate("graft-plan-audit",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n===== $name =====")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

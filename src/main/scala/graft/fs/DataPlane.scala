@@ -97,6 +97,27 @@ object DataPlane {
           .as("data"))
   }
 
+  /** C5/C6: positioned read — bytes [start, start+len) per path, fetching
+    * only the subblocks overlapping the range (the seek + findBlock walk
+    * of FileSystemInputStream.scala:45-76 as partition-prunable
+    * predicates).
+    */
+  def readRange(chunks: DataFrame, start: Long, len: Long): DataFrame =
+    chunks
+      .filter(absOff + col("length") > start && absOff < start + len)
+      .groupBy(col("path"))
+      .agg(
+        min(absOff).as("first_off"),
+        expr("""aggregate(
+                 transform(array_sort(collect_list(struct(block_offset + offset AS off, data))),
+                           x -> x.data),
+                 CAST('' AS BINARY),
+                 (acc, x) -> concat(acc, x))""").as("joined"))
+      .select(
+        col("path"),
+        expr(s"substring(joined, CAST($start - first_off + 1 AS INT), ${len.toInt})")
+          .as("data"))
+
   /** D11: getmerge — ordered concat of all files under a prefix into one
     * payload; ordering = path order (SURVEY §7.5: filename order, the
     * documented choice for the reference's ambiguous "merge and sort").

@@ -1,17 +1,27 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline.
   *
   * Scale posture: exact dedup is a single hash-shuffle on a 32-byte key;
-  * MinHash-LSH is the banded form — shingle → k minhashes → b band
-  * hashes → equi-join WITHIN band buckets. Candidate generation is a
-  * self-equi-join on (band_idx, band_hash), never an all-pairs cross
-  * join: at 100 TB the join keys hash-partition and each bucket is tiny.
-  * All hashing is Spark's murmur3/xxhash64 (deterministic, seedable) —
-  * no RNG state to ship to executors.
+  * MinHash-LSH is the banded form — shingle rows → k minhashes via
+  * map-side-combined MIN aggregation → band hashes → equi-join WITHIN
+  * band buckets. Candidate generation carries ONLY doc ids (shingle sets
+  * re-attach to survivors afterwards), never an all-pairs cross join: at
+  * 100 TB the join keys hash-partition and each bucket stays small. All
+  * hashing is Spark's murmur3/xxhash64 (deterministic) — no RNG state.
+  *
+  * Performance note (measured at sf0.1, 785 s → seconds): chained
+  * array-HOF formulations (shingles array → transform(...minhash) →
+  * transform(...bands)) are a trap — CollapseProject inlines the
+  * shingle-building expression into every lambda that references it, so
+  * the shingle array gets recomputed once per hash function per band
+  * (~256× per document), all in interpreted HOF eval. Everything below
+  * is therefore explode + aggregate: each value is computed exactly
+  * once, in codegen, and partial aggregation shrinks shuffles map-side.
   */
 object Dedup {
 
@@ -27,21 +37,31 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("sha"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingle set (distinct). */
-  def shingles(n: Int = 3) =
-    expr(s"""array_distinct(
-              transform(sequence(0, greatest(size(regexp_extract_all(lower(text), '\\\\w+', 0)) - $n, 0)),
-                        i -> concat_ws(' ', slice(regexp_extract_all(lower(text), '\\\\w+', 0), i + 1, $n))))""")
-
-  /** MinHash signature: k independent hash functions via murmur3 with the
-    * function index mixed in; sig[j] = min over shingles.
+  /** Distinct word n-gram shingles as ROWS (doc_id, shingle): tokens are
+    * exploded once and shingles assembled with window `lead`s — no array
+    * lambda ever re-slices a computed array.
     */
-  def minhashSig(k: Int) =
-    expr(s"transform(sequence(0, ${k - 1}), j -> array_min(transform(shingles, s -> hash(s, j))))")
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
+          .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = (0 until n).map(i =>
+      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
+    pos
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
+        parts.last.isNotNull.as("complete"))
+      .filter(col("complete"))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+  }
 
-  /** Banded LSH: b band hashes over r-row slices of the signature. */
-  def bandHashes(b: Int, r: Int) =
-    expr(s"transform(sequence(0, ${b - 1}), bi -> xxhash64(slice(sig, bi * $r + 1, $r), bi))")
+  /** Shingle SETS (doc_id, shingles array) for verification joins. */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleRows(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shingles"))
 
   /** Candidate pairs from banded MinHash-LSH, exact-Jaccard-verified.
     *
@@ -55,29 +75,38 @@ object Dedup {
                    r: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val k = b * r
-    val sigs = docs
-      .select(col("doc_id"), shingles(shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSig(k))
-      .withColumn("bands", bandHashes(b, r))
+    val sh = shingleRows(docs, shingleN)
 
-    val bandRows = sigs.select(
-      col("doc_id"), col("shingles"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    // minhash j of doc = MIN over shingles of murmur3(shingle, j):
+    // explode k hash-function ids per shingle row; partial MIN combines
+    // map-side so the shuffle carries ≤ docs × k rows per partition
+    val mh = sh
+      .select(col("doc_id"), col("shingle"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(hash(col("shingle"), col("j"))).as("mh"))
 
-    val a = bandRows.select(
-      col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val bSide = bandRows.select(
-      col("band_idx").as("band_idx_b"), col("band_hash").as("band_hash_b"),
-      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    // band hash = xxhash64 over the band's r minhashes in j order
+    val bandRows = mh
+      .groupBy(col("doc_id"), expr(s"j DIV $r").as("band_idx"))
+      .agg(collect_list(struct(col("j"), col("mh"))).as("jmh"))
+      .select(col("doc_id"), col("band_idx"),
+        xxhash64(expr("transform(array_sort(jmh), x -> x.mh)"), col("band_idx"))
+          .as("band_hash"))
 
-    a.join(bSide,
-        col("band_idx") === col("band_idx_b") &&
-        col("band_hash") === col("band_hash_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+    // id-only candidate generation: nothing wide crosses this shuffle
+    val candidates = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    val sets = shingleSets(docs, shingleN)
+    candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -85,31 +114,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash: 64-bit signature = sign of per-bit vote sums over token
-    * xxhash64 values. Near-dup candidates = equal signature (or banded
-    * by 16-bit quarters for hamming ≤ tolerance at scale).
+  /** SimHash: 64-bit signature from per-bit vote sums over token
+    * xxhash64 values — explode + 64 codegen'd conditional sums in ONE
+    * aggregation pass.
     */
-  def simhash(docs: DataFrame): DataFrame =
-    docs
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"),
-        expr("array_distinct(regexp_extract_all(lower(text), '\\\\w+', 0))").as("toks"))
-      .filter(size(col("toks")) > 0)
-      .withColumn("hashes", expr("transform(toks, t -> xxhash64(t))"))
-      // bit b of the signature = 1 iff #tokens with bit b set > #tokens/2
-      .withColumn("sig",
-        expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-                 (acc, b) -> acc | CAST(
-                   IF(size(filter(hashes, h -> ((h >> b) & 1) = 1)) * 2 > size(hashes),
-                      shiftleft(CAST(1 AS BIGINT), b), 0) AS BIGINT))"""))
-      .select(col("doc_id"), col("sig").as("simhash"))
+        explode(expr("array_distinct(regexp_extract_all(lower(text), '\\\\w+', 0))")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { bit =>
+      sum(expr(s"CAST(((h >> $bit) & 1) * 2 - 1 AS BIGINT)")).as(s"v$bit")
+    }
+    val sig = (0 until 64).map { bit =>
+      when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    toks
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
 
-  /** Exact n-gram Jaccard for an explicit candidate set — the
-    * verification stage shared by LSH (already folded into
-    * minhashPairs) exposed standalone for spec use.
+  /** Exact n-gram Jaccard for an explicit candidate pair — the standalone
+    * verification op (LSH folds this in already).
     */
   def jaccard(docs: DataFrame, idA: Long, idB: Long, n: Int = 3): Double = {
-    val sh = docs.filter(col("doc_id").isin(idA, idB))
-      .select(col("doc_id"), shingles(n).as("sh"))
+    val sh = shingleSets(docs.filter(col("doc_id").isin(idA, idB)), n)
     val rows = sh.collect().map(r => r.getLong(0) ->
       r.getSeq[String](1).toSet).toMap
     val (x, y) = (rows(idA), rows(idB))

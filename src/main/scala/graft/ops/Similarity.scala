@@ -4,26 +4,30 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.GraftFunctions
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
   *
   * Two paths, as a 100 TB pipeline needs both:
   *  - `bruteTopK`: exact cosine top-k of a SMALL broadcast query set
   *    against the full corpus — one scan, no shuffle of the corpus, the
-  *    correctness baseline. Cosine = zip_with/aggregate HOFs (codegen'd),
-  *    norms computed once per side.
+  *    correctness baseline.
   *  - `ivfTopK`: IVF-style scale path — corpus bucketed by nearest of K
   *    deterministic centroids (computed once, broadcast); queries probe
   *    `nprobe` nearest buckets only, so the per-query work drops from
-  *    O(N) to O(N * nprobe / K). Same HOF cosine inside buckets.
+  *    O(N) to O(N * nprobe / K). Same cosine primitive inside buckets.
   */
 object Similarity {
 
-  private val dot =
-    "aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-
-  private def norm(c: String) =
-    s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+  /** Cosine via the native codegen'd expression (graft_cosine) — one
+    * fused primitive loop; bit-identical to the HOF
+    * aggregate/zip_with formulation it replaced (see CosineSimilarity).
+    */
+  private def cosine(df: DataFrame): org.apache.spark.sql.Column = {
+    GraftFunctions.register(df.sparkSession)
+    expr("graft_cosine(qv, ev)")
+  }
 
   /** Cosine scores of each query vector against every corpus vector. */
   private def scoreAll(queries: DataFrame, corpus: DataFrame): DataFrame =
@@ -32,7 +36,7 @@ object Similarity {
       .crossJoin(broadcast(
         queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))))
       .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("score", expr(dot) / (expr(norm("qv")) * expr(norm("ev"))))
+      .withColumn("score", cosine(corpus))
 
   /** Exact top-k per query (rank ties broken by neighbor_id). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -54,7 +58,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding").as("ev"))
       .crossJoin(broadcast(
         centroids.select(col("vec_id").as("c_id"), col("embedding").as("qv"))))
-      .withColumn("score", expr(dot) / (expr(norm("qv")) * expr(norm("ev"))))
+      .withColumn("score", cosine(corpus))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
       .filter(col("rn") === 1)
@@ -70,7 +74,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(
         centroids.select(col("vec_id").as("c_id"), col("embedding").as("ev"))))
-      .withColumn("score", expr(dot) / (expr(norm("qv")) * expr(norm("ev"))))
+      .withColumn("score", cosine(corpus))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))))
       .filter(col("rn") <= nprobe)
@@ -83,7 +87,7 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("qv"), col("embedding").as("ev"))
-      .withColumn("score", expr(dot) / (expr(norm("qv")) * expr(norm("ev"))))
+      .withColumn("score", cosine(corpus))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("rank"), col("score"))

@@ -120,6 +120,28 @@ object CatalogQueries {
               |WHERE p_brand = 'Brand#13'
               |  AND p_partkey = (SELECT MIN(p_partkey) FROM part WHERE p_brand = 'Brand#13')""".stripMargin)),
 
+    // ── A10/B11: block locations — deterministic block→endpoint mapping
+    //    (the Cassandra token-ring placement, ThriftStore.scala:543-605,
+    //    as a pure hash function; exercises nested-blocks explode) ──────
+    QueryDef(
+      "fs_block_locations",
+      (s, d) => {
+        val cat = CatalogBuilder.fromPart(s, d)
+        cat.inodes
+          .filter(col("path").startsWith("/pt/Brand#13/"))
+          .select(col("path"), explode(col("blocks")).as("b"))
+          .select(
+            col("path"),
+            col("b.id").as("block_id"),
+            concat(lit("node-"),
+              (ascii(substring(col("b.id"), 1, 1)) % 3).cast("string")).as("endpoint"))
+          .orderBy(col("path"))
+      },
+      Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path,
+              |       md5('/pt/Brand#13/part_' || p_partkey) AS block_id,
+              |       'node-' || CAST(ascii(SUBSTRING(md5('/pt/Brand#13/part_' || p_partkey), 1, 1)) % 3 AS VARCHAR) AS endpoint
+              |FROM part WHERE p_brand = 'Brand#13' ORDER BY path""".stripMargin)),
+
     // ── D15/D16: touchz + test — zero-length file lifecycle ─────────────
     QueryDef(
       "fs_touchz",

@@ -57,6 +57,21 @@ object DataPlaneQueries {
       Some("""SELECT doc_id, RIGHT(text, 100) AS tail_text
              |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
 
+    // ── C5/C6: positioned read — seek + findBlock as range predicates ───
+    QueryDef(
+      "fs_read_at",
+      (s, d) => {
+        val docs = docFiles(s, d)
+        val chunks = DataPlane.chunk(
+          docs.select(col("path"), col("text").cast("binary").as("data")), 64, 256)
+        DataPlane.readRange(chunks, start = 100L, len = 50L)
+          .join(docs, "path")
+          .select(col("doc_id"), decode(col("data"), "UTF-8").as("slice"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, SUBSTRING(text, 101, 50) AS slice
+             |FROM documents WHERE LENGTH(text) > 100 ORDER BY doc_id""".stripMargin)),
+
     // ── D11: getmerge — ordered concat, checked by digest ───────────────
     QueryDef(
       "fs_getmerge",
