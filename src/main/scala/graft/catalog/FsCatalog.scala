@@ -167,6 +167,37 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
           epoch, Seq.empty))
     }
 
+  // ── D7: cp — subtree duplicate (rename's rewrite, keeping the src) ────
+  def copy(src: String, dst: String): (FsCatalog, Boolean) = {
+    if (src == dst) return (this, true)
+    if (!exists(src)) throw new IOException(s"No such file or directory.$src")
+    if (exists(dst)) throw new IOException("Destination already exists")
+    val dstParent = PathOps.parent(dst)
+    if (dstParent != null) {
+      val parentNode = retrieve(dstParent).getOrElse(
+        throw new IOException(s"Destination $dstParent directory does not exist."))
+      if (parentNode.isFile)
+        throw new IOException("A file exists with parent of destination.")
+    }
+    val dup = inodes
+      .filter(col("path") === src || col("path").startsWith(src + "/"))
+      .withColumn("path", concat(lit(dst), expr(s"substring(path, ${src.length + 1})")))
+      .withColumn("parentPath", parentOf(col("path")))
+      .as[Inode](inodeEncoder)
+    (FsCatalog(inodes.unionByName(dup)), true)
+  }
+
+  // ── Persistence: the catalog as a path-range-partitioned parquet table.
+  //    Range partitioning + in-file sort on path means every point lookup
+  //    and subtree prefix scan prunes to a handful of files via parquet
+  //    min/max stats — the Spark equivalent of the reference's
+  //    secondary-index anchoring (ThriftStore.scala:477-490). ──────────
+  def save(dir: String, numPartitions: Int = 8): Unit =
+    inodes
+      .repartitionByRange(numPartitions, col("path"))
+      .sortWithinPartitions(col("path"))
+      .write.mode("overwrite").parquet(dir)
+
   // ── A4: append must throw (AppendFileCommand.scala:38-40) ─────────────
   def append(path: String): Nothing =
     throw new UnsupportedOperationException(
@@ -181,6 +212,9 @@ object FsCatalog {
     * unavailable (the session is a def, not a stable identifier).
     */
   implicit val inodeEncoder: Encoder[Inode] = Encoders.product[Inode]
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): FsCatalog =
+    FsCatalog(spark.read.parquet(dir).as[Inode](inodeEncoder))
 
   private val epoch = new Timestamp(1704067200000L) // 2024-01-01T00:00:00Z
 

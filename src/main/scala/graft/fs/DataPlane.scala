@@ -118,6 +118,36 @@ object DataPlane {
         expr(s"substring(joined, CAST($start - first_off + 1 AS INT), ${len.toInt})")
           .as("data"))
 
+  /** D9: -put / -copyFromLocal — local file → chunked subblock rows.
+    * Reading the local payload is inherently driver-side (the reference
+    * shell reads local disk too); chunking/storage is distributed.
+    */
+  def put(spark: org.apache.spark.sql.SparkSession,
+          localPath: String, fsPath: String,
+          subBlockSize: Int = DefaultSubBlock,
+          blockSize: Int = DefaultBlock): DataFrame = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(localPath))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(fsPath, bytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("data",
+          org.apache.spark.sql.types.BinaryType))))
+    chunk(df, subBlockSize, blockSize)
+  }
+
+  /** D10: -get / -copyToLocal — reassemble one path and write it to a
+    * local file.
+    */
+  def get(chunks: DataFrame, fsPath: String, localPath: String): Unit = {
+    val rows = cat(chunks, fsPath).collect()
+    val data =
+      if (rows.isEmpty) Array.empty[Byte]
+      else rows(0).getAs[Array[Byte]]("data")
+    java.nio.file.Files.write(java.nio.file.Paths.get(localPath), data)
+  }
+
   /** D11: getmerge — ordered concat of all files under a prefix into one
     * payload; ordering = path order (SURVEY §7.5: filename order, the
     * documented choice for the reference's ambiguous "merge and sort").

@@ -120,6 +120,20 @@ object CatalogQueries {
               |WHERE p_brand = 'Brand#13'
               |  AND p_partkey = (SELECT MIN(p_partkey) FROM part WHERE p_brand = 'Brand#13')""".stripMargin)),
 
+    // ── D7: cp — subtree duplicate, then summarize the grown tree ───────
+    QueryDef(
+      "fs_cp",
+      (s, d) => {
+        val (cat, ok) = CatalogBuilder.fromPart(s, d).copy("/pt/Brand#13", "/pt/copy13")
+        require(ok, "cp with satisfied preconditions must succeed")
+        cat.countSummary("/pt")
+      },
+      Some("""SELECT '/pt' AS path,
+             |       CAST(2 + COUNT(DISTINCT p_brand) AS BIGINT) AS dir_count,
+             |       COUNT(*) + (SELECT COUNT(*) FROM part WHERE p_brand = 'Brand#13') AS file_count,
+             |       CAST(SUM(p_size) + (SELECT SUM(p_size) FROM part WHERE p_brand = 'Brand#13') AS BIGINT) AS content_size
+             |FROM part""".stripMargin)),
+
     // ── A10/B11: block locations — deterministic block→endpoint mapping
     //    (the Cassandra token-ring placement, ThriftStore.scala:543-605,
     //    as a pure hash function; exercises nested-blocks explode) ──────

@@ -165,6 +165,40 @@ class FsCatalogSpec extends AnyFlatSpec with Matchers {
     cnt.getAs[Long]("content_size") must be(60L)
   }
 
+  behavior of "copy (D7)"
+
+  it must "duplicate a subtree keeping the source intact" in {
+    val (cat, ok) = tree.copy("/a", "/acopy")
+    ok must be(true)
+    cat.exists("/a/sub/f3") must be(true)
+    cat.retrieve("/acopy/sub/f3").get.length must be(30L)
+    cat.dus("/acopy").collect()(0).getLong(1) must be(60L)
+    an[IOException] must be thrownBy cat.copy("/a", "/acopy") // dst exists
+    an[IOException] must be thrownBy cat.copy("/nope", "/x2") // src missing
+  }
+
+  behavior of "save/load (catalog persistence)"
+
+  it must "round-trip through path-range-partitioned parquet" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-").toString + "/cat"
+    tree.save(dir, numPartitions = 2)
+    val back = FsCatalog.load(spark, dir)
+    back.inodes.count() must be(tree.inodes.count())
+    back.retrieve("/a/sub/f3").get.length must be(30L)
+    back.listStatus("/a").count() must be(3L)
+  }
+
+  behavior of "file locks (B12 narrowing)"
+
+  it must "let the first contender win and require its token to release" in {
+    val t1 = FileLocks.acquire("/lock/f")
+    t1 must be(defined)
+    FileLocks.acquire("/lock/f") must be(None) // loser
+    FileLocks.release("/lock/f", java.util.UUID.randomUUID()) must be(false)
+    FileLocks.release("/lock/f", t1.get) must be(true)
+    FileLocks.acquire("/lock/f") must be(defined) // free again
+  }
+
   behavior of "touchz/test (D15/D16) and append (A4)"
 
   it must "create a zero-length file and answer -test flags" in {
