@@ -325,6 +325,61 @@ object Relational {
              |       CAST(LEN(LIST_FILTER(embedding, x -> x < 0)) AS BIGINT) AS n_neg
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // ── As-of join: latest purchase at-or-before each event ─────────────
+    // (composed union+window op, graft.ops.AsofJoin; DuckDB's native
+    //  ASOF JOIN is the oracle. Timestamps truncated to seconds on both
+    //  sides so the driver's ns-precision parquet and our µs session
+    //  agree on tie semantics.)
+    QueryDef(
+      "q18_asof_join",
+      (s, d) => {
+        val ev = events(s, d).withColumn("ts_s", date_trunc("second", col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_s").as("ts"), col("ts_s").as("p_ts"))
+        val clicks = ev.filter(col("event_type") =!= "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_s").as("ts"))
+        graft.ops.AsofJoin.asof(clicks, purchases,
+            key = "user_id", ts = "ts", rightPayload = "p_ts",
+            outName = "last_purchase_ts")
+          .filter(col("last_purchase_ts").isNotNull)
+          .select(col("event_id"), col("last_purchase_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, p.p_ts AS last_purchase_ts
+             |FROM (SELECT event_id, user_id, DATE_TRUNC('second', ts) AS ts
+             |      FROM events WHERE event_type <> 'purchase') e
+             |ASOF JOIN (SELECT user_id, DATE_TRUNC('second', ts) AS ts,
+             |                  DATE_TRUNC('second', ts) AS p_ts
+             |           FROM events WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND e.ts >= p.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ── Range join: orders binned into price bands (broadcast non-equi) ─
+    QueryDef(
+      "q19_range_join",
+      (s, d) => {
+        val session = s
+        import session.implicits._
+        val bands = Seq(
+          ("low", 0.0, 100000.0),
+          ("mid", 100000.0, 250000.0),
+          ("high", 250000.0, 1e12)).toDF("band", "lo", "hi")
+        orders(s, d)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"),
+            dec38(sum(dec(col("o_totalprice"))), 2).as("revenue"))
+          .orderBy(col("band"))
+      },
+      Some("""SELECT band, COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+             |FROM orders
+             |JOIN (VALUES ('low', 0, 100000), ('mid', 100000, 250000),
+             |             ('high', 250000, 1000000000000)) b(band, lo, hi)
+             |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
     // ── Sessionization: window lag + cumulative gap counting ────────────
     QueryDef(
       "q17_sessionize",

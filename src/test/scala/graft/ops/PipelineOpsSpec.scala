@@ -93,6 +93,23 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     ivf must be(brute)
   }
 
+  behavior of "AsofJoin"
+
+  it must "attach the latest at-or-before right payload per key" in {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 150L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 100L, 100L), (10L, 200L, 200L), (20L, 300L, 300L))
+      .toDF("user_id", "ts", "p_ts")
+    val out = AsofJoin.asof(left, right, "user_id", "ts", "p_ts", "last_p")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    out(1L) must be(Some(100L)) // tie at ts=100 is inclusive
+    out(2L) must be(Some(200L)) // picks the latest of two
+    out(3L) must be(None)       // right rows are all later
+  }
+
   behavior of "TextAnalysis"
 
   it must "count tokens and score quality deterministically" in {
