@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CatalogQueries, DataPlaneQueries, PipelineQueries, QueryDef, Relational}
+import graft.queries.{CatalogQueries, DataPlaneQueries, PipelineQueries, QueryDef, Relational, SourceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     Relational.defs ++ CatalogQueries.defs ++ DataPlaneQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++ SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
