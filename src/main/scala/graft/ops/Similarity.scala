@@ -64,6 +64,25 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("ev").as("embedding"), col("c_id").as("bucket"))
 
+  /** Embedding-cosine near-duplicate pairs — the ANN-flavored dedup
+    * variant: candidates are generated WITHIN IVF buckets (never
+    * all-pairs), then kept when cosine ≥ threshold. At 100 TB the
+    * quadratic term is bounded per bucket, and buckets hash-partition.
+    */
+  def embeddingNearDups(corpus: DataFrame, numCentroids: Int,
+                        threshold: Double): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < numCentroids)
+    val bucketed = assignBuckets(corpus, centroids)
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("qv"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+      col("embedding").as("ev"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("score", cosine(corpus))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest centroid buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               numCentroids: Int, nprobe: Int, k: Int): DataFrame = {

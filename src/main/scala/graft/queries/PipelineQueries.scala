@@ -130,6 +130,35 @@ object PipelineQueries {
       },
       None),
 
+    // Embedding-cosine near-dup: IVF-bucketed candidate pairs — oracle-
+    // exempt (bucket assignment is ours), deterministic summary row.
+    QueryDef(
+      "dedup_embedding",
+      (s, d) =>
+        graft.ops.Similarity.embeddingNearDups(
+            Tables.embeddings(s, d), numCentroids = 16, threshold = 0.2)
+          .agg(
+            count(lit(1)).as("n_near_dup_pairs"),
+            coalesce(round(max(col("score")), 4), lit(0.0)).as("max_score")),
+      None),
+
+    // BPE-ish token counting (whitespace + subword-boundary regex), both
+    // reproducible in RE2 and Java regex (ASCII classes only).
+    QueryDef(
+      "text_bpe_tokens",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+             |       CAST(LEN(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── Multimodal binary columns ───────────────────────────────────────
     QueryDef(
       "mm_sniff",
