@@ -396,6 +396,39 @@ object Relational {
              |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
              |GROUP BY band ORDER BY band""".stripMargin)),
 
+    // ── Salted join: skew-robust equi-join, result-identical to plain ───
+    QueryDef(
+      "q21_salted_join",
+      (s, d) =>
+        graft.ops.SkewJoin.saltedJoin(
+            lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity")),
+            orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+              col("o_orderpriority")),
+            key = "l_orderkey", saltFactor = 8,
+            probeSaltCols = Seq("l_linenumber"))
+          .groupBy(col("o_orderpriority"))
+          .agg(dec38(sum(dec(col("l_quantity"))), 2).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |       COUNT(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Sketch aggregates: HLL approx distinct next to the exact count
+    //    (approx value is deterministic — HLL merge is order-independent —
+    //    but engine-specific, so rows-only) ────────────────────────────
+    QueryDef(
+      "q22_approx_distinct",
+      (s, d) =>
+        lineitem(s, d).agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders")),
+      None),
+
     // ── Sessionization: window lag + cumulative gap counting ────────────
     QueryDef(
       "q17_sessionize",

@@ -93,6 +93,23 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     ivf must be(brute)
   }
 
+  behavior of "SkewJoin"
+
+  it must "produce exactly the plain join's result set" in {
+    val s = spark
+    import s.implicits._
+    // heavy skew: 90% of probe rows hit key 1
+    val probe = ((1 to 90).map(i => (1L, i)) ++ (1 to 10).map(i => (2L, i)))
+      .toDF("k", "salt_src")
+    val build = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val salted = SkewJoin.saltedJoin(probe, build, "k", 8, Seq("salt_src"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val plain = probe.join(build, "k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    salted must be(plain)
+    salted.length must be(100)
+  }
+
   behavior of "AsofJoin"
 
   it must "attach the latest at-or-before right payload per key" in {
