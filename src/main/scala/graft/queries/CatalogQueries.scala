@@ -144,17 +144,28 @@ object CatalogQueries {
         cat.inodes
           .filter(col("path").startsWith("/pt/Brand#13/"))
           .select(col("path"), explode(col("blocks")).as("b"))
+          .withColumn("owner", ascii(substring(col("b.id"), 1, 1)) % 3)
           .select(
             col("path"),
             col("b.id").as("block_id"),
-            concat(lit("node-"),
-              (ascii(substring(col("b.id"), 1, 1)) % 3).cast("string")).as("endpoint"))
+            // RF=3 like the reference (SnackFSSpec.scala:242-269): the
+            // owner plus the next two nodes on the ring
+            array(
+              concat(lit("node-"), col("owner").cast("string")),
+              concat(lit("node-"), ((col("owner") + 1) % 3).cast("string")),
+              concat(lit("node-"), ((col("owner") + 2) % 3).cast("string")))
+              .as("replicas"))
           .orderBy(col("path"))
       },
       Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path,
               |       md5('/pt/Brand#13/part_' || p_partkey) AS block_id,
-              |       'node-' || CAST(ascii(SUBSTRING(md5('/pt/Brand#13/part_' || p_partkey), 1, 1)) % 3 AS VARCHAR) AS endpoint
-              |FROM part WHERE p_brand = 'Brand#13' ORDER BY path""".stripMargin)),
+              |       ['node-' || CAST(o % 3 AS VARCHAR),
+              |        'node-' || CAST((o + 1) % 3 AS VARCHAR),
+              |        'node-' || CAST((o + 2) % 3 AS VARCHAR)] AS replicas
+              |FROM (SELECT p_partkey,
+              |             ascii(SUBSTRING(md5('/pt/Brand#13/part_' || p_partkey), 1, 1)) AS o
+              |      FROM part WHERE p_brand = 'Brand#13')
+              |ORDER BY path""".stripMargin)),
 
     // ── D15/D16: touchz + test — zero-length file lifecycle ─────────────
     QueryDef(

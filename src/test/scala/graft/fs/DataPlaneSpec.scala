@@ -62,6 +62,16 @@ class DataPlaneSpec extends AnyFlatSpec with Matchers {
     chunks.last.getAs[Long]("block_offset") must be(30L)
   }
 
+  it must "split a 254KB payload into exactly 2 blocks (scaled SnackFSSpec.scala:242-269 analog)" in {
+    // the reference's largest test: 254 MB with 128 MB blocks → exactly 2
+    // block locations; same ratio here at 1/1000 scale
+    val payload = bytes(254 * 1024)
+    val chunks = DataPlane.chunk(filesDf(Seq(("/big", payload))), 8 * 1024, 128 * 1024)
+    chunks.select("block_id").distinct().count() must be(2L)
+    chunks.count() must be(32L) // ceil(254/8) subblocks
+    DataPlane.reassemble(chunks).collect()(0).getAs[Array[Byte]]("data") must be(payload)
+  }
+
   behavior of "tail (D18)"
 
   it must "return exactly the last n bytes, fetching only overlapping subblocks" in {
