@@ -35,6 +35,13 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
 
   private def spark = inodes.sparkSession
 
+  /** Child-path prefix for subtree predicates — "/" is its own prefix
+    * (naively appending "/" would yield "//" and miss every child; the
+    * root case was caught by CatalogProperties' dus invariant).
+    */
+  private def prefixOf(path: String): String =
+    if (path == "/") "/" else path + "/"
+
   // ── B4: retrieveINode ≙ filter-head (ThriftStore.scala:329-350) ───────
   def retrieve(path: String): Option[Inode] =
     inodes.filter(col("path") === path).limit(1).collect().headOption
@@ -82,7 +89,7 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
         else if (!recursive) throw new IOException("Directory is not empty")
         else
           (FsCatalog(inodes.filter(
-            col("path") =!= path && !col("path").startsWith(path + "/"))), true)
+            col("path") =!= path && !col("path").startsWith(prefixOf(path)))), true)
     }
 
   // ── A8: rename — subtree prefix rewrite as ONE distributed transform ──
@@ -101,7 +108,7 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       if (parentNode.isFile)
         throw new IOException("A file exists with parent of destination.")
     }
-    val inSubtree = col("path") === src || col("path").startsWith(src + "/")
+    val inSubtree = col("path") === src || col("path").startsWith(prefixOf(src))
     val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
     val rewritten = inodes
       .withColumn("path", when(inSubtree, newPath).otherwise(col("path")))
@@ -120,14 +127,15 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
 
   // ── D2: lsr — deep listing, the ThriftStore deep-fetch analog ─────────
   def listStatusRecursive(path: String): DataFrame =
-    statusOf(inodes.filter(col("path").startsWith(path + "/")))
+    statusOf(inodes.filter(col("path").startsWith(prefixOf(path))))
 
   // ── D3: du — per-shallow-child subtree byte totals, one shuffle ───────
   def du(path: String): DataFrame = {
-    val rel = expr(s"split_part(substring(path, ${path.length + 2}), '/', 1)")
+    val pre = prefixOf(path)
+    val rel = expr(s"split_part(substring(path, ${pre.length + 1}), '/', 1)")
     inodes
-      .filter(col("path").startsWith(path + "/"))
-      .groupBy(concat(lit(path + "/"), rel).as("path"))
+      .filter(col("path").startsWith(pre))
+      .groupBy(concat(lit(pre), rel).as("path"))
       .agg(sum(inodeLen).as("len"))
       .orderBy(col("path"))
   }
@@ -180,7 +188,7 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
         throw new IOException("A file exists with parent of destination.")
     }
     val dup = inodes
-      .filter(col("path") === src || col("path").startsWith(src + "/"))
+      .filter(col("path") === src || col("path").startsWith(prefixOf(src)))
       .withColumn("path", concat(lit(dst), expr(s"substring(path, ${src.length + 1})")))
       .withColumn("parentPath", parentOf(col("path")))
       .as[Inode](inodeEncoder)
@@ -204,7 +212,7 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       "Appending to existing file is not supported.")
 
   private def subtree(path: String) =
-    inodes.filter(col("path") === path || col("path").startsWith(path + "/"))
+    inodes.filter(col("path") === path || col("path").startsWith(prefixOf(path)))
 }
 
 object FsCatalog {
