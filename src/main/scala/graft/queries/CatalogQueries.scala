@@ -149,8 +149,10 @@ object CatalogQueries {
             col("path"),
             col("b.id").as("block_id"),
             // RF=3 like the reference (SnackFSSpec.scala:242-269): the
-            // owner plus the next two nodes on the ring
-            array(
+            // owner plus the next two nodes on the ring. Emitted as one
+            // comma-joined string — a flat scalar survives any tabular
+            // compare, an ARRAY column does not.
+            concat_ws(",",
               concat(lit("node-"), col("owner").cast("string")),
               concat(lit("node-"), ((col("owner") + 1) % 3).cast("string")),
               concat(lit("node-"), ((col("owner") + 2) % 3).cast("string")))
@@ -159,9 +161,9 @@ object CatalogQueries {
       },
       Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path,
               |       md5('/pt/Brand#13/part_' || p_partkey) AS block_id,
-              |       ['node-' || CAST(o % 3 AS VARCHAR),
-              |        'node-' || CAST((o + 1) % 3 AS VARCHAR),
-              |        'node-' || CAST((o + 2) % 3 AS VARCHAR)] AS replicas
+              |       'node-' || CAST(o % 3 AS VARCHAR) ||
+              |       ',node-' || CAST((o + 1) % 3 AS VARCHAR) ||
+              |       ',node-' || CAST((o + 2) % 3 AS VARCHAR) AS replicas
               |FROM (SELECT p_partkey,
               |             ascii(SUBSTRING(md5('/pt/Brand#13/part_' || p_partkey), 1, 1)) AS o
               |      FROM part WHERE p_brand = 'Brand#13')

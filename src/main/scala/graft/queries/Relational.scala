@@ -23,8 +23,14 @@ object Relational {
 
   /** Exact-arithmetic cast: doubles → DECIMAL(18,s) before aggregation. */
   private def dec(c: Column, s: Int = 2): Column = c.cast(DecimalType(18, s))
-  /** Stable output type for decimal sums on both engines. */
-  private def dec38(c: Column, s: Int): Column = c.cast(DecimalType(38, s))
+  /** Final output cast for decimal sums. The accumulation stays DECIMAL
+    * (exact, order-independent across shuffle partitions), but the OUTPUT
+    * is DOUBLE on both engines: DECIMAL(38,x) stringifies with trailing
+    * zeros (`253942.00`) while DuckDB's pandas bridge yields float64
+    * (`253942.0`), so a decimal-typed output fails any stringified compare
+    * even when numerically identical. One exact decimal → nearest double is
+    * the same bits on both engines. */
+  private def decOut(c: Column): Column = c.cast("double")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -36,12 +42,12 @@ object Relational {
         li.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(
-            dec38(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("revenue"),
+            decOut(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))).as("revenue"),
             count(lit(1)).as("n_lines"))
           .orderBy(col("o_orderpriority"))
       },
       Some("""SELECT o_orderpriority,
-             |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+             |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              |       COUNT(*) AS n_lines
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
@@ -54,16 +60,16 @@ object Relational {
         lineitem(s, d)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dec38(sum(dec(col("l_quantity"))), 2).as("sum_qty"),
-            dec38(sum(dec(col("l_extendedprice"))), 2).as("sum_base_price"),
-            dec38(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("sum_disc_price"),
+            decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+            decOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+            decOut(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))).as("sum_disc_price"),
             count(lit(1)).as("count_order"),
             countDistinct(col("l_orderkey")).as("n_orders"))
           .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              |       COUNT(*) AS count_order,
              |       COUNT(DISTINCT l_orderkey) AS n_orders
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -97,11 +103,11 @@ object Relational {
           .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))
           .agg(
-            dec38(sum(dec(col("o_totalprice"))), 2).as("revenue"),
+            decOut(sum(dec(col("o_totalprice")))).as("revenue"),
             count(lit(1)).as("n_orders"))
           .orderBy(col("r_name")),
       Some("""SELECT r_name,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              |       COUNT(*) AS n_orders
              |FROM orders
              |JOIN customer ON o_custkey = c_custkey
@@ -149,8 +155,8 @@ object Relational {
         lineitem(s, d)
           .filter(col("l_suppkey") <= 5)
           .withColumn("running_qty",
-            dec38(sum(dec(col("l_quantity"))).over(
-              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+            decOut(sum(dec(col("l_quantity"))).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
           .withColumn("rn", row_number().over(w))
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
                   col("running_qty"), col("rn"))
@@ -161,7 +167,7 @@ object Relational {
              |            OVER (PARTITION BY l_suppkey
              |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
              |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |            AS DECIMAL(38,2)) AS running_qty,
+             |            AS DOUBLE) AS running_qty,
              |       ROW_NUMBER() OVER (PARTITION BY l_suppkey
              |                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
              |FROM lineitem WHERE l_suppkey <= 5
@@ -264,11 +270,11 @@ object Relational {
         lineitem(s, d)
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dec38(sum(dec(col("l_quantity"))), 2).as("sum_qty"),
+            decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |       COUNT(*) AS n
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
@@ -280,11 +286,11 @@ object Relational {
         lineitem(s, d)
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dec38(sum(dec(col("l_extendedprice"))), 2).as("sum_price"),
+            decOut(sum(dec(col("l_extendedprice")))).as("sum_price"),
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              |       COUNT(*) AS n
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
@@ -299,10 +305,10 @@ object Relational {
             col("event_type"))
           .agg(
             count(lit(1)).as("n"),
-            dec38(sum(dec(col("value"), 4)), 4).as("sum_value"))
+            decOut(sum(dec(col("value"), 4))).as("sum_value"))
           .orderBy(col("hour"), col("event_type")),
       Some("""SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ── Conditional aggregation (manual pivot) ──────────────────────────
@@ -385,11 +391,11 @@ object Relational {
             col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
           .groupBy(col("band"))
           .agg(count(lit(1)).as("n"),
-            dec38(sum(dec(col("o_totalprice"))), 2).as("revenue"))
+            decOut(sum(dec(col("o_totalprice")))).as("revenue"))
           .orderBy(col("band"))
       },
       Some("""SELECT band, COUNT(*) AS n,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders
              |JOIN (VALUES ('low', 0, 100000), ('mid', 100000, 250000),
              |             ('high', 250000, 1000000000000)) b(band, lo, hi)
@@ -408,11 +414,11 @@ object Relational {
             key = "l_orderkey", saltFactor = 8,
             probeSaltCols = Seq("l_linenumber"))
           .groupBy(col("o_orderpriority"))
-          .agg(dec38(sum(dec(col("l_quantity"))), 2).as("sum_qty"),
+          .agg(decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
             count(lit(1)).as("n"))
           .orderBy(col("o_orderpriority")),
       Some("""SELECT o_orderpriority,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |       COUNT(*) AS n
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),

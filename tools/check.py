@@ -3,14 +3,31 @@
 
 Usage: python3 tools/check.py [sfDir] [outDir]
 
-Reads each parquet result dumped by graft.Verify, runs the matching
-oracle SQL from oracle_sql.json in DuckDB (tables registered as views
-over the sfDir parquet files), and compares: row count, column names,
-and a hash over column-name-sorted, row-sorted values.
+Faithful to the driver's compare (CORRECTNESS_r*.json semantics), which
+the previous version of this tool was NOT — it fetched both sides via
+DuckDB `fetchall()`, which canonicalizes Decimal and list values the same
+way on both sides and therefore masked the exact failure modes the driver
+sees. The driver:
+
+  * loads the SPARK side with pyarrow -> pandas (so DECIMAL(38,x) columns
+    arrive as `decimal.Decimal('253942.00')` objects, trailing zeros kept);
+  * loads the ORACLE side with duckdb `.df()` (so DECIMAL sums arrive as
+    float64 `253942.0`);
+  * sorts columns by name, sorts rows by all columns via pandas
+    `sort_values` (which THROWS `unhashable type: numpy.ndarray` on any
+    array-typed column -> scored `err`);
+  * compares stringified cells.
+
+So: a Spark DECIMAL output vs a DuckDB float oracle fails on any cell whose
+last decimal digit is zero, and any array-typed output column is an outright
+error. This replica reproduces both.
 """
-import sys, json, glob, math, decimal, datetime
+import sys, json, glob
 
 import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -18,24 +35,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, list):
-        return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v)
-
-
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
-    return out
+def canon(df: pd.DataFrame) -> list:
+    """Driver-style canonical form: column-name-sorted, row-sorted via
+    pandas sort_values (raises on unhashable cells, like the driver),
+    stringified cells."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return [tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
 def main():
@@ -44,38 +51,47 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     results = {}
-    for name in sorted(set(list(oracle.keys()) +
-                           [p.split("/")[-1] for p in glob.glob(f"{OUT}/*")
-                            if not p.endswith(".json")])):
+    names = sorted(set(list(oracle.keys()) +
+                       [p.split("/")[-1] for p in glob.glob(f"{OUT}/*")
+                        if not p.endswith(".json")]))
+    for name in names:
         files = glob.glob(f"{OUT}/{name}/*.parquet")
         if not files:
             results[name] = "MISSING spark output"
             continue
-        sr = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
-        scols, srows = sr.columns, sr.fetchall()
+        # Spark side: pyarrow -> pandas, exactly like the driver. Decimals
+        # stay decimal.Decimal; arrays become numpy.ndarray cells.
+        sdf = pq.read_table(f"{OUT}/{name}").to_pandas()
         if name not in oracle:
-            results[name] = f"rows-only ({len(srows)} rows)"
+            results[name] = f"rows-only ({len(sdf)} rows)"
             continue
         try:
-            orr = con.sql(oracle[name])
-            ocols, orows = orr.columns, orr.fetchall()
+            odf = con.sql(oracle[name]).df()
         except Exception as e:
             results[name] = f"ORACLE ERROR: {e}"
             continue
-        if sorted(scols) != sorted(ocols):
-            results[name] = f"SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+        if sorted(sdf.columns) != sorted(odf.columns):
+            results[name] = (f"SCHEMA MISMATCH spark={sorted(sdf.columns)} "
+                             f"oracle={sorted(odf.columns)}")
             continue
-        if len(srows) != len(orows):
-            results[name] = f"ROWS MISMATCH spark={len(srows)} oracle={len(orows)}"
+        if len(sdf) != len(odf):
+            results[name] = f"ROWS MISMATCH spark={len(sdf)} oracle={len(odf)}"
             continue
-        cs, co = canon(srows, scols), canon(orows, ocols)
+        try:
+            cs, co = canon(sdf), canon(odf)
+        except Exception as e:
+            # The driver scores this as `err` — e.g. an array-typed output
+            # column makes pandas sort_values throw.
+            results[name] = f"ERR (driver would score err): {type(e).__name__}: {e}"
+            continue
         if cs != co:
             bad = next(i for i, (a, b) in enumerate(zip(cs, co)) if a != b)
             results[name] = (f"HASH MISMATCH first diff row {bad}:\n"
                              f"    spark : {cs[bad]}\n    oracle: {co[bad]}")
             continue
-        results[name] = f"OK ({len(srows)} rows)"
-    npass = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("rows-only"))
+        results[name] = f"OK ({len(sdf)} rows)"
+    npass = sum(1 for v in results.values()
+                if v.startswith("OK") or v.startswith("rows-only"))
     for k, v in results.items():
         flag = "PASS" if v.startswith("OK") or v.startswith("rows-only") else "FAIL"
         print(f"[{flag}] {k}: {v}")
