@@ -72,6 +72,45 @@ object CatalogBuilder {
         .unionByName(spark.createDataset(roots)))
   }
 
+  /** Filesystem tree over `documents`, matching DataPlaneQueries' chunked
+    * payloads: /docs/g<doc_id % 4>/doc_<zero-padded id>, len =
+    * octet_length(text). Gives GraftFs a tree with deletable subtrees
+    * whose expected state DuckDB can reproduce from the same parquet.
+    */
+  def fromDocuments(spark: SparkSession, sfDir: String): FsCatalog = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+
+    val files = docs
+      .select(
+        concat(lit("/docs/g"), (col("doc_id") % 4).cast("string"),
+          lit("/doc_"), lpad(col("doc_id").cast("string"), 8, "0")).as("path"),
+        concat(lit("/docs/g"), (col("doc_id") % 4).cast("string")).as("parentPath"),
+        octet_length(col("text")).cast("long").as("len"))
+      .select(
+        col("path"),
+        col("parentPath"),
+        lit("graft").as("user"),
+        lit("graft").as("group"),
+        lit(420).as("permission"),
+        lit(false).as("isDir"),
+        lit(epoch).as("mtime"),
+        array(struct(
+          md5(col("path")).as("id"),
+          lit(0L).as("offset"),
+          col("len").as("length"),
+          array(struct(
+            md5(concat(col("path"), lit("#0"))).as("id"),
+            lit(0L).as("offset"),
+            col("len").as("length"))).as("subBlocks"))).as("blocks"))
+
+    val roots = (Seq(("/", null: String), ("/docs", "/")) ++
+      (0 to 3).map(g => (s"/docs/g$g", "/docs")))
+      .map { case (p, par) => FsCatalog.dirInode(p, "graft").copy(parentPath = par) }
+
+    FsCatalog(files.as[Inode].unionByName(spark.createDataset(roots)))
+  }
+
   /** Small literal trees for unit tests: (path, isDir, length). Files get
     * two blocks when length is even enough to split — exercises the
     * multi-block folds.

@@ -51,19 +51,36 @@ object DataPlane {
 
   private val absOff = col("block_offset") + col("offset")
 
+  /** Ordered subblock→block reassembly — one row per (path, block), each
+    * cell bounded by blockSize (128 MB default), never by file size. This
+    * is the scale-safe unit: block rows stream through `toLocalIterator`
+    * in `get`/`getmergeTo` so a multi-TB file never materializes in one
+    * JVM array (the reference streams too, BlockInputStream.scala:42-122).
+    */
+  def reassembleBlocks(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy(col("path"), col("block_id"), col("block_offset"))
+      .agg(
+        expr("""aggregate(
+                 transform(array_sort(collect_list(struct(offset, data))),
+                           x -> x.data),
+                 CAST('' AS BINARY),
+                 (acc, x) -> concat(acc, x))""").as("data"))
+
   /** C5-C9: ordered reassembly of every path — one row per path with the
-    * full byte payload back. `array_sort(collect_list(struct(...)))` puts
-    * subblocks in absolute-offset order (the prefix-sum walk of
-    * BlockInputStream.findSubBlock, reference :42-59), then a HOF fold
-    * concatenates. The whole file materializes in ONE row — same memory
-    * shape as the reference's per-stream buffer, but per-path parallel.
+    * full byte payload back, built block-wise (subblock→block fold first,
+    * so no aggregation buffer ever exceeds one block until the final
+    * per-file concat). The OUTPUT cell still holds the whole file — that
+    * is this API's contract (a payload column), right for files that fit
+    * a row; for arbitrarily large files use the streaming `get` /
+    * `getmergeTo`, which never build the single cell.
     */
   def reassemble(chunks: DataFrame): DataFrame =
-    chunks
+    reassembleBlocks(chunks)
       .groupBy(col("path"))
       .agg(
         expr("""aggregate(
-                 transform(array_sort(collect_list(struct(block_offset + offset AS off, data))),
+                 transform(array_sort(collect_list(struct(block_offset, data))),
                            x -> x.data),
                  CAST('' AS BINARY),
                  (acc, x) -> concat(acc, x))""").as("data"))
@@ -137,20 +154,28 @@ object DataPlane {
     chunk(df, subBlockSize, blockSize)
   }
 
-  /** D10: -get / -copyToLocal — reassemble one path and write it to a
-    * local file.
+  /** D10: -get / -copyToLocal — stream one path's BLOCKS, in offset
+    * order, to a local file. Only one ≤128 MB block is ever resident on
+    * the driver (`toLocalIterator` fetches one partition at a time), so
+    * there is no whole-file ceiling — the 2 GB JVM-array cap applies per
+    * block, never per file.
     */
   def get(chunks: DataFrame, fsPath: String, localPath: String): Unit = {
-    val rows = cat(chunks, fsPath).collect()
-    val data =
-      if (rows.isEmpty) Array.empty[Byte]
-      else rows(0).getAs[Array[Byte]]("data")
-    java.nio.file.Files.write(java.nio.file.Paths.get(localPath), data)
+    val blocks = reassembleBlocks(chunks.filter(col("path") === fsPath))
+      .orderBy(col("block_offset"))
+      .select(col("data"))
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(localPath))
+    try blocks.toLocalIterator().forEachRemaining { r =>
+      out.write(r.getAs[Array[Byte]]("data"))
+    } finally out.close()
   }
 
   /** D11: getmerge — ordered concat of all files under a prefix into one
-    * payload; ordering = path order (SURVEY §7.5: filename order, the
+    * payload CELL; ordering = path order (SURVEY §7.5: filename order, the
     * documented choice for the reference's ambiguous "merge and sort").
+    * Digest-check convenience for merges that fit a row — the unbounded
+    * path is `getmergeTo`.
     */
   def getmerge(chunks: DataFrame, prefix: String): DataFrame =
     chunks
@@ -161,4 +186,19 @@ object DataPlane {
                            x -> x.data),
                  CAST('' AS BINARY),
                  (acc, x) -> concat(acc, x))""").as("data"))
+
+  /** D11 at scale: stream the merged prefix to a local sink block by
+    * block — (path, block_offset) order, one bounded block on the driver
+    * at a time, no single-reducer global concat anywhere.
+    */
+  def getmergeTo(chunks: DataFrame, prefix: String, localPath: String): Unit = {
+    val blocks = reassembleBlocks(chunks.filter(col("path").startsWith(prefix)))
+      .orderBy(col("path"), col("block_offset"))
+      .select(col("data"))
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(localPath))
+    try blocks.toLocalIterator().forEachRemaining { r =>
+      out.write(r.getAs[Array[Byte]]("data"))
+    } finally out.close()
+  }
 }

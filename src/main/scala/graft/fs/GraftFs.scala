@@ -1,0 +1,85 @@
+package graft.fs
+
+import java.io.FileNotFoundException
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.FsCatalog
+
+/** The complete filesystem: metadata catalog + data plane, kept
+  * consistent by construction.
+  *
+  * The reference deletes a file's blocks WITH its inode
+  * (ThriftStore.scala:437-471, called from DeleteCommand.scala:40-43) —
+  * the catalog and the data plane move together. `FsCatalog` alone only
+  * mutates inode rows, which would orphan chunk rows on every rm/mv.
+  * This wrapper applies the SAME path predicate to both planes:
+  *
+  *  - delete: anti-filter on the catalog (FsCatalog's error matrix) AND
+  *    an identical prefix anti-filter on chunk rows;
+  *  - rename:  one prefix-rewrite pass over each plane — a single
+  *    distributed transform per side, no per-file loop (the 100 TB-safe
+  *    shape; the reference loops child-by-child);
+  *  - copy:    subtree duplication on both planes.
+  *
+  * Both planes partition by `path`, so each cascade is the same pruned
+  * scan shape the catalog side already has (path-range parquet min/max
+  * stats, see FsCatalog.save).
+  */
+final case class GraftFs(catalog: FsCatalog, chunks: DataFrame) {
+
+  private def prefixOf(path: String): String =
+    if (path == "/") "/" else path + "/"
+
+  private def inSubtree(path: String) =
+    col("path") === path || col("path").startsWith(prefixOf(path))
+
+  /** A7/D8 + B9: delete cascades to chunk rows — no orphaned data. */
+  def delete(path: String, recursive: Boolean): (GraftFs, Boolean) = {
+    val (cat2, ok) = catalog.delete(path, recursive)
+    if (!ok) (this, false)
+    else (GraftFs(cat2, chunks.filter(!inSubtree(path))), true)
+  }
+
+  /** A8/D6: rename rewrites chunk paths with the same one-pass prefix
+    * rewrite the catalog side uses (FsCatalog.rename).
+    */
+  def rename(src: String, dst: String): (GraftFs, Boolean) = {
+    val (cat2, ok) = catalog.rename(src, dst)
+    if (!ok) return (this, false)
+    val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
+    val moved = chunks.withColumn("path",
+      when(inSubtree(src), newPath).otherwise(col("path")))
+    (GraftFs(cat2, moved), true)
+  }
+
+  /** D7: copy duplicates the subtree's chunk rows under the new prefix. */
+  def copy(src: String, dst: String): (GraftFs, Boolean) = {
+    val (cat2, ok) = catalog.copy(src, dst)
+    if (!ok) return (this, false)
+    val dup = chunks
+      .filter(inSubtree(src))
+      .withColumn("path", concat(lit(dst), expr(s"substring(path, ${src.length + 1})")))
+    (GraftFs(cat2, chunks.unionByName(dup)), true)
+  }
+
+  /** D12: cat through the catalog — a path the catalog no longer knows
+    * throws, even if (in a buggy world) chunk rows survived.
+    */
+  def cat(path: String): DataFrame = {
+    if (!catalog.exists(path)) throw new FileNotFoundException(path)
+    DataPlane.cat(chunks, path)
+  }
+
+  /** Data-plane accounting for consistency checks: chunk rows + bytes
+    * under a prefix.
+    */
+  def chunkSummary(prefix: String): DataFrame =
+    chunks
+      .filter(col("path").startsWith(prefix))
+      .agg(
+        lit(prefix).as("prefix"),
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum(col("length")), lit(0L)).as("n_bytes"))
+}

@@ -77,22 +77,30 @@ object Dedup {
     val k = b * r
     val sh = shingleRows(docs, shingleN)
 
-    // minhash j of doc = MIN over shingles of murmur3(shingle, j):
-    // explode k hash-function ids per shingle row; partial MIN combines
-    // map-side so the shuffle carries ≤ docs × k rows per partition
+    // minhash j of doc = MIN over shingles of murmur3(shingle, j),
+    // all k of them as aggregate COLUMNS of one groupBy(doc_id) pass:
+    // the map side combines k running minima per doc locally, so the
+    // shuffle carries one k-column row per (doc × map partition) —
+    // k× less aggregation input than exploding k rows per shingle
+    // (measured 12.3 s → ~4 s at sf0.1; was 23% of the whole bench).
+    val minCols = (0 until k).map(j =>
+      min(hash(col("shingle"), lit(j))).as(s"mh$j"))
     val mh = sh
-      .select(col("doc_id"), col("shingle"),
-        explode(expr(s"sequence(0, ${k - 1})")).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(hash(col("shingle"), col("j"))).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
 
-    // band hash = xxhash64 over the band's r minhashes in j order
+    // band i's hash folds its r minhashes (j ascending) + the band index;
+    // unpivot the b band columns to rows only AFTER aggregation, when
+    // there are just b rows per document left
+    val bandStructs = (0 until b).map { i =>
+      val members = (i * r until (i + 1) * r).map(j => col(s"mh$j"))
+      struct(lit(i).as("band_idx"),
+        xxhash64(members :+ lit(i): _*).as("band_hash"))
+    }
     val bandRows = mh
-      .groupBy(col("doc_id"), expr(s"j DIV $r").as("band_idx"))
-      .agg(collect_list(struct(col("j"), col("mh"))).as("jmh"))
-      .select(col("doc_id"), col("band_idx"),
-        xxhash64(expr("transform(array_sort(jmh), x -> x.mh)"), col("band_idx"))
-          .as("band_hash"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_idx").as("band_idx"),
+        col("bb.band_hash").as("band_hash"))
 
     // id-only candidate generation: nothing wide crosses this shuffle
     val candidates = bandRows.as("a")

@@ -72,6 +72,33 @@ object DataPlaneQueries {
       Some("""SELECT doc_id, SUBSTRING(text, 101, 50) AS slice
              |FROM documents WHERE LENGTH(text) > 100 ORDER BY doc_id""".stripMargin)),
 
+    // ── B9: delete cascades from catalog to chunk rows — after rm -r of
+    //    one of four subtrees, BOTH planes must agree with the oracle's
+    //    survivor accounting (no orphan chunks, ThriftStore.scala:437-471)
+    QueryDef(
+      "fs_cascade_delete",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          concat(lit("/docs/g"), (col("doc_id") % 4).cast("string"),
+            lit("/doc_"), lpad(col("doc_id").cast("string"), 8, "0")).as("path"),
+          col("text"))
+        val chunks = DataPlane.chunk(
+          docs.select(col("path"), col("text").cast("binary").as("data")), 64, 256)
+        val fs = graft.fs.GraftFs(
+          graft.catalog.CatalogBuilder.fromDocuments(s, d), chunks)
+        val (fs2, ok) = fs.delete("/docs/g1", recursive = true)
+        require(ok, "recursive delete of existing subtree must succeed")
+        val files = fs2.catalog.inodes
+          .filter(!col("isDir") && col("path").startsWith("/docs/"))
+          .agg(count(lit(1)).as("n_files"))
+        fs2.chunkSummary("/docs/").crossJoin(files)
+          .select(col("n_files"), col("n_chunks"), col("n_bytes"))
+      },
+      Some("""SELECT COUNT(*) AS n_files,
+             |       CAST(SUM(CEIL(LENGTH(text) / 64.0)) AS BIGINT) AS n_chunks,
+             |       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_bytes
+             |FROM documents WHERE doc_id % 4 <> 1""".stripMargin)),
+
     // ── D11: getmerge — ordered concat, checked by digest ───────────────
     QueryDef(
       "fs_getmerge",

@@ -402,17 +402,21 @@ object Relational {
              |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
              |GROUP BY band ORDER BY band""".stripMargin)),
 
-    // ── Salted join: skew-robust equi-join, result-identical to plain ───
+    // ── Salted join: skew-robust equi-join, result-identical to plain.
+    //    Two-path form — only keys with >1000 probe rows pay the salt
+    //    replication; TPC-H orderkeys (≤7 lines) all take the cold path,
+    //    so the plan degenerates to the plain join it must equal ────────
     QueryDef(
       "q21_salted_join",
       (s, d) =>
-        graft.ops.SkewJoin.saltedJoin(
+        graft.ops.SkewJoin.twoPathJoin(
             lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
               col("l_quantity")),
             orders(s, d).select(col("o_orderkey").as("l_orderkey"),
               col("o_orderpriority")),
             key = "l_orderkey", saltFactor = 8,
-            probeSaltCols = Seq("l_linenumber"))
+            probeSaltCols = Seq("l_linenumber"),
+            hotThreshold = 1000L)
           .groupBy(col("o_orderpriority"))
           .agg(decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
             count(lit(1)).as("n"))

@@ -118,4 +118,26 @@ class DataPlaneSpec extends AnyFlatSpec with Matchers {
     val merged = DataPlane.getmerge(chunks, "/m/").collect()(0).getAs[Array[Byte]]("data")
     merged must be(a ++ b ++ c)
   }
+
+  it must "stream the same merged bytes block-by-block via getmergeTo" in {
+    val a = bytes(70); val b = bytes(35); val c = bytes(90)
+    // 10/30 config → every file spans multiple blocks
+    val chunks = DataPlane.chunk(
+      filesDf(Seq(("/m/1", a), ("/m/2", b), ("/m/3", c), ("/other", bytes(9)))), 10, 30)
+    val dst = java.nio.file.Files.createTempFile("graft-merge-", ".bin")
+    DataPlane.getmergeTo(chunks, "/m/", dst.toString)
+    java.nio.file.Files.readAllBytes(dst) must be(a ++ b ++ c)
+  }
+
+  behavior of "reassembleBlocks (bounded cells)"
+
+  it must "cap every reassembled cell at blockSize, never file size" in {
+    val payload = bytes(100) // 10/30 → 4 blocks of ≤30 bytes
+    val chunks = DataPlane.chunk(filesDf(Seq(("/f", payload))), 10, 30)
+    val blocks = DataPlane.reassembleBlocks(chunks)
+      .orderBy(col("block_offset")).collect()
+    blocks.length must be(4)
+    all(blocks.map(_.getAs[Array[Byte]]("data").length)) must be <= 30
+    blocks.flatMap(_.getAs[Array[Byte]]("data")) must be(payload)
+  }
 }

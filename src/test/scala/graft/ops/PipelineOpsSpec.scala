@@ -110,6 +110,37 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     salted.length must be(100)
   }
 
+  it must "match the plain join when only hot keys are salted (two-path)" in {
+    val s = spark
+    import s.implicits._
+    // key 1 is hot (90 rows > threshold 50); keys 2 and 3 are cold;
+    // key 4 exists only on the build side (must not appear in output)
+    val probe = ((1 to 90).map(i => (1L, i)) ++ (1 to 10).map(i => (2L, i)) ++
+      Seq((3L, 1)))
+      .toDF("k", "salt_src")
+    val build = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val twoPath = SkewJoin.twoPathJoin(probe, build, "k", 8, Seq("salt_src"),
+      hotThreshold = 50L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val plain = probe.join(build, "k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    twoPath must be(plain)
+    twoPath.length must be(101)
+  }
+
+  it must "degenerate to the plain join result when no key is hot" in {
+    val s = spark
+    import s.implicits._
+    val probe = (1 to 20).map(i => (i.toLong % 5, i)).toDF("k", "salt_src")
+    val build = (0 to 5).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val twoPath = SkewJoin.twoPathJoin(probe, build, "k", 8, Seq("salt_src"),
+      hotThreshold = 100L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val plain = probe.join(build, "k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    twoPath must be(plain)
+  }
+
   behavior of "AsofJoin"
 
   it must "attach the latest at-or-before right payload per key" in {
