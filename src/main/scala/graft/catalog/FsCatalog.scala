@@ -233,10 +233,15 @@ object FsCatalog {
     expr("coalesce(aggregate(blocks, CAST(0 AS BIGINT), (acc, b) -> acc + b.length), CAST(0 AS BIGINT))")
 
   /** blockSize surfaced as the FIRST block's length — the reference's
-    * quirk, kept (SnackFileStatus.scala:24-52).
+    * quirk, kept (SnackFileStatus.scala:24-52). Guarded 0-based index
+    * instead of `try_element_at`: TryEval's codegen fails to compile
+    * ("isNull_N is not an rvalue"), dropping every statusOf projection
+    * out of codegen into interpreted eval; the CASE form stays
+    * codegen'd and never out-of-bounds under ANSI.
     */
   val inodeBlockSize: Column =
-    expr("coalesce(try_element_at(blocks, 1).length, CAST(0 AS BIGINT))")
+    expr("""CASE WHEN blocks IS NOT NULL AND size(blocks) > 0
+           |     THEN blocks[0].length ELSE CAST(0 AS BIGINT) END""".stripMargin)
 
   /** Parent of an absolute path as a Column (null for root). */
   def parentOf(path: Column): Column =

@@ -187,6 +187,35 @@ object DataPlane {
                  CAST('' AS BINARY),
                  (acc, x) -> concat(acc, x))""").as("data"))
 
+  /** D13: -text — cat with codec sniff (Hadoop FsShell.text semantics;
+    * the reference inherits it, SnackFSShell.scala:154-155 "allowed
+    * formats are zip and TextRecordInputStream"). Gzip magic 0x1f8b →
+    * inflate; anything else passes through as UTF-8. SequenceFile
+    * (TextRecordInputStream) framing is a documented narrowing — no
+    * sequence files exist in this engine. Streaming inflate is byte-level
+    * codec work no Expression expresses, so it rides `mapPartitions`
+    * like Multimodal.decodeMeta: one row in, one row out, payloads never
+    * shuffle beyond the reassembly that already happened.
+    */
+  def text(chunks: DataFrame): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    reassemble(chunks)
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) =>
+        val decoded =
+          if (bytes.length >= 2 &&
+              (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try in.readAllBytes() finally in.close()
+          } else bytes
+        (p, new String(decoded, java.nio.charset.StandardCharsets.UTF_8))
+      })
+      .toDF("path", "text")
+  }
+
   /** D11 at scale: stream the merged prefix to a local sink block by
     * block — (path, block_offset) order, one bounded block on the driver
     * at a time, no single-reducer global concat anywhere.

@@ -72,6 +72,23 @@ object DataPlaneQueries {
       Some("""SELECT doc_id, SUBSTRING(text, 101, 50) AS slice
              |FROM documents WHERE LENGTH(text) > 100 ORDER BY doc_id""".stripMargin)),
 
+    // ── D13: -text — codec-sniffing cat. Parquet text is plain, so the
+    //    passthrough branch is oracle-checked here; the gzip inflate
+    //    branch is spec-covered (DataPlaneSpec "text (D13)") ───────────
+    QueryDef(
+      "fs_text",
+      (s, d) => {
+        val docs = docFiles(s, d).filter(col("doc_id") < 50)
+        val chunks = DataPlane.chunk(
+          docs.select(col("path"), col("text").cast("binary").as("data")), 64, 256)
+        DataPlane.text(chunks)
+          .join(docs.select(col("doc_id"), col("path")), "path")
+          .select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text FROM documents
+             |WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)),
+
     // ── B9: delete cascades from catalog to chunk rows — after rm -r of
     //    one of four subtrees, BOTH planes must agree with the oracle's
     //    survivor accounting (no orphan chunks, ThriftStore.scala:437-471)

@@ -129,6 +129,23 @@ class DataPlaneSpec extends AnyFlatSpec with Matchers {
     java.nio.file.Files.readAllBytes(dst) must be(a ++ b ++ c)
   }
 
+  behavior of "text (D13)"
+
+  it must "inflate gzip payloads and pass plain bytes through" in {
+    val plain = "plain utf-8 content"
+    val gzBody = "this was gzipped content"
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(gzBody.getBytes("UTF-8")); gz.close()
+    val chunks = DataPlane.chunk(
+      filesDf(Seq(("/t/plain.txt", plain.getBytes("UTF-8")),
+        ("/t/zipped.gz", bos.toByteArray))), 10, 30)
+    val out = DataPlane.text(chunks).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    out("/t/plain.txt") must be(plain)
+    out("/t/zipped.gz") must be(gzBody)
+  }
+
   behavior of "reassembleBlocks (bounded cells)"
 
   it must "cap every reassembled cell at blockSize, never file size" in {
