@@ -48,11 +48,38 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
-  /** Assign every vector to its nearest of the K centroid vectors
-    * (centroids = the deterministic first K corpus vectors — a fixed
-    * seed assignment; a production pipeline would k-means them, which
-    * changes the centroids but not the plumbing).
+  /** Distributed spherical k-means over the embedding column — the real
+    * centroid computation the first-K seeding was a placeholder for.
+    * Each Lloyd round: (1) assignment = one corpus scan against
+    * BROADCAST centroids (max-cosine, same primitive as search);
+    * (2) update = per-(bucket, dim) mean via posexplode + map-side
+    * partial avg — the corpus never shuffles whole vectors, only
+    * (bucket, dim, value) triples. The K×dim centroid table is tiny by
+    * construction, so each round collects it to the driver and
+    * re-broadcasts (exactly MLlib KMeans' shape) — keeping the plan
+    * bounded instead of growing a lineage per iteration. Deterministic:
+    * first-K seed, no RNG.
     */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    var centroids = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+    for (_ <- 0 until iters) {
+      val means = assignBuckets(corpus, centroids)
+        .select(col("bucket"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("bucket"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("bucket"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("bucket").as("vec_id"),
+          expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("embedding"))
+      centroids = spark.createDataFrame(
+        java.util.Arrays.asList(means.collect(): _*), means.schema)
+    }
+    centroids
+  }
+
+  /** Assign every vector to its nearest of the K centroid vectors. */
   def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus
       .select(col("vec_id"), col("embedding").as("ev"))
@@ -70,8 +97,8 @@ object Similarity {
     * quadratic term is bounded per bucket, and buckets hash-partition.
     */
   def embeddingNearDups(corpus: DataFrame, numCentroids: Int,
-                        threshold: Double): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < numCentroids)
+                        threshold: Double, kmeansIters: Int = 1): DataFrame = {
+    val centroids = kmeansCentroids(corpus, numCentroids, kmeansIters)
     val bucketed = assignBuckets(corpus, centroids)
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("qv"))
@@ -85,8 +112,9 @@ object Similarity {
 
   /** IVF top-k: probe the query's `nprobe` nearest centroid buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              numCentroids: Int, nprobe: Int, k: Int): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < numCentroids)
+              numCentroids: Int, nprobe: Int, k: Int,
+              kmeansIters: Int = 1): DataFrame = {
+    val centroids = kmeansCentroids(corpus, numCentroids, kmeansIters)
     val bucketed = assignBuckets(corpus, centroids)
 
     val queryBuckets = queries

@@ -108,10 +108,15 @@ object CatalogQueries {
       "fs_stat",
       (s, d) => {
         val cat = CatalogBuilder.fromPart(s, d)
-        val key = graft.Tables.part(s, d)
+        // probe key via a broadcast 1-row join — fully declarative, no
+        // driver-side collect (the lookup composes into one plan)
+        val probe = graft.Tables.part(s, d)
           .filter(col("p_brand") === "Brand#13")
-          .agg(min(col("p_partkey"))).collect()(0).getLong(0)
-        cat.getFileStatus(s"/pt/Brand#13/part_$key")
+          .agg(min(col("p_partkey")).as("k"))
+          .select(concat(lit("/pt/Brand#13/part_"), col("k")).as("probe_path"))
+        graft.catalog.FsCatalog.statusOf(cat.inodes)
+          .join(broadcast(probe), col("path") === col("probe_path"))
+          .drop("probe_path")
       },
       Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path, FALSE AS is_dir,
               |       CAST(p_size AS BIGINT) AS len, CAST(p_size AS BIGINT) AS block_size,

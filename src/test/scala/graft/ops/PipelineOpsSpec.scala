@@ -93,6 +93,29 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     ivf must be(brute)
   }
 
+  it must "move centroids to cluster means under Lloyd iterations" in {
+    // 4 tight clusters around orthogonal axes; seeds = first 4 vectors
+    // (one per cluster since axis = i % 4)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 64L).map { i =>
+      val axis = (i % 4).toInt
+      val v = Array.fill(8)(rnd.nextFloat() * 0.05f)
+      v(axis) = 1f
+      i -> v.toSeq
+    }
+    val cents = Similarity.kmeansCentroids(embDf(vecs), k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    cents.length must be(4)
+    // each centroid's dominant dimension is its cluster's axis, and the
+    // mean pulls off-axis noise toward ~0.025 (mean of U[0, 0.05))
+    cents.foreach { case (cid, v) =>
+      v.indexOf(v.max) must be(cid.toInt % 4)
+      v.max.toDouble must be > 0.9
+      v.zipWithIndex.filter(_._2 != cid.toInt % 4).map(_._1.toDouble)
+        .foreach(x => x must be < 0.06)
+    }
+  }
+
   behavior of "SkewJoin"
 
   it must "produce exactly the plain join's result set" in {
