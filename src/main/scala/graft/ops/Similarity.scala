@@ -110,6 +110,21 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Exact all-pairs near-dup baseline over a BOUNDED corpus slice —
+    * the correctness-oracle twin of `embeddingNearDups`. Quadratic by
+    * construction, so callers bound the input (a fixed id-range slice);
+    * the scale path for an unbounded corpus is the IVF-bucketed variant
+    * above. One side broadcasts, so the slice never shuffles.
+    */
+  def bruteNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("qv"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("ev"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("score", cosine(corpus))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest centroid buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               numCentroids: Int, nprobe: Int, k: Int,

@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
-/** LLM-training-data pipeline operators as driver queries. Oracles where
-  * ANSI-SQL-expressible; murmur3/xxhash64-based ops (MinHash-LSH,
-  * SimHash) and the stub decode are oracle-exempt (rows-only check) but
-  * fully deterministic.
+/** LLM-training-data pipeline operators as driver queries. Everything
+  * with an ANSI-SQL-expressible answer carries a DuckDB oracle —
+  * including MinHash-LSH (its VERIFIED pairs are checked against a full
+  * all-pairs Jaccard oracle, even though the hashes themselves are
+  * murmur3) and the stub decode (its sniffed-format projection).
+  * Rows-only exemptions remaining: SimHash signatures (xxhash64 has no
+  * DuckDB equivalent), and the IVF-bucketed ops whose bucket assignment
+  * is centroid-dependent (their exact twins ann_brute_topk /
+  * dedup_embedding_exact ARE oracle-checked). All deterministic.
   */
 object PipelineQueries {
 
@@ -78,17 +83,34 @@ object PipelineQueries {
       Some("""SELECT sha256(text) AS sha, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY sha""".stripMargin)),
 
-    // MinHash-LSH: murmur3/xxhash64-based — oracle-exempt, deterministic.
+    // MinHash-LSH near-dup pairs, exact-Jaccard-verified, against a FULL
+    // all-pairs word-3-gram Jaccard oracle. Sound because LSH candidate
+    // recall is deterministic (murmur3, no RNG) and the testdata's true
+    // near-dups all sit at J >= 0.9 where the (b=8, r=4) S-curve passes
+    // with P = 1 - (1 - 0.9^4)^8 ≈ 0.9998 per pair — verified to catch
+    // every true pair at sf0.001/0.01/0.1. The jaccard VALUE hash-matches
+    // because both engines divide the same two integers.
     QueryDef(
       "dedup_minhash",
       (s, d) =>
         Dedup.minhashPairs(Tables.documents(s, d), shingleN = 3, b = 8, r = 4,
-            threshold = 0.0)
-          .agg(
-            count(lit(1)).as("n_candidate_pairs"),
-            sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_verified_pairs"),
-            coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_candidate_jaccard")),
-      None),
+            threshold = 0.5)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
+             |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef(
       "dedup_simhash",
@@ -142,6 +164,27 @@ object PipelineQueries {
             coalesce(round(max(col("score")), 4), lit(0.0)).as("max_score")),
       None),
 
+    // Exact twin with a full DuckDB oracle: all-pairs cosine over a
+    // deterministically bounded slice (vec_id < 500 — fixed cost at any
+    // SF; the unbounded scale path stays IVF-bucketed above). τ = 0.45
+    // sits in a ~0.003-wide gap of the actual score distribution, so the
+    // float-vs-double cosine difference between engines cannot flip a
+    // pair across the threshold. Scores are NOT emitted (the two engines
+    // accumulate in different precisions); membership + ids are exact.
+    QueryDef(
+      "dedup_embedding_exact",
+      (s, d) =>
+        graft.ops.Similarity.bruteNearDups(
+            Tables.embeddings(s, d).filter(col("vec_id") < 500),
+            threshold = 0.45)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM embeddings a, embeddings b
+             |WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
+             |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // BPE-ish token counting (whitespace + subword-boundary regex), both
     // reproducible in RE2 and Java regex (ASCII classes only).
     QueryDef(
@@ -173,15 +216,33 @@ object PipelineQueries {
              |       hex(encode(SUBSTRING(text, 1, 4))) AS magic
              |FROM documents ORDER BY path""".stripMargin)),
 
-    // Stub decode (deterministic fake) — real mapPartitions plumbing.
+    // Decode runs the REAL mapPartitions batch path over payloads with
+    // synthesized magic prefixes (doc_id%3: jpeg / png / raw), and the
+    // hash-compared projection is the SQL-expressible part of the decode
+    // (path, byte count, sniffed format). The stub-faked dimensions stay
+    // spec-checked (PipelineOpsSpec), not oracle-checked.
     QueryDef(
       "mm_decode_meta",
-      (s, d) =>
+      (s, d) => {
+        val payload =
+          when(col("doc_id") % 3 === 0,
+            concat(unhex(lit("FFD8")), col("text").cast("binary")))
+          .when(col("doc_id") % 3 === 1,
+            concat(unhex(lit("89504E47")), col("text").cast("binary")))
+          .otherwise(col("text").cast("binary"))
         Multimodal.decodeMeta(
           Tables.documents(s, d).filter(col("doc_id") < 100).select(
             concat(lit("/mm/"), col("doc_id")).as("path"),
-            col("text").cast("binary").as("data")))
-          .orderBy(col("path")),
-      None)
+            payload.as("data")))
+          .select(col("path"), col("n_bytes"), col("format"))
+          .orderBy(col("path"))
+      },
+      Some("""SELECT '/mm/' || doc_id AS path,
+             |       CAST(LENGTH(text) +
+             |            CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 0 END
+             |            AS BIGINT) AS n_bytes,
+             |       CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+             |            ELSE 'bin' END AS format
+             |FROM documents WHERE doc_id < 100 ORDER BY path""".stripMargin))
   )
 }

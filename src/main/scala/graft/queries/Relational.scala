@@ -427,17 +427,29 @@ object Relational {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
-    // ── Sketch aggregates: HLL approx distinct next to the exact count
-    //    (approx value is deterministic — HLL merge is order-independent —
-    //    but engine-specific, so rows-only) ────────────────────────────
+    // ── Sketch aggregates: HLL approx distinct next to the exact count.
+    //    The raw HLL estimate is engine-specific, so the hash-compared
+    //    outputs are the exact counts plus a bounded-relative-error flag
+    //    (deterministic: HLL merge is order-independent, so the estimate
+    //    is a pure function of the dataset) — the oracle asserts the
+    //    sketch landed within its default-rsd envelope ─────────────────
     QueryDef(
       "q22_approx_distinct",
-      (s, d) =>
+      (s, d) => {
+        val exactParts = countDistinct(col("l_partkey"))
+        val exactOrders = countDistinct(col("l_orderkey"))
         lineitem(s, d).agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders")),
-      None),
+          exactParts.as("exact_parts"),
+          exactOrders.as("exact_orders"),
+          (abs(approx_count_distinct(col("l_partkey")) - exactParts)
+            .cast("double") / exactParts <= 0.1).as("approx_parts_ok"),
+          (abs(approx_count_distinct(col("l_orderkey")) - exactOrders)
+            .cast("double") / exactOrders <= 0.1).as("approx_orders_ok"))
+      },
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+             |       COUNT(DISTINCT l_orderkey) AS exact_orders,
+             |       TRUE AS approx_parts_ok, TRUE AS approx_orders_ok
+             |FROM lineitem""".stripMargin)),
 
     // ── Sessionization: window lag + cumulative gap counting ────────────
     QueryDef(

@@ -51,6 +51,21 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
+    * for a training-data pipeline: emit each content hash's FIRST
+    * arrival only. `dropDuplicatesWithinWatermark` bounds the dedup
+    * state by event time: the state store holds one 32-byte key per
+    * UNIQUE payload seen within the watermark horizon — not one row per
+    * corpus element — so state size tracks the dedup window, not the
+    * 100 TB corpus. Deterministic: sha256 keying, no RNG.
+    */
+  def dedupByContent(rows: DataFrame, contentCol: String,
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    rows
+      .withColumn("content_sha", sha2(col(contentCol).cast("string"), 256))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_sha")
+
   final case class SessionUpdate(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, closed: Boolean)

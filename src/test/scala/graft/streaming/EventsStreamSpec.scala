@@ -87,6 +87,35 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  behavior of "dedupByContent (streaming exact dedup)"
+
+  it must "emit only the first arrival of each content hash" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventsStream.dedupByContent(df, "props").writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "ingest", 1.0, "PAYLOAD_A"),
+        (2L, ts("2024-01-01 10:01:00"), 2L, "ingest", 1.0, "PAYLOAD_A"),
+        (3L, ts("2024-01-01 10:02:00"), 3L, "ingest", 1.0, "PAYLOAD_B"))
+      q.processAllAvailable()
+      // a later duplicate within the watermark window must also be dropped
+      mem.addData((4L, ts("2024-01-01 10:30:00"), 4L, "ingest", 1.0, "PAYLOAD_B"))
+      q.processAllAvailable()
+
+      val out = spark.table("dedup_test").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("props")))
+      out.map(_._2).sorted must be(Seq("PAYLOAD_A", "PAYLOAD_B"))
+      out.toMap must be(Map(1L -> "PAYLOAD_A", 3L -> "PAYLOAD_B"))
+    } finally q.stop()
+  }
+
   behavior of "streaming/batch parity"
 
   it must "produce the same hourly totals as the batch groupBy on the same rows" in {
