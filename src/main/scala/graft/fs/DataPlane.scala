@@ -154,6 +154,23 @@ object DataPlane {
     chunk(df, subBlockSize, blockSize)
   }
 
+  /** -moveFromLocal — copyFromLocal then unlink the local source (the
+    * reference shell's moveFromLocal delegates to copyFromLocal and
+    * deletes on success, SnackFSShell.scala). The chunk rows are
+    * materialized BEFORE the unlink so the returned DataFrame never
+    * depends on a file that no longer exists.
+    */
+  def moveFromLocal(spark: org.apache.spark.sql.SparkSession,
+                    localPath: String, fsPath: String,
+                    subBlockSize: Int = DefaultSubBlock,
+                    blockSize: Int = DefaultBlock): DataFrame = {
+    val chunks = put(spark, localPath, fsPath, subBlockSize, blockSize)
+      .persist()
+    chunks.count()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(localPath))
+    chunks
+  }
+
   /** D10: -get / -copyToLocal — stream one path's BLOCKS, in offset
     * order, to a local file. Only one ≤128 MB block is ever resident on
     * the driver (`toLocalIterator` fetches one partition at a time), so

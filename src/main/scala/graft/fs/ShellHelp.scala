@@ -19,7 +19,10 @@ object ShellHelp {
     "-rm" -> "-rm <path>: delete a file; refuses non-empty directories (GraftFs.delete(recursive = false))",
     "-rmr" -> "-rmr <path>: delete a subtree and its data chunks (GraftFs.delete(recursive = true))",
     "-put" -> "-put <local> <path>: import local bytes as chunked subblock rows (DataPlane.put)",
+    "-copyFromLocal" -> "-copyFromLocal <local> <path>: alias of -put (DataPlane.put)",
+    "-moveFromLocal" -> "-moveFromLocal <local> <path>: -put, then unlink the local source once chunk rows are materialized (DataPlane.moveFromLocal)",
     "-get" -> "-get <path> <local>: export a file's reassembled bytes to a local sink (DataPlane.get)",
+    "-copyToLocal" -> "-copyToLocal <path> <local>: alias of -get (DataPlane.get)",
     "-getmerge" -> "-getmerge <dir> <local>: concatenate every file under a prefix in path order (DataPlane.getmerge)",
     "-cat" -> "-cat <path>: print a file's bytes via ordered block reassembly (DataPlane.cat)",
     "-text" -> "-text <path>: like -cat but sniffs gzip/zip magic and inflates before decoding (DataPlane.text)",

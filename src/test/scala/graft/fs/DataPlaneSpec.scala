@@ -100,6 +100,18 @@ class DataPlaneSpec extends AnyFlatSpec with Matchers {
     java.nio.file.Files.readAllBytes(dst) must be(payload)
   }
 
+  it must "moveFromLocal: import, then unlink the local source" in {
+    val src = java.nio.file.Files.createTempFile("graft-mv-", ".bin")
+    val dst = java.nio.file.Files.createTempFile("graft-mvget-", ".bin")
+    val payload = bytes(555)
+    java.nio.file.Files.write(src, payload)
+    val chunks = DataPlane.moveFromLocal(spark, src.toString, "/fs/moved.bin", 100, 300)
+    java.nio.file.Files.exists(src) must be(false)
+    DataPlane.get(chunks, "/fs/moved.bin", dst.toString)
+    java.nio.file.Files.readAllBytes(dst) must be(payload)
+    chunks.unpersist()
+  }
+
   behavior of "readRange (C5/C6)"
 
   it must "serve an arbitrary byte range from overlapping subblocks only" in {

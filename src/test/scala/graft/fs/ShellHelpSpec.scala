@@ -9,7 +9,8 @@ class ShellHelpSpec extends AnyFlatSpec with Matchers {
 
   it must "cover every shell verb from SURVEY §2.4" in {
     val verbs = Seq("-ls", "-lsr", "-du", "-dus", "-count", "-mv", "-cp",
-      "-rm", "-rmr", "-put", "-get", "-getmerge", "-cat", "-text",
+      "-rm", "-rmr", "-put", "-copyFromLocal", "-moveFromLocal",
+      "-get", "-copyToLocal", "-getmerge", "-cat", "-text",
       "-mkdir", "-touchz", "-test", "-stat", "-tail", "-help")
     verbs.foreach { v =>
       withClue(v) { ShellHelp.help(v) must be(defined) }
