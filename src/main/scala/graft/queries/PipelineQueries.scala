@@ -202,6 +202,48 @@ object PipelineQueries {
              |       CAST(LEN(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── End-to-end training-set construction: the composed pipeline a
+    //    real data-curation run executes — quality filter + near-dup
+    //    removal (LSH-verified pairs; J=1 exact dups are always caught
+    //    because identical docs share every band) — as ONE declarative
+    //    query, hash-checked against the same logic in pure SQL. Keep
+    //    rule: a doc is dropped iff it appears as the HIGHER id of a
+    //    verified pair (keep-first), then kept docs must pass quality.
+    QueryDef(
+      "pipeline_train_set",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val drops = Dedup.minhashPairs(docs, shingleN = 3, b = 8, r = 4,
+            threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        TextAnalysis.quality(docs)
+          .filter(col("quality_ok"))
+          .join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_words"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |drops AS (
+             |  SELECT DISTINCT b.doc_id AS doc_id
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |q AS (
+             |  SELECT doc_id,
+             |         LEN(regexp_extract_all(lower(text), '\w+')) AS n_words,
+             |         (LEN(regexp_extract_all(lower(text), '\w+')) >= 5 AND
+             |          CAST(LEN(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+             |            / LENGTH(text) < 0.1) AS quality_ok
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words FROM q
+             |WHERE quality_ok AND doc_id NOT IN (SELECT doc_id FROM drops)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── Multimodal binary columns ───────────────────────────────────────
     QueryDef(
       "mm_sniff",
