@@ -158,6 +158,29 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
     statusOf(inodes.filter(col("path") === path))
   }
 
+  /** D17 with a format string — the reference shell's `-stat [fmt]`
+    * specifiers (SnackFSShell.scala:172-175, Hadoop Stat): %b bytes,
+    * %n name, %o block size, %r replication (the reference's RF=3),
+    * %F file type, %y mtime (yyyy-MM-dd HH:mm:ss), %Y epoch millis.
+    * The format is parsed driver-side (it is a literal); the row stays
+    * one codegen'd concat.
+    */
+  def statFormatted(path: String, fmt: String = "%y"): DataFrame = {
+    if (!exists(path)) throw new FileNotFoundException(path)
+    val row = inodes.filter(col("path") === path)
+    val pieces = "%[bnorFyY]|[^%]+|%".r.findAllIn(fmt).map {
+      case "%b" => inodeLen.cast("string")
+      case "%n" => element_at(split(col("path"), "/"), -1)
+      case "%o" => inodeBlockSize.cast("string")
+      case "%r" => lit("3")
+      case "%F" => when(col("isDir"), lit("directory")).otherwise(lit("regular file"))
+      case "%y" => date_format(col("mtime"), "yyyy-MM-dd HH:mm:ss")
+      case "%Y" => (unix_timestamp(col("mtime")) * 1000).cast("string")
+      case other => lit(other)
+    }.toSeq
+    row.select(col("path"), concat(pieces: _*).as("stat"))
+  }
+
   // ── D16: -test -[ezd] ─────────────────────────────────────────────────
   def testE(path: String): Boolean = exists(path)
   def testD(path: String): Boolean = retrieve(path).exists(_.isDir)

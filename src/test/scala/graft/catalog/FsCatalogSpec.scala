@@ -61,6 +61,15 @@ class FsCatalogSpec extends AnyFlatSpec with Matchers {
     row.getAs[Boolean]("is_dir") must be(false)
   }
 
+  it must "statFormatted: render %-specifiers like the reference's -stat [fmt]" in {
+    val out = tree.statFormatted("/a/sub/f3", "%n %b %o %r %F").collect()(0)
+    out.getAs[String]("stat") must be("f3 30 15 3 regular file")
+    val dir = tree.statFormatted("/a", "%F").collect()(0)
+    dir.getAs[String]("stat") must be("directory")
+    an[java.io.FileNotFoundException] must be thrownBy
+      tree.statFormatted("/nope", "%n")
+  }
+
   behavior of "mkdirs (A5)"
 
   it must "create all missing ancestors and report true" in {
