@@ -19,7 +19,8 @@ object Bench {
     // (bench-to-bench noise on this box swamps single runs)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     // a failed query must LOOK failed: named on stderr, timed as -1 —

@@ -76,10 +76,38 @@ object CatalogBuilder {
     * payloads: /docs/g<doc_id % 4>/doc_<zero-padded id>, len =
     * octet_length(text). Gives GraftFs a tree with deletable subtrees
     * whose expected state DuckDB can reproduce from the same parquet.
+    *
+    * Block metadata uses the SAME (subBlockSize, blockSize) geometry as
+    * the chunk rows it gets paired with (DataPlaneQueries uses 64/256),
+    * so catalog blocks and data-plane chunks agree on counts, offsets
+    * and lengths — a query joining the two planes sees one story.
     */
-  def fromDocuments(spark: SparkSession, sfDir: String): FsCatalog = {
+  def fromDocuments(spark: SparkSession, sfDir: String,
+                    subBlockSize: Int = 64, blockSize: Int = 256): FsCatalog = {
     import spark.implicits._
+    require(subBlockSize > 0 && blockSize % subBlockSize == 0,
+      "blockSize must be a positive multiple of subBlockSize")
     val docs = Tables.documents(spark, sfDir)
+
+    val blocksExpr = expr(
+      s"""transform(sequence(0, CAST(ceil(len / CAST($blockSize AS DOUBLE)) AS INT) - 1),
+         |  b -> struct(
+         |    md5(concat(path, '#', b)) AS id,
+         |    CAST(b * $blockSize AS BIGINT) AS offset,
+         |    CAST(least($blockSize, len - b * $blockSize) AS BIGINT) AS length,
+         |    transform(
+         |      sequence(0, CAST(ceil(least($blockSize, len - b * $blockSize)
+         |                            / CAST($subBlockSize AS DOUBLE)) AS INT) - 1),
+         |      s -> struct(
+         |        md5(concat(path, '#', b, '#', s)) AS id,
+         |        CAST(s * $subBlockSize AS BIGINT) AS offset,
+         |        CAST(least($subBlockSize,
+         |                   least($blockSize, len - b * $blockSize)
+         |                     - s * $subBlockSize) AS BIGINT) AS length))
+         |      AS subBlocks))""".stripMargin)
+    val emptyBlocks = expr(
+      """CAST(array() AS ARRAY<STRUCT<id:STRING, offset:BIGINT, length:BIGINT,
+        |  subBlocks:ARRAY<STRUCT<id:STRING, offset:BIGINT, length:BIGINT>>>>)""".stripMargin)
 
     val files = docs
       .select(
@@ -95,14 +123,7 @@ object CatalogBuilder {
         lit(420).as("permission"),
         lit(false).as("isDir"),
         lit(epoch).as("mtime"),
-        array(struct(
-          md5(col("path")).as("id"),
-          lit(0L).as("offset"),
-          col("len").as("length"),
-          array(struct(
-            md5(concat(col("path"), lit("#0"))).as("id"),
-            lit(0L).as("offset"),
-            col("len").as("length"))).as("subBlocks"))).as("blocks"))
+        when(col("len") > 0, blocksExpr).otherwise(emptyBlocks).as("blocks"))
 
     val roots = (Seq(("/", null: String), ("/docs", "/")) ++
       (0 to 3).map(g => (s"/docs/g$g", "/docs")))

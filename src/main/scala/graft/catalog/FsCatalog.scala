@@ -175,7 +175,7 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       case "%r" => lit("3")
       case "%F" => when(col("isDir"), lit("directory")).otherwise(lit("regular file"))
       case "%y" => date_format(col("mtime"), "yyyy-MM-dd HH:mm:ss")
-      case "%Y" => (unix_timestamp(col("mtime")) * 1000).cast("string")
+      case "%Y" => (col("mtime").cast("double") * 1000).cast("long").cast("string")
       case other => lit(other)
     }.toSeq
     row.select(col("path"), concat(pieces: _*).as("stat"))

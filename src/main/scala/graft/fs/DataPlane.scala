@@ -156,17 +156,15 @@ object DataPlane {
 
   /** -moveFromLocal — copyFromLocal then unlink the local source (the
     * reference shell's moveFromLocal delegates to copyFromLocal and
-    * deletes on success, SnackFSShell.scala). The chunk rows are
-    * materialized BEFORE the unlink so the returned DataFrame never
-    * depends on a file that no longer exists.
+    * deletes on success, SnackFSShell.scala). Safe to unlink eagerly:
+    * `put` reads the payload into an in-memory LocalRelation, so the
+    * returned plan never re-reads the local file, even on recompute.
     */
   def moveFromLocal(spark: org.apache.spark.sql.SparkSession,
                     localPath: String, fsPath: String,
                     subBlockSize: Int = DefaultSubBlock,
                     blockSize: Int = DefaultBlock): DataFrame = {
     val chunks = put(spark, localPath, fsPath, subBlockSize, blockSize)
-      .persist()
-    chunks.count()
     java.nio.file.Files.delete(java.nio.file.Paths.get(localPath))
     chunks
   }

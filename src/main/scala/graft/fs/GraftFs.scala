@@ -1,6 +1,6 @@
 package graft.fs
 
-import java.io.FileNotFoundException
+import java.io.{FileNotFoundException, IOException}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -43,21 +43,22 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame) {
   }
 
   /** A8/D6: rename rewrites chunk paths with the same one-pass prefix
-    * rewrite the catalog side uses (FsCatalog.rename).
+    * rewrite the catalog side uses (FsCatalog.rename, which throws on
+    * every failed precondition — its Boolean is always true).
     */
   def rename(src: String, dst: String): (GraftFs, Boolean) = {
-    val (cat2, ok) = catalog.rename(src, dst)
-    if (!ok) return (this, false)
+    val (cat2, _) = catalog.rename(src, dst)
     val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
     val moved = chunks.withColumn("path",
       when(inSubtree(src), newPath).otherwise(col("path")))
     (GraftFs(cat2, moved), true)
   }
 
-  /** D7: copy duplicates the subtree's chunk rows under the new prefix. */
+  /** D7: copy duplicates the subtree's chunk rows under the new prefix
+    * (FsCatalog.copy throws on every failed precondition).
+    */
   def copy(src: String, dst: String): (GraftFs, Boolean) = {
-    val (cat2, ok) = catalog.copy(src, dst)
-    if (!ok) return (this, false)
+    val (cat2, _) = catalog.copy(src, dst)
     val dup = chunks
       .filter(inSubtree(src))
       .withColumn("path", concat(lit(dst), expr(s"substring(path, ${src.length + 1})")))
@@ -65,10 +66,13 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame) {
   }
 
   /** D12: cat through the catalog — a path the catalog no longer knows
-    * throws, even if (in a buggy world) chunk rows survived.
+    * throws, even if (in a buggy world) chunk rows survived; a directory
+    * errors like the reference shell (bytes live only in files).
     */
   def cat(path: String): DataFrame = {
-    if (!catalog.exists(path)) throw new FileNotFoundException(path)
+    val node = catalog.retrieve(path).getOrElse(
+      throw new FileNotFoundException(path))
+    if (node.isDir) throw new IOException(s"$path is a directory")
     DataPlane.cat(chunks, path)
   }
 

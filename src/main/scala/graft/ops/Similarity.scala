@@ -73,8 +73,16 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("bucket").as("vec_id"),
           expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("embedding"))
+      // a bucket that attracted no members (possible when seed vectors
+      // duplicate — ties always break to the lower centroid id) keeps
+      // its previous centroid, so the centroid count NEVER shrinks
+      // below k and callers get the bucket fan-out they asked for
+      val updated = centroids.select(col("vec_id"), col("embedding").as("prev"))
+        .join(means.select(col("vec_id"), col("embedding").as("next")),
+          Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("next"), col("prev")).as("embedding"))
       centroids = spark.createDataFrame(
-        java.util.Arrays.asList(means.collect(): _*), means.schema)
+        java.util.Arrays.asList(updated.collect(): _*), updated.schema)
     }
     centroids
   }

@@ -60,11 +60,13 @@ object EventsStream {
     * 100 TB corpus. Deterministic: sha256 keying, no RNG.
     */
   def dedupByContent(rows: DataFrame, contentCol: String,
+                     tsCol: String = "ts",
                      watermarkDelay: String = "1 hour"): DataFrame =
     rows
       .withColumn("content_sha", sha2(col(contentCol).cast("string"), 256))
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_sha")
+      .drop("content_sha")
 
   final case class SessionUpdate(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -109,7 +109,6 @@ class DataPlaneSpec extends AnyFlatSpec with Matchers {
     java.nio.file.Files.exists(src) must be(false)
     DataPlane.get(chunks, "/fs/moved.bin", dst.toString)
     java.nio.file.Files.readAllBytes(dst) must be(payload)
-    chunks.unpersist()
   }
 
   behavior of "readRange (C5/C6)"

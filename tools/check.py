@@ -25,7 +25,6 @@ error. This replica reproduces both.
 import sys, json, glob
 
 import duckdb
-import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
