@@ -62,6 +62,45 @@ class GraftFsSpec extends AnyFlatSpec with Matchers {
     fs2.chunkSummary("/d/").collect()(0).getAs[Long]("n_chunks") must be(0L)
   }
 
+  it must "error on cat of a directory like the reference shell" in {
+    val (fs, _, _) = fixture()
+    val e = the[java.io.IOException] thrownBy fs.cat("/d")
+    e.getMessage must include("directory")
+    an[FileNotFoundException] must be thrownBy fs.cat("/nope")
+  }
+
+  behavior of "catalog/data-plane geometry agreement"
+
+  it must "give fromDocuments the same block layout the chunk plane produces" in {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val cat = CatalogBuilder.fromDocuments(spark, sfDir, 64, 256)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val chunks = DataPlane.chunk(
+      docs.select(
+        concat(lit("/docs/g"), (col("doc_id") % 4).cast("string"),
+          lit("/doc_"), lpad(col("doc_id").cast("string"), 8, "0")).as("path"),
+        col("text").cast("binary").as("data")), 64, 256)
+
+    val catBlocks = cat.inodes.toDF()
+      .filter(!col("isDir"))
+      .select(col("path"), explode(col("blocks")).as("b"))
+      .select(col("path"), col("b.offset").as("block_offset"),
+        col("b.length").as("block_len"),
+        org.apache.spark.sql.functions.size(col("b.subBlocks")).as("n_sub"))
+    val chunkBlocks = chunks
+      .groupBy(col("path"), col("block_offset"))
+      .agg(sum(col("length")).as("block_len"), count(lit(1)).as("n_sub"))
+
+    // full outer join must pair every block exactly, with equal shapes
+    val mismatches = catBlocks.as("c")
+      .join(chunkBlocks.as("k"), Seq("path", "block_offset"), "full_outer")
+      .filter(col("c.block_len").isNull || col("k.block_len").isNull ||
+        col("c.block_len") =!= col("k.block_len") ||
+        col("c.n_sub") =!= col("k.n_sub"))
+    mismatches.count() must be(0L)
+  }
+
   it must "copy chunks with the subtree — both paths readable, bytes equal" in {
     val (fs, a, _) = fixture()
     val (fs2, ok) = fs.copy("/d", "/dup")
