@@ -70,4 +70,69 @@ object Multimodal {
       col("path"),
       octet_length(col("data")).cast("long").as("n_bytes"),
       hex(expr("substring(data, 1, 4)")).as("magic"))
+
+  /** Frame sampling: one payload row → one row per sampled frame — the
+    * flatMap shape a video pipeline needs. The frame EXTRACTION is the
+    * honest part (every `stride`-th `frameSize`-byte window, pure
+    * byte-level windowing, fully declarative: posexplode over the
+    * window index sequence + substring, all codegen'd); a real codec
+    * would replace the window with a decoded frame. Payloads split at
+    * the scan — only frame-sized slices ever shuffle.
+    */
+  def frameSample(binaries: DataFrame, frameSize: Int = 1024,
+                  stride: Int = 4): DataFrame =
+    binaries
+      .select(col("path"), col("data"),
+        expr(s"CAST(ceil(octet_length(data) / CAST($frameSize AS DOUBLE)) AS INT)")
+          .as("n_windows"))
+      .filter(col("n_windows") > 0)
+      .select(col("path"),
+        posexplode(expr(s"sequence(0, CAST((n_windows - 1) / $stride AS INT))"))
+          .as(Seq("frame_idx", "w")),
+        col("data"))
+      .select(col("path"), col("frame_idx"),
+        expr(s"substring(data, w * $stride * $frameSize + 1, $frameSize)")
+          .as("frame"))
+
+  /** Resize: binary → binary with a deterministic stub transform (codec
+    * absent in this container — see the builder brief). The plumbing is
+    * the point: partition-wise batched map, one decoder instance per
+    * partition, explicit (path, resized, n_bytes) output schema.
+    */
+  def resize(binaries: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    val target = targetW.toLong * targetH
+    binaries
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) =>
+        // STUB: a real implementation decodes + rescales; this emits a
+        // deterministic target-sized projection of the payload bytes
+        val out = Array.tabulate(math.min(target, 4096L).toInt) { i =>
+          if (bytes.isEmpty) 0.toByte else bytes(i % bytes.length)
+        }
+        (p, out, out.length.toLong)
+      })
+      .toDF("path", "resized", "n_bytes")
+  }
+
+  /** Feature extraction: binary → Array[Float] embedding (stub: hash-
+    * derived unit-ish vector) — the output feeds the Similarity ops
+    * directly, so multimodal payloads join the ANN/near-dup machinery
+    * with no schema friction.
+    */
+  def featureExtract(binaries: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) =>
+        // STUB: deterministic pseudo-embedding seeded by payload hash
+        val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes).toLong)
+        (p, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      })
+      .toDF("path", "embedding")
+  }
 }

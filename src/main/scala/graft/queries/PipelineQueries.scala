@@ -258,6 +258,30 @@ object PipelineQueries {
              |       hex(encode(SUBSTRING(text, 1, 4))) AS magic
              |FROM documents ORDER BY path""".stripMargin)),
 
+    // Frame sampling is pure byte-level windowing (every stride-th
+    // frameSize window), so the WHOLE op — flatMap fan-out included —
+    // is oracle-checkable; frames compare by md5 to keep rows narrow.
+    QueryDef(
+      "mm_frame_sample",
+      (s, d) =>
+        Multimodal.frameSample(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select(
+            concat(lit("/mm/"), col("doc_id")).as("path"),
+            col("text").cast("binary").as("data")),
+          frameSize = 100, stride = 2)
+          .select(col("path"), col("frame_idx"),
+            md5(col("frame")).as("frame_md5"))
+          .orderBy(col("path"), col("frame_idx")),
+      Some("""WITH d AS (
+             |  SELECT '/mm/' || doc_id AS path, text,
+             |         CAST(CEIL(LENGTH(text) / 100.0) AS INT) AS nw
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT path, CAST(i AS INTEGER) AS frame_idx,
+             |       md5(SUBSTRING(text, CAST(i AS INT) * 2 * 100 + 1, 100)) AS frame_md5
+             |FROM d, UNNEST(range(0, (nw - 1) // 2 + 1)) AS t(i)
+             |WHERE nw > 0
+             |ORDER BY path, frame_idx""".stripMargin)),
+
     // Decode runs the REAL mapPartitions batch path over payloads with
     // synthesized magic prefixes (doc_id%3: jpeg / png / raw), and the
     // hash-compared projection is the SQL-expressible part of the decode

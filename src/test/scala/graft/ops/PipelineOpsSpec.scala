@@ -217,4 +217,39 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       .map(r => r.getAs[String]("path") -> r.getAs[Int]("width")).toMap
     again("/mm/1") must be(meta("/mm/1").getAs[Int]("width"))
   }
+
+  behavior of "Multimodal frameSample / resize / featureExtract"
+
+  it must "emit every stride-th frame window with exact byte slices" in {
+    val s = spark
+    import s.implicits._
+    val payload = Array.tabulate(1000)(_.toByte)
+    val bin = Seq(("/v/1", payload)).toDF("path", "data")
+    val frames = Multimodal.frameSample(bin, frameSize = 100, stride = 4)
+      .orderBy("frame_idx").collect()
+    // 10 windows, stride 4 → windows 0, 4, 8
+    frames.length must be(3)
+    frames.map(_.getAs[Int]("frame_idx")).toSeq must be(Seq(0, 1, 2))
+    frames(0).getAs[Array[Byte]]("frame") must be(payload.slice(0, 100))
+    frames(1).getAs[Array[Byte]]("frame") must be(payload.slice(400, 500))
+    frames(2).getAs[Array[Byte]]("frame") must be(payload.slice(800, 900))
+  }
+
+  it must "resize deterministically to a bounded output and extract stable features" in {
+    val s = spark
+    import s.implicits._
+    val bin = Seq(("/img/1", "some-image-bytes".getBytes)).toDF("path", "data")
+    val r1 = Multimodal.resize(bin, 32, 32).collect()(0)
+    val r2 = Multimodal.resize(bin, 32, 32).collect()(0)
+    r1.getAs[Long]("n_bytes") must be(32L * 32)
+    r1.getAs[Array[Byte]]("resized") must be(r2.getAs[Array[Byte]]("resized"))
+
+    val f1 = Multimodal.featureExtract(bin, dim = 16).collect()(0)
+      .getSeq[Float](1)
+    val f2 = Multimodal.featureExtract(bin, dim = 16).collect()(0)
+      .getSeq[Float](1)
+    f1.length must be(16)
+    f1 must be(f2)
+    all(f1.map(math.abs(_))) must be <= 1.0f
+  }
 }
