@@ -129,6 +129,82 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
   def listStatusRecursive(path: String): DataFrame =
     statusOf(inodes.filter(col("path").startsWith(prefixOf(path))))
 
+  // ── Glob resolution — the reference shell feeds EVERY path argument
+  //    through FileSystem.globStatus before acting (SnackFSShell.scala:
+  //    269-337, usage :95-101). The literal prefix prunes first
+  //    (startsWith reaches parquet min/max on the path-sorted layout);
+  //    the anchored regex runs on survivors only. ──────────────────────
+  private def globMatch(pattern: String): Dataset[Inode] = {
+    val pre = PathOps.globLiteralPrefix(pattern)
+    inodes.filter(
+      col("path").startsWith(pre) &&
+        col("path").rlike(PathOps.globToRegex(pattern)))
+  }
+
+  /** Matched-path statuses (globStatus itself, no dir expansion). */
+  def globStatus(pattern: String): DataFrame = statusOf(globMatch(pattern))
+
+  /** D1/D2 over a glob: each matched FILE lists itself, each matched DIR
+    * lists its children (deep when `recursive`) — the reference's
+    * per-match `ls` loop (SnackFSShell.scala:282-296) as one plan: the
+    * matched dir set (small by construction) broadcasts into a semi-join
+    * against the catalog, so the corpus-side scan happens once.
+    */
+  def listGlob(pattern: String, recursive: Boolean = false): DataFrame = {
+    val m = globMatch(pattern)
+    val files = m.filter(!col("isDir"))
+    val dirs = m.filter(col("isDir")).select(col("path").as("_gp"))
+    val childPre =
+      when(col("_gp") === "/", lit("/")).otherwise(concat(col("_gp"), lit("/")))
+    val within =
+      if (recursive)
+        inodes.join(broadcast(dirs), col("path").startsWith(childPre), "left_semi")
+      else
+        inodes.join(broadcast(dirs), col("parentPath") === col("_gp"), "left_semi")
+    // a brace alternation can make one path both a direct match and a
+    // child of another match — dedup before projecting
+    statusOf(files.unionByName(within.as[Inode]).distinct())
+  }
+
+  /** D8 over a glob: remove every matched file plus (when `recursive`)
+    * every matched dir's subtree, as ONE anti-join pass — no per-match
+    * driver loop. Error matrix per the reference: a matched dir without
+    * -rmr throws; no match at all → false.
+    */
+  def deleteGlob(pattern: String, recursive: Boolean): (FsCatalog, Boolean) = {
+    val m = globMatch(pattern)
+    if (m.limit(1).count() == 0) return (this, false)
+    if (!recursive && m.filter(col("isDir")).limit(1).count() > 0)
+      throw new IOException(s"Cannot remove directory matched by $pattern; use -rmr")
+    val dirs = m.filter(col("isDir")).select(col("path").as("_gp"))
+    val childPre =
+      when(col("_gp") === "/", lit("/")).otherwise(concat(col("_gp"), lit("/")))
+    val pre = PathOps.globLiteralPrefix(pattern)
+    val survivors = inodes
+      .filter(!(col("path").startsWith(pre) &&
+        col("path").rlike(PathOps.globToRegex(pattern))))
+      .join(broadcast(dirs), col("path").startsWith(childPre), "left_anti")
+      .as[Inode]
+    (FsCatalog(survivors), true)
+  }
+
+  /** D3 over a glob: per-matched-path subtree byte totals — matches
+    * broadcast against the catalog, grouped by matched root, one shuffle
+    * of (match, partial-sum) rows.
+    */
+  def duGlob(pattern: String): DataFrame = {
+    val m = globMatch(pattern).select(col("path").as("_gp"))
+    val childPre =
+      when(col("_gp") === "/", lit("/")).otherwise(concat(col("_gp"), lit("/")))
+    inodes
+      .join(broadcast(m),
+        col("path") === col("_gp") || col("path").startsWith(childPre))
+      .groupBy(col("_gp"))
+      .agg(sum(inodeLen).as("len"))
+      .select(col("_gp").as("path"), col("len"))
+      .orderBy(col("path"))
+  }
+
   // ── D3: du — per-shallow-child subtree byte totals, one shuffle ───────
   def du(path: String): DataFrame = {
     val pre = prefixOf(path)

@@ -55,4 +55,57 @@ object PathOps {
     while (p != null) { acc += p; p = parent(p) }
     acc.result()
   }
+
+  /** FS glob → anchored Java regex, Hadoop `GlobPattern` semantics (the
+    * reference shell resolves every path argument through
+    * `FileSystem.globStatus`, SnackFSShell.scala:269-337): `*` and `?`
+    * match within one path component (never '/'), `[...]` is a char
+    * class with `[!...]` negation, `{a,b}` is alternation. Everything
+    * else is escaped literally. Parsed driver-side — patterns are
+    * literals; the compiled regex runs distributed via `rlike`.
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var inClass = false
+    var classStart = -1
+    var braceDepth = 0
+    var i = 0
+    while (i < glob.length) {
+      val c = glob.charAt(i)
+      if (inClass) c match {
+        case ']' => inClass = false; sb.append(']')
+        case '!' if i == classStart + 1 => sb.append('^')
+        case '^' | '\\' => sb.append('\\').append(c)
+        case _ => sb.append(c)
+      }
+      else c match {
+        case '*' => sb.append("[^/]*")
+        case '?' => sb.append("[^/]")
+        case '[' => inClass = true; classStart = i; sb.append('[')
+        case '{' => braceDepth += 1; sb.append("(?:")
+        case '}' if braceDepth > 0 => braceDepth -= 1; sb.append(')')
+        case ',' if braceDepth > 0 => sb.append('|')
+        case '\\' if i + 1 < glob.length =>
+          i += 1; sb.append(java.util.regex.Pattern.quote(glob.charAt(i).toString))
+        case _ if "\\.[]{}()<>*+-=!?^$|".indexOf(c.toInt) >= 0 =>
+          sb.append('\\').append(c)
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  /** Literal prefix of a glob (up to the first metachar) — pushed as a
+    * `startsWith` predicate so a path-range-partitioned catalog prunes
+    * files before the regex ever runs.
+    */
+  def globLiteralPrefix(glob: String): String = {
+    val cut = glob.indexWhere(c => "*?[{\\".indexOf(c.toInt) >= 0)
+    if (cut < 0) glob else glob.substring(0, cut)
+  }
+
+  /** True if the pattern contains any glob metacharacter. */
+  def isGlob(pattern: String): Boolean =
+    pattern.exists(c => "*?[{\\".indexOf(c.toInt) >= 0)
 }

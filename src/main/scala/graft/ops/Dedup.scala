@@ -102,16 +102,35 @@ object Dedup {
       .select(col("doc_id"), col("bb.band_idx").as("band_idx"),
         col("bb.band_hash").as("band_hash"))
 
-    // id-only candidate generation: nothing wide crosses this shuffle
-    val candidates = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // bucket-grouped candidate generation: ONE pass over bandRows. A
+    // bandRows-self-join would duplicate the whole window+minhash-agg
+    // subtree in the plan and, at 100 TB, either broadcast the full
+    // corpus band table or shuffle it twice; grouping by bucket shuffles
+    // the (band, doc_id) rows once and explodes each bucket's sorted id
+    // list into its i<j pairs (buckets are small by LSH construction —
+    // a hot bucket hurts the self-join quadratically too).
+    val candidates = bandRows
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
-    val sets = shingleSets(docs, shingleN)
+    // attach shingle sets ONLY for candidate docs, semi-filtering at the
+    // SCAN (not above the aggregate, where the optimizer leaves it — the
+    // window's `_we` Filter blocks PushDownLeftSemiAntiJoin): the sets
+    // path then explodes/window-sorts just the candidate docs, so at
+    // 100 TB the verification cost is bounded by the candidate count,
+    // not the corpus. The minhash pass above stays the only full-corpus
+    // explode+sort.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val sets = shingleSets(docs.join(candIds, Seq("doc_id"), "left_semi"), shingleN)
     candidates
       .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")

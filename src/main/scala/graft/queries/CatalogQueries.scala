@@ -174,6 +174,32 @@ object CatalogQueries {
               |      FROM part WHERE p_brand = 'Brand#13')
               |ORDER BY path""".stripMargin)),
 
+    // ── D1 glob: ls over patterns — matched dirs expand to children,
+    //    matched files list themselves (SnackFSShell.scala:269-296 via
+    //    globStatus). One pattern exercises the class+dir-expansion
+    //    branch, one the star+file-match branch. ──────────────────────
+    QueryDef(
+      "fs_glob",
+      (s, d) => {
+        val cat = CatalogBuilder.fromPart(s, d)
+        cat.listGlob("/pt/Brand#1[34]")
+          .unionByName(cat.listGlob("/pt/Brand#2*/part_*7"))
+          .orderBy(col("path"))
+      },
+      Some(s"""SELECT '/pt/' || p_brand || '/part_' || p_partkey AS path,
+              |       FALSE AS is_dir, CAST(p_size AS BIGINT) AS len,
+              |       CAST(p_size AS BIGINT) AS block_size,
+              |       'graft' AS "user", CAST(420 AS INTEGER) AS permission
+              |FROM part WHERE p_brand IN ('Brand#13', 'Brand#14')
+              |UNION ALL
+              |SELECT '/pt/' || p_brand || '/part_' || p_partkey AS path,
+              |       FALSE AS is_dir, CAST(p_size AS BIGINT) AS len,
+              |       CAST(p_size AS BIGINT) AS block_size,
+              |       'graft' AS "user", CAST(420 AS INTEGER) AS permission
+              |FROM part WHERE p_brand LIKE 'Brand#2%'
+              |  AND CAST(p_partkey AS VARCHAR) LIKE '%7'
+              |ORDER BY path""".stripMargin)),
+
     // ── D15/D16: touchz + test — zero-length file lifecycle ─────────────
     QueryDef(
       "fs_touchz",

@@ -223,4 +223,55 @@ class FsCatalogSpec extends AnyFlatSpec with Matchers {
   it must "always throw on append, mirroring AppendFileCommand.scala:38-40" in {
     an[UnsupportedOperationException] must be thrownBy tree.append("/a/f1")
   }
+
+  behavior of "glob resolution (SnackFSShell.scala:269-337 globStatus)"
+
+  it must "translate globs to component-scoped regexes" in {
+    "/a/f1".matches(PathOps.globToRegex("/a/f?")) must be(true)
+    "/a/f1".matches(PathOps.globToRegex("/a/*")) must be(true)
+    "/a/sub/f3".matches(PathOps.globToRegex("/a/*")) must be(false) // * never crosses /
+    "/a/f1".matches(PathOps.globToRegex("/a/f[12]")) must be(true)
+    "/a/f3".matches(PathOps.globToRegex("/a/f[12]")) must be(false)
+    "/a/f3".matches(PathOps.globToRegex("/a/f[!12]")) must be(true)
+    "/b.txt".matches(PathOps.globToRegex("/{a,b}.txt")) must be(true)
+    "/b_txt".matches(PathOps.globToRegex("/b.txt")) must be(false) // '.' is literal
+    PathOps.globLiteralPrefix("/a/f*") must be("/a/f")
+    PathOps.isGlob("/a/f1") must be(false)
+    PathOps.isGlob("/a/f[12]") must be(true)
+  }
+
+  it must "match statuses, expand matched dirs like ls, and equal the literal verbs" in {
+    val cat = tree
+    cat.globStatus("/a/f*").collect().map(_.getString(0)).sorted must be(
+      Array("/a/f1", "/a/f2"))
+    // ls semantics: matched dir expands to children, matched file to itself
+    cat.listGlob("/a/*").collect().map(_.getString(0)).sorted must be(
+      Array("/a/f1", "/a/f2", "/a/sub/f3")) // f1,f2 match as files; /a/sub expands
+    cat.listGlob("/a/sub", recursive = true).collect().map(_.getString(0)) must be(
+      Array("/a/sub/f3"))
+    // glob-free pattern ≡ the literal verb
+    cat.listGlob("/a").collect() must be(cat.listStatus("/a").collect())
+    cat.listGlob("/b.txt").collect() must be(cat.listStatus("/b.txt").collect())
+  }
+
+  it must "delete by glob with the rm/rmr error matrix" in {
+    val (afterFiles, ok) = tree.deleteGlob("/a/f*", recursive = false)
+    ok must be(true)
+    afterFiles.exists("/a/f1") must be(false)
+    afterFiles.exists("/a/f2") must be(false)
+    afterFiles.exists("/a/sub/f3") must be(true)
+    an[IOException] must be thrownBy tree.deleteGlob("/a/*", recursive = false)
+    val (afterAll, ok2) = tree.deleteGlob("/a/*", recursive = true)
+    ok2 must be(true)
+    afterAll.exists("/a") must be(true)      // the matched dirs' PARENT survives
+    afterAll.exists("/a/sub") must be(false) // matched dir itself removed
+    afterAll.exists("/a/sub/f3") must be(false)
+    tree.deleteGlob("/zzz*", recursive = true)._2 must be(false)
+  }
+
+  it must "report per-match subtree totals for du over a glob" in {
+    val rows = tree.duGlob("/a/{f1,sub}").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows must be(Map("/a/f1" -> 10L, "/a/sub" -> 30L))
+  }
 }
