@@ -110,11 +110,16 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
     }
     val inSubtree = col("path") === src || col("path").startsWith(prefixOf(src))
     val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
-    val rewritten = inodes
-      .withColumn("path", when(inSubtree, newPath).otherwise(col("path")))
+    // filter-rewrite ∪ passthrough: only subtree rows are projected; the
+    // untouched branch stays a pure filter so parquet min/max pruning on
+    // the path-range-partitioned layout (save/load) skips its files
+    // instead of rewriting every catalog row to move one subtree
+    val moved = inodes
+      .filter(inSubtree)
+      .withColumn("path", newPath)
       .withColumn("parentPath", parentOf(col("path")))
       .as[Inode]
-    (FsCatalog(rewritten), true)
+    (FsCatalog(inodes.filter(!inSubtree).unionByName(moved)), true)
   }
 
   // ── A9/D1: listStatus — shallow children (ListCommand.scala:33-60) ────
@@ -292,6 +297,37 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       .withColumn("parentPath", parentOf(col("path")))
       .as[Inode](inodeEncoder)
     (FsCatalog(inodes.unionByName(dup)), true)
+  }
+
+  // ── A10/B11: getFileBlockLocations with the reference's block-range
+  //    pruning (SnackFS.scala:135-149): blocks whose byte range ends
+  //    before `start` are dropped BEFORE replica mapping (prune at
+  //    :138, `filterNot(offset + length < start)`). The reference
+  //    ignores the range's upper end (`len` is accepted but never used
+  //    in the prune) — mirrored exactly, including the signature.
+  //    Replica endpoints are the deterministic RF=3 token-ring mapping
+  //    (ThriftStore.scala:543-605 as a pure hash function). ───────────
+  def blockLocations(pathPrefix: String, start: Long = 0L,
+                     len: Long = Long.MaxValue): DataFrame = {
+    val _ = len // reference parity: carried, not consulted
+    inodes
+      .filter(col("path").startsWith(pathPrefix))
+      .select(col("path"), explode(col("blocks")).as("b"))
+      .filter(col("b.offset") + col("b.length") >= start)
+      .withColumn("owner", ascii(substring(col("b.id"), 1, 1)) % 3)
+      .select(
+        col("path"),
+        col("b.id").as("block_id"),
+        col("b.offset").as("offset"),
+        col("b.length").as("length"),
+        // one comma-joined string — a flat scalar survives any tabular
+        // compare, an ARRAY column does not
+        concat_ws(",",
+          concat(lit("node-"), col("owner").cast("string")),
+          concat(lit("node-"), ((col("owner") + 1) % 3).cast("string")),
+          concat(lit("node-"), ((col("owner") + 2) % 3).cast("string")))
+          .as("replicas"))
+      .orderBy(col("path"), col("offset"))
   }
 
   // ── Persistence: the catalog as a path-range-partitioned parquet table.

@@ -192,15 +192,29 @@ object DataPlane {
     * Digest-check convenience for merges that fit a row — the unbounded
     * path is `getmergeTo`.
     */
-  def getmerge(chunks: DataFrame, prefix: String): DataFrame =
-    chunks
-      .filter(col("path").startsWith(prefix))
-      .agg(
-        expr("""aggregate(
-                 transform(array_sort(collect_list(struct(path, block_offset + offset AS off, data))),
-                           x -> x.data),
-                 CAST('' AS BINARY),
-                 (acc, x) -> concat(acc, x))""").as("data"))
+  def getmerge(chunks: DataFrame, prefix: String,
+               addnl: Boolean = false): DataFrame = {
+    if (!addnl)
+      chunks
+        .filter(col("path").startsWith(prefix))
+        .agg(
+          expr("""aggregate(
+                   transform(array_sort(collect_list(struct(path, block_offset + offset AS off, data))),
+                             x -> x.data),
+                   CAST('' AS BINARY),
+                   (acc, x) -> concat(acc, x))""").as("data"))
+    else
+      // [addnl] (SnackFSShell.scala:608-613 copyMergeToLocal's optional
+      // boolean): a newline after EACH file — so fold per-file payloads,
+      // not raw chunks, and suffix each one
+      reassemble(chunks.filter(col("path").startsWith(prefix)))
+        .agg(
+          expr("""aggregate(
+                   transform(array_sort(collect_list(struct(path, data))),
+                             x -> concat(x.data, encode('\n', 'UTF-8'))),
+                   CAST('' AS BINARY),
+                   (acc, x) -> concat(acc, x))""").as("data"))
+  }
 
   /** D13: -text — cat with codec sniff (Hadoop FsShell.text semantics;
     * the reference inherits it, SnackFSShell.scala:154-155 "allowed
@@ -235,14 +249,22 @@ object DataPlane {
     * block — (path, block_offset) order, one bounded block on the driver
     * at a time, no single-reducer global concat anywhere.
     */
-  def getmergeTo(chunks: DataFrame, prefix: String, localPath: String): Unit = {
+  def getmergeTo(chunks: DataFrame, prefix: String, localPath: String,
+                 addnl: Boolean = false): Unit = {
     val blocks = reassembleBlocks(chunks.filter(col("path").startsWith(prefix)))
       .orderBy(col("path"), col("block_offset"))
-      .select(col("data"))
+      .select(col("path"), col("data"))
     val out = java.nio.file.Files.newOutputStream(
       java.nio.file.Paths.get(localPath))
-    try blocks.toLocalIterator().forEachRemaining { r =>
-      out.write(r.getAs[Array[Byte]]("data"))
+    var last: String = null
+    try {
+      blocks.toLocalIterator().forEachRemaining { r =>
+        val p = r.getString(0)
+        if (addnl && last != null && p != last) out.write('\n')
+        out.write(r.getAs[Array[Byte]]("data"))
+        last = p
+      }
+      if (addnl && last != null) out.write('\n')
     } finally out.close()
   }
 }

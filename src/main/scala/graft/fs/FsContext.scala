@@ -15,7 +15,11 @@ import java.net.URI
 final case class FsContext(uri: URI, cwd: String) {
 
   /** Resolve a possibly-relative path against the cwd and normalize
-    * `.`/`..`/`//` segments (Path semantics the Hadoop shell relies on).
+    * `.`/`//` segments like Hadoop Path — plus `..` collapsing, which is
+    * an INTENTIONAL divergence: the reference (SnackFS.makeAbsolute via
+    * Hadoop Path) leaves `..` segments in place, so `/a/../b` stays a
+    * distinct catalog key from `/b` there; resolving them here means one
+    * canonical key per real location.
     */
   def makeAbsolute(path: String): String = {
     val joined = if (path.startsWith("/")) path else s"$cwd/$path"

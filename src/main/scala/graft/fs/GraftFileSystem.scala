@@ -1,0 +1,244 @@
+package graft.fs
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, FileNotFoundException, IOException, OutputStream}
+import java.net.URI
+import java.sql.Timestamp
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+
+import graft.catalog.{BlockMeta, FsCatalog, Inode, PathOps, SubBlockMeta}
+
+/** The reference's entire public API *is* `org.apache.hadoop.fs
+  * .FileSystem` (SnackFS.scala:51-153; mounted via core-site.xml:29-32) —
+  * this facade closes that last fidelity gap: a stock Hadoop/Spark job
+  * can mount the engine unchanged. Every verb delegates to the existing
+  * distributed machinery (`FsCatalog` metadata transitions, `DataPlane`
+  * chunking, `GraftFs` cross-plane cascades); the facade itself only
+  * holds the current (catalog, chunks) snapshot — the same single-driver
+  * narrowing documented for FileLocks (SURVEY.md §1.3).
+  *
+  * Deliberate shim-level narrowings, each documented at the method:
+  * `open` materializes ONE file's bytes in the driver (the compatibility
+  * path; the scale path for analytics is the DSv2 connector), and writes
+  * commit on `close()` (the reference streams subblocks as they fill,
+  * FileSystemOutputStream.scala:55-143).
+  */
+class GraftFileSystem extends FileSystem {
+
+  private var ctx: FsContext = _
+  private var state: GraftFs = _
+  private var subBlockSize: Int = _
+  private var blockSize: Int = _
+
+  private def spark: SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "GraftFileSystem needs an active SparkSession"))
+
+  /** SnackFS.initialize:51-72 — derive scheme://authority, seat cwd at
+    * /user/<user>, bootstrap the keyspace (here: an empty catalog with a
+    * root inode + an empty chunk table), read the block geometry from
+    * the Configuration (SnackFSConfiguration.scala:41-42 analog).
+    */
+  override def initialize(uri: URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    ctx = FsContext.initialize(uri.toString,
+      Option(System.getProperty("user.name")).getOrElse("graft"))
+    subBlockSize = conf.getInt("graft.subblock.size", DataPlane.DefaultSubBlock)
+    blockSize = conf.getInt("graft.block.size", DataPlane.DefaultBlock)
+    require(subBlockSize > 0 && blockSize % subBlockSize == 0,
+      "graft.block.size must be a positive multiple of graft.subblock.size")
+    val s = spark
+    import s.implicits._
+    val root = FsCatalog.dirInode("/", ctx.cwd.split("/").last)
+    val emptyChunks = DataPlane.chunk(
+      s.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(Seq(StructField("path", StringType),
+          StructField("data", BinaryType)))),
+      subBlockSize, blockSize)
+    state = GraftFs(FsCatalog(s.createDataset(Seq(root))), emptyChunks)
+  }
+
+  override def getUri: URI = ctx.uri
+
+  override def getWorkingDirectory: Path = new Path(ctx.cwd)
+
+  override def setWorkingDirectory(dir: Path): Unit =
+    ctx = ctx.withWorkingDir(dir.toString)
+
+  override def getDefaultBlockSize: Long = blockSize.toLong
+
+  private def abs(p: Path): String = ctx.makeAbsolute(stripScheme(p))
+
+  private def stripScheme(p: Path): String = {
+    val u = p.toUri
+    if (u.getPath == null || u.getPath.isEmpty) "/" else u.getPath
+  }
+
+  private def statusRow(n: Inode): FileStatus =
+    new FileStatus(n.length, n.isDir, 3, blockSize.toLong,
+      n.mtime.getTime, new Path(n.path))
+
+  // ── A6: getFileStatus (FileStatusCommand; spec message verbatim) ──────
+  override def getFileStatus(path: Path): FileStatus =
+    state.catalog.retrieve(abs(path))
+      .map(statusRow)
+      .getOrElse(throw new FileNotFoundException("No such file exists"))
+
+  // ── A9: listStatus — dir lists children, file lists itself ────────────
+  override def listStatus(path: Path): Array[FileStatus] = {
+    val p = abs(path)
+    val node = state.catalog.retrieve(p)
+      .getOrElse(throw new FileNotFoundException("No such file exists"))
+    if (node.isFile) Array(statusRow(node))
+    else state.catalog.inodes
+      .filter(col("parentPath") === p)
+      .collect()
+      .sortBy(_.path)
+      .map(statusRow)
+  }
+
+  // ── A5: mkdirs — ancestor AND-fold; exists-as-file → false ────────────
+  override def mkdirs(path: Path, permission: FsPermission): Boolean = {
+    val (cat2, ok) = state.catalog.mkdirs(abs(path))
+    state = GraftFs(cat2, state.chunks)
+    ok
+  }
+
+  // ── A3: create — buffer in the stream, commit catalog+chunks on close
+  //    (CreateFileCommand; the reference streams subblocks eagerly —
+  //    commit-on-close is the documented shim narrowing) ────────────────
+  override def create(path: Path, permission: FsPermission,
+                      overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blkSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val p = abs(path)
+    state.catalog.retrieve(p).foreach { existing =>
+      if (existing.isDir) throw new IOException(s"$p is a directory")
+      if (!overwrite) throw new IOException(s"File exists: $p")
+    }
+    val buf = new ByteArrayOutputStream()
+    val committing: OutputStream = new OutputStream {
+      override def write(b: Int): Unit = buf.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        buf.write(b, off, len)
+      override def close(): Unit = commitFile(p, buf.toByteArray, overwrite)
+    }
+    new FSDataOutputStream(committing, statistics, 0L)
+  }
+
+  private def commitFile(p: String, bytes: Array[Byte], overwrite: Boolean): Unit = {
+    val s = spark
+    // Hadoop create() makes missing parents; reuse the mkdirs fold
+    val parent = PathOps.parent(p)
+    val withParents =
+      if (parent == null) state.catalog else state.catalog.mkdirs(parent)._1
+    val blocks = blockMetas(p, bytes.length.toLong)
+    val node = Inode(p, parent, ctx.cwd.split("/").last, "graft", 420,
+      isDir = false, new Timestamp(1704067200000L), blocks)
+    val newChunks = DataPlane.chunk(
+      s.createDataFrame(java.util.Arrays.asList(Row(p, bytes)),
+        StructType(Seq(StructField("path", StringType),
+          StructField("data", BinaryType)))),
+      subBlockSize, blockSize)
+    val keptChunks =
+      if (overwrite) state.chunks.filter(col("path") =!= p) else state.chunks
+    state = GraftFs(withParents.store(node), keptChunks.unionByName(newChunks))
+  }
+
+  /** Block metadata with the SAME geometry DataPlane.chunk uses, so the
+    * catalog's length folds agree with the chunk table byte-for-byte.
+    */
+  private def blockMetas(p: String, len: Long): Seq[BlockMeta] = {
+    if (len == 0) return Seq.empty
+    val nBlocks = ((len + blockSize - 1) / blockSize).toInt
+    (0 until nBlocks).map { b =>
+      val off = b.toLong * blockSize
+      val blen = math.min(blockSize.toLong, len - off)
+      val nSub = ((blen + subBlockSize - 1) / subBlockSize).toInt
+      BlockMeta(s"$p#b$b", off, blen,
+        (0 until nSub).map { sb =>
+          val soff = sb.toLong * subBlockSize
+          SubBlockMeta(s"$p#b$b#s$sb", soff,
+            math.min(subBlockSize.toLong, blen - soff))
+        })
+    }
+  }
+
+  // ── A2: open — error matrix verbatim (OpenFileCommand.scala:27-37 via
+  //    SnackFSSpec:82-97); the byte payload materializes driver-side for
+  //    ONE file (compatibility shim — analytics reads go through the
+  //    DSv2 connector, which never collects) ─────────────────────────────
+  override def open(path: Path, bufferSize: Int): FSDataInputStream = {
+    val p = abs(path)
+    val node = state.catalog.retrieve(p)
+      .getOrElse(throw new IOException("No such file."))
+    if (node.isDir) throw new IOException(s"Path $path is a directory.")
+    val rows = state.cat(p).select(col("data")).collect()
+    val bytes =
+      if (rows.isEmpty) Array.emptyByteArray
+      else rows(0).getAs[Array[Byte]](0)
+    new FSDataInputStream(new SeekableBytes(bytes))
+  }
+
+  // ── A7: delete — cascades to the data plane (GraftFs) ─────────────────
+  override def delete(path: Path, recursive: Boolean): Boolean = {
+    val (next, ok) = state.delete(abs(path), recursive)
+    state = next
+    ok
+  }
+
+  // ── A8: rename — one prefix-rewrite pass per plane ────────────────────
+  override def rename(src: Path, dst: Path): Boolean = {
+    val (next, ok) = state.rename(abs(src), abs(dst))
+    state = next
+    ok
+  }
+
+  // ── A4: append always throws (AppendFileCommand.scala:38-40) ──────────
+  override def append(path: Path, bufferSize: Int,
+                      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(
+      "Appending to existing file is not supported.")
+
+  /** Current snapshot, for tests and interop with the query layer. */
+  def graftFs: GraftFs = state
+}
+
+/** Seekable+positioned-readable view over one file's bytes — the minimal
+  * contract FSDataInputStream requires.
+  */
+private final class SeekableBytes(bytes: Array[Byte])
+  extends ByteArrayInputStream(bytes)
+  with org.apache.hadoop.fs.Seekable
+  with org.apache.hadoop.fs.PositionedReadable {
+
+  override def seek(p: Long): Unit = {
+    if (p < 0 || p > bytes.length) throw new IOException(s"seek past end: $p")
+    pos = p.toInt
+  }
+  override def getPos: Long = pos.toLong
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def read(position: Long, buffer: Array[Byte], offset: Int,
+                    length: Int): Int = {
+    if (position >= bytes.length) return -1
+    val n = math.min(length, bytes.length - position.toInt)
+    System.arraycopy(bytes, position.toInt, buffer, offset, n)
+    n
+  }
+  override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+                         length: Int): Unit = {
+    if (read(position, buffer, offset, length) < length)
+      throw new IOException("readFully past EOF")
+  }
+  override def readFully(position: Long, buffer: Array[Byte]): Unit =
+    readFully(position, buffer, 0, buffer.length)
+}

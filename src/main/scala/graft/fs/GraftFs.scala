@@ -42,6 +42,21 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame) {
     else (GraftFs(cat2, chunks.filter(!inSubtree(path))), true)
   }
 
+  /** D8 over a glob, cascading to the data plane: the removed path set
+    * (catalog-before ∖ catalog-after — metadata-scale) anti-joins the
+    * chunk table, so every matched file's payload rows vanish with its
+    * inode, subtrees of matched dirs included.
+    */
+  def deleteGlob(pattern: String, recursive: Boolean): (GraftFs, Boolean) = {
+    val (cat2, ok) = catalog.deleteGlob(pattern, recursive)
+    if (!ok) (this, false)
+    else {
+      val removed = catalog.inodes.select(col("path"))
+        .except(cat2.inodes.select(col("path")))
+      (GraftFs(cat2, chunks.join(removed, Seq("path"), "left_anti")), true)
+    }
+  }
+
   /** A8/D6: rename rewrites chunk paths with the same one-pass prefix
     * rewrite the catalog side uses (FsCatalog.rename, which throws on
     * every failed precondition — its Boolean is always true).
@@ -49,9 +64,13 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame) {
   def rename(src: String, dst: String): (GraftFs, Boolean) = {
     val (cat2, _) = catalog.rename(src, dst)
     val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
-    val moved = chunks.withColumn("path",
-      when(inSubtree(src), newPath).otherwise(col("path")))
-    (GraftFs(cat2, moved), true)
+    // filter-rewrite ∪ passthrough, NOT a whole-table when() projection:
+    // only subtree rows' payload bytes flow through the rewrite; the
+    // untouched branch is a pure filter that parquet min/max stats prune
+    // on the path-partitioned layout (moving one subtree must not
+    // funnel the entire data plane through a projection at 100 TB)
+    val moved = chunks.filter(inSubtree(src)).withColumn("path", newPath)
+    (GraftFs(cat2, chunks.filter(!inSubtree(src)).unionByName(moved)), true)
   }
 
   /** D7: copy duplicates the subtree's chunk rows under the new prefix

@@ -1,0 +1,196 @@
+package graft.fs
+
+import java.io.{FileNotFoundException, IOException}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.catalog.PathOps
+
+/** One shell invocation's outcome: exit code + stdout/stderr lines —
+  * returned, not printed, so the dispatcher is testable and a `main`
+  * can render it.
+  */
+final case class ShellResult(code: Int, out: Seq[String], err: Seq[String])
+
+/** D-layer verb dispatcher — the `run(argv)` → command analog of the
+  * reference shell (SnackFSShell.scala:553-731): arity-check the verb,
+  * resolve path arguments (globs included — every reference verb goes
+  * through globStatus first), delegate to the distributed op, map
+  * exceptions to the reference's `cmd: message` stderr convention.
+  * Holds the current (catalog, chunks) snapshot like GraftFileSystem —
+  * the single-driver narrowing documented there.
+  */
+final class GraftShell(initial: GraftFs, context: FsContext) {
+
+  var fs: GraftFs = initial
+  var ctx: FsContext = context
+
+  private val minArgs: Map[String, Int] = Map(
+    "-put" -> 2, "-copyFromLocal" -> 2, "-moveFromLocal" -> 2,
+    "-get" -> 2, "-copyToLocal" -> 2, "-getmerge" -> 2,
+    "-mv" -> 2, "-cp" -> 2, "-test" -> 2,
+    "-rm" -> 1, "-rmr" -> 1, "-cat" -> 1, "-text" -> 1, "-mkdir" -> 1,
+    "-touchz" -> 1, "-stat" -> 1, "-tail" -> 1,
+    "-ls" -> 1, "-lsr" -> 1, "-du" -> 1, "-dus" -> 1, "-count" -> 1,
+    "-help" -> 0)
+
+  def run(argv: Array[String]): ShellResult = {
+    if (argv.isEmpty) return ShellResult(-1, Nil, Seq(ShellHelp.helpAll))
+    val cmd = argv(0)
+    val args = argv.drop(1).toSeq
+    minArgs.get(cmd) match {
+      case None =>
+        return ShellResult(-1, Nil, Seq(s"Unknown command: $cmd", ShellHelp.helpAll))
+      case Some(n) if args.length < n =>
+        return ShellResult(-1, Nil, ShellHelp.help(cmd).toSeq)
+      case _ => ()
+    }
+    try dispatch(cmd, args)
+    catch {
+      case e: FileNotFoundException =>
+        ShellResult(-1, Nil, Seq(s"$cmd: ${e.getMessage}"))
+      case e: IOException =>
+        ShellResult(-1, Nil, Seq(s"$cmd: ${e.getMessage}"))
+      case e: UnsupportedOperationException =>
+        ShellResult(-1, Nil, Seq(s"$cmd: ${e.getMessage}"))
+    }
+  }
+
+  private def abs(p: String): String = ctx.makeAbsolute(p)
+
+  private def statusLines(rows: Array[Row]): Seq[String] =
+    rows.map { r =>
+      val kind = if (r.getAs[Boolean]("is_dir")) "d" else "-"
+      f"$kind${r.getAs[Int]("permission")}%4d ${r.getAs[Long]("len")}%10d ${r.getAs[String]("path")}"
+    }.toSeq
+
+  private def dispatch(cmd: String, args: Seq[String]): ShellResult = cmd match {
+    case "-help" =>
+      ShellResult(0, args.headOption match {
+        case Some(verb) => ShellHelp.help(verb).toSeq
+        case None => Seq(ShellHelp.helpAll)
+      }, Nil)
+
+    case "-ls" | "-lsr" =>
+      // the reference errors when the GLOB matches nothing (not when a
+      // matched dir happens to be empty — that prints "Found 0 items")
+      val pat = abs(args.head)
+      if (fs.catalog.globStatus(pat).limit(1).count() == 0)
+        ShellResult(-1, Nil,
+          Seq(s"$cmd: Cannot access ${args.head}: No such file or directory."))
+      else {
+        val rows = fs.catalog.listGlob(pat, recursive = cmd == "-lsr").collect()
+        ShellResult(0,
+          (if (cmd == "-ls") Seq(s"Found ${rows.length} items") else Nil) ++
+            statusLines(rows), Nil)
+      }
+
+    case "-du" =>
+      val rows =
+        if (PathOps.isGlob(args.head)) fs.catalog.duGlob(abs(args.head)).collect()
+        else fs.catalog.du(abs(args.head)).collect()
+      ShellResult(0, rows.map(r => f"${r.getLong(1)}%12d  ${r.getString(0)}").toSeq, Nil)
+
+    case "-dus" =>
+      val r = fs.catalog.dus(abs(args.head)).collect()(0)
+      ShellResult(0, Seq(f"${r.getLong(1)}%12d  ${r.getString(0)}"), Nil)
+
+    case "-count" =>
+      val r = fs.catalog.countSummary(abs(args.head)).collect()(0)
+      ShellResult(0,
+        Seq(f"${r.getLong(1)}%8d ${r.getLong(2)}%8d ${r.getLong(3)}%12d ${r.getString(0)}"), Nil)
+
+    case "-mkdir" =>
+      val (cat2, ok) = fs.catalog.mkdirs(abs(args.head))
+      fs = GraftFs(cat2, fs.chunks)
+      ShellResult(if (ok) 0 else -1, Nil,
+        if (ok) Nil else Seq(s"-mkdir: cannot create directory ${args.head}"))
+
+    case "-touchz" =>
+      fs = GraftFs(fs.catalog.touchz(abs(args.head)), fs.chunks)
+      ShellResult(0, Nil, Nil)
+
+    case "-test" =>
+      val ok = args.head match {
+        case "-e" => fs.catalog.testE(abs(args(1)))
+        case "-z" => fs.catalog.testZ(abs(args(1)))
+        case "-d" => fs.catalog.testD(abs(args(1)))
+        case other => return ShellResult(-1, Nil, Seq(s"-test: unknown flag $other"))
+      }
+      ShellResult(if (ok) 0 else 1, Nil, Nil)
+
+    case "-stat" =>
+      val (fmt, p) =
+        if (args.length >= 2) (args.head, args(1)) else ("%y", args.head)
+      val r = fs.catalog.statFormatted(abs(p), fmt).collect()(0)
+      ShellResult(0, Seq(r.getString(1)), Nil)
+
+    case "-mv" =>
+      val (next, _) = fs.rename(abs(args.head), abs(args(1)))
+      fs = next
+      ShellResult(0, Nil, Nil)
+
+    case "-cp" =>
+      val (next, _) = fs.copy(abs(args.head), abs(args(1)))
+      fs = next
+      ShellResult(0, Nil, Nil)
+
+    case "-rm" | "-rmr" =>
+      val recursive = cmd == "-rmr"
+      val target = abs(args.head)
+      val (next, ok) =
+        if (PathOps.isGlob(args.head)) fs.deleteGlob(target, recursive)
+        else fs.delete(target, recursive)
+      fs = next
+      ShellResult(if (ok) 0 else -1, Nil,
+        if (ok) Nil else Seq(s"$cmd: No such file or directory: ${args.head}"))
+
+    case "-cat" =>
+      val bytes = fs.cat(abs(args.head)).collect()
+      val payload = if (bytes.isEmpty) Array.emptyByteArray
+        else bytes(0).getAs[Array[Byte]]("data")
+      ShellResult(0, Seq(new String(payload, java.nio.charset.StandardCharsets.UTF_8)), Nil)
+
+    case "-text" =>
+      val p = abs(args.head)
+      if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
+      val rows = DataPlane.text(fs.chunks.filter(col("path") === p)).collect()
+      ShellResult(0, rows.map(_.getString(1)).toSeq, Nil)
+
+    case "-tail" =>
+      val p = abs(args.head)
+      if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
+      val rows = DataPlane.tail(fs.chunks.filter(col("path") === p), 1024).collect()
+      val payload = if (rows.isEmpty) Array.emptyByteArray
+        else rows(0).getAs[Array[Byte]]("data")
+      ShellResult(0, Seq(new String(payload, java.nio.charset.StandardCharsets.UTF_8)), Nil)
+
+    case "-put" | "-copyFromLocal" | "-moveFromLocal" =>
+      val spark = fs.chunks.sparkSession
+      val dst = abs(args(1))
+      // size BEFORE moveFromLocal unlinks the source
+      val len = java.nio.file.Files.size(java.nio.file.Paths.get(args.head))
+      val newChunks =
+        if (cmd == "-moveFromLocal") DataPlane.moveFromLocal(spark, args.head, dst)
+        else DataPlane.put(spark, args.head, dst)
+      val (cat2, _) = fs.catalog.mkdirs(PathOps.parent(dst))
+      val node = graft.catalog.Inode(dst, PathOps.parent(dst), "graft", "graft",
+        420, isDir = false, new java.sql.Timestamp(1704067200000L),
+        Seq(graft.catalog.BlockMeta(dst + "#b0", 0L, len, Seq.empty)))
+      fs = GraftFs(cat2.store(node), fs.chunks.unionByName(newChunks))
+      ShellResult(0, Nil, Nil)
+
+    case "-get" | "-copyToLocal" =>
+      DataPlane.get(fs.chunks, abs(args.head), args(1))
+      ShellResult(0, Nil, Nil)
+
+    case "-getmerge" =>
+      val addnl = args.length > 2 && args(2).toBoolean
+      DataPlane.getmergeTo(fs.chunks, abs(args.head), args(1), addnl)
+      ShellResult(0, Nil, Nil)
+
+    case other =>
+      ShellResult(-1, Nil, Seq(s"Unknown command: $other"))
+  }
+}

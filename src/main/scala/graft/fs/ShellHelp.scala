@@ -23,9 +23,9 @@ object ShellHelp {
     "-moveFromLocal" -> "-moveFromLocal <local> <path>: -put, then unlink the local source once chunk rows are materialized (DataPlane.moveFromLocal)",
     "-get" -> "-get <path> <local>: export a file's reassembled bytes to a local sink (DataPlane.get)",
     "-copyToLocal" -> "-copyToLocal <path> <local>: alias of -get (DataPlane.get)",
-    "-getmerge" -> "-getmerge <dir> <local>: concatenate every file under a prefix in path order (DataPlane.getmerge)",
+    "-getmerge" -> "-getmerge <dir> <local> [addnl]: concatenate every file under a prefix in path order; addnl=true appends a newline after each file (DataPlane.getmerge)",
     "-cat" -> "-cat <path>: print a file's bytes via ordered block reassembly (DataPlane.cat)",
-    "-text" -> "-text <path>: like -cat but sniffs gzip/zip magic and inflates before decoding (DataPlane.text)",
+    "-text" -> "-text <path>: like -cat but sniffs the gzip magic and inflates before decoding; other payloads pass through as UTF-8 (DataPlane.text)",
     "-mkdir" -> "-mkdir <path>: create a directory and its ancestors; fails on a file conflict (FsCatalog.mkdirs)",
     "-touchz" -> "-touchz <path>: create a zero-length file (FsCatalog.touchz)",
     "-test" -> "-test -[ezd] <path>: existence / zero-length / is-directory probes (FsCatalog.testE/testZ/testD)",

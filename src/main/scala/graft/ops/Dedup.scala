@@ -120,13 +120,21 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
-    // attach shingle sets ONLY for candidate docs, semi-filtering at the
-    // SCAN (not above the aggregate, where the optimizer leaves it — the
-    // window's `_we` Filter blocks PushDownLeftSemiAntiJoin): the sets
-    // path then explodes/window-sorts just the candidate docs, so at
-    // 100 TB the verification cost is bounded by the candidate count,
-    // not the corpus. The minhash pass above stays the only full-corpus
-    // explode+sort.
+    verifyByJaccard(docs, candidates, shingleN, threshold)
+  }
+
+  /** Exact-Jaccard verification of LSH candidate `(id_a, id_b)` pairs,
+    * shared by the MinHash and SimHash skeletons.
+    *
+    * Shingle sets attach ONLY for candidate docs, semi-filtering at the
+    * SCAN (not above the aggregate, where the optimizer leaves it — the
+    * window's `_we` Filter blocks PushDownLeftSemiAntiJoin): the sets
+    * path then explodes/window-sorts just the candidate docs, so at
+    * 100 TB the verification cost is bounded by the candidate count,
+    * not the corpus.
+    */
+  private def verifyByJaccard(docs: DataFrame, candidates: DataFrame,
+                              shingleN: Int, threshold: Double): DataFrame = {
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
@@ -160,6 +168,62 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash-banded near-dup pairs — the signature-side LSH: split each
+    * 64-bit simhash into `b` bit-bands; docs sharing any band bucket are
+    * candidates (same bucket-grouped skeleton as `minhashPairs` — one
+    * shuffle of (band, bits, doc_id) rows, no self-join); candidates
+    * pass a Hamming gate (`bit_count(sig_a ^ sig_b) <= maxHamming`, the
+    * Manku-et-al fingerprint-dedup shape) and are then exact-Jaccard
+    * verified like every other dedup path.
+    *
+    * Recall contract (pigeonhole): a pair within Hamming distance d
+    * dirties at most d bands, so with `b >= maxHamming + 1` bands every
+    * pair inside the gate radius shares a clean band — the defaults
+    * (b=8, maxHamming=7) make the banding EXACT for its own contract
+    * (spec-asserted against brute all-pairs Hamming). The tradeoff is
+    * bucket width: 8-bit bands give 2^8 keys, so at corpus scale pair
+    * generation should move to block-CONCATENATION keys (emit every
+    * 2-of-b block combination per doc — C(b,2) rows, 2^16 keys, radius
+    * b−2; same skeleton, wider keys). Note the measured testdata near-
+    * dup pairs reach d≈12: a radius-12 guarantee needs 13 blocks, so
+    * Jaccard-threshold sweeps below 1.0 are NOT complete under simhash
+    * banding — use `minhashPairs` for set-similarity thresholds; this op
+    * is the fingerprint (small-radius) dedup.
+    */
+  def simhashPairs(docs: DataFrame,
+                   b: Int = 8,
+                   maxHamming: Int = 7,
+                   shingleN: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    require(64 % b == 0, "band count must divide 64")
+    val width = 64 / b
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sig = simhash(docs)
+    val bandStructs = (0 until b).map { i =>
+      struct(lit(i).as("band_idx"),
+        expr(s"(simhash >> ${i * width}) & $mask").as("band_bits"))
+    }
+    val bandRows = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
+    // signatures ride into the buckets so the Hamming gate needs no
+    // extra join — each bucket row is (id, sig), still narrow
+    val candidates = bandRows
+      .groupBy(col("band_idx"), col("band_bits"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds) - i - 1), " +
+          "b -> named_struct('id_a', a.doc_id, 'sig_a', a.simhash, " +
+          "'id_b', b.doc_id, 'sig_b', b.simhash))))")).as("p"))
+      .filter(expr(s"bit_count(p.sig_a ^ p.sig_b) <= $maxHamming"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    verifyByJaccard(docs, candidates, shingleN, threshold)
   }
 
   /** Exact n-gram Jaccard for an explicit candidate pair — the standalone

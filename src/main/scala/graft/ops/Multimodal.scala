@@ -107,9 +107,11 @@ object Multimodal {
       .select(col("path"), col("data"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (p, bytes) =>
-        // STUB: a real implementation decodes + rescales; this emits a
-        // deterministic target-sized projection of the payload bytes
-        val out = Array.tabulate(math.min(target, 4096L).toInt) { i =>
+        // STUB: a real implementation decodes + rescales to exactly
+        // targetW*targetH; this emits a deterministic projection of the
+        // payload bytes at that size (no hidden cap — n_bytes always
+        // honors the requested geometry)
+        val out = Array.tabulate(target.toInt) { i =>
           if (bytes.isEmpty) 0.toByte else bytes(i % bytes.length)
         }
         (p, out, out.length.toLong)

@@ -133,6 +133,35 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Recall gate: per-query overlap of the IVF top-k with the exact
+    * brute-force top-k, thresholded at `floor` — turns the centroid-
+    * dependent (hence not SQL-reproducible) IVF result into a
+    * deterministic, oracle-checkable row set: every query must recover
+    * at least `floor` of its true top-k through the probed buckets.
+    * Both sides run the designed-for shapes (bucket probe vs broadcast
+    * scan); the brute side is itself oracle-checked by ann_brute_topk.
+    */
+  def ivfRecall(queries: DataFrame, corpus: DataFrame,
+                numCentroids: Int, nprobe: Int, k: Int,
+                floor: Int): DataFrame = {
+    val ivf = ivfTopK(queries, corpus, numCentroids, nprobe, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val brute = bruteTopK(queries, corpus, k)
+      .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
+    val hits = ivf
+      .join(brute,
+        col("q_id") === col("bq") && col("neighbor_id") === col("bn"),
+        "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    // left join from the query set so a pathological zero-hit query
+    // still yields a (red) row instead of silently vanishing
+    queries.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest centroid buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               numCentroids: Int, nprobe: Int, k: Int,

@@ -144,34 +144,22 @@ object CatalogQueries {
     //    as a pure hash function; exercises nested-blocks explode) ──────
     QueryDef(
       "fs_block_locations",
-      (s, d) => {
-        val cat = CatalogBuilder.fromPart(s, d)
-        cat.inodes
-          .filter(col("path").startsWith("/pt/Brand#13/"))
-          .select(col("path"), explode(col("blocks")).as("b"))
-          .withColumn("owner", ascii(substring(col("b.id"), 1, 1)) % 3)
-          .select(
-            col("path"),
-            col("b.id").as("block_id"),
-            // RF=3 like the reference (SnackFSSpec.scala:242-269): the
-            // owner plus the next two nodes on the ring. Emitted as one
-            // comma-joined string — a flat scalar survives any tabular
-            // compare, an ARRAY column does not.
-            concat_ws(",",
-              concat(lit("node-"), col("owner").cast("string")),
-              concat(lit("node-"), ((col("owner") + 1) % 3).cast("string")),
-              concat(lit("node-"), ((col("owner") + 2) % 3).cast("string")))
-              .as("replicas"))
-          .orderBy(col("path"))
-      },
+      (s, d) =>
+        // start=25 exercises the range prune: fromPart files are single
+        // blocks at offset 0 with length p_size, so blocks ending before
+        // byte 25 (p_size < 25) must vanish (SnackFS.scala:138)
+        CatalogBuilder.fromPart(s, d)
+          .blockLocations("/pt/Brand#13/", start = 25L),
       Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path,
               |       md5('/pt/Brand#13/part_' || p_partkey) AS block_id,
+              |       CAST(0 AS BIGINT) AS "offset",
+              |       CAST(p_size AS BIGINT) AS length,
               |       'node-' || CAST(o % 3 AS VARCHAR) ||
               |       ',node-' || CAST((o + 1) % 3 AS VARCHAR) ||
               |       ',node-' || CAST((o + 2) % 3 AS VARCHAR) AS replicas
-              |FROM (SELECT p_partkey,
+              |FROM (SELECT p_partkey, p_size,
               |             ascii(SUBSTRING(md5('/pt/Brand#13/part_' || p_partkey), 1, 1)) AS o
-              |      FROM part WHERE p_brand = 'Brand#13')
+              |      FROM part WHERE p_brand = 'Brand#13' AND p_size >= 25)
               |ORDER BY path""".stripMargin)),
 
     // ── D1 glob: ls over patterns — matched dirs expand to children,

@@ -38,7 +38,8 @@ object DataPlaneQueries {
             (decode(col("redata"), "UTF-8") === col("text")).as("ok"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) AS n_chunks,
+      Some("""SELECT doc_id,
+             |       CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks,
              |       TRUE AS ok
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -51,10 +52,13 @@ object DataPlaneQueries {
           docs.select(col("path"), col("text").cast("binary").as("data")), 64, 256)
         DataPlane.tail(chunks, 100)
           .join(docs, "path")
-          .select(col("doc_id"), decode(col("data"), "UTF-8").as("tail_text"))
+          // hex, not decoded text: tail slices BYTES, and a byte window
+          // has no char-exact VARCHAR twin once text goes multibyte —
+          // hex-of-bytes compares byte-exactly for any content
+          .select(col("doc_id"), hex(col("data")).as("tail_hex"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, RIGHT(text, 100) AS tail_text
+      Some("""SELECT doc_id, RIGHT(hex(encode(text)), 200) AS tail_hex
              |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
 
     // ── C5/C6: positioned read — seek + findBlock as range predicates ───
@@ -66,11 +70,15 @@ object DataPlaneQueries {
           docs.select(col("path"), col("text").cast("binary").as("data")), 64, 256)
         DataPlane.readRange(chunks, start = 100L, len = 50L)
           .join(docs, "path")
-          .select(col("doc_id"), decode(col("data"), "UTF-8").as("slice"))
+          // hex for byte-exactness (see fs_tail): the seek offset is a
+          // BYTE position, which SUBSTRING-on-VARCHAR only matches while
+          // the corpus is pure ASCII
+          .select(col("doc_id"), hex(col("data")).as("slice_hex"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, SUBSTRING(text, 101, 50) AS slice
-             |FROM documents WHERE LENGTH(text) > 100 ORDER BY doc_id""".stripMargin)),
+      Some("""SELECT doc_id, SUBSTRING(hex(encode(text)), 201, 100) AS slice_hex
+             |FROM documents WHERE octet_length(encode(text)) > 100
+             |ORDER BY doc_id""".stripMargin)),
 
     // ── D13: -text — codec-sniffing cat. Parquet text is plain, so the
     //    passthrough branch is oracle-checked here; the gzip inflate
@@ -112,8 +120,8 @@ object DataPlaneQueries {
           .select(col("n_files"), col("n_chunks"), col("n_bytes"))
       },
       Some("""SELECT COUNT(*) AS n_files,
-             |       CAST(SUM(CEIL(LENGTH(text) / 64.0)) AS BIGINT) AS n_chunks,
-             |       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_bytes
+             |       CAST(SUM(CEIL(octet_length(encode(text)) / 64.0)) AS BIGINT) AS n_chunks,
+             |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes
              |FROM documents WHERE doc_id % 4 <> 1""".stripMargin)),
 
     // ── D11: getmerge — ordered concat, checked by digest ───────────────
@@ -128,7 +136,7 @@ object DataPlaneQueries {
             octet_length(col("data")).cast("long").as("n_bytes"),
             md5(col("data")).as("digest"))
       },
-      Some("""SELECT CAST(SUM(LENGTH(text)) AS BIGINT) AS n_bytes,
+      Some("""SELECT CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
              |       MD5(STRING_AGG(text, '' ORDER BY doc_id)) AS digest
              |FROM documents WHERE doc_id < 10""".stripMargin))
   )

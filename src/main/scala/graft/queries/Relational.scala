@@ -311,6 +311,25 @@ object Relational {
              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ── q14's STREAMING-EXECUTED twin: the same windowed aggregation
+    //    run through Structured Streaming (file source → watermarked
+    //    window agg → AvailableNow → memory sink). Append mode emits
+    //    exactly the windows the final watermark (max ts − 2 h) closed,
+    //    so the oracle is q14's SQL restricted to window_end ≤
+    //    max(ts) − 2 h — a real end-to-end streaming run with a full
+    //    hash-checked oracle, not a batch re-execution. ────────────────
+    QueryDef(
+      "stream_hourly_events",
+      (s, d) =>
+        graft.streaming.EventsStream.hourlyAggAvailableNow(s, d)
+          .orderBy(col("hour"), col("event_type")),
+      Some("""WITH m AS (SELECT MAX(ts) AS mx FROM events)
+             |SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events, m
+             |WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── Conditional aggregation (manual pivot) ──────────────────────────
     QueryDef(
       "q15_conditional_agg",

@@ -42,14 +42,52 @@ object EventsStream {
 
   /** Tumbling 1-hour window aggregation with a 2-hour watermark: late
     * data beyond the watermark is dropped, finalized windows emit once
-    * (Append mode). Batch twin: q14_hourly_events.
+    * (Append mode). Batch twin: q14_hourly_events. The sum routes
+    * through DECIMAL internally (emitted as DOUBLE) so the result is
+    * independent of per-batch accumulation order — the same determinism
+    * rule every hash-compared batch aggregate follows.
     */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("dec_sum"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("dec_sum").cast("double").as("sum_value"))
+
+  /** Streaming-executed correctness channel: run `hourlyAgg` as a REAL
+    * streaming query — file source over a staged landing directory,
+    * `Trigger.AvailableNow` (drain everything, finalize state, stop),
+    * memory sink — and return the emitted rows. Append mode emits
+    * exactly the windows the FINAL watermark (max ts − 2 h) has closed,
+    * so the result is the SQL-predictable prefix of q14's batch answer:
+    * windows with end ≤ max(ts) − 2 h.
+    */
+  def hourlyAggAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    // the file stream source contract is a DIRECTORY of files appearing
+    // over time; testdata ships one parquet file — stage it
+    val landing = Files.createTempDirectory("graft-events-landing")
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val toStage: Seq[Path] =
+      if (Files.isDirectory(src)) {
+        val s = Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+        } finally s.close()
+      } else Seq(src)
+    toStage.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
+      StandardCopyOption.REPLACE_EXISTING))
+    val q = hourlyAgg(readEvents(spark, landing.toString))
+      .writeStream.format("memory").queryName("graft_stream_hourly")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_hourly")
+  }
 
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
     * for a training-data pipeline: emit each content hash's FIRST

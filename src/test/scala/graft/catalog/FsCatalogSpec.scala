@@ -224,6 +224,20 @@ class FsCatalogSpec extends AnyFlatSpec with Matchers {
     an[UnsupportedOperationException] must be thrownBy tree.append("/a/f1")
   }
 
+  behavior of "getFileBlockLocations range pruning (SnackFS.scala:135-149)"
+
+  it must "drop blocks ending before start and ignore the upper bound like the reference" in {
+    // /a/sub/f3 = 30B split into two 15B blocks at offsets 0 and 15
+    tree.blockLocations("/a/sub/").count() must be(2L)
+    val pruned = tree.blockLocations("/a/sub/", start = 16L).collect()
+    pruned.length must be(1)
+    pruned(0).getAs[Long]("offset") must be(15L)
+    // block ending exactly AT start survives (filterNot end < start)
+    tree.blockLocations("/a/sub/", start = 15L).count() must be(2L)
+    // reference parity: len is carried but never prunes the upper end
+    tree.blockLocations("/a/sub/", start = 0L, len = 1L).count() must be(2L)
+  }
+
   behavior of "glob resolution (SnackFSShell.scala:269-337 globStatus)"
 
   it must "translate globs to component-scoped regexes" in {

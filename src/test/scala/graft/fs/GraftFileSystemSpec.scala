@@ -1,0 +1,148 @@
+package graft.fs
+
+import java.io.{FileNotFoundException, IOException}
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.TestSpark
+
+/** Facade matrix mirroring the reference's SnackFSSpec.scala:48-211:
+  * mkdir, create/write/getPos, mkdirs-on-file → false, read-back,
+  * open-a-directory / open-missing error messages, getFileStatus,
+  * listStatus counts, recursive delete, rename.
+  */
+class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
+
+  private def newFs(): GraftFileSystem = {
+    TestSpark.spark // force the session up before initialize needs it
+    val fs = new GraftFileSystem
+    val conf = new Configuration(false)
+    // tiny geometry so multi-block files appear at test scale
+    conf.setInt("graft.subblock.size", 8)
+    conf.setInt("graft.block.size", 16)
+    fs.initialize(URI.create("graftfs://local"), conf)
+    fs
+  }
+
+  behavior of "GraftFileSystem (SnackFS.scala:51-153 facade)"
+
+  it must "add a directory" in {
+    val fs = newFs()
+    fs.mkdirs(new Path("/mytestdir")) must be(true)
+    fs.getFileStatus(new Path("/mytestdir")).isDirectory must be(true)
+  }
+
+  it must "create an entry for a file and track the write position" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/home/Downloads/JSONParser.js"))
+    out.write("SOME CONTENT".getBytes)
+    out.getPos must be(12L)
+    out.close()
+    fs.getFileStatus(new Path("/home/Downloads/JSONParser.js")).getLen must be(12L)
+  }
+
+  it must "result in false when trying to add an existing file as a directory" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/home/Downloads/someTest"))
+    out.write("SOME CONTENT".getBytes)
+    out.close()
+    fs.mkdirs(new Path("/home/Downloads/someTest")) must be(false)
+  }
+
+  it must "allow to read from a file, across block boundaries" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/home/Downloads/random"))
+    // 44 bytes > 2 blocks at the 16-byte test geometry
+    val payload = "This is a test to check read functionality++"
+    out.write(payload.getBytes)
+    out.close()
+    val is = fs.open(new Path("/home/Downloads/random"))
+    val arr = new Array[Byte](payload.length)
+    is.readFully(0, arr)
+    is.close()
+    new String(arr) must be(payload)
+    // seek + partial read
+    val is2 = fs.open(new Path("/home/Downloads/random"))
+    is2.seek(10)
+    is2.read() must be(payload.charAt(10).toInt)
+    is2.close()
+  }
+
+  it must "throw opening a directory or a missing file, with the reference messages" in {
+    val fs = newFs()
+    fs.mkdirs(new Path("/test"))
+    val e1 = intercept[IOException](fs.open(new Path("/test")))
+    e1.getMessage must be("Path /test is a directory.")
+    val e2 = intercept[IOException](fs.open(new Path("/newFile")))
+    e2.getMessage must be("No such file.")
+    val e3 = intercept[FileNotFoundException](fs.getFileStatus(new Path("/absent")))
+    e3.getMessage must be("No such file exists")
+  }
+
+  it must "list all files/directories within the given directory" in {
+    val fs = newFs()
+    fs.mkdirs(new Path("/tmp/user"))
+    fs.mkdirs(new Path("/tmp/local"))
+    val f1 = fs.create(new Path("/tmp/testFile"))
+    f1.write("This is a test to check list functionality".getBytes); f1.close()
+    val f2 = fs.create(new Path("/tmp/user/file"))
+    f2.write("This is a test to check list functionality".getBytes); f2.close()
+    val result = fs.listStatus(new Path("/tmp"))
+    result.length must be(3)
+    result.count(!_.isDirectory) must be(1)
+    result.count(_.isDirectory) must be(2)
+  }
+
+  it must "delete all files/directories within the given directory, cascading chunks" in {
+    val fs = newFs()
+    fs.mkdirs(new Path("/tmp1/user1"))
+    fs.mkdirs(new Path("/tmp1/local1"))
+    val f1 = fs.create(new Path("/tmp1/testFile1"))
+    f1.write("This is a test to check delete functionality".getBytes); f1.close()
+    val f2 = fs.create(new Path("/tmp1/user1/file"))
+    f2.write("This is a test to check delete functionality".getBytes); f2.close()
+    fs.getFileStatus(new Path("/tmp1/local1")).isDirectory must be(true)
+    fs.delete(new Path("/tmp1"), true) must be(true)
+    an[FileNotFoundException] must be thrownBy fs.getFileStatus(new Path("/tmp1/local1"))
+    an[FileNotFoundException] must be thrownBy fs.getFileStatus(new Path("/tmp1/user1/file"))
+    an[FileNotFoundException] must be thrownBy fs.getFileStatus(new Path("/tmp1"))
+    // data plane cascaded with the catalog
+    fs.graftFs.chunkSummary("/tmp1").collect()(0).getAs[Long]("n_chunks") must be(0L)
+  }
+
+  it must "rename a file and a directory subtree" in {
+    val fs = newFs()
+    val f1 = fs.create(new Path("/tmp2/testRename"))
+    f1.write("This is a test to check rename functionality".getBytes); f1.close()
+    fs.rename(new Path("/tmp2/testRename"), new Path("/tmp2/newName")) must be(true)
+    an[FileNotFoundException] must be thrownBy fs.getFileStatus(new Path("/tmp2/testRename"))
+    fs.getFileStatus(new Path("/tmp2/newName")).isDirectory must be(false)
+    // content rides along on the chunk plane
+    val is = fs.open(new Path("/tmp2/newName"))
+    val arr = new Array[Byte](44)
+    is.readFully(0, arr); is.close()
+    new String(arr) must be("This is a test to check rename functionality")
+    // directory rename moves the subtree
+    fs.rename(new Path("/tmp2"), new Path("/tmp3")) must be(true)
+    fs.getFileStatus(new Path("/tmp3/newName")).getLen must be(44L)
+  }
+
+  it must "always throw on append and honor overwrite semantics" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/ow/f"))
+    out.write("first".getBytes); out.close()
+    an[UnsupportedOperationException] must be thrownBy
+      fs.append(new Path("/ow/f"), 4096, null)
+    // overwrite=true (the Hadoop create(Path) default) replaces content
+    val out2 = fs.create(new Path("/ow/f"))
+    out2.write("second!".getBytes); out2.close()
+    val is = fs.open(new Path("/ow/f"))
+    val arr = new Array[Byte](7)
+    is.readFully(0, arr); is.close()
+    new String(arr) must be("second!")
+  }
+}

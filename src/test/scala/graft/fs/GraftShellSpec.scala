@@ -1,0 +1,119 @@
+package graft.fs
+
+import java.nio.file.Files
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.catalog.CatalogBuilder
+
+/** run(argv) → verb dispatch (SnackFSShell.scala:553-731): arity errors,
+  * glob-aware path resolution, exit-code conventions, the getmerge
+  * [addnl] flag, and error-message mapping.
+  */
+class GraftShellSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  // /a/f1 (10B), /a/f2 (20B), /a/sub/f3 (30B), /b.txt (5B) + payloads
+  private def newShell(): GraftShell = {
+    val cat = CatalogBuilder.fromEntries(spark, Seq(
+      ("/", true, 0L),
+      ("/a", true, 0L),
+      ("/a/f1", false, 10L),
+      ("/a/f2", false, 20L),
+      ("/a/sub", true, 0L),
+      ("/a/sub/f3", false, 30L),
+      ("/b.txt", false, 5L)))
+    val files = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("/a/f1", "0123456789".getBytes),
+      org.apache.spark.sql.Row("/a/f2", "abcdefghijklmnopqrst".getBytes),
+      org.apache.spark.sql.Row("/a/sub/f3", ("x" * 30).getBytes),
+      org.apache.spark.sql.Row("/b.txt", "hello".getBytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("data",
+          org.apache.spark.sql.types.BinaryType))))
+    new GraftShell(GraftFs(cat, DataPlane.chunk(files, 4, 8)),
+      FsContext.initialize("graftfs://test"))
+  }
+
+  it must "arity-check verbs and reject unknown commands with usage text" in {
+    val sh = newShell()
+    val r1 = sh.run(Array("-mv", "/a/f1"))
+    r1.code must be(-1)
+    r1.err.head must include("-mv <src> <dst>")
+    val r2 = sh.run(Array("-frobnicate", "/a"))
+    r2.code must be(-1)
+    r2.err.head must be("Unknown command: -frobnicate")
+  }
+
+  it must "ls with the Found-N header, expand globs, and error on no match" in {
+    val sh = newShell()
+    val r = sh.run(Array("-ls", "/a"))
+    r.code must be(0)
+    r.out.head must be("Found 3 items")
+    val g = sh.run(Array("-ls", "/a/f*"))
+    g.code must be(0)
+    g.out.head must be("Found 2 items")
+    val miss = sh.run(Array("-ls", "/zzz*"))
+    miss.code must be(-1)
+    miss.err.head must include("No such file or directory")
+  }
+
+  it must "cat/tail/text through the data plane and map errors to stderr" in {
+    val sh = newShell()
+    sh.run(Array("-cat", "/a/f1")).out.head must be("0123456789")
+    sh.run(Array("-tail", "/b.txt")).out.head must be("hello")
+    sh.run(Array("-text", "/b.txt")).out.head must be("hello")
+    val e = sh.run(Array("-cat", "/a"))
+    e.code must be(-1)
+    e.err.head must be("-cat: /a is a directory")
+  }
+
+  it must "mutate state through mv/rm/rmr/mkdir/touchz and answer test probes" in {
+    val sh = newShell()
+    sh.run(Array("-mkdir", "/newdir")).code must be(0)
+    sh.run(Array("-test", "-d", "/newdir")).code must be(0)
+    sh.run(Array("-touchz", "/newdir/z")).code must be(0)
+    sh.run(Array("-test", "-z", "/newdir/z")).code must be(0)
+    sh.run(Array("-mv", "/a/f1", "/newdir/f1")).code must be(0)
+    sh.run(Array("-cat", "/newdir/f1")).out.head must be("0123456789")
+    sh.run(Array("-test", "-e", "/a/f1")).code must be(1)
+    sh.run(Array("-rmr", "/a")).code must be(0)
+    sh.run(Array("-test", "-e", "/a/sub/f3")).code must be(1)
+    // glob rm of remaining files
+    sh.run(Array("-rm", "/newdir/*")).code must be(0)
+    sh.run(Array("-test", "-e", "/newdir/f1")).code must be(1)
+  }
+
+  it must "getmerge locally with and without the addnl flag" in {
+    val sh = newShell()
+    val plain = Files.createTempFile("graft-shell-merge", ".bin")
+    sh.run(Array("-getmerge", "/a/", plain.toString)).code must be(0)
+    new String(Files.readAllBytes(plain)) must be(
+      "0123456789" + "abcdefghijklmnopqrst" + ("x" * 30))
+    val withNl = Files.createTempFile("graft-shell-merge-nl", ".bin")
+    sh.run(Array("-getmerge", "/a/", withNl.toString, "true")).code must be(0)
+    new String(Files.readAllBytes(withNl)) must be(
+      "0123456789\n" + "abcdefghijklmnopqrst\n" + ("x" * 30) + "\n")
+    Files.delete(plain); Files.delete(withNl)
+  }
+
+  it must "round-trip put → du → get and report byte totals" in {
+    val sh = newShell()
+    val local = Files.createTempFile("graft-shell-put", ".txt")
+    Files.write(local, "local payload".getBytes)
+    sh.run(Array("-put", local.toString, "/up/loaded")).code must be(0)
+    sh.run(Array("-test", "-e", "/up/loaded")).code must be(0)
+    val du = sh.run(Array("-du", "/up"))
+    du.code must be(0)
+    du.out.head.trim must startWith("13")
+    val back = Files.createTempFile("graft-shell-get", ".txt")
+    sh.run(Array("-get", "/up/loaded", back.toString)).code must be(0)
+    new String(Files.readAllBytes(back)) must be("local payload")
+    Files.delete(local); Files.delete(back)
+  }
+}

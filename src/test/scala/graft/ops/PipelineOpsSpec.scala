@@ -44,6 +44,31 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     Dedup.jaccard(docsDf(Seq(1L -> base, 2L -> nearDup)), 1L, 2L) must be(j)
   }
 
+  it must "keep the oracle sound: no testdata pairs in the LSH weak-recall band" in {
+    // dedup_minhash / dedup_simhash_pairs gate-compare against a FULL
+    // all-pairs Jaccard oracle; that is sound only while the corpus has
+    // no pairs in the band where banded-LSH per-pair recall dips below
+    // ~1 (J in [0.5, 0.85) for b=8,r=4: P(J=0.7)≈0.88 but
+    // P(J=0.85)≈0.997). Measured testdata distribution: nothing in
+    // [0.4, 0.85); one sf0.001 pair at J≈0.87, then J≥0.9. Assert the
+    // assumption on the real sf0.001 testdata so a regenerated corpus
+    // that violates it fails HERE, with a named reason, instead of as an
+    // inscrutable oracle mismatch.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sets = Dedup.shingleSets(docs)
+    val a = sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val weak = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("j",
+        org.apache.spark.sql.functions.size(
+          array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          org.apache.spark.sql.functions.size(
+            array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("j") >= 0.5 && col("j") < 0.85)
+      .count()
+    weak must be(0L)
+  }
+
   behavior of "Dedup.simhash"
 
   it must "give identical signatures to identical docs and different ones to disjoint docs" in {
@@ -53,6 +78,45 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows(1L) must be(rows(2L))
     rows(1L) must not be rows(3L)
+  }
+
+  it must "be exact for its radius contract on real testdata (pigeonhole: b = maxHamming + 1)" in {
+    // every pair within Hamming distance 7 must share one of 8 clean
+    // bands — compare the banded search against brute all-pairs
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 300)
+    val found = Dedup.simhashPairs(docs, b = 8, maxHamming = 7, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = Dedup.simhash(docs)
+    val sets = Dedup.shingleSets(docs)
+    val brute = sig.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+      .join(broadcast(sig.select(col("doc_id").as("id_b"), col("simhash").as("sb"))),
+        col("id_a") < col("id_b"))
+      .filter(expr("bit_count(sa ^ sb) <= 7"))
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .filter(
+        org.apache.spark.sql.functions.size(
+          array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          org.apache.spark.sql.functions.size(
+            array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    found must be(brute)
+    brute.nonEmpty must be(true) // the contract check must actually bite
+  }
+
+  it must "pair near-duplicates via banded signatures and verify with exact jaccard" in {
+    val nearDup = base.replace("dog", "cat")
+    val pairs = Dedup.simhashPairs(docsDf(Seq(
+      1L -> base, 2L -> nearDup, 3L -> base,
+      4L -> "unrelated text that shares zero shingles with anything else at all ok")),
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs must contain((1L, 3L)) // identical docs share every band
+    pairs must contain((1L, 2L)) // near-dup within the Hamming gate
+    pairs.exists(p => p._1 == 4L || p._2 == 4L) must be(false)
   }
 
   behavior of "Similarity brute vs IVF"
@@ -91,6 +155,11 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     val ivf = Similarity.ivfTopK(queries, df, numCentroids = 4, nprobe = 2, k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     ivf must be(brute)
+    // the recall gate agrees: every query recovers its full top-1
+    val recall = Similarity.ivfRecall(queries, df,
+        numCentroids = 4, nprobe = 2, k = 1, floor = 1).collect()
+    recall.length must be(4)
+    recall.forall(_.getBoolean(1)) must be(true)
   }
 
   it must "move centroids to cluster means under Lloyd iterations" in {
