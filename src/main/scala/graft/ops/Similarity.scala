@@ -101,21 +101,66 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs — the ANN-flavored dedup
     * variant: candidates are generated WITHIN IVF buckets (never
-    * all-pairs), then kept when cosine ≥ threshold. At 100 TB the
+    * all-pairs), then kept when exact cosine ≥ threshold. At 100 TB the
     * quadratic term is bounded per bucket, and buckets hash-partition.
+    *
+    * `nprobe` is the recall lever: each vector lands in its `nprobe`
+    * nearest buckets for CANDIDATE generation (single-probe splits
+    * boundary pairs across buckets — measured 29-46% pair recall on
+    * testdata; nprobe=2 lifts it past the gate floor). Candidate rows
+    * carry ids only; embeddings re-attach for the verified cosine, so
+    * the probe multiplier never multiplies payload shuffles.
     */
   def embeddingNearDups(corpus: DataFrame, numCentroids: Int,
-                        threshold: Double, kmeansIters: Int = 1): DataFrame = {
+                        threshold: Double, kmeansIters: Int = 1,
+                        nprobe: Int = 2): DataFrame = {
     val centroids = kmeansCentroids(corpus, numCentroids, kmeansIters)
-    val bucketed = assignBuckets(corpus, centroids)
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("qv"))
-    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
-      col("embedding").as("ev"))
-    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+    val multi = corpus
+      .select(col("vec_id"), col("embedding").as("ev"))
+      .crossJoin(broadcast(
+        centroids.select(col("vec_id").as("c_id"), col("embedding").as("qv"))))
+      .withColumn("score", cosine(corpus))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("c_id").as("bucket"))
+    val a = multi.select(col("bucket"), col("vec_id").as("id_a"))
+    val b = multi.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"))
+    val candidates = a
+      .join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("qv")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("ev")), "id_b")
       .withColumn("score", cosine(corpus))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Recall gate for the IVF-bucketed near-dup path against the exact
+    * all-pairs twin on a bounded slice — the dedup analog of
+    * `ivfRecall`: bucket assignment is centroid-dependent (not
+    * SQL-reproducible), but "the bucketed pass recovers >= floor of the
+    * true pairs, and invents none" is deterministic and oracle-checkable.
+    * Precision 1 is structural (bucketed pairs are exact-cosine
+    * verified), emitted anyway as a consistency row.
+    */
+  def nearDupRecall(corpus: DataFrame, numCentroids: Int,
+                    threshold: Double, floor: Double,
+                    nprobe: Int = 2): DataFrame = {
+    val exact = bruteNearDups(corpus, threshold).select(col("id_a"), col("id_b"))
+    val bucketed = embeddingNearDups(corpus, numCentroids, threshold,
+        nprobe = nprobe)
+      .select(col("id_a"), col("id_b"))
+    val hits = exact.join(bucketed, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_found")))
+      .crossJoin(bucketed.agg(count(lit(1)).as("n_bucketed")))
+      .select(
+        col("n_exact"),
+        (col("n_found") >= col("n_exact") * floor).as("recall_ok"),
+        (col("n_found") === col("n_bucketed")).as("precision_ok"))
   }
 
   /** Exact all-pairs near-dup baseline over a BOUNDED corpus slice —

@@ -495,6 +495,47 @@ object Relational {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
              |       COUNT(*) AS n_events
-             |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── q17's STREAMING-EXECUTED twin: custom session state via
+    //    flatMapGroupsWithState + event-time timeout, drained with
+    //    AvailableNow. Only CLOSED sessions emit: every session except a
+    //    user's last is closed by the splitting event; the last closes
+    //    iff the final watermark (max ts − 1 h) strictly passes
+    //    session_end + gap (Spark's timeout check is
+    //    timeoutTimestamp < watermark). Gap arithmetic is millisecond-
+    //    floored on BOTH sides (Timestamp.getTime ↔ epoch_ms). ─────────
+    QueryDef(
+      "stream_sessionize",
+      (s, d) =>
+        graft.streaming.EventsStream.sessionizeAvailableNow(s, d)
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+             |flags AS (
+             |  SELECT user_id, tms, event_id,
+             |         CASE WHEN LAG(tms) OVER w IS NULL
+             |                OR tms - LAG(tms) OVER w > 1800000
+             |              THEN 1 ELSE 0 END AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+             |s AS (
+             |  SELECT user_id, tms,
+             |         SUM(new_session) OVER (PARTITION BY user_id
+             |                                ORDER BY tms, event_id
+             |                                ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flags),
+             |g AS (
+             |  SELECT user_id, sid, MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+             |         COUNT(*) AS n_events
+             |  FROM s GROUP BY user_id, sid),
+             |m AS (SELECT MAX(epoch_ms(ts)) AS mx FROM events)
+             |SELECT user_id,
+             |       make_timestamp(start_ms * 1000) AS session_start,
+             |       make_timestamp(end_ms * 1000) AS session_end,
+             |       n_events
+             |FROM g, m
+             |WHERE sid < (SELECT MAX(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+             |   OR end_ms + 1800000 < mx - 3600000
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }

@@ -64,10 +64,34 @@ object EventsStream {
     * so the result is the SQL-predictable prefix of q14's batch answer:
     * windows with end ≤ max(ts) − 2 h.
     */
-  def hourlyAggAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+  def hourlyAggAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "graft_stream_hourly")(hourlyAgg)
+
+  /** Streaming-executed sessionization channel: `sessionize`
+    * (flatMapGroupsWithState, event-time timeout) drained with
+    * AvailableNow; only CLOSED sessions are emitted — a session closes
+    * when a later in-group event splits it, or when the final watermark
+    * (max ts − 1 h) passes session_end + gap. Both conditions are
+    * SQL-predictable, so this is the custom-state operator's full
+    * end-to-end oracle channel (the windowed-agg twin is
+    * hourlyAggAvailableNow).
+    */
+  def sessionizeAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "graft_stream_sessions") { events =>
+      sessionize(events, gapSec = 1800, watermarkDelay = "1 hour")
+        .filter(col("closed"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+    }
+
+  /** Shared AvailableNow harness: stage the events parquet into a
+    * landing DIRECTORY (the file-source contract), run the streaming
+    * transform to a memory sink, drain, return the emitted rows.
+    */
+  private def runAvailableNow(spark: SparkSession, sfDir: String,
+                              sink: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    // the file stream source contract is a DIRECTORY of files appearing
-    // over time; testdata ships one parquet file — stage it
     val landing = Files.createTempDirectory("graft-events-landing")
     val src = Paths.get(s"$sfDir/events.parquet")
     val toStage: Seq[Path] =
@@ -80,13 +104,13 @@ object EventsStream {
       } else Seq(src)
     toStage.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
       StandardCopyOption.REPLACE_EXISTING))
-    val q = hourlyAgg(readEvents(spark, landing.toString))
-      .writeStream.format("memory").queryName("graft_stream_hourly")
+    val q = transform(readEvents(spark, landing.toString))
+      .writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table("graft_stream_hourly")
+    spark.table(sink)
   }
 
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
