@@ -179,8 +179,17 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
   def deleteGlob(pattern: String, recursive: Boolean): (FsCatalog, Boolean) = {
     val m = globMatch(pattern)
     if (m.limit(1).count() == 0) return (this, false)
-    if (!recursive && m.filter(col("isDir")).limit(1).count() > 0)
-      throw new IOException(s"Cannot remove directory matched by $pattern; use -rmr")
+    // same error matrix as the literal verb (DeleteCommand.scala:34-75):
+    // a matched dir blocks -rm only when NON-EMPTY — an empty dir
+    // deletes fine without -rmr, glob or not
+    val nonEmptyDir = !recursive &&
+      inodes.join(
+          broadcast(m.filter(col("isDir")).select(col("path").as("_gp"))),
+          col("parentPath") === col("_gp"), "left_semi")
+        .limit(1).count() > 0
+    if (nonEmptyDir)
+      throw new IOException(
+        s"Non-empty directory matched by $pattern; use -rmr")
     val dirs = m.filter(col("isDir")).select(col("path").as("_gp"))
     val childPre =
       when(col("_gp") === "/", lit("/")).otherwise(concat(col("_gp"), lit("/")))

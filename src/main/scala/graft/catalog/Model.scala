@@ -20,6 +20,33 @@ final case class BlockMeta(
     length: Long,
     subBlocks: Seq[SubBlockMeta])
 
+object BlockMeta {
+  /** Block/subblock metadata for a file of `len` bytes with the SAME
+    * geometry `DataPlane.chunk` uses, so the catalog's length folds and
+    * `blockLocations` range pruning agree with the chunk table
+    * byte-for-byte — every writer (facade create, shell put) must build
+    * inode blocks through this.
+    */
+  def forLength(path: String, len: Long,
+                subBlockSize: Int, blockSize: Int): Seq[BlockMeta] = {
+    require(subBlockSize > 0 && blockSize % subBlockSize == 0,
+      "blockSize must be a positive multiple of subBlockSize")
+    if (len == 0) return Seq.empty
+    val nBlocks = ((len + blockSize - 1) / blockSize).toInt
+    (0 until nBlocks).map { b =>
+      val off = b.toLong * blockSize
+      val blen = math.min(blockSize.toLong, len - off)
+      val nSub = ((blen + subBlockSize - 1) / subBlockSize).toInt
+      BlockMeta(s"$path#b$b", off, blen,
+        (0 until nSub).map { sb =>
+          val soff = sb.toLong * subBlockSize
+          SubBlockMeta(s"$path#b$b#s$sb", soff,
+            math.min(subBlockSize.toLong, blen - soff))
+        })
+    }
+  }
+}
+
 /** One row per file or directory (reference INode.scala:32-33).
   * Directories carry `blocks = null` (reference MakeDirectoryCommand.scala:52).
   */

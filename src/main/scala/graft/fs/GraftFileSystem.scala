@@ -12,7 +12,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
 
-import graft.catalog.{BlockMeta, FsCatalog, Inode, PathOps, SubBlockMeta}
+import graft.catalog.{BlockMeta, FsCatalog, Inode, PathOps}
 
 /** The reference's entire public API *is* `org.apache.hadoop.fs
   * .FileSystem` (SnackFS.scala:51-153; mounted via core-site.xml:29-32) —
@@ -71,7 +71,9 @@ class GraftFileSystem extends FileSystem {
   override def getWorkingDirectory: Path = new Path(ctx.cwd)
 
   override def setWorkingDirectory(dir: Path): Unit =
-    ctx = ctx.withWorkingDir(dir.toString)
+    // strip the scheme like every other entry point — qualified paths
+    // (the norm from getHomeDirectory/listStatus) must not join under cwd
+    ctx = ctx.withWorkingDir(stripScheme(dir))
 
   override def getDefaultBlockSize: Long = blockSize.toLong
 
@@ -136,11 +138,18 @@ class GraftFileSystem extends FileSystem {
 
   private def commitFile(p: String, bytes: Array[Byte], overwrite: Boolean): Unit = {
     val s = spark
-    // Hadoop create() makes missing parents; reuse the mkdirs fold
+    // Hadoop create() makes missing parents; reuse the mkdirs fold —
+    // and honor its verdict: a file on the ancestor chain means the
+    // parent cannot be a directory (Hadoop throws here too)
     val parent = PathOps.parent(p)
     val withParents =
-      if (parent == null) state.catalog else state.catalog.mkdirs(parent)._1
-    val blocks = blockMetas(p, bytes.length.toLong)
+      if (parent == null) state.catalog
+      else {
+        val (cat2, ok) = state.catalog.mkdirs(parent)
+        if (!ok) throw new IOException(s"Parent path is not a directory: $parent")
+        cat2
+      }
+    val blocks = BlockMeta.forLength(p, bytes.length.toLong, subBlockSize, blockSize)
     val node = Inode(p, parent, ctx.cwd.split("/").last, "graft", 420,
       isDir = false, new Timestamp(1704067200000L), blocks)
     val newChunks = DataPlane.chunk(
@@ -151,25 +160,6 @@ class GraftFileSystem extends FileSystem {
     val keptChunks =
       if (overwrite) state.chunks.filter(col("path") =!= p) else state.chunks
     state = GraftFs(withParents.store(node), keptChunks.unionByName(newChunks))
-  }
-
-  /** Block metadata with the SAME geometry DataPlane.chunk uses, so the
-    * catalog's length folds agree with the chunk table byte-for-byte.
-    */
-  private def blockMetas(p: String, len: Long): Seq[BlockMeta] = {
-    if (len == 0) return Seq.empty
-    val nBlocks = ((len + blockSize - 1) / blockSize).toInt
-    (0 until nBlocks).map { b =>
-      val off = b.toLong * blockSize
-      val blen = math.min(blockSize.toLong, len - off)
-      val nSub = ((blen + subBlockSize - 1) / subBlockSize).toInt
-      BlockMeta(s"$p#b$b", off, blen,
-        (0 until nSub).map { sb =>
-          val soff = sb.toLong * subBlockSize
-          SubBlockMeta(s"$p#b$b#s$sb", soff,
-            math.min(subBlockSize.toLong, blen - soff))
-        })
-    }
   }
 
   // ── A2: open — error matrix verbatim (OpenFileCommand.scala:27-37 via
@@ -229,6 +219,7 @@ private final class SeekableBytes(bytes: Array[Byte])
 
   override def read(position: Long, buffer: Array[Byte], offset: Int,
                     length: Int): Int = {
+    if (length == 0) return 0 // zero-byte read is a no-op even at EOF
     if (position >= bytes.length) return -1
     val n = math.min(length, bytes.length - position.toInt)
     System.arraycopy(bytes, position.toInt, buffer, offset, n)

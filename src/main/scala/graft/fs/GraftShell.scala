@@ -59,6 +59,20 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
 
   private def abs(p: String): String = ctx.makeAbsolute(p)
 
+  /** Resolve an argument that must name an existing FILE (the -cat error
+    * matrix, shared by -text/-tail: missing → FNFE, directory → IOE).
+    */
+  private def fileArg(arg: String): String = {
+    val p = abs(arg)
+    val node = fs.catalog.retrieve(p)
+      .getOrElse(throw new FileNotFoundException(p))
+    if (node.isDir) throw new IOException(s"$p is a directory")
+    p
+  }
+
+  /** Child-path prefix for dir-scoped verbs — "/" is its own prefix. */
+  private def dirPrefix(p: String): String = if (p == "/") "/" else p + "/"
+
   private def statusLines(rows: Array[Row]): Seq[String] =
     rows.map { r =>
       val kind = if (r.getAs[Boolean]("is_dir")) "d" else "-"
@@ -87,17 +101,24 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       }
 
     case "-du" =>
+      val p = abs(args.head)
+      if (!PathOps.isGlob(args.head) && !fs.catalog.exists(p))
+        throw new FileNotFoundException(p)
       val rows =
-        if (PathOps.isGlob(args.head)) fs.catalog.duGlob(abs(args.head)).collect()
-        else fs.catalog.du(abs(args.head)).collect()
+        if (PathOps.isGlob(args.head)) fs.catalog.duGlob(p).collect()
+        else fs.catalog.du(p).collect()
       ShellResult(0, rows.map(r => f"${r.getLong(1)}%12d  ${r.getString(0)}").toSeq, Nil)
 
     case "-dus" =>
-      val r = fs.catalog.dus(abs(args.head)).collect()(0)
+      val p = abs(args.head)
+      if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
+      val r = fs.catalog.dus(p).collect()(0)
       ShellResult(0, Seq(f"${r.getLong(1)}%12d  ${r.getString(0)}"), Nil)
 
     case "-count" =>
-      val r = fs.catalog.countSummary(abs(args.head)).collect()(0)
+      val p = abs(args.head)
+      if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
+      val r = fs.catalog.countSummary(p).collect()(0)
       ShellResult(0,
         Seq(f"${r.getLong(1)}%8d ${r.getLong(2)}%8d ${r.getLong(3)}%12d ${r.getString(0)}"), Nil)
 
@@ -153,14 +174,12 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       ShellResult(0, Seq(new String(payload, java.nio.charset.StandardCharsets.UTF_8)), Nil)
 
     case "-text" =>
-      val p = abs(args.head)
-      if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
+      val p = fileArg(args.head)
       val rows = DataPlane.text(fs.chunks.filter(col("path") === p)).collect()
       ShellResult(0, rows.map(_.getString(1)).toSeq, Nil)
 
     case "-tail" =>
-      val p = abs(args.head)
-      if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
+      val p = fileArg(args.head)
       val rows = DataPlane.tail(fs.chunks.filter(col("path") === p), 1024).collect()
       val payload = if (rows.isEmpty) Array.emptyByteArray
         else rows(0).getAs[Array[Byte]]("data")
@@ -168,26 +187,44 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
 
     case "-put" | "-copyFromLocal" | "-moveFromLocal" =>
       val spark = fs.chunks.sparkSession
-      val dst = abs(args(1))
+      // put INTO an existing directory targets dir/<local basename>;
+      // an existing file at the target errors (no silent duplicate
+      // chunk rows — reassembly would concatenate both payloads)
+      val raw = abs(args(1))
+      val base = java.nio.file.Paths.get(args.head).getFileName.toString
+      val dst = fs.catalog.retrieve(raw) match {
+        case Some(n) if n.isDir => s"${dirPrefix(raw)}$base"
+        case _ => raw
+      }
+      if (fs.catalog.exists(dst))
+        throw new IOException(s"Target $dst already exists")
       // size BEFORE moveFromLocal unlinks the source
       val len = java.nio.file.Files.size(java.nio.file.Paths.get(args.head))
       val newChunks =
         if (cmd == "-moveFromLocal") DataPlane.moveFromLocal(spark, args.head, dst)
         else DataPlane.put(spark, args.head, dst)
-      val (cat2, _) = fs.catalog.mkdirs(PathOps.parent(dst))
+      val (cat2, ok) = fs.catalog.mkdirs(PathOps.parent(dst))
+      if (!ok) throw new IOException(
+        s"Parent path is not a directory: ${PathOps.parent(dst)}")
       val node = graft.catalog.Inode(dst, PathOps.parent(dst), "graft", "graft",
         420, isDir = false, new java.sql.Timestamp(1704067200000L),
-        Seq(graft.catalog.BlockMeta(dst + "#b0", 0L, len, Seq.empty)))
+        graft.catalog.BlockMeta.forLength(dst, len,
+          DataPlane.DefaultSubBlock, DataPlane.DefaultBlock))
       fs = GraftFs(cat2.store(node), fs.chunks.unionByName(newChunks))
       ShellResult(0, Nil, Nil)
 
     case "-get" | "-copyToLocal" =>
-      DataPlane.get(fs.chunks, abs(args.head), args(1))
+      DataPlane.get(fs.chunks, fileArg(args.head), args(1))
       ShellResult(0, Nil, Nil)
 
     case "-getmerge" =>
-      val addnl = args.length > 2 && args(2).toBoolean
-      DataPlane.getmergeTo(fs.chunks, abs(args.head), args(1), addnl)
+      val addnl = args.length > 2 && (args(2).toBooleanOption match {
+        case Some(b) => b
+        case None => return ShellResult(-1, Nil,
+          Seq(s"-getmerge: invalid addnl flag '${args(2)}'"))
+      })
+      // dir-scoped prefix: "/data" must not bleed onto "/databak"
+      DataPlane.getmergeTo(fs.chunks, dirPrefix(abs(args.head)), args(1), addnl)
       ShellResult(0, Nil, Nil)
 
     case other =>

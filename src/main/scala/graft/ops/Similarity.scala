@@ -87,8 +87,14 @@ object Similarity {
     centroids
   }
 
-  /** Assign every vector to its nearest of the K centroid vectors. */
-  def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame =
+  /** Rank-bounded centroid assignments: every (vector, bucket) pair
+    * where the bucket is one of the vector's `nprobe` nearest centroids
+    * — the shared primitive behind single-probe bucketing, multi-probe
+    * candidate generation, and query-side probing (one tie-break rule,
+    * score desc then c_id, everywhere).
+    */
+  private def probeAssignments(corpus: DataFrame, centroids: DataFrame,
+                               nprobe: Int): DataFrame =
     corpus
       .select(col("vec_id"), col("embedding").as("ev"))
       .crossJoin(broadcast(
@@ -96,8 +102,13 @@ object Similarity {
       .withColumn("score", cosine(corpus))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("ev").as("embedding"), col("c_id").as("bucket"))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("ev"), col("c_id").as("bucket"))
+
+  /** Assign every vector to its nearest of the K centroid vectors. */
+  def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    probeAssignments(corpus, centroids, nprobe = 1)
+      .select(col("vec_id"), col("ev").as("embedding"), col("bucket"))
 
   /** Embedding-cosine near-duplicate pairs — the ANN-flavored dedup
     * variant: candidates are generated WITHIN IVF buckets (never
@@ -115,15 +126,8 @@ object Similarity {
                         threshold: Double, kmeansIters: Int = 1,
                         nprobe: Int = 2): DataFrame = {
     val centroids = kmeansCentroids(corpus, numCentroids, kmeansIters)
-    val multi = corpus
-      .select(col("vec_id"), col("embedding").as("ev"))
-      .crossJoin(broadcast(
-        centroids.select(col("vec_id").as("c_id"), col("embedding").as("qv"))))
-      .withColumn("score", cosine(corpus))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("c_id").as("bucket"))
+    val multi = probeAssignments(corpus, centroids, nprobe)
+      .select(col("vec_id"), col("bucket"))
     val a = multi.select(col("bucket"), col("vec_id").as("id_a"))
     val b = multi.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"))
     val candidates = a

@@ -102,6 +102,41 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     Files.delete(plain); Files.delete(withNl)
   }
 
+  it must "map missing/dir/arg errors to stderr across every verb family" in {
+    val sh = newShell()
+    sh.run(Array("-dus", "/nope")).code must be(-1)
+    sh.run(Array("-count", "/nope")).code must be(-1)
+    sh.run(Array("-du", "/nope")).code must be(-1)
+    sh.run(Array("-text", "/a")).err.head must be("-text: /a is a directory")
+    sh.run(Array("-tail", "/a")).err.head must be("-tail: /a is a directory")
+    sh.run(Array("-text", "/nope")).code must be(-1)
+    sh.run(Array("-getmerge", "/a", "/tmp/x", "maybe")).err.head must
+      include("invalid addnl flag")
+  }
+
+  it must "refuse a duplicate put instead of silently doubling chunk rows" in {
+    val sh = newShell()
+    val local = Files.createTempFile("graft-shell-dup", ".txt")
+    Files.write(local, "payload".getBytes)
+    sh.run(Array("-put", local.toString, "/dup/f")).code must be(0)
+    val again = sh.run(Array("-put", local.toString, "/dup/f"))
+    again.code must be(-1)
+    again.err.head must include("already exists")
+    // put INTO an existing dir lands at dir/<basename>
+    sh.run(Array("-put", local.toString, "/dup")).code must be(0)
+    sh.run(Array("-test", "-e", s"/dup/${local.getFileName}")).code must be(0)
+    Files.delete(local)
+  }
+
+  it must "rm an EMPTY matched directory via glob, like the literal verb" in {
+    val sh = newShell()
+    sh.run(Array("-mkdir", "/empty1")).code must be(0)
+    sh.run(Array("-rm", "/empty[1]")).code must be(0)
+    sh.run(Array("-test", "-e", "/empty1")).code must be(1)
+    // non-empty matched dir still refuses without -rmr
+    sh.run(Array("-rm", "/[a]")).code must be(-1)
+  }
+
   it must "round-trip put → du → get and report byte totals" in {
     val sh = newShell()
     val local = Files.createTempFile("graft-shell-put", ".txt")
