@@ -226,6 +226,50 @@ object Dedup {
     verifyByJaccard(docs, candidates, shingleN, threshold)
   }
 
+  /** Connected components over verified near-dup pairs — the clustering
+    * step a real curation pipeline runs AFTER pair generation: transitive
+    * chains (a~b, b~c) must collapse to one cluster with one kept
+    * representative, which per-pair drop rules cannot express. Label =
+    * min reachable doc id, via iterative min-label propagation (the
+    * standard distributed CC shape): each round joins the (small) edge
+    * set against current labels, takes the per-node min of neighbor
+    * labels, and converges when no label changes. Iterations are bounded
+    * by the cluster diameter (near-dup clusters are shallow); each round
+    * `localCheckpoint`s so lineage stays flat — the GraphX/Pregel
+    * pattern. At 100 TB the pair set is orders smaller than the corpus
+    * (it only holds near-duplicates), so every join here is small-side.
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prop = edges
+        .join(labels.select(col("id").as("src"), col("label").as("l")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("l")).as("nl"))
+      val next = labels
+        .join(prop, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old"))
+        .limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
   /** Exact n-gram Jaccard for an explicit candidate pair — the standalone
     * verification op (LSH folds this in already).
     */

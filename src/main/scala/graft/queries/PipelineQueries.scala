@@ -116,6 +116,39 @@ object PipelineQueries {
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Near-dup CLUSTERS, not just pairs: connected components over the
+    // LSH-verified pair set (label = min reachable doc id, iterative
+    // min-label propagation). The oracle reproduces the closure with a
+    // recursive CTE over the same all-pairs Jaccard edges — transitive
+    // chains must collapse identically in both engines.
+    QueryDef(
+      "dedup_components",
+      (s, d) =>
+        Dedup.components(
+            Dedup.minhashPairs(Tables.documents(s, d), shingleN = 3,
+              b = 8, r = 4, threshold = 0.5))
+          .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+             |SELECT id AS doc_id, MIN(r) AS component
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     QueryDef(
       "dedup_simhash",
       (s, d) =>

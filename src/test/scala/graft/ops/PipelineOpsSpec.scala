@@ -69,6 +69,20 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     weak must be(0L)
   }
 
+  behavior of "Dedup.components (near-dup clustering)"
+
+  it must "collapse transitive chains to min-label components across iterations" in {
+    val s = spark
+    import s.implicits._
+    // a 5-node path (needs multiple propagation rounds) + a 2-node island
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got must be(Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   behavior of "Dedup.simhash"
 
   it must "give identical signatures to identical docs and different ones to disjoint docs" in {
