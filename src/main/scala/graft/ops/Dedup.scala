@@ -240,34 +240,50 @@ object Dedup {
     * (it only holds near-duplicates), so every join here is small-side.
     */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .persist(MEMORY_AND_DISK)
+    labels.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      // every id appears as a dst with >= 1 neighbor (the edge set is
+      // symmetric), so the propagation covers every node — inner join
       val prop = edges
         .join(labels.select(col("id").as("src"), col("label").as("l")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("l")).as("nl"))
       val next = labels
-        .join(prop, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .join(prop, Seq("id"))
+        .select(col("id"), least(col("label"), col("nl")).as("label"))
+        .persist(MEMORY_AND_DISK)
+      next.count() // materialize BEFORE releasing the round it reads from
       converged = next
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old"))
         .limit(1).count() == 0
+      labels.unpersist()
       labels = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
+    // silent non-convergence would hand the caller a split cluster that
+    // reads like a correct answer — fail loudly instead (min-label is
+    // O(diameter); a deeper graph wants the pointer-jumping variant)
+    require(converged,
+      s"components: not converged after $maxIters rounds — cluster diameter exceeds maxIters")
+    // flatten lineage into ONE surviving copy, then release the rest
+    val out = labels
+      .select(col("id").as("doc_id"), col("label").as("component"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard for an explicit candidate pair — the standalone

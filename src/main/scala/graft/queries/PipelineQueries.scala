@@ -118,9 +118,13 @@ object PipelineQueries {
 
     // Near-dup CLUSTERS, not just pairs: connected components over the
     // LSH-verified pair set (label = min reachable doc id, iterative
-    // min-label propagation). The oracle reproduces the closure with a
-    // recursive CTE over the same all-pairs Jaccard edges — transitive
-    // chains must collapse identically in both engines.
+    // min-label propagation); the oracle closes over all-pairs Jaccard
+    // edges with a recursive CTE. INHERITS dedup_minhash's soundness
+    // assumption (no testdata pairs in the weak-recall band, spec-
+    // asserted) — and amplifies it: one missed bridge edge would relabel
+    // a whole cluster, not one row. Oracle cost note: this repeats the
+    // O(n^2) Jaccard CTE, the slowest piece of the local sf0.1 compare
+    // (the driver's gate runs DuckDB at sf0.01, where it is cheap).
     QueryDef(
       "dedup_components",
       (s, d) =>
