@@ -240,36 +240,38 @@ object Dedup {
     * (it only holds near-duplicates), so every join here is small-side.
     */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint (not persist) each round: persist caches EXECUTION
+    // but the logical plan still embeds the prior round's plan 2-3×, so
+    // analyzer/optimizer time grows exponentially with iterations
+    // (measured: the whole loop tripled). Checkpointing truncates the
+    // plan to a flat LogicalRDD; the superseded round's blocks are
+    // released explicitly below, so storage stays at one label table.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       // every id appears as a dst with >= 1 neighbor (the edge set is
-      // symmetric), so the propagation covers every node — inner join
+      // symmetric), so the propagation covers every node — inner join;
+      // the changed flag rides along so convergence needs no extra join
       val prop = edges
         .join(labels.select(col("id").as("src"), col("label").as("l")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("l")).as("nl"))
       val next = labels
         .join(prop, Seq("id"))
-        .select(col("id"), least(col("label"), col("nl")).as("label"))
-        .persist(MEMORY_AND_DISK)
-      next.count() // materialize BEFORE releasing the round it reads from
-      converged = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old"))
-        .limit(1).count() == 0
-      labels.unpersist()
-      labels = next
+        .select(col("id"), least(col("label"), col("nl")).as("label"),
+          (col("nl") < col("label")).as("changed"))
+        .localCheckpoint(true) // eager: materialized before the release below
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      releaseCheckpoint(labels)
+      labels = next // extra `changed` column is ignored by the next round
       iter += 1
     }
     // silent non-convergence would hand the caller a split cluster that
@@ -277,14 +279,22 @@ object Dedup {
     // O(diameter); a deeper graph wants the pointer-jumping variant)
     require(converged,
       s"components: not converged after $maxIters rounds — cluster diameter exceeds maxIters")
-    // flatten lineage into ONE surviving copy, then release the rest
-    val out = labels
-      .select(col("id").as("doc_id"), col("label").as("component"))
-      .localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    out
+    releaseCheckpoint(edges)
+    // the returned frame reads the FINAL checkpoint — that one stays
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
+
+  /** Release a localCheckpoint'd frame's cached blocks (Dataset.unpersist
+    * is a no-op for checkpoints — the RDD hides inside the LogicalRDD
+    * leaf). Best-effort: an unexpected plan shape just leaves the blocks
+    * to the context's cleaner.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Exact n-gram Jaccard for an explicit candidate pair — the standalone
     * verification op (LSH folds this in already).
