@@ -139,12 +139,19 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
   //    269-337, usage :95-101). The literal prefix prunes first
   //    (startsWith reaches parquet min/max on the path-sorted layout);
   //    the anchored regex runs on survivors only. ──────────────────────
-  private def globMatch(pattern: String): Dataset[Inode] = {
-    val pre = PathOps.globLiteralPrefix(pattern)
-    inodes.filter(
-      col("path").startsWith(pre) &&
-        col("path").rlike(PathOps.globToRegex(pattern)))
+  private def globPredicate(pattern: String): Column = {
+    val base =
+      col("path").startsWith(PathOps.globLiteralPrefix(pattern)) &&
+        col("path").rlike(PathOps.globToRegex(pattern))
+    // '*' compiles to [^/]* which matches the EMPTY component, so '/*'
+    // would match '/' itself — Hadoop globStatus never returns the root
+    // for '/*' (and deleting it would orphan the whole catalog); only
+    // the literal '/' pattern may name the root
+    if (pattern == "/") base else base && col("path") =!= "/"
   }
+
+  private def globMatch(pattern: String): Dataset[Inode] =
+    inodes.filter(globPredicate(pattern))
 
   /** Matched-path statuses (globStatus itself, no dir expansion). */
   def globStatus(pattern: String): DataFrame = statusOf(globMatch(pattern))
@@ -193,10 +200,8 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
     val dirs = m.filter(col("isDir")).select(col("path").as("_gp"))
     val childPre =
       when(col("_gp") === "/", lit("/")).otherwise(concat(col("_gp"), lit("/")))
-    val pre = PathOps.globLiteralPrefix(pattern)
     val survivors = inodes
-      .filter(!(col("path").startsWith(pre) &&
-        col("path").rlike(PathOps.globToRegex(pattern))))
+      .filter(!globPredicate(pattern))
       .join(broadcast(dirs), col("path").startsWith(childPre), "left_anti")
       .as[Inode]
     (FsCatalog(survivors), true)
@@ -350,10 +355,11 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       .sortWithinPartitions(col("path"))
       .write.mode("overwrite").parquet(dir)
 
-  // ── A4: append must throw (AppendFileCommand.scala:38-40) ─────────────
+  // ── A4: append must throw (AppendFileCommand.scala:38-40 — the
+  //    reference throws IOException, so callers catching IOException
+  //    around append see the same type) ──────────────────────────────────
   def append(path: String): Nothing =
-    throw new UnsupportedOperationException(
-      "Appending to existing file is not supported.")
+    throw new IOException("Appending to existing file is not supported.")
 
   private def subtree(path: String) =
     inodes.filter(col("path") === path || col("path").startsWith(prefixOf(path)))

@@ -219,12 +219,14 @@ object DataPlane {
   /** D13: -text — cat with codec sniff (Hadoop FsShell.text semantics;
     * the reference inherits it, SnackFSShell.scala:154-155 "allowed
     * formats are zip and TextRecordInputStream"). Gzip magic 0x1f8b →
-    * inflate; anything else passes through as UTF-8. SequenceFile
-    * (TextRecordInputStream) framing is a documented narrowing — no
-    * sequence files exist in this engine. Streaming inflate is byte-level
-    * codec work no Expression expresses, so it rides `mapPartitions`
-    * like Multimodal.decodeMeta: one row in, one row out, payloads never
-    * shuffle beyond the reassembly that already happened.
+    * inflate; PK-zip magic 0x504b0304 → inflate the FIRST entry (the
+    * help text's "zip"); anything else passes through as UTF-8.
+    * SequenceFile (TextRecordInputStream) framing is a documented
+    * narrowing — no sequence files exist in this engine. Streaming
+    * inflate is byte-level codec work no Expression expresses, so it
+    * rides `mapPartitions` like Multimodal.decodeMeta: one row in, one
+    * row out, payloads never shuffle beyond the reassembly that already
+    * happened.
     */
   def text(chunks: DataFrame): DataFrame = {
     val spark = chunks.sparkSession
@@ -233,16 +235,27 @@ object DataPlane {
       .select(col("path"), col("data"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (p, bytes) =>
-        val decoded =
-          if (bytes.length >= 2 &&
-              (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try in.readAllBytes() finally in.close()
-          } else bytes
-        (p, new String(decoded, java.nio.charset.StandardCharsets.UTF_8))
+        (p, new String(decodeText(bytes),
+          java.nio.charset.StandardCharsets.UTF_8))
       })
       .toDF("path", "text")
+  }
+
+  private def decodeText(bytes: Array[Byte]): Array[Byte] = {
+    def magic(i: Int): Int = if (i < bytes.length) bytes(i) & 0xFF else -1
+    if (magic(0) == 0x1F && magic(1) == 0x8B) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try in.readAllBytes() finally in.close()
+    } else if (magic(0) == 'P' && magic(1) == 'K' &&
+               magic(2) == 0x03 && magic(3) == 0x04) {
+      val in = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        if (in.getNextEntry == null) Array.emptyByteArray
+        else in.readAllBytes()
+      } finally in.close()
+    } else bytes
   }
 
   /** D11 at scale: stream the merged prefix to a local sink block by

@@ -1,16 +1,16 @@
 package graft.fs
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, FileNotFoundException, IOException, OutputStream}
+import java.io.{ByteArrayInputStream, FileNotFoundException, IOException, OutputStream}
 import java.net.URI
 import java.sql.Timestamp
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.{BlockLocation, FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, Path}
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.catalog.{BlockMeta, FsCatalog, Inode, PathOps}
 
@@ -23,11 +23,11 @@ import graft.catalog.{BlockMeta, FsCatalog, Inode, PathOps}
   * holds the current (catalog, chunks) snapshot — the same single-driver
   * narrowing documented for FileLocks (SURVEY.md §1.3).
   *
-  * Deliberate shim-level narrowings, each documented at the method:
-  * `open` materializes ONE file's bytes in the driver (the compatibility
-  * path; the scale path for analytics is the DSv2 connector), and writes
-  * commit on `close()` (the reference streams subblocks as they fill,
-  * FileSystemOutputStream.scala:55-143).
+  * Deliberate shim-level narrowing, documented at the method: `open`
+  * materializes ONE file's bytes in the driver (the compatibility path;
+  * the scale path for analytics is the DSv2 connector). Writes stream
+  * with the reference's own cadence — one subblock buffered at a time,
+  * inode re-committed per block (FileSystemOutputStream.scala:55-143).
   */
 class GraftFileSystem extends FileSystem {
 
@@ -114,9 +114,13 @@ class GraftFileSystem extends FileSystem {
     ok
   }
 
-  // ── A3: create — buffer in the stream, commit catalog+chunks on close
-  //    (CreateFileCommand; the reference streams subblocks eagerly —
-  //    commit-on-close is the documented shim narrowing) ────────────────
+  // ── A3: create — the reference's streaming cadence (CreateFileCommand
+  //    + FileSystemOutputStream.scala:55-143): parents made up front,
+  //    an empty inode stored immediately, then each filled subblock
+  //    flushes as ONE chunk row (endSubBlock :89-101) and every closed
+  //    block re-commits the inode (endBlock :103-120). At most one
+  //    subblock (8 MB default) is ever buffered in the driver — no
+  //    whole-file ByteArrayOutputStream, no driver-heap ceiling. ────────
   override def create(path: Path, permission: FsPermission,
                       overwrite: Boolean, bufferSize: Int,
                       replication: Short, blkSize: Long,
@@ -126,40 +130,110 @@ class GraftFileSystem extends FileSystem {
       if (existing.isDir) throw new IOException(s"$p is a directory")
       if (!overwrite) throw new IOException(s"File exists: $p")
     }
-    val buf = new ByteArrayOutputStream()
-    val committing: OutputStream = new OutputStream {
-      override def write(b: Int): Unit = buf.write(b)
-      override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        buf.write(b, off, len)
-      override def close(): Unit = commitFile(p, buf.toByteArray, overwrite)
-    }
-    new FSDataOutputStream(committing, statistics, 0L)
-  }
-
-  private def commitFile(p: String, bytes: Array[Byte], overwrite: Boolean): Unit = {
-    val s = spark
     // Hadoop create() makes missing parents; reuse the mkdirs fold —
     // and honor its verdict: a file on the ancestor chain means the
     // parent cannot be a directory (Hadoop throws here too)
     val parent = PathOps.parent(p)
-    val withParents =
-      if (parent == null) state.catalog
-      else {
-        val (cat2, ok) = state.catalog.mkdirs(parent)
-        if (!ok) throw new IOException(s"Parent path is not a directory: $parent")
-        cat2
-      }
-    val blocks = BlockMeta.forLength(p, bytes.length.toLong, subBlockSize, blockSize)
-    val node = Inode(p, parent, ctx.cwd.split("/").last, "graft", 420,
-      isDir = false, new Timestamp(1704067200000L), blocks)
-    val newChunks = DataPlane.chunk(
-      s.createDataFrame(java.util.Arrays.asList(Row(p, bytes)),
-        StructType(Seq(StructField("path", StringType),
-          StructField("data", BinaryType)))),
-      subBlockSize, blockSize)
-    val keptChunks =
+    var cat = state.catalog
+    if (parent != null) {
+      val (cat2, ok) = cat.mkdirs(parent)
+      if (!ok) throw new IOException(s"Parent path is not a directory: $parent")
+      cat = cat2
+    }
+    // store the empty inode NOW (CreateFileCommand.scala:79-83) and drop
+    // any prior payload once — overwrite is settled before the first byte
+    val node = inodeFor(p, parent, 0L)
+    val chunks =
       if (overwrite) state.chunks.filter(col("path") =!= p) else state.chunks
-    state = GraftFs(withParents.store(node), keptChunks.unionByName(newChunks))
+    state = GraftFs(cat.store(node), chunks)
+    new FSDataOutputStream(new SubBlockStream(p, parent), statistics, 0L)
+  }
+
+  private def inodeFor(p: String, parent: String, len: Long): Inode =
+    Inode(p, parent, ctx.cwd.split("/").last, "graft", 420,
+      isDir = false, new Timestamp(1704067200000L),
+      BlockMeta.forLength(p, len, subBlockSize, blockSize))
+
+  /** The write path: buffers at most ONE subblock; a filled (or final
+    * partial) buffer becomes one `(path, block_id, sub_id, …)` row in
+    * the chunk table — the same geometry `DataPlane.chunk` produces, so
+    * catalog folds and reassembly agree byte-for-byte. Mirrors the
+    * reference's write/endSubBlock/endBlock/close state machine,
+    * including write-after-close and double-close behavior
+    * (FileSystemOutputStream.scala:55-143: close is isClosed-guarded, a
+    * second close is a no-op; writes after close throw "Stream closed").
+    */
+  private final class SubBlockStream(p: String, parent: String)
+    extends OutputStream {
+    private val buf = new Array[Byte](subBlockSize)
+    private var used = 0
+    private var written = 0L
+    private var isClosed = false
+
+    override def write(b: Int): Unit = {
+      ensureOpen()
+      buf(used) = b.toByte
+      used += 1
+      if (used == subBlockSize) endSubBlock()
+    }
+
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      ensureOpen()
+      var o = off
+      var rem = len
+      while (rem > 0) {
+        val n = math.min(rem, subBlockSize - used)
+        System.arraycopy(b, o, buf, used, n)
+        used += n; o += n; rem -= n
+        if (used == subBlockSize) endSubBlock()
+      }
+    }
+
+    private def ensureOpen(): Unit =
+      if (isClosed) throw new IOException("Stream closed")
+
+    // endSubBlock: every flushed subblock before the final one is FULL,
+    // so the running byte count determines the global subblock index and
+    // with it the (block_id, sub_id, offsets) cell — no per-stream
+    // metadata accumulators needed beyond `written`
+    private def endSubBlock(): Unit = {
+      if (used == 0) return
+      val s = spark
+      val idx = written / subBlockSize
+      val sbPerBlock = blockSize / subBlockSize
+      val blockId = (idx / sbPerBlock).toInt
+      val subId = (idx % sbPerBlock).toInt
+      val row = Row(p, blockId, subId,
+        blockId.toLong * blockSize, subId.toLong * subBlockSize,
+        java.util.Arrays.copyOf(buf, used), used.toLong)
+      val oneRow = s.createDataFrame(java.util.Arrays.asList(row),
+        StructType(Seq(
+          StructField("path", StringType),
+          StructField("block_id", IntegerType),
+          StructField("sub_id", IntegerType),
+          StructField("block_offset", LongType),
+          StructField("offset", LongType),
+          StructField("data", BinaryType),
+          StructField("length", LongType))))
+      written += used
+      used = 0
+      state = GraftFs(state.catalog, state.chunks.unionByName(oneRow))
+      // endBlock: a block boundary just closed → re-commit the inode
+      // with every block written so far (the reference re-stores the
+      // whole INode per block, FileSystemOutputStream.scala:103-120)
+      if (written % blockSize == 0) commitInode()
+    }
+
+    private def commitInode(): Unit =
+      state = GraftFs(state.catalog.store(inodeFor(p, parent, written)),
+        state.chunks)
+
+    override def close(): Unit = {
+      if (isClosed) return
+      endSubBlock()
+      commitInode()
+      isClosed = true
+    }
   }
 
   // ── A2: open — error matrix verbatim (OpenFileCommand.scala:27-37 via
@@ -192,11 +266,35 @@ class GraftFileSystem extends FileSystem {
     ok
   }
 
-  // ── A4: append always throws (AppendFileCommand.scala:38-40) ──────────
+  // ── A4: append always throws — IOException, the reference's exact
+  //    type (AppendFileCommand.scala:38-40), so client code catching
+  //    IOException around append sees the reference behavior ────────────
   override def append(path: Path, bufferSize: Int,
                       progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException(
-      "Appending to existing file is not supported.")
+    throw new IOException("Appending to existing file is not supported.")
+
+  // ── A10: getFileBlockLocations — the reference overrides this so
+  //    Hadoop/Spark schedulers see real replica hosts (SnackFS.scala:
+  //    135-153: prune blocks ending before `start`, then map each block
+  //    to its ring endpoints as hosts + host:port names). Delegates to
+  //    the catalog op that is already oracle-green (fs_block_locations),
+  //    filtered to the exact path (the catalog op takes a prefix). ─────
+  override def getFileBlockLocations(file: FileStatus, start: Long,
+                                     len: Long): Array[BlockLocation] = {
+    if (file == null) return null
+    if (start < 0 || len < 0)
+      throw new IllegalArgumentException("Invalid start or len parameter")
+    val p = abs(file.getPath)
+    state.catalog.blockLocations(p, start, len)
+      .filter(col("path") === p)
+      .collect()
+      .map { r =>
+        val hosts = r.getAs[String]("replicas").split(",")
+        new BlockLocation(
+          hosts.map(h => s"$h:9160"), hosts,
+          r.getAs[Long]("offset"), r.getAs[Long]("length"))
+      }
+  }
 
   /** Current snapshot, for tests and interop with the query layer. */
   def graftFs: GraftFs = state

@@ -15,11 +15,16 @@ final case class ShellResult(code: Int, out: Seq[String], err: Seq[String])
 
 /** D-layer verb dispatcher — the `run(argv)` → command analog of the
   * reference shell (SnackFSShell.scala:553-731): arity-check the verb,
-  * resolve path arguments (globs included — every reference verb goes
-  * through globStatus first), delegate to the distributed op, map
-  * exceptions to the reference's `cmd: message` stderr convention.
-  * Holds the current (catalog, chunks) snapshot like GraftFileSystem —
-  * the single-driver narrowing documented there.
+  * resolve path arguments through glob expansion the way the reference
+  * routes them through `FileSystem.globStatus` (-ls/-lsr/-du/-rm/-rmr/
+  * -cat/-text/-mv/-cp/-get; -tail stays literal — the reference's tail
+  * calls getFileStatus directly, SnackFSShell.scala:522-525), delegate
+  * to the distributed op, map exceptions to the reference's
+  * `cmd: message` stderr convention. Multi-argument verbs apply the
+  * reference's `doall` loop (SnackFSShell.scala:343-408): each argument
+  * is tried, failures print and processing continues, any failure makes
+  * the exit code -1. Holds the current (catalog, chunks) snapshot like
+  * GraftFileSystem — the single-driver narrowing documented there.
   */
 final class GraftShell(initial: GraftFs, context: FsContext) {
 
@@ -73,6 +78,43 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
   /** Child-path prefix for dir-scoped verbs — "/" is its own prefix. */
   private def dirPrefix(p: String): String = if (p == "/") "/" else p + "/"
 
+  private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Expand one source argument the way the reference expands every
+    * path argument through globStatus: a glob resolves to its sorted
+    * matches (none → the globStatus FileNotFoundException); a literal
+    * passes through untouched so the verb's own error matrix applies.
+    */
+  private def expandSrc(arg: String): Seq[String] = {
+    val p = abs(arg)
+    if (!PathOps.isGlob(arg)) Seq(p)
+    else {
+      val matched = fs.catalog.globStatus(p)
+        .select("path").collect().map(_.getString(0)).toSeq.sorted
+      if (matched.isEmpty)
+        throw new FileNotFoundException(
+          s"Cannot access $arg: No such file or directory.")
+      matched
+    }
+  }
+
+  /** The reference's `doall` loop: run `f` per argument, print each
+    * failure as `cmd: message` and keep going; -1 if anything failed.
+    */
+  private def forEachSrc(cmd: String, srcs: Seq[String])
+                        (f: String => Seq[String]): ShellResult = {
+    val out = Seq.newBuilder[String]
+    val err = Seq.newBuilder[String]
+    var code = 0
+    srcs.foreach { s =>
+      try out ++= f(s)
+      catch {
+        case e: IOException => code = -1; err += s"$cmd: ${e.getMessage}"
+      }
+    }
+    ShellResult(code, out.result(), err.result())
+  }
+
   private def statusLines(rows: Array[Row]): Seq[String] =
     rows.map { r =>
       val kind = if (r.getAs[Boolean]("is_dir")) "d" else "-"
@@ -102,8 +144,14 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
 
     case "-du" =>
       val p = abs(args.head)
-      if (!PathOps.isGlob(args.head) && !fs.catalog.exists(p))
-        throw new FileNotFoundException(p)
+      // same no-match matrix as -ls: the reference resolves the argument
+      // through globStatus, which raises FNFE when nothing matches —
+      // glob or literal alike (SnackFSShell doall → inherited du)
+      if (PathOps.isGlob(args.head)) {
+        if (fs.catalog.globStatus(p).limit(1).count() == 0)
+          throw new FileNotFoundException(
+            s"Cannot access ${args.head}: No such file or directory.")
+      } else if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
       val rows =
         if (PathOps.isGlob(args.head)) fs.catalog.duGlob(p).collect()
         else fs.catalog.du(p).collect()
@@ -116,11 +164,19 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       ShellResult(0, Seq(f"${r.getLong(1)}%12d  ${r.getString(0)}"), Nil)
 
     case "-count" =>
-      val p = abs(args.head)
+      // -q prints the quota columns first (SnackFSShell.scala:536-548 →
+      // ContentSummary.toString(true)); this engine has no quotas set,
+      // so they render as Hadoop renders unset quotas: none/inf pairs
+      val qOption = args.head == "-q"
+      if (qOption && args.length < 2)
+        return ShellResult(-1, Nil, ShellHelp.help(cmd).toSeq)
+      val pArg = if (qOption) args(1) else args.head
+      val p = abs(pArg)
       if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
       val r = fs.catalog.countSummary(p).collect()(0)
+      val quota = if (qOption) f"${"none"}%12s ${"inf"}%12s ${"none"}%12s ${"inf"}%12s " else ""
       ShellResult(0,
-        Seq(f"${r.getLong(1)}%8d ${r.getLong(2)}%8d ${r.getLong(3)}%12d ${r.getString(0)}"), Nil)
+        Seq(f"$quota${r.getLong(1)}%8d ${r.getLong(2)}%8d ${r.getLong(3)}%12d ${r.getString(0)}"), Nil)
 
     case "-mkdir" =>
       val (cat2, ok) = fs.catalog.mkdirs(abs(args.head))
@@ -147,36 +203,70 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       val r = fs.catalog.statFormatted(abs(p), fmt).collect()(0)
       ShellResult(0, Seq(r.getString(1)), Nil)
 
-    case "-mv" =>
-      val (next, _) = fs.rename(abs(args.head), abs(args(1)))
-      fs = next
-      ShellResult(0, Nil, Nil)
-
-    case "-cp" =>
-      val (next, _) = fs.copy(abs(args.head), abs(args(1)))
-      fs = next
-      ShellResult(0, Nil, Nil)
+    case "-mv" | "-cp" =>
+      // multiple sources (args or glob matches) need a directory
+      // destination (SnackFSShell.scala:425-430); -cp into an existing
+      // dir redirects to dir/<basename> (FileUtil.checkDest, inherited
+      // via FsShell.copy), while -mv keeps the FileSystem-level rename
+      // verbatim — the reference's RenameCommand throws "Destination
+      // already exists" even when the destination is a directory
+      // (RenameCommand.scala:81-84), a quirk mirrored, not fixed
+      val verb = if (cmd == "-mv") "moving" else "copying"
+      val dst = abs(args.last)
+      val sources = args.dropRight(1)
+      val dstIsDir = fs.catalog.retrieve(dst).exists(_.isDir)
+      if (sources.length > 1 && !dstIsDir)
+        return ShellResult(-1, Nil, Seq(
+          s"$cmd: When $verb multiple files, destination ${args.last} should be a directory."))
+      forEachSrc(cmd, sources) { arg =>
+        val matched = expandSrc(arg)
+        if (matched.length > 1 && !dstIsDir)
+          throw new IOException(
+            s"When $verb multiple files, destination should be a directory.")
+        matched.foreach { src =>
+          if (cmd == "-mv") { val (next, _) = fs.rename(src, dst); fs = next }
+          else {
+            val target = if (dstIsDir) s"${dirPrefix(dst)}${basename(src)}" else dst
+            val (next, _) = fs.copy(src, target)
+            fs = next
+          }
+        }
+        Nil
+      }
 
     case "-rm" | "-rmr" =>
       val recursive = cmd == "-rmr"
-      val target = abs(args.head)
-      val (next, ok) =
-        if (PathOps.isGlob(args.head)) fs.deleteGlob(target, recursive)
-        else fs.delete(target, recursive)
-      fs = next
-      ShellResult(if (ok) 0 else -1, Nil,
-        if (ok) Nil else Seq(s"$cmd: No such file or directory: ${args.head}"))
+      forEachSrc(cmd, args) { arg =>
+        val target = abs(arg)
+        val (next, ok) =
+          if (PathOps.isGlob(arg)) fs.deleteGlob(target, recursive)
+          else fs.delete(target, recursive)
+        fs = next
+        if (!ok)
+          throw new FileNotFoundException(s"No such file or directory: $arg")
+        Nil
+      }
 
     case "-cat" =>
-      val bytes = fs.cat(abs(args.head)).collect()
-      val payload = if (bytes.isEmpty) Array.emptyByteArray
-        else bytes(0).getAs[Array[Byte]]("data")
-      ShellResult(0, Seq(new String(payload, java.nio.charset.StandardCharsets.UTF_8)), Nil)
+      // every source argument, glob-expanded, in the doall loop — the
+      // reference cats each match and keeps going on failures
+      forEachSrc(cmd, args) { arg =>
+        expandSrc(arg).map { p =>
+          val bytes = fs.cat(p).collect()
+          val payload = if (bytes.isEmpty) Array.emptyByteArray
+            else bytes(0).getAs[Array[Byte]]("data")
+          new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+        }
+      }
 
     case "-text" =>
-      val p = fileArg(args.head)
-      val rows = DataPlane.text(fs.chunks.filter(col("path") === p)).collect()
-      ShellResult(0, rows.map(_.getString(1)).toSeq, Nil)
+      forEachSrc(cmd, args) { arg =>
+        expandSrc(arg).map { m =>
+          val p = fileArg(m)
+          val rows = DataPlane.text(fs.chunks.filter(col("path") === p)).collect()
+          rows.map(_.getString(1)).mkString("\n")
+        }
+      }
 
     case "-tail" =>
       val p = fileArg(args.head)
@@ -214,7 +304,24 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       ShellResult(0, Nil, Nil)
 
     case "-get" | "-copyToLocal" =>
-      DataPlane.get(fs.chunks, fileArg(args.head), args(1))
+      // -ignoreCrc/-crc are parsed like the reference (SnackFSShell
+      // .scala:605-607) and are deliberate no-ops: this engine stores no
+      // CRC sidecar files, so there is nothing to skip or copy
+      val rest = args.filterNot(a => a == "-ignoreCrc" || a == "-crc")
+      if (rest.length < 2)
+        return ShellResult(-1, Nil, ShellHelp.help(cmd).toSeq)
+      val local = rest(1)
+      val localIsDir =
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(local))
+      val matched = expandSrc(rest.head)
+      if (matched.length > 1 && !localIsDir)
+        return ShellResult(-1, Nil, Seq(
+          s"$cmd: When copying multiple files, destination $local should be a directory."))
+      matched.foreach { m =>
+        val p = fileArg(m)
+        val target = if (localIsDir) s"$local/${basename(p)}" else local
+        DataPlane.get(fs.chunks, p, target)
+      }
       ShellResult(0, Nil, Nil)
 
     case "-getmerge" =>
@@ -223,8 +330,12 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         case None => return ShellResult(-1, Nil,
           Seq(s"-getmerge: invalid addnl flag '${args(2)}'"))
       })
+      val src = abs(args.head)
+      // the reference path errors on a missing source (FileUtil
+      // .copyMerge's getFileStatus) — never silently write an empty file
+      if (!fs.catalog.exists(src)) throw new FileNotFoundException(src)
       // dir-scoped prefix: "/data" must not bleed onto "/databak"
-      DataPlane.getmergeTo(fs.chunks, dirPrefix(abs(args.head)), args(1), addnl)
+      DataPlane.getmergeTo(fs.chunks, dirPrefix(src), args(1), addnl)
       ShellResult(0, Nil, Nil)
 
     case other =>

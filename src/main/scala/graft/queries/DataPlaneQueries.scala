@@ -86,9 +86,34 @@ object DataPlaneQueries {
     QueryDef(
       "fs_text",
       (s, d) => {
+        import s.implicits._
         val docs = docFiles(s, d).filter(col("doc_id") < 50)
-        val chunks = DataPlane.chunk(
-          docs.select(col("path"), col("text").cast("binary").as("data")), 64, 256)
+        // a third of the corpus is gzip-compressed and a third PK-zipped
+        // BEFORE chunking; the oracle compares against the original text,
+        // so hash equality proves the -text codec sniff round-trips all
+        // three framings (SnackFSShell.scala:154-155's "zip" formats)
+        val encoded = docs
+          .select(col("path"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .mapPartitions(_.map { case (p, id, t) =>
+            val raw = t.getBytes("UTF-8")
+            val data: Array[Byte] =
+              if (id % 3 == 0) {
+                val bos = new java.io.ByteArrayOutputStream()
+                val gz = new java.util.zip.GZIPOutputStream(bos)
+                gz.write(raw); gz.close()
+                bos.toByteArray
+              } else if (id % 3 == 1) {
+                val bos = new java.io.ByteArrayOutputStream()
+                val zip = new java.util.zip.ZipOutputStream(bos)
+                zip.putNextEntry(new java.util.zip.ZipEntry("doc"))
+                zip.write(raw); zip.closeEntry(); zip.close()
+                bos.toByteArray
+              } else raw
+            (p, data)
+          })
+          .toDF("path", "data")
+        val chunks = DataPlane.chunk(encoded, 64, 256)
         DataPlane.text(chunks)
           .join(docs.select(col("doc_id"), col("path")), "path")
           .select(col("doc_id"), col("text"))

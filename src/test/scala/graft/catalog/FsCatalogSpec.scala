@@ -221,7 +221,9 @@ class FsCatalogSpec extends AnyFlatSpec with Matchers {
   }
 
   it must "always throw on append, mirroring AppendFileCommand.scala:38-40" in {
-    an[UnsupportedOperationException] must be thrownBy tree.append("/a/f1")
+    // IOException — the reference's exact exception type
+    val e = intercept[IOException](tree.append("/a/f1"))
+    e.getMessage must be("Appending to existing file is not supported.")
   }
 
   behavior of "getFileBlockLocations range pruning (SnackFS.scala:135-149)"
@@ -281,6 +283,20 @@ class FsCatalogSpec extends AnyFlatSpec with Matchers {
     afterAll.exists("/a/sub") must be(false) // matched dir itself removed
     afterAll.exists("/a/sub/f3") must be(false)
     tree.deleteGlob("/zzz*", recursive = true)._2 must be(false)
+  }
+
+  it must "never match the root for '/*' — '*' must not bind the empty component" in {
+    // '[^/]*' matches "" so '^/[^/]*$' matches "/" — Hadoop globStatus
+    // never returns the root for '/*', and deleting the root inode would
+    // orphan the whole catalog (every getFileStatus('/') would FNFE)
+    tree.globStatus("/*").collect().map(_.getString(0)) must not contain "/"
+    val (after, ok) = tree.deleteGlob("/*", recursive = true)
+    ok must be(true)
+    after.exists("/") must be(true)
+    after.listStatus("/").count() must be(0L) // children gone, root intact
+    after.getFileStatus("/").count() must be(1L)
+    // the literal '/' pattern still names the root
+    tree.globStatus("/").collect().map(_.getString(0)) must be(Array("/"))
   }
 
   it must "report per-match subtree totals for du over a glob" in {

@@ -157,6 +157,23 @@ class DataPlaneSpec extends AnyFlatSpec with Matchers {
     out("/t/zipped.gz") must be(gzBody)
   }
 
+  it must "inflate the first entry of a PK-zip payload (reference help: 'zip and TextRecordInputStream')" in {
+    val zipBody = "this was inside a zip entry"
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("doc.txt"))
+    zip.write(zipBody.getBytes("UTF-8"))
+    zip.closeEntry()
+    zip.putNextEntry(new java.util.zip.ZipEntry("ignored-second-entry.txt"))
+    zip.write("not this one".getBytes("UTF-8"))
+    zip.closeEntry(); zip.close()
+    val chunks = DataPlane.chunk(
+      filesDf(Seq(("/t/archive.zip", bos.toByteArray))), 10, 30)
+    val out = DataPlane.text(chunks).collect()
+    out.length must be(1)
+    out(0).getString(1) must be(zipBody)
+  }
+
   behavior of "reassembleBlocks (bounded cells)"
 
   it must "cap every reassembled cell at blockSize, never file size" in {

@@ -135,8 +135,9 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
     val fs = newFs()
     val out = fs.create(new Path("/ow/f"))
     out.write("first".getBytes); out.close()
-    an[UnsupportedOperationException] must be thrownBy
-      fs.append(new Path("/ow/f"), 4096, null)
+    // IOException — the reference's exact type (AppendFileCommand.scala:38-40)
+    val e = intercept[IOException](fs.append(new Path("/ow/f"), 4096, null))
+    e.getMessage must be("Appending to existing file is not supported.")
     // overwrite=true (the Hadoop create(Path) default) replaces content
     val out2 = fs.create(new Path("/ow/f"))
     out2.write("second!".getBytes); out2.close()
@@ -144,5 +145,60 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
     val arr = new Array[Byte](7)
     is.readFully(0, arr); is.close()
     new String(arr) must be("second!")
+  }
+
+  it must "stream subblocks as they fill — chunk rows and per-block inode commits land BEFORE close" in {
+    val fs = newFs()
+    // 8/16 geometry: 20 bytes = subblocks (8, 8, 4); blocks (16, 4).
+    // Mirrors FileSystemStreamSpec.scala:52-76's tiny-geometry contract.
+    val out = fs.create(new Path("/stream/f"))
+    out.write("ABCDEFGH".getBytes) // fills subblock 0 → flushed eagerly
+    fs.graftFs.chunkSummary("/stream/f").collect()(0)
+      .getAs[Long]("n_chunks") must be(1L)
+    out.write("IJKLMNOPQRST".getBytes) // fills sb1 (block 0 commits) + 4 buffered
+    fs.graftFs.chunkSummary("/stream/f").collect()(0)
+      .getAs[Long]("n_chunks") must be(2L)
+    // endBlock re-committed the inode with block 0 (16 bytes) — the
+    // reference's per-block INode re-store (FileSystemOutputStream:103-120)
+    fs.getFileStatus(new Path("/stream/f")).getLen must be(16L)
+    out.close() // final partial subblock + inode commit
+    fs.graftFs.chunkSummary("/stream/f").collect()(0)
+      .getAs[Long]("n_chunks") must be(3L)
+    fs.getFileStatus(new Path("/stream/f")).getLen must be(20L)
+    val is = fs.open(new Path("/stream/f"))
+    val arr = new Array[Byte](20)
+    is.readFully(0, arr); is.close()
+    new String(arr) must be("ABCDEFGHIJKLMNOPQRST")
+  }
+
+  it must "treat double-close as a no-op and refuse writes after close" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/dc/f"))
+    out.write("0123456789".getBytes)
+    out.close()
+    out.close() // legal on Java/Hadoop streams — must not double chunk rows
+    fs.graftFs.chunkSummary("/dc/f").collect()(0)
+      .getAs[Long]("n_chunks") must be(2L)
+    fs.getFileStatus(new Path("/dc/f")).getLen must be(10L)
+    val e = intercept[IOException](out.write("more".getBytes))
+    e.getMessage must include("Stream closed")
+  }
+
+  it must "report block locations with replica hosts and start-pruning (SnackFSSpec.scala:242-269 scaled down)" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/loc/f"))
+    out.write("ABCDEFGHIJKLMNOPQRSTUVWX".getBytes) // 24 bytes = 2 blocks (16, 8)
+    out.close()
+    val st = fs.getFileStatus(new Path("/loc/f"))
+    val locs = fs.getFileBlockLocations(st, 0, st.getLen)
+    locs.length must be(2)
+    locs.foreach { bl =>
+      bl.getHosts.length must be(3)
+      bl.getNames.foreach(_ must include(":"))
+    }
+    locs.map(_.getOffset).sorted must be(Array(0L, 16L))
+    locs.map(_.getLength).sorted must be(Array(8L, 16L))
+    // blocks ending before `start` are pruned (SnackFS.scala:138)
+    fs.getFileBlockLocations(st, 17, st.getLen).length must be(1)
   }
 }

@@ -137,6 +137,84 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     sh.run(Array("-rm", "/[a]")).code must be(-1)
   }
 
+  it must "glob-expand -cat/-text sources and keep going on per-arg failures (doall)" in {
+    val sh = newShell()
+    val r = sh.run(Array("-cat", "/a/f*"))
+    r.code must be(0)
+    r.out must be(Seq("0123456789", "abcdefghijklmnopqrst"))
+    // multiple args: the failure prints, the rest still cats, exit -1
+    val mixed = sh.run(Array("-cat", "/nope", "/b.txt"))
+    mixed.code must be(-1)
+    mixed.out must be(Seq("hello"))
+    mixed.err.head must startWith("-cat:")
+    // glob matching nothing → the globStatus FNFE wording
+    val miss = sh.run(Array("-text", "/zzz*"))
+    miss.code must be(-1)
+    miss.err.head must be("-text: Cannot access /zzz*: No such file or directory.")
+  }
+
+  it must "glob-expand -mv/-cp sources with the directory-destination matrix" in {
+    val sh = newShell()
+    // -cp into an existing dir redirects to dir/<basename> (checkDest)
+    sh.run(Array("-mkdir", "/dest")).code must be(0)
+    sh.run(Array("-cp", "/a/f*", "/dest")).code must be(0)
+    sh.run(Array("-cat", "/dest/f1")).out.head must be("0123456789")
+    sh.run(Array("-cat", "/dest/f2")).out.head must be("abcdefghijklmnopqrst")
+    // multi-match -mv keeps the reference quirk: RenameCommand throws
+    // "Destination already exists" per source even for a dir destination
+    val mv = sh.run(Array("-mv", "/dest/f*", "/a/sub"))
+    mv.code must be(-1)
+    mv.err.foreach(_ must include("Destination already exists"))
+    // multi-source without a dir destination refuses up front
+    val bad = sh.run(Array("-cp", "/a/f1", "/b.txt", "/flat"))
+    bad.code must be(-1)
+    bad.err.head must include("should be a directory")
+    // single mv through a glob still works when the destination is free
+    sh.run(Array("-mv", "/a/f[1]", "/moved")).code must be(0)
+    sh.run(Array("-cat", "/moved")).out.head must be("0123456789")
+  }
+
+  it must "error on -du/-getmerge no-match instead of silent empty output" in {
+    val sh = newShell()
+    val du = sh.run(Array("-du", "/zzz*"))
+    du.code must be(-1)
+    du.err.head must be("-du: Cannot access /zzz*: No such file or directory.")
+    val gm = sh.run(Array("-getmerge", "/nope", "/tmp/graft-gm-miss.bin"))
+    gm.code must be(-1)
+    gm.err.head must startWith("-getmerge:")
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/tmp/graft-gm-miss.bin")) must be(false)
+  }
+
+  it must "accept -count -q (unset quotas) and -get crc flags as documented no-ops" in {
+    val sh = newShell()
+    val plain = sh.run(Array("-count", "/a"))
+    plain.code must be(0)
+    val q = sh.run(Array("-count", "-q", "/a"))
+    q.code must be(0)
+    q.out.head must include("none")
+    q.out.head must include("inf")
+    q.out.head must endWith(plain.out.head) // quota columns prefix the same triple
+    val local = Files.createTempFile("graft-shell-crc", ".txt")
+    sh.run(Array("-get", "-ignoreCrc", "/b.txt", local.toString)).code must be(0)
+    new String(Files.readAllBytes(local)) must be("hello")
+    sh.run(Array("-get", "-crc", "/b.txt")).code must be(-1) // flags don't count toward arity
+    Files.delete(local)
+  }
+
+  it must "glob-expand -get into a local directory" in {
+    val sh = newShell()
+    val dir = Files.createTempDirectory("graft-shell-getglob")
+    sh.run(Array("-get", "/a/f*", dir.toString)).code must be(0)
+    new String(Files.readAllBytes(dir.resolve("f1"))) must be("0123456789")
+    new String(Files.readAllBytes(dir.resolve("f2"))) must be("abcdefghijklmnopqrst")
+    // multiple matches need a directory destination
+    val bad = sh.run(Array("-get", "/a/f*", dir.resolve("one-file").toString))
+    bad.code must be(-1)
+    bad.err.head must include("should be a directory")
+    dir.toFile.listFiles.foreach(_.delete()); Files.delete(dir)
+  }
+
   it must "round-trip put → du → get and report byte totals" in {
     val sh = newShell()
     val local = Files.createTempFile("graft-shell-put", ".txt")
