@@ -68,12 +68,20 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b for every candidate
     * pair sharing ≥1 band bucket; `threshold` filters verified near-dups.
     * k = b*r hash functions; the (b, r) choice tunes the S-curve.
+    *
+    * `maxBucket` bounds the per-bucket pair explosion BY CONSTRUCTION:
+    * buckets larger than the cap are excluded from pair generation and
+    * the drop shouts through LshGuard's observe metrics (never a silent
+    * recall loss). A bucket only outgrows the cap on degenerate content
+    * — boilerplate/identical docs collide in every band — which belongs
+    * to exact dedup upstream, not to a 10^12-pair Generate here.
     */
   def minhashPairs(docs: DataFrame,
                    shingleN: Int = 3,
                    b: Int = 8,
                    r: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
     val k = b * r
     val sh = shingleRows(docs, shingleN)
 
@@ -107,12 +115,17 @@ object Dedup {
     // subtree in the plan and, at 100 TB, either broadcast the full
     // corpus band table or shuffle it twice; grouping by bucket shuffles
     // the (band, doc_id) rows once and explodes each bucket's sorted id
-    // list into its i<j pairs (buckets are small by LSH construction —
-    // a hot bucket hurts the self-join quadratically too).
+    // list into its i<j pairs. The maxBucket filter runs BEFORE the
+    // explode, so pair count is bounded at cap²/2 per bucket whatever
+    // the corpus does; the observe metrics ride the same pass.
+    LshGuard.ensureListener(docs.sparkSession)
+    val metrics = LshGuard.dropMetrics(size(col("ids")), maxBucket)
     val candidates = bandRows
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe(LshGuard.observationName("minhash"), metrics.head, metrics.tail: _*)
+      .filter(size(col("ids")) <= maxBucket)
       .select(explode(expr(
         "flatten(transform(ids, (a, i) -> " +
           "transform(slice(ids, i + 2, size(ids) - i - 1), " +
@@ -179,42 +192,61 @@ object Dedup {
     * verified like every other dedup path.
     *
     * Recall contract (pigeonhole): a pair within Hamming distance d
-    * dirties at most d bands, so with `b >= maxHamming + 1` bands every
-    * pair inside the gate radius shares a clean band — the defaults
-    * (b=8, maxHamming=7) make the banding EXACT for its own contract
-    * (spec-asserted against brute all-pairs Hamming). The tradeoff is
-    * bucket width: 8-bit bands give 2^8 keys, so at corpus scale pair
-    * generation should move to block-CONCATENATION keys (emit every
-    * 2-of-b block combination per doc — C(b,2) rows, 2^16 keys, radius
-    * b−2; same skeleton, wider keys). Note the measured testdata near-
-    * dup pairs reach d≈12: a radius-12 guarantee needs 13 blocks, so
-    * Jaccard-threshold sweeps below 1.0 are NOT complete under simhash
-    * banding — use `minhashPairs` for set-similarity thresholds; this op
-    * is the fingerprint (small-radius) dedup.
+    * dirties at most d blocks, so it shares a CLEAN `blocksPerKey`-sized
+    * block combination whenever `maxHamming <= b - blocksPerKey`
+    * (asserted). Two operating points, both spec-asserted against brute
+    * all-pairs Hamming:
+    *  - `blocksPerKey=1` (default): one key per block — b=8 gives
+    *    radius 7 with 8-bit keys, the fingerprint (small-radius) dedup.
+    *  - `blocksPerKey=2`: every C(b,2) block CONCATENATION is a key
+    *    (the Manku-et-al table trick) — radius b−2, so b=16 covers the
+    *    measured testdata near-dup band (d≈12) with radius 14. The key
+    *    is 2·(64/b) bits wide; per-doc row count grows to C(b,2), and
+    *    bucket population scales as N/2^keybits — the maxBucket guard
+    *    (and at true corpus scale, a wider signature) bounds the
+    *    explosion. For set-similarity thresholds `minhashPairs` remains
+    *    the right op; this is the Hamming-radius search.
     */
   def simhashPairs(docs: DataFrame,
                    b: Int = 8,
                    maxHamming: Int = 7,
                    shingleN: Int = 3,
-                   threshold: Double = 0.5): DataFrame = {
-    require(64 % b == 0, "band count must divide 64")
+                   threshold: Double = 0.5,
+                   maxBucket: Int = 1000,
+                   blocksPerKey: Int = 1): DataFrame = {
+    require(64 % b == 0, "block count must divide 64")
+    require(blocksPerKey == 1 || blocksPerKey == 2,
+      "1 or 2 blocks per key supported")
+    require(maxHamming <= b - blocksPerKey,
+      s"radius guarantee needs maxHamming <= b - blocksPerKey " +
+        s"(= ${b - blocksPerKey}); raise b or lower maxHamming")
     val width = 64 / b
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = simhash(docs)
-    val bandStructs = (0 until b).map { i =>
-      struct(lit(i).as("band_idx"),
-        expr(s"(simhash >> ${i * width}) & $mask").as("band_bits"))
+    val combos: Seq[Seq[Int]] =
+      if (blocksPerKey == 1) (0 until b).map(Seq(_))
+      else for { i <- 0 until b; j <- (i + 1) until b } yield Seq(i, j)
+    val bandStructs = combos.zipWithIndex.map { case (blocks, ci) =>
+      val key = blocks
+        .map(i => s"((simhash >> ${i * width}) & $mask)")
+        .reduce((a, c) => s"(($a << $width) | $c)")
+      struct(lit(ci).as("band_idx"), expr(key).as("band_bits"))
     }
     val bandRows = sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
     // signatures ride into the buckets so the Hamming gate needs no
-    // extra join — each bucket row is (id, sig), still narrow
+    // extra join — each bucket row is (id, sig), still narrow; maxBucket
+    // bounds the explosion before it happens (see minhashPairs)
+    LshGuard.ensureListener(docs.sparkSession)
+    val metrics = LshGuard.dropMetrics(size(col("ds")), maxBucket)
     val candidates = bandRows
       .groupBy(col("band_idx"), col("band_bits"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
       .filter(size(col("ds")) > 1)
+      .observe(LshGuard.observationName("simhash"), metrics.head, metrics.tail: _*)
+      .filter(size(col("ds")) <= maxBucket)
       .select(explode(expr(
         "flatten(transform(ds, (a, i) -> " +
           "transform(slice(ds, i + 2, size(ds) - i - 1), " +

@@ -1,0 +1,84 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Loud accounting for bounded-bucket candidate generation.
+  *
+  * Every bucket-grouped pair generator (MinHash/SimHash LSH, IVF
+  * embedding dedup) explodes each bucket's id list into its i<j pairs —
+  * quadratic per bucket. Healthy corpora keep buckets small by
+  * construction, but a real crawl has degenerate content (empty docs,
+  * boilerplate templates) that collapses into one bucket: a 1M-doc
+  * bucket is a 10^12-pair Generate. The generators therefore cap the
+  * bucket size — pairs are bounded BY CONSTRUCTION, not by corpus luck
+  * (the reference bounds its own only unbounded query the same way: a
+  * hard 100 000-row cap, ThriftStore.scala:509).
+  *
+  * A silent cap would turn recall loss into a correct-looking answer,
+  * so the drop is surfaced through `Dataset.observe` metrics — computed
+  * DURING the normal pass, zero extra jobs — and a per-session
+  * `QueryExecutionListener` that shouts when any bucket was dropped.
+  * The right fix for a shouting pipeline is upstream: exact-dedup the
+  * boilerplate first (identical docs collide in EVERY band, so they
+  * always form the hottest bucket), or raise the cap deliberately.
+  */
+object LshGuard {
+
+  /** Observe-metrics over a bucketed frame (one row per bucket):
+    * buckets above `cap` (these get dropped), member rows inside them,
+    * and the largest bucket seen.
+    */
+  def dropMetrics(sizeCol: Column, cap: Int): Seq[Column] = Seq(
+    sum(when(sizeCol > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+    sum(when(sizeCol > cap, sizeCol.cast("long")).otherwise(0L)).as("dropped_ids"),
+    max(sizeCol.cast("long")).as("max_bucket"))
+
+  // observation names must be unique within a query execution; ops like
+  // components() embed minhashPairs alongside other observed frames
+  private val seq = new AtomicLong()
+  def observationName(kind: String): String =
+    s"lsh_${kind}_${seq.incrementAndGet()}"
+
+  /** Drop handler — swappable so specs can capture the shout; default
+    * prints to stderr (the session may have no log4j config).
+    */
+  @volatile var onDrop: (String, Long, Long, Long) => Unit =
+    (name, buckets, ids, maxBucket) =>
+      Console.err.println(
+        s"[graft][WARN] $name: dropped $buckets oversized bucket(s) holding " +
+          s"$ids ids (largest bucket: $maxBucket) — pairs inside them are NOT " +
+          "reported; exact-dedup boilerplate upstream or raise maxBucket")
+
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register the shouting listener once per session (weakly keyed — a
+    * stopped session unregisters itself by being collected).
+    */
+  def ensureListener(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("lsh_")) {
+              val dropped = longAt(row, "dropped_buckets")
+              if (dropped > 0)
+                onDrop(name, dropped, longAt(row, "dropped_ids"),
+                  longAt(row, "max_bucket"))
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+
+  private def longAt(row: Row, field: String): Long = {
+    val i = row.fieldIndex(field)
+    if (row.isNullAt(i)) 0L else row.getLong(i)
+  }
+}

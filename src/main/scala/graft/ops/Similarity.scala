@@ -121,18 +121,38 @@ object Similarity {
     * testdata; nprobe=2 lifts it past the gate floor). Candidate rows
     * carry ids only; embeddings re-attach for the verified cosine, so
     * the probe multiplier never multiplies payload shuffles.
+    *
+    * `maxBucket` is the skew guard: k-means gives NO bucket-size
+    * guarantee (one Lloyd round from a first-K seed can pour a clustered
+    * corpus into few buckets), and pair generation is quadratic per
+    * bucket. Buckets above the cap are excluded from pair generation and
+    * the drop shouts through LshGuard's observe metrics — same loud-drop
+    * contract as the LSH dedups. The recall gates catch quality
+    * regressions; this catches the runaway-cost regression they can't.
     */
   def embeddingNearDups(corpus: DataFrame, numCentroids: Int,
                         threshold: Double, kmeansIters: Int = 1,
-                        nprobe: Int = 2): DataFrame = {
+                        nprobe: Int = 2, maxBucket: Int = 10000): DataFrame = {
     val centroids = kmeansCentroids(corpus, numCentroids, kmeansIters)
     val multi = probeAssignments(corpus, centroids, nprobe)
       .select(col("vec_id"), col("bucket"))
-    val a = multi.select(col("bucket"), col("vec_id").as("id_a"))
-    val b = multi.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"))
-    val candidates = a
-      .join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // bucket-grouped pair generation — the same capped skeleton as the
+    // LSH dedups (Dedup.minhashPairs): one shuffle of (bucket, id) rows,
+    // no self-join duplicating the probe subtree, explosion bounded
+    // BEFORE it happens, observe metrics riding the same pass
+    LshGuard.ensureListener(corpus.sparkSession)
+    val metrics = LshGuard.dropMetrics(size(col("ids")), maxBucket)
+    val candidates = multi
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe(LshGuard.observationName("ivf"), metrics.head, metrics.tail: _*)
+      .filter(size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     candidates
       .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("qv")), "id_a")

@@ -121,6 +121,40 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     brute.nonEmpty must be(true) // the contract check must actually bite
   }
 
+  it must "extend the radius past b−1 with 2-block concatenation keys (d=12 on testdata)" in {
+    // radius 12 exceeds any single-block guarantee at key widths that
+    // still bucket (13 blocks would need non-dividing widths); 2-of-16
+    // block concatenation gives radius 16−2=14 ≥ 12 by pigeonhole —
+    // compare against brute all-pairs Hamming ≤ 12 + the Jaccard verify
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 300)
+    val found = Dedup.simhashPairs(docs, b = 16, maxHamming = 12,
+        threshold = 0.5, blocksPerKey = 2)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = Dedup.simhash(docs)
+    val sets = Dedup.shingleSets(docs)
+    val brute = sig.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+      .join(broadcast(sig.select(col("doc_id").as("id_b"), col("simhash").as("sb"))),
+        col("id_a") < col("id_b"))
+      .filter(expr("bit_count(sa ^ sb) <= 12"))
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .filter(
+        org.apache.spark.sql.functions.size(
+          array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          org.apache.spark.sql.functions.size(
+            array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+      .select(col("id_a"), col("id_b"), expr("bit_count(sa ^ sb)").as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    found must be(brute.map(_._1).toSet)
+    // the widened radius must catch pairs the radius-7 gate cannot —
+    // otherwise this spec proves nothing beyond the b=8 one
+    brute.exists(_._2 > 7) must be(true)
+    an[IllegalArgumentException] must be thrownBy
+      Dedup.simhashPairs(docs, b = 8, maxHamming = 12) // guarantee violated
+  }
+
   it must "pair near-duplicates via banded signatures and verify with exact jaccard" in {
     val nearDup = base.replace("dog", "cat")
     val pairs = Dedup.simhashPairs(docsDf(Seq(
@@ -131,6 +165,86 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     pairs must contain((1L, 3L)) // identical docs share every band
     pairs must contain((1L, 2L)) // near-dup within the Hamming gate
     pairs.exists(p => p._1 == 4L || p._2 == 4L) must be(false)
+  }
+
+  /** Run `body` with LshGuard.onDrop captured; returns (result, total
+    * dropped buckets observed). The listener bus is async — wait for the
+    * metric (or a 30 s deadline) before returning.
+    */
+  private def capturingDrops[T](expectDrop: Boolean)(body: => T): (T, Long) = {
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
+    val seen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prev = LshGuard.onDrop
+    LshGuard.onDrop = (_, buckets, _, _) => {
+      dropped.addAndGet(buckets); seen.set(true)
+    }
+    try {
+      val result = body
+      val deadline = System.currentTimeMillis() + 30000
+      while (expectDrop && !seen.get() && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      (result, dropped.get())
+    } finally LshGuard.onDrop = prev
+  }
+
+  behavior of "hot-bucket caps (bounded pair explosion)"
+
+  private val boilerplate =
+    "identical boilerplate template text repeated across the whole crawl corpus"
+
+  it must "bound minhash pair generation under a boilerplate flood and shout the drop" in {
+    // 60 identical docs collapse into ONE bucket per band — uncapped
+    // that is 60·59/2 pairs × 8 bands of aggregation buffer; capped, the
+    // oversized buckets drop LOUDLY and the true near-dup pair survives
+    val docs = docsDf(Seq(1L -> base, 2L -> base.replace("dog", "cat")) ++
+      (100L until 160L).map(_ -> boilerplate))
+    val (pairs, dropped) = capturingDrops(expectDrop = true) {
+      Dedup.minhashPairs(docs, threshold = 0.3, maxBucket = 20).collect()
+    }
+    pairs.map(r => (r.getLong(0), r.getLong(1))) must be(Array((1L, 2L)))
+    dropped must be(8L) // the boilerplate bucket, once per band
+    // the default cap leaves a healthy corpus untouched: same corpus,
+    // uncapped answer = the flood's full clique + the near-dup pair
+    val (full, dropped2) = capturingDrops(expectDrop = false) {
+      Dedup.minhashPairs(docs, threshold = 0.3).count()
+    }
+    full must be(60L * 59 / 2 + 1)
+    dropped2 must be(0L)
+  }
+
+  it must "bound simhash pair generation the same way" in {
+    val docs = docsDf(Seq(1L -> base, 2L -> base.replace("dog", "cat")) ++
+      (100L until 160L).map(_ -> boilerplate))
+    val (pairs, dropped) = capturingDrops(expectDrop = true) {
+      Dedup.simhashPairs(docs, threshold = 0.3, maxBucket = 20).collect()
+    }
+    pairs.map(r => (r.getLong(0), r.getLong(1))) must be(Array((1L, 2L)))
+    dropped must be(8L)
+  }
+
+  it must "guard IVF bucket skew: a clustered corpus cannot go quadratic silently" in {
+    // first-K seeding from identical vectors degenerates k-means to ONE
+    // bucket holding the whole corpus — exactly the skew the recall
+    // gates cannot see (recall is fine; cost explodes)
+    val a = Seq.fill(40)(Seq(1f, 0f, 0f, 0f))
+    val b = Seq.fill(3)(Seq(0f, 1f, 0f, 0f))
+    val vecs = embDf((a ++ b).zipWithIndex.map { case (v, i) => i.toLong -> v })
+    val (capped, dropped) = capturingDrops(expectDrop = true) {
+      Similarity.embeddingNearDups(vecs, numCentroids = 4,
+        threshold = 0.45, maxBucket = 10).collect()
+    }
+    // the A-heavy buckets (40+ members) drop; the small B bucket still
+    // pairs — capping hits only where the quadratic term lives
+    capped.map(r => (r.getLong(0), r.getLong(1))).sorted must be(
+      Array((40L, 41L), (40L, 42L), (41L, 42L)))
+    dropped must be >= 1L
+    // with the cap above corpus size, the full clique set comes back
+    val (full, dropped2) = capturingDrops(expectDrop = false) {
+      Similarity.embeddingNearDups(vecs, numCentroids = 4,
+        threshold = 0.45).count()
+    }
+    full must be(40L * 39 / 2 + 3) // A-clique + B-clique, A·B=0 excluded
+    dropped2 must be(0L)
   }
 
   behavior of "Similarity brute vs IVF"
