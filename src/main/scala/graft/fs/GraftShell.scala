@@ -131,37 +131,40 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     case "-ls" | "-lsr" =>
       // the reference errors when the GLOB matches nothing (not when a
       // matched dir happens to be empty — that prints "Found 0 items")
-      val pat = abs(args.head)
-      if (fs.catalog.globStatus(pat).limit(1).count() == 0)
-        ShellResult(-1, Nil,
-          Seq(s"$cmd: Cannot access ${args.head}: No such file or directory."))
-      else {
+      forEachSrc(cmd, args) { arg =>
+        val pat = abs(arg)
+        if (fs.catalog.globStatus(pat).limit(1).count() == 0)
+          throw new FileNotFoundException(
+            s"Cannot access $arg: No such file or directory.")
         val rows = fs.catalog.listGlob(pat, recursive = cmd == "-lsr").collect()
-        ShellResult(0,
-          (if (cmd == "-ls") Seq(s"Found ${rows.length} items") else Nil) ++
-            statusLines(rows), Nil)
+        (if (cmd == "-ls") Seq(s"Found ${rows.length} items") else Nil) ++
+          statusLines(rows)
       }
 
     case "-du" =>
-      val p = abs(args.head)
       // same no-match matrix as -ls: the reference resolves the argument
       // through globStatus, which raises FNFE when nothing matches —
       // glob or literal alike (SnackFSShell doall → inherited du)
-      if (PathOps.isGlob(args.head)) {
-        if (fs.catalog.globStatus(p).limit(1).count() == 0)
-          throw new FileNotFoundException(
-            s"Cannot access ${args.head}: No such file or directory.")
-      } else if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
-      val rows =
-        if (PathOps.isGlob(args.head)) fs.catalog.duGlob(p).collect()
-        else fs.catalog.du(p).collect()
-      ShellResult(0, rows.map(r => f"${r.getLong(1)}%12d  ${r.getString(0)}").toSeq, Nil)
+      forEachSrc(cmd, args) { arg =>
+        val p = abs(arg)
+        if (PathOps.isGlob(arg)) {
+          if (fs.catalog.globStatus(p).limit(1).count() == 0)
+            throw new FileNotFoundException(
+              s"Cannot access $arg: No such file or directory.")
+        } else if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
+        val rows =
+          if (PathOps.isGlob(arg)) fs.catalog.duGlob(p).collect()
+          else fs.catalog.du(p).collect()
+        rows.map(r => f"${r.getLong(1)}%12d  ${r.getString(0)}").toSeq
+      }
 
     case "-dus" =>
-      val p = abs(args.head)
-      if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
-      val r = fs.catalog.dus(p).collect()(0)
-      ShellResult(0, Seq(f"${r.getLong(1)}%12d  ${r.getString(0)}"), Nil)
+      forEachSrc(cmd, args) { arg =>
+        val p = abs(arg)
+        if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
+        val r = fs.catalog.dus(p).collect()(0)
+        Seq(f"${r.getLong(1)}%12d  ${r.getString(0)}")
+      }
 
     case "-count" =>
       // -q prints the quota columns first (SnackFSShell.scala:536-548 →
@@ -179,14 +182,18 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         Seq(f"$quota${r.getLong(1)}%8d ${r.getLong(2)}%8d ${r.getLong(3)}%12d ${r.getString(0)}"), Nil)
 
     case "-mkdir" =>
-      val (cat2, ok) = fs.catalog.mkdirs(abs(args.head))
-      fs = GraftFs(cat2, fs.chunks)
-      ShellResult(if (ok) 0 else -1, Nil,
-        if (ok) Nil else Seq(s"-mkdir: cannot create directory ${args.head}"))
+      forEachSrc(cmd, args) { arg =>
+        val (cat2, ok) = fs.catalog.mkdirs(abs(arg))
+        fs = GraftFs(cat2, fs.chunks)
+        if (!ok) throw new IOException(s"cannot create directory $arg")
+        Nil
+      }
 
     case "-touchz" =>
-      fs = GraftFs(fs.catalog.touchz(abs(args.head)), fs.chunks)
-      ShellResult(0, Nil, Nil)
+      forEachSrc(cmd, args) { arg =>
+        fs = GraftFs(fs.catalog.touchz(abs(arg)), fs.chunks)
+        Nil
+      }
 
     case "-test" =>
       val ok = args.head match {

@@ -202,6 +202,23 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     Files.delete(local)
   }
 
+  it must "apply -ls/-du/-dus/-mkdir/-touchz per argument in the doall loop" in {
+    val sh = newShell()
+    sh.run(Array("-mkdir", "/m1", "/m2")).code must be(0)
+    sh.run(Array("-test", "-d", "/m2")).code must be(0)
+    sh.run(Array("-touchz", "/m1/za", "/m2/zb")).code must be(0)
+    sh.run(Array("-test", "-z", "/m2/zb")).code must be(0)
+    val ls = sh.run(Array("-ls", "/m1", "/m2"))
+    ls.code must be(0)
+    ls.out.count(_.startsWith("Found")) must be(2)
+    // failures print per argument and the remaining arguments still run
+    val mixed = sh.run(Array("-du", "/nope", "/a"))
+    mixed.code must be(-1)
+    mixed.err.head must startWith("-du:")
+    mixed.out.nonEmpty must be(true)
+    sh.run(Array("-dus", "/m1", "/m2")).out.length must be(2)
+  }
+
   it must "glob-expand -get into a local directory" in {
     val sh = newShell()
     val dir = Files.createTempDirectory("graft-shell-getglob")
