@@ -220,13 +220,14 @@ object DataPlane {
     * the reference inherits it, SnackFSShell.scala:154-155 "allowed
     * formats are zip and TextRecordInputStream"). Gzip magic 0x1f8b →
     * inflate; PK-zip magic 0x504b0304 → inflate the FIRST entry (the
-    * help text's "zip"); anything else passes through as UTF-8.
-    * SequenceFile (TextRecordInputStream) framing is a documented
-    * narrowing — no sequence files exist in this engine. Streaming
-    * inflate is byte-level codec work no Expression expresses, so it
-    * rides `mapPartitions` like Multimodal.decodeMeta: one row in, one
-    * row out, payloads never shuffle beyond the reassembly that already
-    * happened.
+    * help text's "zip"); SequenceFile magic 'SEQ' → one `key\tvalue`
+    * line per record (Hadoop's TextRecordInputStream rendering,
+    * including its quirk that any payload starting with those bytes is
+    * TREATED as a SequenceFile and errors if it isn't one); anything
+    * else passes through as UTF-8. Streaming inflate is byte-level
+    * codec work no Expression expresses, so it rides `mapPartitions`
+    * like Multimodal.decodeMeta: one row in, one row out, payloads
+    * never shuffle beyond the reassembly that already happened.
     */
   def text(chunks: DataFrame): DataFrame = {
     val spark = chunks.sparkSession
@@ -255,7 +256,68 @@ object DataPlane {
         if (in.getNextEntry == null) Array.emptyByteArray
         else in.readAllBytes()
       } finally in.close()
+    } else if (magic(0) == 'S' && magic(1) == 'E' && magic(2) == 'Q') {
+      sequenceFileText(bytes)
     } else bytes
+  }
+
+  /** TextRecordInputStream rendering of an in-memory SequenceFile:
+    * `key\tvalue\n` per record (Hadoop FsShell.text). Reads through
+    * `SequenceFile.Reader.stream` over a seekable byte view — no
+    * filesystem round-trip; key/value classes instantiate reflectively
+    * like Hadoop does, so any Writable on the classpath renders.
+    */
+  private def sequenceFileText(bytes: Array[Byte]): Array[Byte] = {
+    import org.apache.hadoop.io.SequenceFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = new SequenceFile.Reader(conf,
+      SequenceFile.Reader.stream(
+        new org.apache.hadoop.fs.FSDataInputStream(new SeekableBytes(bytes))),
+      // a bare stream has no end marker — without the explicit length
+      // the reader runs off the last record into EOFException
+      SequenceFile.Reader.length(bytes.length.toLong))
+    try {
+      val key = org.apache.hadoop.util.ReflectionUtils
+        .newInstance(reader.getKeyClass, conf)
+        .asInstanceOf[org.apache.hadoop.io.Writable]
+      val value = org.apache.hadoop.util.ReflectionUtils
+        .newInstance(reader.getValueClass, conf)
+        .asInstanceOf[org.apache.hadoop.io.Writable]
+      val sb = new StringBuilder
+      while (reader.next(key, value))
+        sb.append(key).append('\t').append(value).append('\n')
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    } finally reader.close()
+  }
+
+  /** Minimal seekable in-memory stream — the contract
+    * `SequenceFile.Reader.stream` requires of its input.
+    */
+  private final class SeekableBytes(bytes: Array[Byte])
+    extends java.io.ByteArrayInputStream(bytes)
+    with org.apache.hadoop.fs.Seekable
+    with org.apache.hadoop.fs.PositionedReadable {
+    override def seek(p: Long): Unit = {
+      if (p < 0 || p > bytes.length)
+        throw new java.io.IOException(s"seek past end: $p")
+      pos = p.toInt
+    }
+    override def getPos: Long = pos.toLong
+    override def seekToNewSource(t: Long): Boolean = false
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+                      length: Int): Int = {
+      if (length == 0) return 0
+      if (position >= bytes.length) return -1
+      val n = math.min(length, bytes.length - position.toInt)
+      System.arraycopy(bytes, position.toInt, buffer, offset, n)
+      n
+    }
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+                           length: Int): Unit =
+      if (read(position, buffer, offset, length) < length)
+        throw new java.io.IOException("readFully past EOF")
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
   }
 
   /** D11 at scale: stream the merged prefix to a local sink block by

@@ -1,6 +1,6 @@
 package graft.fs
 
-import java.io.{ByteArrayInputStream, FileNotFoundException, IOException, OutputStream}
+import java.io.{FileNotFoundException, IOException, OutputStream}
 import java.net.URI
 import java.sql.Timestamp
 
@@ -23,11 +23,12 @@ import graft.catalog.{BlockMeta, FsCatalog, Inode, PathOps}
   * holds the current (catalog, chunks) snapshot — the same single-driver
   * narrowing documented for FileLocks (SURVEY.md §1.3).
   *
-  * Deliberate shim-level narrowing, documented at the method: `open`
-  * materializes ONE file's bytes in the driver (the compatibility path;
-  * the scale path for analytics is the DSv2 connector). Writes stream
-  * with the reference's own cadence — one subblock buffered at a time,
-  * inode re-committed per block (FileSystemOutputStream.scala:55-143).
+  * Both byte paths stream with the reference's own cadence: writes
+  * buffer one subblock at a time with per-block inode commits
+  * (FileSystemOutputStream.scala:55-143), reads keep one ≤blockSize
+  * block resident (FileSystemInputStream.scala:60-76) — neither path
+  * holds a whole file in driver memory. Analytics reads still belong on
+  * the DSv2 connector, which never touches the driver at all.
   */
 class GraftFileSystem extends FileSystem {
 
@@ -237,19 +238,98 @@ class GraftFileSystem extends FileSystem {
   }
 
   // ── A2: open — error matrix verbatim (OpenFileCommand.scala:27-37 via
-  //    SnackFSSpec:82-97); the byte payload materializes driver-side for
-  //    ONE file (compatibility shim — analytics reads go through the
-  //    DSv2 connector, which never collects) ─────────────────────────────
+  //    SnackFSSpec:82-97). Reads are BLOCK-cached, not whole-file: the
+  //    stream fetches only the ≤blockSize block covering the current
+  //    position (pruned at the chunk scan by (path, block_id)) and keeps
+  //    exactly one block resident — the reference's own read shape
+  //    (FileSystemInputStream loads one BlockInputStream at a time,
+  //    :60-76), so a file larger than driver heap still reads. ─────────
   override def open(path: Path, bufferSize: Int): FSDataInputStream = {
     val p = abs(path)
     val node = state.catalog.retrieve(p)
       .getOrElse(throw new IOException("No such file."))
     if (node.isDir) throw new IOException(s"Path $path is a directory.")
-    val rows = state.cat(p).select(col("data")).collect()
-    val bytes =
-      if (rows.isEmpty) Array.emptyByteArray
-      else rows(0).getAs[Array[Byte]](0)
-    new FSDataInputStream(new SeekableBytes(bytes))
+    new FSDataInputStream(new BlockCachedStream(p, node.length))
+  }
+
+  /** Seekable + positioned-readable view that materializes ONE block at
+    * a time. Geometry is fixed per filesystem instance, so the block
+    * covering a position is `pos / blockSize` — a (path, block_id)
+    * equality filter the planner prunes before any payload moves.
+    */
+  private final class BlockCachedStream(p: String, fileLen: Long)
+    extends java.io.InputStream
+    with org.apache.hadoop.fs.Seekable
+    with org.apache.hadoop.fs.PositionedReadable {
+
+    private var pos = 0L
+    private var cachedId = -1L
+    private var cached: Array[Byte] = Array.emptyByteArray
+
+    private def blockAt(id: Long): Array[Byte] =
+      if (id == cachedId) cached
+      else {
+        val rows = DataPlane.reassembleBlocks(
+            state.chunks.filter(col("path") === p && col("block_id") === id))
+          .select(col("data")).collect()
+        cached = if (rows.isEmpty) Array.emptyByteArray
+          else rows(0).getAs[Array[Byte]](0)
+        cachedId = id
+        cached
+      }
+
+    override def read(): Int =
+      if (pos >= fileLen) -1
+      else {
+        val b = blockAt(pos / blockSize)((pos % blockSize).toInt) & 0xFF
+        pos += 1
+        b
+      }
+
+    // serve up to the current block's end; callers (readFully, IOUtils)
+    // loop — matching InputStream's may-return-fewer contract
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      if (pos >= fileLen) return -1
+      val block = blockAt(pos / blockSize)
+      val inBlock = (pos % blockSize).toInt
+      val n = math.min(len, block.length - inBlock)
+      System.arraycopy(block, inBlock, buf, off, n)
+      pos += n
+      n
+    }
+
+    override def seek(target: Long): Unit = {
+      if (target < 0 || target > fileLen)
+        throw new IOException(s"seek past end: $target")
+      pos = target
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+                      length: Int): Int = {
+      if (length == 0) return 0 // zero-byte read is a no-op even at EOF
+      if (position >= fileLen) return -1
+      var copied = 0
+      var at = position
+      while (copied < length && at < fileLen) {
+        val block = blockAt(at / blockSize)
+        val inBlock = (at % blockSize).toInt
+        val n = math.min(length - copied, block.length - inBlock)
+        System.arraycopy(block, inBlock, buffer, offset + copied, n)
+        copied += n
+        at += n
+      }
+      copied
+    }
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+                           length: Int): Unit = {
+      if (read(position, buffer, offset, length) < length)
+        throw new IOException("readFully past EOF")
+    }
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
   }
 
   // ── A7: delete — cascades to the data plane (GraftFs) ─────────────────
@@ -298,36 +378,4 @@ class GraftFileSystem extends FileSystem {
 
   /** Current snapshot, for tests and interop with the query layer. */
   def graftFs: GraftFs = state
-}
-
-/** Seekable+positioned-readable view over one file's bytes — the minimal
-  * contract FSDataInputStream requires.
-  */
-private final class SeekableBytes(bytes: Array[Byte])
-  extends ByteArrayInputStream(bytes)
-  with org.apache.hadoop.fs.Seekable
-  with org.apache.hadoop.fs.PositionedReadable {
-
-  override def seek(p: Long): Unit = {
-    if (p < 0 || p > bytes.length) throw new IOException(s"seek past end: $p")
-    pos = p.toInt
-  }
-  override def getPos: Long = pos.toLong
-  override def seekToNewSource(targetPos: Long): Boolean = false
-
-  override def read(position: Long, buffer: Array[Byte], offset: Int,
-                    length: Int): Int = {
-    if (length == 0) return 0 // zero-byte read is a no-op even at EOF
-    if (position >= bytes.length) return -1
-    val n = math.min(length, bytes.length - position.toInt)
-    System.arraycopy(bytes, position.toInt, buffer, offset, n)
-    n
-  }
-  override def readFully(position: Long, buffer: Array[Byte], offset: Int,
-                         length: Int): Unit = {
-    if (read(position, buffer, offset, length) < length)
-      throw new IOException("readFully past EOF")
-  }
-  override def readFully(position: Long, buffer: Array[Byte]): Unit =
-    readFully(position, buffer, 0, buffer.length)
 }

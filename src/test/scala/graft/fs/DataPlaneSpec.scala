@@ -174,6 +174,24 @@ class DataPlaneSpec extends AnyFlatSpec with Matchers {
     out(0).getString(1) must be(zipBody)
   }
 
+  it must "render a SequenceFile as key\\tvalue lines (TextRecordInputStream)" in {
+    import org.apache.hadoop.io.{SequenceFile, Text}
+    val bos = new java.io.ByteArrayOutputStream()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.stream(new org.apache.hadoop.fs.FSDataOutputStream(bos, null)),
+      SequenceFile.Writer.keyClass(classOf[Text]),
+      SequenceFile.Writer.valueClass(classOf[Text]))
+    writer.append(new Text("k1"), new Text("first value"))
+    writer.append(new Text("k2"), new Text("second value"))
+    writer.close()
+    val chunks = DataPlane.chunk(
+      filesDf(Seq(("/t/records.seq", bos.toByteArray))), 64, 256)
+    val out = DataPlane.text(chunks).collect()
+    out.length must be(1)
+    out(0).getString(1) must be("k1\tfirst value\nk2\tsecond value\n")
+  }
+
   behavior of "reassembleBlocks (bounded cells)"
 
   it must "cap every reassembled cell at blockSize, never file size" in {

@@ -184,6 +184,35 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
     e.getMessage must include("Stream closed")
   }
 
+  it must "read through a one-block cache: sequential, seek-back, positioned, and EOF" in {
+    val fs = newFs()
+    // 40 bytes = blocks (16, 16, 8) at the 8/16 geometry
+    val payload = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+    val out = fs.create(new Path("/bc/f"))
+    out.write(payload.getBytes); out.close()
+    val is = fs.open(new Path("/bc/f"))
+    // sequential read crossing all three block boundaries
+    val whole = new Array[Byte](40)
+    is.readFully(whole)
+    new String(whole) must be(payload)
+    is.read() must be(-1) // EOF
+    // seek back into an earlier block
+    is.seek(5)
+    is.read() must be('5'.toInt)
+    // positioned read spanning a block boundary, without moving pos
+    val cross = new Array[Byte](10)
+    is.readFully(12L, cross)
+    new String(cross) must be(payload.substring(12, 22))
+    is.getPos must be(6L)
+    an[IOException] must be thrownBy is.seek(41L)
+    is.close()
+    // empty file reads as immediate EOF without fetching anything
+    val z = fs.create(new Path("/bc/empty")); z.close()
+    val zs = fs.open(new Path("/bc/empty"))
+    zs.read() must be(-1)
+    zs.close()
+  }
+
   it must "report block locations with replica hosts and start-pruning (SnackFSSpec.scala:242-269 scaled down)" in {
     val fs = newFs()
     val out = fs.create(new Path("/loc/f"))
