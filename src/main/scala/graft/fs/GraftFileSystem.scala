@@ -33,9 +33,14 @@ import graft.catalog.{BlockMeta, FsCatalog, Inode, PathOps}
 class GraftFileSystem extends FileSystem {
 
   private var ctx: FsContext = _
-  private var state: GraftFs = _
+  private var cell: FsState = _
   private var subBlockSize: Int = _
   private var blockSize: Int = _
+
+  private def state: GraftFs = cell.get
+  // every mutation routes through the compacting state cell, so a
+  // long-lived mount never accumulates an unbounded lazy plan
+  private def setState(next: GraftFs): Unit = cell.set(next)
 
   private def spark: SparkSession =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -64,7 +69,7 @@ class GraftFileSystem extends FileSystem {
         StructType(Seq(StructField("path", StringType),
           StructField("data", BinaryType)))),
       subBlockSize, blockSize)
-    state = GraftFs(FsCatalog(s.createDataset(Seq(root))), emptyChunks)
+    cell = new FsState(GraftFs(FsCatalog(s.createDataset(Seq(root))), emptyChunks))
   }
 
   override def getUri: URI = ctx.uri
@@ -111,7 +116,7 @@ class GraftFileSystem extends FileSystem {
   // ── A5: mkdirs — ancestor AND-fold; exists-as-file → false ────────────
   override def mkdirs(path: Path, permission: FsPermission): Boolean = {
     val (cat2, ok) = state.catalog.mkdirs(abs(path))
-    state = GraftFs(cat2, state.chunks)
+    setState(GraftFs(cat2, state.chunks))
     ok
   }
 
@@ -146,7 +151,7 @@ class GraftFileSystem extends FileSystem {
     val node = inodeFor(p, parent, 0L)
     val chunks =
       if (overwrite) state.chunks.filter(col("path") =!= p) else state.chunks
-    state = GraftFs(cat.store(node), chunks)
+    setState(GraftFs(cat.store(node), chunks))
     new FSDataOutputStream(new SubBlockStream(p, parent), statistics, 0L)
   }
 
@@ -218,7 +223,7 @@ class GraftFileSystem extends FileSystem {
           StructField("length", LongType))))
       written += used
       used = 0
-      state = GraftFs(state.catalog, state.chunks.unionByName(oneRow))
+      setState(GraftFs(state.catalog, state.chunks.unionByName(oneRow)))
       // endBlock: a block boundary just closed → re-commit the inode
       // with every block written so far (the reference re-stores the
       // whole INode per block, FileSystemOutputStream.scala:103-120)
@@ -226,8 +231,8 @@ class GraftFileSystem extends FileSystem {
     }
 
     private def commitInode(): Unit =
-      state = GraftFs(state.catalog.store(inodeFor(p, parent, written)),
-        state.chunks)
+      setState(GraftFs(state.catalog.store(inodeFor(p, parent, written)),
+        state.chunks))
 
     override def close(): Unit = {
       if (isClosed) return
@@ -335,14 +340,14 @@ class GraftFileSystem extends FileSystem {
   // ── A7: delete — cascades to the data plane (GraftFs) ─────────────────
   override def delete(path: Path, recursive: Boolean): Boolean = {
     val (next, ok) = state.delete(abs(path), recursive)
-    state = next
+    setState(next)
     ok
   }
 
   // ── A8: rename — one prefix-rewrite pass per plane ────────────────────
   override def rename(src: Path, dst: Path): Boolean = {
     val (next, ok) = state.rename(abs(src), abs(dst))
-    state = next
+    setState(next)
     ok
   }
 

@@ -95,6 +95,19 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame) {
     DataPlane.cat(chunks, path)
   }
 
+  /** Flatten both planes' lazy plans into materialized snapshots
+    * (eager localCheckpoints). Long-lived mutable sessions (the facade,
+    * the shell) layer one plan node per mutation — one union per
+    * written subblock — so analysis cost grows with session age;
+    * compaction resets both plans to single `LogicalRDD` leaves. The
+    * caller owns releasing the PREVIOUS compaction (`FsState` does) —
+    * and note an externally-held older snapshot cannot be recomputed
+    * once its checkpoint is released.
+    */
+  def compact(): GraftFs =
+    GraftFs(graft.catalog.FsCatalog(catalog.inodes.localCheckpoint(true)),
+      chunks.localCheckpoint(true))
+
   /** Data-plane accounting for consistency checks: chunk rows + bytes
     * under a prefix.
     */

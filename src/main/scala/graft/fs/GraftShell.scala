@@ -28,7 +28,11 @@ final case class ShellResult(code: Int, out: Seq[String], err: Seq[String])
   */
 final class GraftShell(initial: GraftFs, context: FsContext) {
 
-  var fs: GraftFs = initial
+  // the compacting state cell (FsState) keeps a long-lived shell
+  // session's plan depth bounded — one checkpoint per 64 mutations
+  private val cell = new FsState(initial)
+  def fs: GraftFs = cell.get
+  private def setFs(next: GraftFs): Unit = cell.set(next)
   var ctx: FsContext = context
 
   private val minArgs: Map[String, Int] = Map(
@@ -184,14 +188,14 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     case "-mkdir" =>
       forEachSrc(cmd, args) { arg =>
         val (cat2, ok) = fs.catalog.mkdirs(abs(arg))
-        fs = GraftFs(cat2, fs.chunks)
+        setFs(GraftFs(cat2, fs.chunks))
         if (!ok) throw new IOException(s"cannot create directory $arg")
         Nil
       }
 
     case "-touchz" =>
       forEachSrc(cmd, args) { arg =>
-        fs = GraftFs(fs.catalog.touchz(abs(arg)), fs.chunks)
+        setFs(GraftFs(fs.catalog.touchz(abs(arg)), fs.chunks))
         Nil
       }
 
@@ -231,11 +235,11 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
           throw new IOException(
             s"When $verb multiple files, destination should be a directory.")
         matched.foreach { src =>
-          if (cmd == "-mv") { val (next, _) = fs.rename(src, dst); fs = next }
+          if (cmd == "-mv") { val (next, _) = fs.rename(src, dst); setFs(next) }
           else {
             val target = if (dstIsDir) s"${dirPrefix(dst)}${basename(src)}" else dst
             val (next, _) = fs.copy(src, target)
-            fs = next
+            setFs(next)
           }
         }
         Nil
@@ -248,7 +252,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         val (next, ok) =
           if (PathOps.isGlob(arg)) fs.deleteGlob(target, recursive)
           else fs.delete(target, recursive)
-        fs = next
+        setFs(next)
         if (!ok)
           throw new FileNotFoundException(s"No such file or directory: $arg")
         Nil
@@ -307,7 +311,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         420, isDir = false, new java.sql.Timestamp(1704067200000L),
         graft.catalog.BlockMeta.forLength(dst, len,
           DataPlane.DefaultSubBlock, DataPlane.DefaultBlock))
-      fs = GraftFs(cat2.store(node), fs.chunks.unionByName(newChunks))
+      setFs(GraftFs(cat2.store(node), fs.chunks.unionByName(newChunks)))
       ShellResult(0, Nil, Nil)
 
     case "-get" | "-copyToLocal" =>

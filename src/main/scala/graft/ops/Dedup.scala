@@ -316,17 +316,8 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
-  /** Release a localCheckpoint'd frame's cached blocks (Dataset.unpersist
-    * is a no-op for checkpoints — the RDD hides inside the LogicalRDD
-    * leaf). Best-effort: an unexpected plan shape just leaves the blocks
-    * to the context's cleaner.
-    */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.PlanHygiene.releaseCheckpoint(df)
 
   /** Exact n-gram Jaccard for an explicit candidate pair — the standalone
     * verification op (LSH folds this in already).
