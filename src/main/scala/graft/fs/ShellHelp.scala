@@ -13,7 +13,7 @@ object ShellHelp {
     "-lsr" -> "-lsr <path>: list a subtree recursively (FsCatalog.listStatusRecursive)",
     "-du" -> "-du <path>: per-child aggregate byte counts under a path (FsCatalog.du)",
     "-dus" -> "-dus <path>: single summary byte count for a subtree (FsCatalog.dus)",
-    "-count" -> "-count <path>: directory, file and byte totals for a subtree (FsCatalog.countSummary)",
+    "-count" -> "-count [-q] <path>: directory, file and byte totals for a subtree; -q prefixes quota columns (unset: none/inf) (FsCatalog.countSummary)",
     "-mv" -> "-mv <src> <dst>: rename a file or subtree in one distributed prefix-rewrite (GraftFs.rename; cascades to data chunks)",
     "-cp" -> "-cp <src> <dst>: copy a file or subtree on both catalog and data planes (GraftFs.copy)",
     "-rm" -> "-rm <path>: delete a file; refuses non-empty directories (GraftFs.delete(recursive = false))",
@@ -21,11 +21,11 @@ object ShellHelp {
     "-put" -> "-put <local> <path>: import local bytes as chunked subblock rows (DataPlane.put)",
     "-copyFromLocal" -> "-copyFromLocal <local> <path>: alias of -put (DataPlane.put)",
     "-moveFromLocal" -> "-moveFromLocal <local> <path>: -put, then unlink the local source once chunk rows are materialized (DataPlane.moveFromLocal)",
-    "-get" -> "-get <path> <local>: export a file's reassembled bytes to a local sink (DataPlane.get)",
-    "-copyToLocal" -> "-copyToLocal <path> <local>: alias of -get (DataPlane.get)",
+    "-get" -> "-get [-ignoreCrc] [-crc] <path> <local>: export a file's reassembled bytes to a local sink; crc flags are accepted no-ops (no CRC sidecars exist) (DataPlane.get)",
+    "-copyToLocal" -> "-copyToLocal [-ignoreCrc] [-crc] <path> <local>: alias of -get (DataPlane.get)",
     "-getmerge" -> "-getmerge <dir> <local> [addnl]: concatenate every file under a prefix in path order; addnl=true appends a newline after each file (DataPlane.getmerge)",
     "-cat" -> "-cat <path>: print a file's bytes via ordered block reassembly (DataPlane.cat)",
-    "-text" -> "-text <path>: like -cat but sniffs the gzip magic and inflates before decoding; other payloads pass through as UTF-8 (DataPlane.text)",
+    "-text" -> "-text <path>: like -cat but decodes by magic — gzip and PK-zip inflate, SequenceFiles render key\\tvalue per record; other payloads pass through as UTF-8 (DataPlane.text)",
     "-mkdir" -> "-mkdir <path>: create a directory and its ancestors; fails on a file conflict (FsCatalog.mkdirs)",
     "-touchz" -> "-touchz <path>: create a zero-length file (FsCatalog.touchz)",
     "-test" -> "-test -[ezd] <path>: existence / zero-length / is-directory probes (FsCatalog.testE/testZ/testD)",

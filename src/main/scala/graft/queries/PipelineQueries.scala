@@ -203,6 +203,44 @@ object PipelineQueries {
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 1.0 ORDER BY id_a, id_b""".stripMargin)),
 
+    // The 2-block concatenation keys (blocksPerKey=2: radius b−2=14,
+    // past any single-block guarantee) through the same provably-
+    // complete J=1.0 oracle channel: every clone pair must traverse the
+    // C(16,2)=120-combination key path — a broken combination key, a
+    // wrong shift width, or a lost bucket goes red. The wider radius
+    // only ADDS candidates; the exact-Jaccard verify prunes them, so
+    // the oracle (all J>=1.0 pairs) is identical to the b=8 row.
+    QueryDef(
+      "dedup_simhash_wide",
+      (s, d) => {
+        val slice = Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+        val doubled = slice.unionByName(
+          slice.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        Dedup.simhashPairs(doubled, b = 16, maxHamming = 12,
+            shingleN = 3, threshold = 1.0, blocksPerKey = 2)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d2 AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200),
+             |sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM d2)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
+             |WHERE j >= 1.0 ORDER BY id_a, id_b""".stripMargin)),
+
     // ── Similarity search ───────────────────────────────────────────────
     QueryDef(
       "ann_brute_topk",
