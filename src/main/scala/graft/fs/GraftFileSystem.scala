@@ -261,6 +261,18 @@ class GraftFileSystem extends FileSystem {
     * a time. Geometry is fixed per filesystem instance, so the block
     * covering a position is `pos / blockSize` — a (path, block_id)
     * equality filter the planner prunes before any payload moves.
+    *
+    * The block map (fileLen) snapshots at open; payload fetches read
+    * the LIVE chunk table — the reference's exact split
+    * (FileSystemInputStream loads the INode once at open, then pulls
+    * each block from the store on demand). A file deleted or truncated
+    * under an open stream therefore fails the next block fetch with
+    * IOException, the analog of the reference's store NotFoundException
+    * — never a silent wrong read, an index crash, or a stuck loop.
+    * One documented divergence: block keys here are path-stable (the
+    * reference keys blocks by fresh UUIDs), so an overwrite that keeps
+    * a block at least as long serves the NEW bytes to an already-open
+    * stream instead of failing.
     */
   private final class BlockCachedStream(p: String, fileLen: Long)
     extends java.io.InputStream
@@ -271,22 +283,27 @@ class GraftFileSystem extends FileSystem {
     private var cachedId = -1L
     private var cached: Array[Byte] = Array.emptyByteArray
 
-    private def blockAt(id: Long): Array[Byte] =
-      if (id == cachedId) cached
-      else {
+    private def blockAt(id: Long, needUpTo: Long): Array[Byte] = {
+      if (id != cachedId) {
         val rows = DataPlane.reassembleBlocks(
             state.chunks.filter(col("path") === p && col("block_id") === id))
           .select(col("data")).collect()
         cached = if (rows.isEmpty) Array.emptyByteArray
           else rows(0).getAs[Array[Byte]](0)
         cachedId = id
-        cached
       }
+      if (cached.length < needUpTo)
+        throw new IOException(
+          s"Block $id of $p no longer holds byte ${id * blockSize + needUpTo - 1}" +
+            " — file deleted or replaced under an open stream")
+      cached
+    }
 
     override def read(): Int =
       if (pos >= fileLen) -1
       else {
-        val b = blockAt(pos / blockSize)((pos % blockSize).toInt) & 0xFF
+        val inBlock = (pos % blockSize).toInt
+        val b = blockAt(pos / blockSize, inBlock + 1)(inBlock) & 0xFF
         pos += 1
         b
       }
@@ -296,8 +313,8 @@ class GraftFileSystem extends FileSystem {
     override def read(buf: Array[Byte], off: Int, len: Int): Int = {
       if (len == 0) return 0
       if (pos >= fileLen) return -1
-      val block = blockAt(pos / blockSize)
       val inBlock = (pos % blockSize).toInt
+      val block = blockAt(pos / blockSize, inBlock + 1)
       val n = math.min(len, block.length - inBlock)
       System.arraycopy(block, inBlock, buf, off, n)
       pos += n
@@ -319,8 +336,9 @@ class GraftFileSystem extends FileSystem {
       var copied = 0
       var at = position
       while (copied < length && at < fileLen) {
-        val block = blockAt(at / blockSize)
         val inBlock = (at % blockSize).toInt
+        // blockAt throws if the block shrank — the loop can never stall
+        val block = blockAt(at / blockSize, inBlock + 1)
         val n = math.min(length - copied, block.length - inBlock)
         System.arraycopy(block, inBlock, buffer, offset + copied, n)
         copied += n
@@ -381,6 +399,9 @@ class GraftFileSystem extends FileSystem {
       }
   }
 
-  /** Current snapshot, for tests and interop with the query layer. */
-  def graftFs: GraftFs = state
+  /** Current snapshot, for tests and interop with the query layer —
+    * PINNED: the snapshot's backing checkpoint survives this facade's
+    * later compactions, so the returned state stays queryable.
+    */
+  def graftFs: GraftFs = cell.pinCurrent()
 }

@@ -29,9 +29,11 @@ final case class ShellResult(code: Int, out: Seq[String], err: Seq[String])
 final class GraftShell(initial: GraftFs, context: FsContext) {
 
   // the compacting state cell (FsState) keeps a long-lived shell
-  // session's plan depth bounded — one checkpoint per 64 mutations
+  // session's plan depth bounded; external reads PIN their snapshot so
+  // later compactions can't release a checkpoint someone still holds
   private val cell = new FsState(initial)
-  def fs: GraftFs = cell.get
+  def fs: GraftFs = cell.pinCurrent()
+  private def cur: GraftFs = cell.get
   private def setFs(next: GraftFs): Unit = cell.set(next)
   var ctx: FsContext = context
 
@@ -73,7 +75,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     */
   private def fileArg(arg: String): String = {
     val p = abs(arg)
-    val node = fs.catalog.retrieve(p)
+    val node = cur.catalog.retrieve(p)
       .getOrElse(throw new FileNotFoundException(p))
     if (node.isDir) throw new IOException(s"$p is a directory")
     p
@@ -93,7 +95,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     val p = abs(arg)
     if (!PathOps.isGlob(arg)) Seq(p)
     else {
-      val matched = fs.catalog.globStatus(p)
+      val matched = cur.catalog.globStatus(p)
         .select("path").collect().map(_.getString(0)).toSeq.sorted
       if (matched.isEmpty)
         throw new FileNotFoundException(
@@ -137,10 +139,10 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       // matched dir happens to be empty — that prints "Found 0 items")
       forEachSrc(cmd, args) { arg =>
         val pat = abs(arg)
-        if (fs.catalog.globStatus(pat).limit(1).count() == 0)
+        if (cur.catalog.globStatus(pat).limit(1).count() == 0)
           throw new FileNotFoundException(
             s"Cannot access $arg: No such file or directory.")
-        val rows = fs.catalog.listGlob(pat, recursive = cmd == "-lsr").collect()
+        val rows = cur.catalog.listGlob(pat, recursive = cmd == "-lsr").collect()
         (if (cmd == "-ls") Seq(s"Found ${rows.length} items") else Nil) ++
           statusLines(rows)
       }
@@ -152,21 +154,21 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       forEachSrc(cmd, args) { arg =>
         val p = abs(arg)
         if (PathOps.isGlob(arg)) {
-          if (fs.catalog.globStatus(p).limit(1).count() == 0)
+          if (cur.catalog.globStatus(p).limit(1).count() == 0)
             throw new FileNotFoundException(
               s"Cannot access $arg: No such file or directory.")
-        } else if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
+        } else if (!cur.catalog.exists(p)) throw new FileNotFoundException(p)
         val rows =
-          if (PathOps.isGlob(arg)) fs.catalog.duGlob(p).collect()
-          else fs.catalog.du(p).collect()
+          if (PathOps.isGlob(arg)) cur.catalog.duGlob(p).collect()
+          else cur.catalog.du(p).collect()
         rows.map(r => f"${r.getLong(1)}%12d  ${r.getString(0)}").toSeq
       }
 
     case "-dus" =>
       forEachSrc(cmd, args) { arg =>
         val p = abs(arg)
-        if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
-        val r = fs.catalog.dus(p).collect()(0)
+        if (!cur.catalog.exists(p)) throw new FileNotFoundException(p)
+        val r = cur.catalog.dus(p).collect()(0)
         Seq(f"${r.getLong(1)}%12d  ${r.getString(0)}")
       }
 
@@ -179,31 +181,31 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         return ShellResult(-1, Nil, ShellHelp.help(cmd).toSeq)
       val pArg = if (qOption) args(1) else args.head
       val p = abs(pArg)
-      if (!fs.catalog.exists(p)) throw new FileNotFoundException(p)
-      val r = fs.catalog.countSummary(p).collect()(0)
+      if (!cur.catalog.exists(p)) throw new FileNotFoundException(p)
+      val r = cur.catalog.countSummary(p).collect()(0)
       val quota = if (qOption) f"${"none"}%12s ${"inf"}%12s ${"none"}%12s ${"inf"}%12s " else ""
       ShellResult(0,
         Seq(f"$quota${r.getLong(1)}%8d ${r.getLong(2)}%8d ${r.getLong(3)}%12d ${r.getString(0)}"), Nil)
 
     case "-mkdir" =>
       forEachSrc(cmd, args) { arg =>
-        val (cat2, ok) = fs.catalog.mkdirs(abs(arg))
-        setFs(GraftFs(cat2, fs.chunks))
+        val (cat2, ok) = cur.catalog.mkdirs(abs(arg))
+        setFs(GraftFs(cat2, cur.chunks))
         if (!ok) throw new IOException(s"cannot create directory $arg")
         Nil
       }
 
     case "-touchz" =>
       forEachSrc(cmd, args) { arg =>
-        setFs(GraftFs(fs.catalog.touchz(abs(arg)), fs.chunks))
+        setFs(GraftFs(cur.catalog.touchz(abs(arg)), cur.chunks))
         Nil
       }
 
     case "-test" =>
       val ok = args.head match {
-        case "-e" => fs.catalog.testE(abs(args(1)))
-        case "-z" => fs.catalog.testZ(abs(args(1)))
-        case "-d" => fs.catalog.testD(abs(args(1)))
+        case "-e" => cur.catalog.testE(abs(args(1)))
+        case "-z" => cur.catalog.testZ(abs(args(1)))
+        case "-d" => cur.catalog.testD(abs(args(1)))
         case other => return ShellResult(-1, Nil, Seq(s"-test: unknown flag $other"))
       }
       ShellResult(if (ok) 0 else 1, Nil, Nil)
@@ -211,7 +213,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     case "-stat" =>
       val (fmt, p) =
         if (args.length >= 2) (args.head, args(1)) else ("%y", args.head)
-      val r = fs.catalog.statFormatted(abs(p), fmt).collect()(0)
+      val r = cur.catalog.statFormatted(abs(p), fmt).collect()(0)
       ShellResult(0, Seq(r.getString(1)), Nil)
 
     case "-mv" | "-cp" =>
@@ -225,7 +227,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       val verb = if (cmd == "-mv") "moving" else "copying"
       val dst = abs(args.last)
       val sources = args.dropRight(1)
-      val dstIsDir = fs.catalog.retrieve(dst).exists(_.isDir)
+      val dstIsDir = cur.catalog.retrieve(dst).exists(_.isDir)
       if (sources.length > 1 && !dstIsDir)
         return ShellResult(-1, Nil, Seq(
           s"$cmd: When $verb multiple files, destination ${args.last} should be a directory."))
@@ -235,10 +237,10 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
           throw new IOException(
             s"When $verb multiple files, destination should be a directory.")
         matched.foreach { src =>
-          if (cmd == "-mv") { val (next, _) = fs.rename(src, dst); setFs(next) }
+          if (cmd == "-mv") { val (next, _) = cur.rename(src, dst); setFs(next) }
           else {
             val target = if (dstIsDir) s"${dirPrefix(dst)}${basename(src)}" else dst
-            val (next, _) = fs.copy(src, target)
+            val (next, _) = cur.copy(src, target)
             setFs(next)
           }
         }
@@ -250,8 +252,8 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       forEachSrc(cmd, args) { arg =>
         val target = abs(arg)
         val (next, ok) =
-          if (PathOps.isGlob(arg)) fs.deleteGlob(target, recursive)
-          else fs.delete(target, recursive)
+          if (PathOps.isGlob(arg)) cur.deleteGlob(target, recursive)
+          else cur.delete(target, recursive)
         setFs(next)
         if (!ok)
           throw new FileNotFoundException(s"No such file or directory: $arg")
@@ -263,7 +265,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       // reference cats each match and keeps going on failures
       forEachSrc(cmd, args) { arg =>
         expandSrc(arg).map { p =>
-          val bytes = fs.cat(p).collect()
+          val bytes = cur.cat(p).collect()
           val payload = if (bytes.isEmpty) Array.emptyByteArray
             else bytes(0).getAs[Array[Byte]]("data")
           new String(payload, java.nio.charset.StandardCharsets.UTF_8)
@@ -274,44 +276,44 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       forEachSrc(cmd, args) { arg =>
         expandSrc(arg).map { m =>
           val p = fileArg(m)
-          val rows = DataPlane.text(fs.chunks.filter(col("path") === p)).collect()
+          val rows = DataPlane.text(cur.chunks.filter(col("path") === p)).collect()
           rows.map(_.getString(1)).mkString("\n")
         }
       }
 
     case "-tail" =>
       val p = fileArg(args.head)
-      val rows = DataPlane.tail(fs.chunks.filter(col("path") === p), 1024).collect()
+      val rows = DataPlane.tail(cur.chunks.filter(col("path") === p), 1024).collect()
       val payload = if (rows.isEmpty) Array.emptyByteArray
         else rows(0).getAs[Array[Byte]]("data")
       ShellResult(0, Seq(new String(payload, java.nio.charset.StandardCharsets.UTF_8)), Nil)
 
     case "-put" | "-copyFromLocal" | "-moveFromLocal" =>
-      val spark = fs.chunks.sparkSession
+      val spark = cur.chunks.sparkSession
       // put INTO an existing directory targets dir/<local basename>;
       // an existing file at the target errors (no silent duplicate
       // chunk rows — reassembly would concatenate both payloads)
       val raw = abs(args(1))
       val base = java.nio.file.Paths.get(args.head).getFileName.toString
-      val dst = fs.catalog.retrieve(raw) match {
+      val dst = cur.catalog.retrieve(raw) match {
         case Some(n) if n.isDir => s"${dirPrefix(raw)}$base"
         case _ => raw
       }
-      if (fs.catalog.exists(dst))
+      if (cur.catalog.exists(dst))
         throw new IOException(s"Target $dst already exists")
       // size BEFORE moveFromLocal unlinks the source
       val len = java.nio.file.Files.size(java.nio.file.Paths.get(args.head))
       val newChunks =
         if (cmd == "-moveFromLocal") DataPlane.moveFromLocal(spark, args.head, dst)
         else DataPlane.put(spark, args.head, dst)
-      val (cat2, ok) = fs.catalog.mkdirs(PathOps.parent(dst))
+      val (cat2, ok) = cur.catalog.mkdirs(PathOps.parent(dst))
       if (!ok) throw new IOException(
         s"Parent path is not a directory: ${PathOps.parent(dst)}")
       val node = graft.catalog.Inode(dst, PathOps.parent(dst), "graft", "graft",
         420, isDir = false, new java.sql.Timestamp(1704067200000L),
         graft.catalog.BlockMeta.forLength(dst, len,
           DataPlane.DefaultSubBlock, DataPlane.DefaultBlock))
-      setFs(GraftFs(cat2.store(node), fs.chunks.unionByName(newChunks)))
+      setFs(GraftFs(cat2.store(node), cur.chunks.unionByName(newChunks)))
       ShellResult(0, Nil, Nil)
 
     case "-get" | "-copyToLocal" =>
@@ -331,7 +333,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       matched.foreach { m =>
         val p = fileArg(m)
         val target = if (localIsDir) s"$local/${basename(p)}" else local
-        DataPlane.get(fs.chunks, p, target)
+        DataPlane.get(cur.chunks, p, target)
       }
       ShellResult(0, Nil, Nil)
 
@@ -344,9 +346,9 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       val src = abs(args.head)
       // the reference path errors on a missing source (FileUtil
       // .copyMerge's getFileStatus) — never silently write an empty file
-      if (!fs.catalog.exists(src)) throw new FileNotFoundException(src)
+      if (!cur.catalog.exists(src)) throw new FileNotFoundException(src)
       // dir-scoped prefix: "/data" must not bleed onto "/databak"
-      DataPlane.getmergeTo(fs.chunks, dirPrefix(src), args(1), addnl)
+      DataPlane.getmergeTo(cur.chunks, dirPrefix(src), args(1), addnl)
       ShellResult(0, Nil, Nil)
 
     case other =>

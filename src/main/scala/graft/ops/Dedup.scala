@@ -115,23 +115,13 @@ object Dedup {
     // subtree in the plan and, at 100 TB, either broadcast the full
     // corpus band table or shuffle it twice; grouping by bucket shuffles
     // the (band, doc_id) rows once and explodes each bucket's sorted id
-    // list into its i<j pairs. The maxBucket filter runs BEFORE the
-    // explode, so pair count is bounded at cap²/2 per bucket whatever
-    // the corpus does; the observe metrics ride the same pass.
-    LshGuard.ensureListener(docs.sparkSession)
-    val metrics = LshGuard.dropMetrics(size(col("ids")), maxBucket)
-    val candidates = bandRows
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .observe(LshGuard.observationName("minhash"), metrics.head, metrics.tail: _*)
-      .filter(size(col("ids")) <= maxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    // list into its i<j pairs — capped and drop-accounted by the shared
+    // LshGuard skeleton BEFORE the explode is ever planned.
+    val candidates = LshGuard.pairsFromIdBuckets(
+      bandRows
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids")),
+      maxBucket, "minhash")
 
     verifyByJaccard(docs, candidates, shingleN, threshold)
   }
@@ -237,16 +227,14 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
     // signatures ride into the buckets so the Hamming gate needs no
-    // extra join — each bucket row is (id, sig), still narrow; maxBucket
-    // bounds the explosion before it happens (see minhashPairs)
-    LshGuard.ensureListener(docs.sparkSession)
-    val metrics = LshGuard.dropMetrics(size(col("ds")), maxBucket)
-    val candidates = bandRows
-      .groupBy(col("band_idx"), col("band_bits"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .observe(LshGuard.observationName("simhash"), metrics.head, metrics.tail: _*)
-      .filter(size(col("ds")) <= maxBucket)
+    // extra join — each bucket row is (id, sig), still narrow; the
+    // shared LshGuard skeleton caps and drop-accounts the buckets, and
+    // the struct-aware explode + Hamming gate stay op-specific
+    val candidates = LshGuard.capBuckets(
+      bandRows
+        .groupBy(col("band_idx"), col("band_bits"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds")),
+      "ds", maxBucket, "simhash")
       .select(explode(expr(
         "flatten(transform(ds, (a, i) -> " +
           "transform(slice(ds, i + 2, size(ds) - i - 1), " +

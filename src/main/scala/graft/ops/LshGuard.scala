@@ -2,7 +2,7 @@ package graft.ops
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -81,4 +81,36 @@ object LshGuard {
     val i = row.fieldIndex(field)
     if (row.isNullAt(i)) 0L else row.getLong(i)
   }
+
+  /** Observe + cap one bucketed frame (one row per bucket holding a
+    * collected list column `listCol`): singleton buckets drop (no pair
+    * can come from them), drop metrics ride the same pass, buckets
+    * above `cap` are excluded — the shared front half of every bounded
+    * pair generator, so the cap/accounting logic exists exactly once.
+    */
+  def capBuckets(buckets: DataFrame, listCol: String, cap: Int,
+                 kind: String): DataFrame = {
+    ensureListener(buckets.sparkSession)
+    val metrics = dropMetrics(size(col(listCol)), cap)
+    buckets
+      .filter(size(col(listCol)) > 1)
+      .observe(observationName(kind), metrics.head, metrics.tail: _*)
+      .filter(size(col(listCol)) <= cap)
+  }
+
+  /** Capped sorted-id buckets (`ids` column) → distinct i<j pairs —
+    * the full skeleton for generators whose bucket rows carry plain
+    * ids (MinHash bands, IVF buckets). SimHash buckets carry
+    * (id, signature) structs and keep their own explode + Hamming gate
+    * on top of [[capBuckets]].
+    */
+  def pairsFromIdBuckets(buckets: DataFrame, cap: Int,
+                         kind: String): DataFrame =
+    capBuckets(buckets, "ids", cap, kind)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
 }

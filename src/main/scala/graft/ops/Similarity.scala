@@ -137,23 +137,14 @@ object Similarity {
     val multi = probeAssignments(corpus, centroids, nprobe)
       .select(col("vec_id"), col("bucket"))
     // bucket-grouped pair generation — the same capped skeleton as the
-    // LSH dedups (Dedup.minhashPairs): one shuffle of (bucket, id) rows,
-    // no self-join duplicating the probe subtree, explosion bounded
-    // BEFORE it happens, observe metrics riding the same pass
-    LshGuard.ensureListener(corpus.sparkSession)
-    val metrics = LshGuard.dropMetrics(size(col("ids")), maxBucket)
-    val candidates = multi
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .observe(LshGuard.observationName("ivf"), metrics.head, metrics.tail: _*)
-      .filter(size(col("ids")) <= maxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    // LSH dedups: one shuffle of (bucket, id) rows, no self-join
+    // duplicating the probe subtree, explosion bounded and
+    // drop-accounted by LshGuard BEFORE it is ever planned
+    val candidates = LshGuard.pairsFromIdBuckets(
+      multi
+        .groupBy(col("bucket"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids")),
+      maxBucket, "ivf")
     candidates
       .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("qv")), "id_a")
       .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("ev")), "id_b")

@@ -29,7 +29,7 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     CatalogBuilder.fromEntries(spark, Seq(("/", true, 0L))),
     oneFile("/seed", "").filter(lit(false)))
 
-  it must "flatten the plan at the compaction boundary and keep content identical" in {
+  it must "flatten the plan at compaction boundaries (doubling interval) and keep content identical" in {
     val cell = new FsState(emptyFs(), compactEvery = 4)
     (1 to 10).foreach { i =>
       val fs = cell.get
@@ -37,11 +37,11 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
         fs.catalog.touchz(s"/f$i"),
         fs.chunks.unionByName(oneFile(s"/f$i", s"payload-$i"))))
     }
-    // 10 mutations, compactEvery=4 → compacted at 4 and 8; two deltas
-    // since — the chunk plan holds one checkpoint leaf + 2 unions, not
-    // a 10-union chain
+    // compactEvery=4 with doubling: compacted at mutation 4 (next
+    // boundary 12) — so after 10 mutations the chunk plan is one
+    // checkpoint leaf + 6 union deltas, never a 10-union chain
     val leaves = cell.get.chunks.queryExecution.analyzed.collectLeaves()
-    leaves.size must be <= 3
+    leaves.size must be <= 7
     leaves.count(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) must be(1)
     // content unaffected: every payload reads back through the compacted plan
     (1 to 10).foreach { i =>
@@ -55,5 +55,33 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     cell.compactNow() // second release path (prev checkpoint present)
     new String(DataPlane.cat(cell.get.chunks, "/f7").collect()(0)
       .getAs[Array[Byte]]("data")) must be("payload-7")
+  }
+
+  it must "keep pinned snapshots queryable across later compactions" in {
+    val cell = new FsState(emptyFs(), compactEvery = 2)
+    (1 to 4).foreach { i =>
+      val fs = cell.get
+      cell.set(GraftFs(
+        fs.catalog.touchz(s"/p$i"),
+        fs.chunks.unionByName(oneFile(s"/p$i", s"pin-$i"))))
+    }
+    // snapshot escapes (the facade's graftFs / shell's fs pattern) —
+    // its backing checkpoint must survive the next compactions
+    val escaped = cell.pinCurrent()
+    (5 to 12).foreach { i =>
+      val fs = cell.get
+      cell.set(GraftFs(
+        fs.catalog.touchz(s"/p$i"),
+        fs.chunks.unionByName(oneFile(s"/p$i", s"pin-$i"))))
+    }
+    cell.compactNow()
+    // the escaped snapshot still reads its own generation's content
+    new String(DataPlane.cat(escaped.chunks, "/p3").collect()(0)
+      .getAs[Array[Byte]]("data")) must be("pin-3")
+    escaped.catalog.exists("/p4") must be(true)
+    escaped.catalog.exists("/p9") must be(false) // frozen, not live
+    // and the live cell kept all later writes
+    new String(DataPlane.cat(cell.get.chunks, "/p9").collect()(0)
+      .getAs[Array[Byte]]("data")) must be("pin-9")
   }
 }

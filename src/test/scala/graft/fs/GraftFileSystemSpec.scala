@@ -213,6 +213,27 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
     zs.close()
   }
 
+  it must "fail an open stream with IOException when the file vanishes mid-read" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/gone/f"))
+    out.write("0123456789abcdefghij".getBytes); out.close() // 2 blocks
+    val is = fs.open(new Path("/gone/f"))
+    is.read() must be('0'.toInt) // block 0 cached
+    fs.delete(new Path("/gone/f"), false) must be(true)
+    // the cached block still serves; the NEXT block fetch must fail
+    // loudly (the reference's store NotFoundException analog), never
+    // crash with an index error or stall in a read loop
+    is.seek(16)
+    val e = intercept[IOException] {
+      var r = is.read()
+      while (r != -1) r = is.read()
+    }
+    e.getMessage must include("no longer holds")
+    val buf = new Array[Byte](4)
+    an[IOException] must be thrownBy is.readFully(17L, buf)
+    is.close()
+  }
+
   it must "report block locations with replica hosts and start-pruning (SnackFSSpec.scala:242-269 scaled down)" in {
     val fs = newFs()
     val out = fs.create(new Path("/loc/f"))
