@@ -289,32 +289,40 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       ShellResult(0, Seq(new String(payload, java.nio.charset.StandardCharsets.UTF_8)), Nil)
 
     case "-put" | "-copyFromLocal" | "-moveFromLocal" =>
-      val spark = cur.chunks.sparkSession
-      // put INTO an existing directory targets dir/<local basename>;
-      // an existing file at the target errors (no silent duplicate
-      // chunk rows — reassembly would concatenate both payloads)
-      val raw = abs(args(1))
-      val base = java.nio.file.Paths.get(args.head).getFileName.toString
-      val dst = cur.catalog.retrieve(raw) match {
-        case Some(n) if n.isDir => s"${dirPrefix(raw)}$base"
-        case _ => raw
+      // multiple LOCAL sources upload into a directory destination
+      // (FsShell copyFromLocal takes Path[] srcs; reference arg slice
+      // SnackFSShell.scala:235-238); a single source may also target a
+      // fresh path. Each source runs in the doall loop.
+      val rawDst = abs(args.last)
+      val sources = args.dropRight(1)
+      val dstIsDir = cur.catalog.retrieve(rawDst).exists(_.isDir)
+      if (sources.length > 1 && !dstIsDir)
+        return ShellResult(-1, Nil, Seq(
+          s"$cmd: When copying multiple files, destination ${args.last} should be a directory."))
+      forEachSrc(cmd, sources) { local =>
+        val spark = cur.chunks.sparkSession
+        // put INTO an existing directory targets dir/<local basename>;
+        // an existing file at the target errors (no silent duplicate
+        // chunk rows — reassembly would concatenate both payloads)
+        val base = java.nio.file.Paths.get(local).getFileName.toString
+        val dst = if (dstIsDir) s"${dirPrefix(rawDst)}$base" else rawDst
+        if (cur.catalog.exists(dst))
+          throw new IOException(s"Target $dst already exists")
+        // size BEFORE moveFromLocal unlinks the source
+        val len = java.nio.file.Files.size(java.nio.file.Paths.get(local))
+        val newChunks =
+          if (cmd == "-moveFromLocal") DataPlane.moveFromLocal(spark, local, dst)
+          else DataPlane.put(spark, local, dst)
+        val (cat2, ok) = cur.catalog.mkdirs(PathOps.parent(dst))
+        if (!ok) throw new IOException(
+          s"Parent path is not a directory: ${PathOps.parent(dst)}")
+        val node = graft.catalog.Inode(dst, PathOps.parent(dst), "graft", "graft",
+          420, isDir = false, new java.sql.Timestamp(1704067200000L),
+          graft.catalog.BlockMeta.forLength(dst, len,
+            DataPlane.DefaultSubBlock, DataPlane.DefaultBlock))
+        setFs(GraftFs(cat2.store(node), cur.chunks.unionByName(newChunks)))
+        Nil
       }
-      if (cur.catalog.exists(dst))
-        throw new IOException(s"Target $dst already exists")
-      // size BEFORE moveFromLocal unlinks the source
-      val len = java.nio.file.Files.size(java.nio.file.Paths.get(args.head))
-      val newChunks =
-        if (cmd == "-moveFromLocal") DataPlane.moveFromLocal(spark, args.head, dst)
-        else DataPlane.put(spark, args.head, dst)
-      val (cat2, ok) = cur.catalog.mkdirs(PathOps.parent(dst))
-      if (!ok) throw new IOException(
-        s"Parent path is not a directory: ${PathOps.parent(dst)}")
-      val node = graft.catalog.Inode(dst, PathOps.parent(dst), "graft", "graft",
-        420, isDir = false, new java.sql.Timestamp(1704067200000L),
-        graft.catalog.BlockMeta.forLength(dst, len,
-          DataPlane.DefaultSubBlock, DataPlane.DefaultBlock))
-      setFs(GraftFs(cat2.store(node), cur.chunks.unionByName(newChunks)))
-      ShellResult(0, Nil, Nil)
 
     case "-get" | "-copyToLocal" =>
       // -ignoreCrc/-crc are parsed like the reference (SnackFSShell

@@ -114,6 +114,22 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
       include("invalid addnl flag")
   }
 
+  it must "put multiple local sources into a directory destination" in {
+    val sh = newShell()
+    val l1 = Files.createTempFile("graft-multi-put-1", ".txt")
+    val l2 = Files.createTempFile("graft-multi-put-2", ".txt")
+    Files.write(l1, "one".getBytes); Files.write(l2, "two".getBytes)
+    // multiple sources need an existing dir destination
+    val bad = sh.run(Array("-put", l1.toString, l2.toString, "/multi/missing"))
+    bad.code must be(-1)
+    bad.err.head must include("should be a directory")
+    sh.run(Array("-mkdir", "/multi")).code must be(0)
+    sh.run(Array("-put", l1.toString, l2.toString, "/multi")).code must be(0)
+    sh.run(Array("-cat", s"/multi/${l1.getFileName}")).out.head must be("one")
+    sh.run(Array("-cat", s"/multi/${l2.getFileName}")).out.head must be("two")
+    Files.delete(l1); Files.delete(l2)
+  }
+
   it must "refuse a duplicate put instead of silently doubling chunk rows" in {
     val sh = newShell()
     val local = Files.createTempFile("graft-shell-dup", ".txt")
