@@ -213,6 +213,27 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
     zs.close()
   }
 
+  it must "mount through Hadoop's fs.<scheme>.impl resolution like the reference (core-site.xml:29-32)" in {
+    TestSpark.spark
+    val conf = new Configuration(false)
+    conf.set("fs.graftmnt.impl", classOf[GraftFileSystem].getName)
+    conf.setInt("graft.subblock.size", 8)
+    conf.setInt("graft.block.size", 16)
+    conf.setBoolean("fs.graftmnt.impl.disable.cache", true)
+    // the stock Hadoop factory path — no direct construction anywhere
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      URI.create("graftmnt://cluster"), conf)
+    fs.getClass must be(classOf[GraftFileSystem])
+    val out = fs.create(new Path("/mnt/hello"))
+    out.write("resolved through the factory".getBytes); out.close()
+    val is = fs.open(new Path("/mnt/hello"))
+    val arr = new Array[Byte](28)
+    is.readFully(0, arr); is.close()
+    new String(arr) must be("resolved through the factory")
+    fs.listStatus(new Path("/mnt")).length must be(1)
+    fs.close()
+  }
+
   it must "fail an open stream with IOException when the file vanishes mid-read" in {
     val fs = newFs()
     val out = fs.create(new Path("/gone/f"))
