@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation planners a training-data pipeline runs after
+  * dedup/quality filtering: balanced downsampling and sequence packing.
+  * Both are DETERMINISTIC (key-ordered windows, no RNG) so runs
+  * reproduce and results oracle-check; both partition by a stratum /
+  * shard column so no window ever sorts the whole corpus in one task —
+  * the per-stratum sort is the same shuffle shape a groupBy would pay.
+  */
+object Curation {
+
+  /** Deterministic stratified downsample: every k-th document per
+    * stratum in key order — the reproducible version of "sample 1/k
+    * preserving the stratum mix" (language balance, source balance).
+    * Deterministic beats Bernoulli sampling for curation because reruns
+    * and audits see the same training set.
+    */
+  def stratifiedEveryKth(docs: DataFrame, stratum: Column, k: Int,
+                         orderKey: Column): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(stratum).orderBy(orderKey)
+    docs
+      .withColumn("_rn", row_number().over(w))
+      .filter((col("_rn") % k) === 1)
+      .drop("_rn")
+  }
+
+  /** Sequence-packing plan: assign each document to a fixed-token-budget
+    * pack, per shard, in key order — the planner step of a
+    * concat-and-chunk tokenization pipeline. pack_id = the budget
+    * bucket the document's cumulative offset STARTS in (documents
+    * spanning a boundary belong to the pack they start in — the
+    * standard chunked-packing convention; the consumer splits at the
+    * boundary). One window prefix-sum per shard, no driver loops.
+    */
+  def packSequences(docs: DataFrame, shard: Column, tokenBudget: Int,
+                    orderKey: Column): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val nTok = size(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
+      .cast("long")
+    val w = Window.partitionBy(shard).orderBy(orderKey)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", nTok)
+      .withColumn("_cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id",
+        floor((col("_cum") - col("n_tok")) / tokenBudget).cast("long"))
+      .drop("_cum")
+  }
+}

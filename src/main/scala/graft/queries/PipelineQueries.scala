@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators as driver queries. Everything
   * with an ANSI-SQL-expressible answer carries a DuckDB oracle —
@@ -377,6 +377,46 @@ object PipelineQueries {
              |  FROM documents)
              |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words FROM q
              |WHERE quality_ok AND doc_id NOT IN (SELECT doc_id FROM drops)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Curation planners: balanced downsampling + sequence packing ────
+    // Deterministic stratified downsample — every 10th doc per language
+    // in id order: the reproducible "1/10 sample preserving the language
+    // mix" (Bernoulli sampling would be RNG-dependent and unauditable).
+    QueryDef(
+      "pipeline_stratified_sample",
+      (s, d) =>
+        Curation.stratifiedEveryKth(Tables.documents(s, d),
+            col("lang"), k = 10, orderKey = col("doc_id"))
+          .select(col("lang"), col("doc_id"))
+          .orderBy(col("lang"), col("doc_id")),
+      Some("""SELECT lang, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn % 10 = 1 ORDER BY lang, doc_id""".stripMargin)),
+
+    // Sequence-packing plan — per-language cumulative token offsets
+    // assign each doc to its 4096-token pack (the planner step of a
+    // concat-and-chunk tokenization run): one window prefix-sum per
+    // shard, fully SQL-expressible, so the whole plan hash-checks.
+    QueryDef(
+      "pipeline_pack_sequences",
+      (s, d) =>
+        Curation.packSequences(Tables.documents(s, d),
+            col("lang"), tokenBudget = 4096, orderKey = col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_tok"), col("pack_id"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang,
+             |       CAST(LEN(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tok,
+             |       CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+             |FROM (
+             |  SELECT doc_id, lang, text,
+             |         LEN(regexp_extract_all(lower(text), '\w+')) AS n_tok,
+             |         SUM(LEN(regexp_extract_all(lower(text), '\w+')))
+             |           OVER (PARTITION BY lang ORDER BY doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
     // ── Multimodal binary columns ───────────────────────────────────────

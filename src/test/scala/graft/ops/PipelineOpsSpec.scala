@@ -247,6 +247,42 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     dropped2 must be(0L)
   }
 
+  behavior of "Curation planners"
+
+  it must "pick every k-th doc per stratum deterministically" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"), (5L, "en"),
+      (10L, "de"), (11L, "de"), (12L, "de"))
+      .toDF("doc_id", "lang")
+    val picked = Curation.stratifiedEveryKth(docs, col("lang"), k = 2,
+        orderKey = col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    picked must be(Array(1L, 3L, 5L, 10L, 12L)) // ranks 1,3,5 per stratum
+    // rerun = same picks (deterministic, unlike Bernoulli sampling)
+    Curation.stratifiedEveryKth(docs, col("lang"), k = 2, col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted must
+      be(picked)
+  }
+
+  it must "assign docs to token-budget packs by cumulative start offset" in {
+    val s = spark
+    import s.implicits._
+    // token counts: 3, 4, 2, 5 — budget 6: cum starts 0,3,7,9 → packs 0,0,1,1
+    val docs = Seq(
+      (1L, "x", "one two three"),
+      (2L, "x", "a b c d"),
+      (3L, "x", "p q"),
+      (4L, "x", "v w x y z"))
+      .toDF("doc_id", "lang", "text")
+    val packs = Curation.packSequences(docs, col("lang"), tokenBudget = 6,
+        orderKey = col("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("pack_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    packs must be(Array((1L, 3L, 0L), (2L, 4L, 0L), (3L, 2L, 1L), (4L, 5L, 1L)))
+  }
+
   behavior of "Similarity brute vs IVF"
 
   private def embDf(vs: Seq[(Long, Seq[Float])]) = {
