@@ -66,3 +66,57 @@ object CatalogProperties extends Properties("FsCatalog") {
         PathOps.ancestors(path).forall(c2.testD)
     }
 }
+
+/** Pure-string glob-translator invariants — no Spark jobs, so these run
+  * at full ScalaCheck volume. The slash-star-matches-root defect lived
+  * here; these pin the component-scoping rules it violated.
+  */
+object GlobProperties extends Properties("PathOps.glob") {
+
+  private val genSeg: Gen[String] =
+    Gen.identifier.map(_.take(6)).suchThat(_.nonEmpty)
+
+  private val genPath: Gen[String] = for {
+    n <- Gen.choose(1, 4)
+    segs <- Gen.listOfN(n, genSeg)
+  } yield "/" + segs.mkString("/")
+
+  property("a literal path matches exactly its own glob") =
+    Prop.forAll(genPath, genPath) { (p, other) =>
+      p.matches(PathOps.globToRegex(p)) &&
+        (other == p || !other.matches(PathOps.globToRegex(p)))
+    }
+
+  property("'*' binds one component — never across '/'") =
+    Prop.forAll(genPath, genSeg, genSeg) { (base, child, grandchild) =>
+      val pattern = s"$base/*"
+      val re = PathOps.globToRegex(pattern)
+      s"$base/$child".matches(re) &&
+        !s"$base/$child/$grandchild".matches(re) &&
+        !base.matches(re) // the empty component must not satisfy '*'… of the parent
+    }
+
+  property("'?' matches exactly one in-component character") =
+    Prop.forAll(genPath, genSeg) { (base, seg) =>
+      val re = PathOps.globToRegex(s"$base/$seg?")
+      s"$base/${seg}x".matches(re) &&
+        !s"$base/$seg".matches(re) &&
+        !s"$base/$seg/x".matches(re)
+    }
+
+  property("globLiteralPrefix prefixes every matching path") =
+    Prop.forAll(genPath, genSeg) { (base, child) =>
+      val pattern = s"$base/*"
+      val matched = s"$base/$child"
+      val pre = PathOps.globLiteralPrefix(pattern)
+      pattern.startsWith(pre) && matched.startsWith(pre) &&
+        !PathOps.isGlob(pre)
+    }
+
+  property("brace alternation matches each branch and nothing else") =
+    Prop.forAll(genPath, genSeg, genSeg, genSeg) { (base, a, b, c) =>
+      val re = PathOps.globToRegex(s"$base/{$a,$b}")
+      s"$base/$a".matches(re) && s"$base/$b".matches(re) &&
+        (c == a || c == b || !s"$base/$c".matches(re))
+    }
+}
