@@ -37,6 +37,25 @@ object CatalogQueries {
               |       'graft' AS "user", CAST(420 AS INTEGER) AS permission
               |FROM part WHERE p_brand = 'Brand#13' ORDER BY path""".stripMargin)),
 
+    // ── B1/C3 persistence: save → load round-trip through the driver
+    //    gate — the path-range-partitioned parquet checkpoint is the
+    //    production state-transition story every mutable surface defers
+    //    to, so it gets its own oracle: the RELOADED catalog must list
+    //    the identical subtree the in-memory one does.
+    QueryDef(
+      "fs_save_load",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-save-load").toString
+        CatalogBuilder.fromPart(s, d).save(dir)
+        graft.catalog.FsCatalog.load(s, dir)
+          .listStatusRecursive("/pt/Brand#13")
+      },
+      Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path, FALSE AS is_dir,
+              |       CAST(p_size AS BIGINT) AS len, CAST(p_size AS BIGINT) AS block_size,
+              |       'graft' AS "user", CAST(420 AS INTEGER) AS permission
+              |FROM part WHERE p_brand = 'Brand#13' ORDER BY path""".stripMargin)),
+
     // ── D3: du — per-child subtree totals (nested-array HOF + groupBy) ──
     QueryDef(
       "fs_du",
