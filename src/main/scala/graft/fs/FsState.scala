@@ -25,7 +25,11 @@ import graft.PlanHygiene
   * Snapshots escape through `pinCurrent` (the facade's `graftFs`, the
   * shell's `fs`): a pinned generation's checkpoint is excluded from
   * release, so externally-held state keeps working after later
-  * compactions — storage for pins is the caller's choice to make.
+  * compactions. Pins are the CALLER's storage to manage: `unpin` the
+  * snapshot (or `releasePins()` at teardown) when done with it, and
+  * prefer `get` for use-and-drop reads — a session that pins every
+  * generation it touches retains one materialized snapshot per
+  * compaction, re-creating the growth this cell exists to bound.
   *
   * Methods are synchronized so a compaction can't release a checkpoint
   * mid-`set`; the read-modify-write races of CONCURRENT mutators are
@@ -43,20 +47,46 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
   private var sinceCompact = 0
   private var interval = compactEvery
   private var lastCheckpointed: Option[GraftFs] = None
-  private var pinned: List[GraftFs] = Nil
+  // escaped snapshot → the checkpoint generation backing it. One entry
+  // per distinct escape; `unpin` (or `releasePins`) removes entries and
+  // the checkpoint is freed at the NEXT compaction once no pin names it.
+  private var pinned: List[(GraftFs, GraftFs)] = Nil
 
   def get: GraftFs = synchronized(current)
 
   /** Return the current snapshot and pin its backing checkpoint: later
     * compactions will not release it, so the caller's copy stays
-    * queryable for the session's lifetime.
+    * queryable until `unpin(copy)` (or `releasePins()`). Callers that
+    * use-and-drop within one driver op should prefer `get` — each
+    * generation pinned here retains one full materialized snapshot.
     */
   def pinCurrent(): GraftFs = synchronized {
     lastCheckpointed.foreach { cp =>
-      if (!pinned.exists(_ eq cp)) pinned ::= cp
+      if (!pinned.exists { case (esc, c) => (esc eq current) && (c eq cp) })
+        pinned ::= (current, cp)
     }
     current
   }
+
+  /** Release the pin taken when `snapshot` escaped via `pinCurrent`.
+    * The snapshot must not be queried afterwards: its backing
+    * checkpoint is freed immediately if already superseded and no
+    * other live pin shares it.
+    */
+  def unpin(snapshot: GraftFs): Unit = synchronized {
+    pinned = pinned.filterNot(_._1 eq snapshot)
+    sweepRetired()
+  }
+
+  /** Drop every pin (e.g. session teardown); superseded checkpoints
+    * free immediately.
+    */
+  def releasePins(): Unit = synchronized { pinned = Nil; sweepRetired() }
+
+  /** Number of live pins — one retained snapshot each; exposed so long
+    * sessions can observe (and tests can assert) pin accounting.
+    */
+  def pinCount: Int = synchronized(pinned.size)
 
   def set(next: GraftFs): Unit = synchronized {
     current = next
@@ -67,16 +97,27 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
   /** Force a compaction boundary (also runs automatically). */
   def compactNow(): Unit = synchronized {
     val compacted = current.compact() // eager: materialized before release
-    lastCheckpointed
-      .filterNot(prev => pinned.exists(_ eq prev))
-      .foreach { prev =>
-        PlanHygiene.releaseCheckpoint(prev.catalog.inodes)
-        PlanHygiene.releaseCheckpoint(prev.chunks)
-      }
+    lastCheckpointed.foreach(prev => retired ::= prev)
+    sweepRetired()
     lastCheckpointed = Some(compacted)
     current = compacted
     sinceCompact = 0
     interval = math.min(interval * 2, FsState.MaxCompactEvery)
+  }
+
+  // superseded-but-pinned checkpoints park here; a sweep (every
+  // compaction, every unpin) frees the ones no live pin still names —
+  // so an unpinned generation's storage is reclaimed even though
+  // compactNow itself only ever retires the immediately-previous one
+  private var retired: List[GraftFs] = Nil
+
+  private def sweepRetired(): Unit = {
+    val (keep, free) = retired.partition(cp => pinned.exists(_._2 eq cp))
+    free.foreach { cp =>
+      PlanHygiene.releaseCheckpoint(cp.catalog.inodes)
+      PlanHygiene.releaseCheckpoint(cp.chunks)
+    }
+    retired = keep
   }
 }
 

@@ -164,7 +164,7 @@ class GraftFileSystem extends FileSystem {
     * partial) buffer becomes one `(path, block_id, sub_id, …)` row in
     * the chunk table — the same geometry `DataPlane.chunk` produces, so
     * catalog folds and reassembly agree byte-for-byte. Mirrors the
-    * reference's write/endSubBlock/endBlock/close state machine,
+    * reference's write/endSubBlock/endBlock/flush/close state machine,
     * including write-after-close and double-close behavior
     * (FileSystemOutputStream.scala:55-143: close is isClosed-guarded, a
     * second close is a no-op; writes after close throw "Stream closed").
@@ -175,6 +175,10 @@ class GraftFileSystem extends FileSystem {
     private var used = 0
     private var written = 0L
     private var isClosed = false
+    // true while a flush()-persisted PARTIAL copy of the current
+    // subblock sits in the chunk table; the next persist of the same
+    // (block_id, sub_id) cell must replace it, not union beside it
+    private var partialFlushed = false
 
     override def write(b: Int): Unit = {
       ensureOpen()
@@ -202,8 +206,11 @@ class GraftFileSystem extends FileSystem {
     // so the running byte count determines the global subblock index and
     // with it the (block_id, sub_id, offsets) cell — no per-stream
     // metadata accumulators needed beyond `written`
-    private def endSubBlock(): Unit = {
-      if (used == 0) return
+    // persist the CURRENT (possibly partial) buffer as one chunk row at
+    // its (block_id, sub_id) cell; a previously flush()-persisted
+    // partial copy of the same cell is filtered out first so the table
+    // never holds two rows for one subblock
+    private def persistSubBlock(): Unit = {
       val s = spark
       val idx = written / subBlockSize
       val sbPerBlock = blockSize / subBlockSize
@@ -221,9 +228,20 @@ class GraftFileSystem extends FileSystem {
           StructField("offset", LongType),
           StructField("data", BinaryType),
           StructField("length", LongType))))
+      val base =
+        if (partialFlushed)
+          state.chunks.filter(!(col("path") === p &&
+            col("block_id") === blockId && col("sub_id") === subId))
+        else state.chunks
+      setState(GraftFs(state.catalog, base.unionByName(oneRow)))
+    }
+
+    private def endSubBlock(): Unit = {
+      if (used == 0) return
+      persistSubBlock()
+      partialFlushed = false
       written += used
       used = 0
-      setState(GraftFs(state.catalog, state.chunks.unionByName(oneRow)))
       // endBlock: a block boundary just closed → re-commit the inode
       // with every block written so far (the reference re-stores the
       // whole INode per block, FileSystemOutputStream.scala:103-120)
@@ -231,8 +249,22 @@ class GraftFileSystem extends FileSystem {
     }
 
     private def commitInode(): Unit =
-      setState(GraftFs(state.catalog.store(inodeFor(p, parent, written)),
+      setState(GraftFs(state.catalog.store(inodeFor(p, parent, written + used)),
         state.chunks))
+
+    /** The reference's flush() persists the buffered partial subblock
+      * (FileSystemOutputStream.scala:122-130) so flushed bytes are
+      * visible to readers before close; mirror that — store the partial
+      * row AND re-commit the inode at the flushed length. The buffer
+      * keeps filling afterwards; the next persist of this cell replaces
+      * the partial copy.
+      */
+    override def flush(): Unit = {
+      if (isClosed || used == 0) return
+      persistSubBlock()
+      partialFlushed = true
+      commitInode()
+    }
 
     override def close(): Unit = {
       if (isClosed) return
@@ -315,7 +347,11 @@ class GraftFileSystem extends FileSystem {
       if (pos >= fileLen) return -1
       val inBlock = (pos % blockSize).toInt
       val block = blockAt(pos / blockSize, inBlock + 1)
-      val n = math.min(len, block.length - inBlock)
+      // clamp to the open-time snapshot length too: if the file was
+      // overwritten LONGER under this stream, the live block can hold
+      // more bytes than the snapshot — never serve past fileLen
+      val n = math.min(math.min(len, block.length - inBlock).toLong,
+        fileLen - pos).toInt
       System.arraycopy(block, inBlock, buf, off, n)
       pos += n
       n
@@ -339,7 +375,8 @@ class GraftFileSystem extends FileSystem {
         val inBlock = (at % blockSize).toInt
         // blockAt throws if the block shrank — the loop can never stall
         val block = blockAt(at / blockSize, inBlock + 1)
-        val n = math.min(length - copied, block.length - inBlock)
+        val n = math.min(math.min(length - copied, block.length - inBlock).toLong,
+          fileLen - at).toInt
         System.arraycopy(block, inBlock, buffer, offset + copied, n)
         copied += n
         at += n

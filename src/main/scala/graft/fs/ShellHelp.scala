@@ -14,7 +14,8 @@ object ShellHelp {
     "-du" -> "-du <path>: per-child aggregate byte counts under a path (FsCatalog.du)",
     "-dus" -> "-dus <path>: single summary byte count for a subtree (FsCatalog.dus)",
     "-count" -> "-count [-q] <path>: directory, file and byte totals for a subtree; -q prefixes quota columns (unset: none/inf) (FsCatalog.countSummary)",
-    "-mv" -> "-mv <src> <dst>: rename a file or subtree in one distributed prefix-rewrite (GraftFs.rename; cascades to data chunks)",
+    "-mv" -> ("-mv <src> <dst>: rename a file or subtree in one distributed prefix-rewrite (GraftFs.rename; cascades to data chunks). " +
+      "Note: with multiple sources the rename keeps the reference's RenameCommand quirk — a destination that already exists (even a directory) throws 'Destination already exists', so multi-source -mv always fails; use -cp + -rm to fan into a directory (RenameCommand.scala:81-84)."),
     "-cp" -> "-cp <src> <dst>: copy a file or subtree on both catalog and data planes (GraftFs.copy)",
     "-rm" -> "-rm <path>: delete a file; refuses non-empty directories (GraftFs.delete(recursive = false))",
     "-rmr" -> "-rmr <path>: delete a subtree and its data chunks (GraftFs.delete(recursive = true))",

@@ -46,10 +46,18 @@ object CatalogQueries {
       "fs_save_load",
       (s, d) => {
         val dir = java.nio.file.Files
-          .createTempDirectory("graft-save-load").toString
-        CatalogBuilder.fromPart(s, d).save(dir)
-        graft.catalog.FsCatalog.load(s, dir)
+          .createTempDirectory("graft-save-load")
+        CatalogBuilder.fromPart(s, d).save(dir.toString)
+        // materialize the RELOADED listing eagerly, then remove the
+        // snapshot directory — a bench run at REPS=3 must not leak
+        // three parquet snapshots per invocation
+        val out = graft.catalog.FsCatalog.load(s, dir.toString)
           .listStatusRecursive("/pt/Brand#13")
+          .localCheckpoint(true)
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        out
       },
       Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path, FALSE AS is_dir,
               |       CAST(p_size AS BIGINT) AS len, CAST(p_size AS BIGINT) AS block_size,

@@ -84,4 +84,43 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     new String(DataPlane.cat(cell.get.chunks, "/p9").collect()(0)
       .getAs[Array[Byte]]("data")) must be("pin-9")
   }
+
+  // the one checkpoint leaf inside a (checkpoint ∪ deltas) plan
+  private def checkpointRdd(df: org.apache.spark.sql.Dataset[_]) =
+    df.queryExecution.analyzed.collectLeaves()
+      .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+      match {
+        case Seq(rdd) => rdd
+        case other => fail(s"expected one LogicalRDD leaf, got ${other.size}")
+      }
+
+  it must "free an unpinned generation's checkpoint storage instead of retaining one snapshot per pin forever" in {
+    val cell = new FsState(emptyFs(), compactEvery = 2)
+    (1 to 4).foreach { i =>
+      val fs = cell.get
+      cell.set(GraftFs(
+        fs.catalog.touchz(s"/u$i"),
+        fs.chunks.unionByName(oneFile(s"/u$i", s"unpin-$i"))))
+    }
+    val escaped = cell.pinCurrent()
+    cell.pinCurrent() must be theSameInstanceAs escaped // same generation
+    cell.pinCount must be(1) // re-escaping one generation is ONE pin
+    val backing = checkpointRdd(escaped.chunks)
+    // supersede the pinned generation; the pin keeps its storage alive
+    (5 to 8).foreach { i =>
+      val fs = cell.get
+      cell.set(GraftFs(
+        fs.catalog.touchz(s"/u$i"),
+        fs.chunks.unionByName(oneFile(s"/u$i", s"unpin-$i"))))
+    }
+    cell.compactNow()
+    backing.getStorageLevel.useMemory must be(true)
+    // releasing the pin frees the superseded checkpoint immediately
+    cell.unpin(escaped)
+    cell.pinCount must be(0)
+    backing.getStorageLevel.useMemory must be(false)
+    // the live cell is untouched by the sweep
+    new String(DataPlane.cat(cell.get.chunks, "/u7").collect()(0)
+      .getAs[Array[Byte]]("data")) must be("unpin-7")
+  }
 }

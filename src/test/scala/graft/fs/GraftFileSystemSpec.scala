@@ -171,6 +171,51 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
     new String(arr) must be("ABCDEFGHIJKLMNOPQRST")
   }
 
+  it must "persist the buffered partial subblock on flush(), visible to readers before close" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/fl/f"))
+    out.write("ABC".getBytes) // 3 of 8 buffered — nothing persisted yet
+    fs.getFileStatus(new Path("/fl/f")).getLen must be(0L)
+    out.flush() // the reference persists the partial subblock (FileSystemOutputStream.scala:122-130)
+    fs.getFileStatus(new Path("/fl/f")).getLen must be(3L)
+    val pre = fs.open(new Path("/fl/f"))
+    val got = new Array[Byte](3)
+    pre.readFully(0, got); pre.close()
+    new String(got) must be("ABC")
+    // filling the subblock REPLACES the flushed partial row — never two
+    // rows for one (block_id, sub_id) cell
+    out.write("DEFGH".getBytes) // completes subblock 0
+    fs.graftFs.chunkSummary("/fl/f").collect()(0)
+      .getAs[Long]("n_chunks") must be(1L)
+    out.flush() // flush with an empty buffer is a no-op
+    fs.graftFs.chunkSummary("/fl/f").collect()(0)
+      .getAs[Long]("n_chunks") must be(1L)
+    out.write("IJ".getBytes)
+    out.close()
+    fs.getFileStatus(new Path("/fl/f")).getLen must be(10L)
+    val is = fs.open(new Path("/fl/f"))
+    val arr = new Array[Byte](10)
+    is.readFully(0, arr); is.close()
+    new String(arr) must be("ABCDEFGHIJ")
+  }
+
+  it must "clamp reads to the open-time length when the file is overwritten LONGER under the stream" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/grow/f"))
+    out.write("0123456789".getBytes); out.close() // 10 bytes, inside block 0
+    val is = fs.open(new Path("/grow/f")) // snapshot fileLen = 10
+    val out2 = fs.create(new Path("/grow/f")) // overwrite, 16 bytes
+    out2.write("ABCDEFGHIJKLMNOP".getBytes); out2.close()
+    // the documented divergence serves the NEW bytes — but never MORE
+    // bytes than the snapshot length, on any read shape
+    val buf = new Array[Byte](16)
+    is.read(buf, 0, 16) must be(10)
+    is.read() must be(-1)
+    val pbuf = new Array[Byte](16)
+    is.read(0L, pbuf, 0, 16) must be(10)
+    is.close()
+  }
+
   it must "treat double-close as a no-op and refuse writes after close" in {
     val fs = newFs()
     val out = fs.create(new Path("/dc/f"))
