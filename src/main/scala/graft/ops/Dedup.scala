@@ -275,13 +275,23 @@ object Dedup {
     * min reachable doc id, via iterative min-label propagation (the
     * standard distributed CC shape): each round joins the (small) edge
     * set against current labels, takes the per-node min of neighbor
-    * labels, and converges when no label changes. Iterations are bounded
-    * by the cluster diameter (near-dup clusters are shallow); each round
+    * labels, and converges when no label changes. Each round
     * `localCheckpoint`s so lineage stays flat — the GraphX/Pregel
     * pattern. At 100 TB the pair set is orders smaller than the corpus
     * (it only holds near-duplicates), so every join here is small-side.
+    *
+    * `pointerJump` (default on) adds the doubling step after each
+    * propagation: labels shortcut through themselves (new label =
+    * label(label), one self-join — sound because label(x) ≤ x is an
+    * invariant of min-propagation, so chains only contract). Rounds
+    * drop from O(diameter) to O(log diameter) at the cost of one extra
+    * join per round — the difference between 4 and ~40 rounds on a
+    * degenerate 100-link boilerplate chain, and each round is a full
+    * shuffle barrier at scale. Near-dup clusters are usually shallow;
+    * the flag exists so the propagation-only shape stays testable.
     */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 20,
+                 pointerJump: Boolean = true): DataFrame = {
     // localCheckpoint (not persist) each round: persist caches EXECUTION
     // but the logical plan still embeds the prior round's plan 2-3×, so
     // analyzer/optimizer time grows exponentially with iterations
@@ -306,21 +316,37 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("label").as("l")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("l")).as("nl"))
-      val next = labels
+      val stepped = labels
         .join(prop, Seq("id"))
         .select(col("id"), least(col("label"), col("nl")).as("label"),
           (col("nl") < col("label")).as("changed"))
         .localCheckpoint(true) // eager: materialized before the release below
-      converged = next.filter(col("changed")).limit(1).count() == 0
       releaseCheckpoint(labels)
+      val next =
+        if (!pointerJump) stepped
+        else {
+          // doubling: label ← label(label). The self-join reads the
+          // CHECKPOINTED stepped table twice (flat LogicalRDD, no
+          // subtree recompute); every label value is itself a node id,
+          // so the inner join keeps all rows
+          val jumped = stepped
+            .join(stepped.select(col("id").as("label"),
+              col("label").as("ll")), Seq("label"))
+            .select(col("id"), col("ll").as("label"),
+              (col("changed") || col("ll") < col("label")).as("changed"))
+            .localCheckpoint(true)
+          releaseCheckpoint(stepped)
+          jumped
+        }
+      converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next // extra `changed` column is ignored by the next round
       iter += 1
     }
     // silent non-convergence would hand the caller a split cluster that
-    // reads like a correct answer — fail loudly instead (min-label is
-    // O(diameter); a deeper graph wants the pointer-jumping variant)
+    // reads like a correct answer — fail loudly instead
     require(converged,
-      s"components: not converged after $maxIters rounds — cluster diameter exceeds maxIters")
+      s"components: not converged after $maxIters rounds — cluster diameter exceeds maxIters" +
+        (if (pointerJump) "" else " (pointerJump=true converges in O(log diameter))"))
     releaseCheckpoint(edges)
     // the returned frame reads the FINAL checkpoint — that one stays
     labels.select(col("id").as("doc_id"), col("label").as("component"))

@@ -77,4 +77,36 @@ object TextAnalysis {
       col("doc_id"),
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
       sha2(col("text"), 256).as("sha"))
+
+  // PII patterns kept to the RE2-compatible subset (no lookaround, no
+  // backrefs) so the scrub is reproducible across engines — the same
+  // strings drive the DuckDB oracle with the 'g' flag
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  /** PII scrubbing — redact emails, IPv4 addresses, and phone-shaped
+    * numbers to typed placeholders, with per-kind match counts (taken
+    * BEFORE redaction, so the counts audit what was removed). Order
+    * matters: emails first (their local part can contain digits/dots an
+    * IP pattern would chew on), then IPs, then phones. A pure
+    * per-row projection of codegen'd regexp built-ins: no shuffle, no
+    * UDF — at 100 TB this runs at scan speed.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"),
+      size(expr(s"regexp_extract_all($textCol, '${EmailRe.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all($textCol, '${Ipv4Re.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("n_ips"),
+      size(expr(s"regexp_extract_all($textCol, '${PhoneRe.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("n_phones"))
+  }
 }

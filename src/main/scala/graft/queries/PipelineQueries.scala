@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators as driver queries. Everything
   * with an ANSI-SQL-expressible answer carries a DuckDB oracle —
@@ -72,6 +72,37 @@ object PipelineQueries {
              |       sha256(text) AS sha
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII scrubbing: the synthetic corpus carries no PII, so the query
+    // INJECTS deterministic email/IP/phone strings per doc and both
+    // engines scrub the identical text — the regexes (RE2-compatible
+    // subset) and replacement order are the op's contract, exercised
+    // end to end rather than on a no-op corpus.
+    QueryDef(
+      "text_redact",
+      (s, d) =>
+        TextAnalysis.redactPii(
+          Tables.documents(s, d).select(
+            col("doc_id"),
+            concat(col("text"),
+              lit(" reach user"), col("doc_id"), lit("@example.com or +1 555-01"),
+              format_string("%02d", (col("doc_id") % 100).cast("int")),
+              lit(" from 10.0."), (col("doc_id") % 256), lit(".7")).as("text")))
+          .orderBy(col("doc_id")),
+      Some("""WITH injected AS (
+             |  SELECT doc_id,
+             |         text || ' reach user' || doc_id || '@example.com or +1 555-01' ||
+             |         printf('%02d', doc_id % 100) || ' from 10.0.' || (doc_id % 256) || '.7' AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |       regexp_replace(regexp_replace(regexp_replace(text,
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |         '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted,
+             |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |       CAST(len(regexp_extract_all(text, '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phones
+             |FROM injected ORDER BY doc_id""".stripMargin)),
+
     // ── Deduplication ───────────────────────────────────────────────────
     QueryDef(
       "dedup_exact",
@@ -115,6 +146,36 @@ object PipelineQueries {
              |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Benchmark decontamination: every-10th doc stands in as the eval
+    // set; training docs sharing >= 3 distinct 3-gram shingles with any
+    // bench doc are flagged. The oracle is the JOIN form (shingle rows
+    // joined on the shingle, grouped per pair), which is also the
+    // operator's own plan shape — linear in shingles, never all-pairs.
+    QueryDef(
+      "pipeline_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        Decontaminate.flagged(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            n = 3, minShared = 3)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                               for i in range(1, len(t)-1)])) AS shingle
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |hits AS (
+             |  SELECT train.doc_id AS doc_id, bench.doc_id AS bench_id,
+             |         COUNT(*) AS n_shared
+             |  FROM (SELECT * FROM sh WHERE doc_id % 10 <> 0) train
+             |  JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) bench USING (shingle)
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT doc_id, bench_id, n_shared FROM hits
+             |ORDER BY doc_id, bench_id""".stripMargin)),
 
     // Near-dup CLUSTERS, not just pairs: connected components over the
     // LSH-verified pair set (label = min reachable doc id, iterative

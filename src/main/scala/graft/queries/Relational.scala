@@ -330,6 +330,19 @@ object Relational {
              |WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ── Streaming exact dedup, EXECUTED (third streaming channel):
+    //    dropDuplicatesWithinWatermark over the staged events drained
+    //    with AvailableNow. The deterministic view is the emitted
+    //    content set (see EventsStream.dedupAvailableNow scaladoc);
+    //    exactly-once-per-key within the horizon is MemoryStream-spec
+    //    pinned where batch boundaries are controlled. ─────────────────
+    QueryDef(
+      "stream_dedup",
+      (s, d) =>
+        graft.streaming.EventsStream.dedupAvailableNow(s, d)
+          .orderBy(col("props")),
+      Some("SELECT DISTINCT props FROM events ORDER BY props")),
+
     // ── Conditional aggregation (manual pivot) ──────────────────────────
     QueryDef(
       "q15_conditional_agg",

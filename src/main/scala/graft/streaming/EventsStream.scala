@@ -110,6 +110,12 @@ object EventsStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the memory sink holds the emitted rows — the staged copies are
+    // dead weight now; a bench run at REPS=3 must not leak three
+    // landing directories per streaming query
+    Files.walk(landing)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
     spark.table(sink)
   }
 
@@ -129,6 +135,21 @@ object EventsStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_sha")
       .drop("content_sha")
+
+  /** Streaming-executed dedup channel: `dedupByContent` on `props`
+    * drained with AvailableNow. WHICH physical row carries a content's
+    * first emission depends on arrival order inside a microbatch, and a
+    * content recurring past the watermark horizon legitimately re-emits
+    * — so the deterministic, oracle-comparable view is the emitted
+    * CONTENT SET: distinct props must equal the batch-distinct oracle
+    * exactly (nothing lost, nothing invented). The exactly-once-per-key
+    * property within the horizon is pinned separately by the
+    * MemoryStream spec, where batch boundaries are controlled.
+    */
+  def dedupAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "graft_stream_dedup")(
+      dedupByContent(_, "props"))
+      .select(col("props")).distinct()
 
   final case class SessionUpdate(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,

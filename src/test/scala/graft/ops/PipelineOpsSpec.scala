@@ -83,6 +83,22 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       10L -> 10L, 11L -> 10L))
   }
 
+  it must "converge on a deep chain in O(log diameter) rounds via pointer jumping" in {
+    val s = spark
+    import s.implicits._
+    // a 65-link path: diameter 64. Propagation-only needs ~64 rounds —
+    // over the 10-round budget it must fail LOUDLY; the doubling step
+    // (label <- label(label)) contracts the chain within ~2*log2(64)
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.components(chain, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    labels.length must be(65)
+    labels.map(_._2).distinct must be(Array(0L))
+    val e = intercept[IllegalArgumentException](
+      Dedup.components(chain, maxIters = 10, pointerJump = false).collect())
+    e.getMessage must include("not converged")
+  }
+
   behavior of "Dedup.simhash"
 
   it must "give identical signatures to identical docs and different ones to disjoint docs" in {
@@ -431,6 +447,61 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     rows(1L) must be("en")
     rows(2L) must be("de")
+  }
+
+  it must "redact emails, IPs, and phone numbers with audit counts" in {
+    val r = TextAnalysis.redactPii(docsDf(Seq(
+      1L -> "contact a.b@x.co and 10.1.2.3 or +1 555-123-4567 done",
+      2L -> "no pii in this one at all"))).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    r(1L).getAs[String]("redacted") must be(
+      "contact <EMAIL> and <IP> or +1 <PHONE> done")
+    r(1L).getAs[Long]("n_emails") must be(1L)
+    r(1L).getAs[Long]("n_ips") must be(1L)
+    r(1L).getAs[Long]("n_phones") must be(1L)
+    r(2L).getAs[String]("redacted") must be("no pii in this one at all")
+    r(2L).getAs[Long]("n_emails") must be(0L)
+  }
+
+  behavior of "Decontaminate (benchmark n-gram overlap)"
+
+  it must "flag training docs sharing enough shingles with a benchmark doc, and clean drops them" in {
+    val bench = docsDf(Seq(
+      100L -> "alpha beta gamma delta epsilon zeta"))
+    val train = docsDf(Seq(
+      1L -> "prefix words then alpha beta gamma delta epsilon zeta suffix",
+      2L -> "completely unrelated content about volcanoes and weather"))
+    val flagged = graft.ops.Decontaminate.flagged(train, bench, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared")))
+    flagged must be(Array((1L, 100L, 4L))) // 4 shared 3-gram shingles
+    val survivors = graft.ops.Decontaminate.clean(train, bench, minShared = 3)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    survivors must be(Array(2L))
+  }
+
+  it must "drop stop-phrase shingles above the benchmark df cap LOUDLY instead of fanning out" in {
+    // "lorem ipsum dolor sit amet" appears in every bench doc — its
+    // shingles carry no contamination signal but multiply every train
+    // match by the whole bench set if left unbounded
+    val bench = docsDf((0L until 10L).map(i =>
+      (100L + i) -> s"lorem ipsum dolor sit amet unique$i trailer") :+
+      (200L -> "alpha beta gamma delta epsilon zeta"))
+    val train = docsDf(Seq(
+      1L -> "has alpha beta gamma delta epsilon zeta inside",
+      2L -> "lorem ipsum dolor sit amet but nothing else relevant"))
+    val (capped, dropped) = capturingDrops(expectDrop = true) {
+      graft.ops.Decontaminate.flagged(train, bench, minShared = 3, maxBenchDf = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    capped must be(Array((1L, 200L))) // stop-phrase matches gone, signal kept
+    dropped must be(3L) // the three df=10 stop shingles
+    // uncapped, the stop-phrase doc pairs with the WHOLE bench set
+    val (full, dropped2) = capturingDrops(expectDrop = false) {
+      graft.ops.Decontaminate.flagged(train, bench, minShared = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    full.count(_._1 == 2L) must be(10)
+    dropped2 must be(0L)
   }
 
   behavior of "Multimodal stub decode"
