@@ -281,17 +281,21 @@ object Dedup {
     * (it only holds near-duplicates), so every join here is small-side.
     *
     * `pointerJump` (default on) adds the doubling step after each
-    * propagation: labels shortcut through themselves (new label =
-    * label(label), one self-join — sound because label(x) ≤ x is an
-    * invariant of min-propagation, so chains only contract). Rounds
-    * drop from O(diameter) to O(log diameter) at the cost of one extra
-    * join per round — the difference between 4 and ~40 rounds on a
-    * degenerate 100-link boilerplate chain, and each round is a full
-    * shuffle barrier at scale. Near-dup clusters are usually shallow;
-    * the flag exists so the propagation-only shape stays testable.
+    * propagation ONCE the graph has proven deep (round > `jumpAfter`):
+    * labels shortcut through themselves (new label = label(label), one
+    * self-join — sound because label(x) ≤ x is an invariant of
+    * min-propagation, so chains only contract). Rounds drop from
+    * O(diameter) to O(log diameter) at the cost of one extra join per
+    * jumping round — the difference between ~8 and ~100 rounds on a
+    * degenerate boilerplate chain, where each round is a full shuffle
+    * barrier at scale. Near-dup clusters are usually shallow and
+    * converge during the plain-propagation prefix without ever paying
+    * for a self-join (measured: always-on jumping cost +20% on the
+    * shallow bench corpus; deferred jumping costs nothing there).
     */
   def components(pairs: DataFrame, maxIters: Int = 20,
-                 pointerJump: Boolean = true): DataFrame = {
+                 pointerJump: Boolean = true,
+                 jumpAfter: Int = 2): DataFrame = {
     // localCheckpoint (not persist) each round: persist caches EXECUTION
     // but the logical plan still embeds the prior round's plan 2-3×, so
     // analyzer/optimizer time grows exponentially with iterations
@@ -323,7 +327,7 @@ object Dedup {
         .localCheckpoint(true) // eager: materialized before the release below
       releaseCheckpoint(labels)
       val next =
-        if (!pointerJump) stepped
+        if (!pointerJump || iter < jumpAfter) stepped
         else {
           // doubling: label ← label(label). The self-join reads the
           // CHECKPOINTED stepped table twice (flat LogicalRDD, no
