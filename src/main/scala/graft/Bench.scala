@@ -16,13 +16,13 @@ object Bench {
     catch { case _: Throwable => () }
     // focused A/B runs: SPARK_GRAFT_ONLY=q1,q2 restricts the query set,
     // SPARK_GRAFT_REPS=N overrides the repetition count (default 3).
-    // Two channels ride one JSON line: "queries"/"value" keep the
-    // single-shot (first-run) semantics every prior round recorded, and
-    // "queries_min"/"value_min" carry the min-over-reps numbers — this
-    // box's run-to-run variance band is ~2x for identical code, so the
-    // min channel is the one to read for regressions (single-shot
+    // Channel semantics (see the emission comment below): the summary
+    // line's "queries" map is MIN-over-reps per query — this box's
+    // run-to-run variance band is ~2x for identical code and single-shot
     // charges each plan family's codegen warmup to its alphabetically
-    // first member).
+    // first member — while "value" keeps the historical single-shot
+    // TOTAL for round-over-round comparability and "value_min" carries
+    // the min total. Per-rep detail lives in BENCH_DETAIL.json.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val reps = sys.env.get("SPARK_GRAFT_REPS")
@@ -52,7 +52,11 @@ object Bench {
     // stable one on a box with a ~2x variance band) at ms precision plus
     // both totals, sized to fit the window; the full two-channel,
     // all-reps detail goes to BENCH_DETAIL.json alongside this source.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render 55,400
+    // and break the JSON the whole round's recording depends on
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val totalFirst = results.map(_._2.head).sum
     val totalMin = results.map(_._2.min).sum
     def line(qs: String): String =
@@ -73,7 +77,8 @@ object Bench {
         s""""unit":"sec","reps":$reps,"sf":"$sfDir","queries":{""",
       ",", "}}")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+        "/root/repo/BENCH_DETAIL.json")),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

@@ -47,34 +47,43 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
   private var sinceCompact = 0
   private var interval = compactEvery
   private var lastCheckpointed: Option[GraftFs] = None
-  // escaped snapshot → the checkpoint generation backing it. One entry
-  // per distinct escape; `unpin` (or `releasePins`) removes entries and
-  // the checkpoint is freed at the NEXT compaction once no pin names it.
-  private var pinned: List[(GraftFs, GraftFs)] = Nil
+  // escaped snapshot → the checkpoint generation backing it, REF
+  // COUNTED: two callers escaping the same generation share one entry
+  // (pinCurrent hands both the same object), so the first unpin must
+  // not free storage the second caller still reads — the entry clears
+  // only when every escape has been released.
+  private final class Pin(val escaped: GraftFs, val cp: GraftFs, var refs: Int)
+  private var pinned: List[Pin] = Nil
 
   def get: GraftFs = synchronized(current)
 
   /** Return the current snapshot and pin its backing checkpoint: later
     * compactions will not release it, so the caller's copy stays
-    * queryable until `unpin(copy)` (or `releasePins()`). Callers that
-    * use-and-drop within one driver op should prefer `get` — each
-    * generation pinned here retains one full materialized snapshot.
+    * queryable until a matching `unpin(copy)` (or `releasePins()`).
+    * Callers that use-and-drop within one driver op should prefer
+    * `get` — each generation pinned here retains one full materialized
+    * snapshot.
     */
   def pinCurrent(): GraftFs = synchronized {
     lastCheckpointed.foreach { cp =>
-      if (!pinned.exists { case (esc, c) => (esc eq current) && (c eq cp) })
-        pinned ::= (current, cp)
+      pinned.find(p => (p.escaped eq current) && (p.cp eq cp)) match {
+        case Some(p) => p.refs += 1
+        case None => pinned ::= new Pin(current, cp, 1)
+      }
     }
     current
   }
 
-  /** Release the pin taken when `snapshot` escaped via `pinCurrent`.
-    * The snapshot must not be queried afterwards: its backing
-    * checkpoint is freed immediately if already superseded and no
-    * other live pin shares it.
+  /** Release ONE pinCurrent escape of `snapshot` (pins are ref
+    * counted). After the final release the snapshot must not be
+    * queried: its backing checkpoint is freed immediately if already
+    * superseded and no other generation's pin shares it.
     */
   def unpin(snapshot: GraftFs): Unit = synchronized {
-    pinned = pinned.filterNot(_._1 eq snapshot)
+    pinned.find(_.escaped eq snapshot).foreach { p =>
+      p.refs -= 1
+      if (p.refs <= 0) pinned = pinned.filterNot(_ eq p)
+    }
     sweepRetired()
   }
 
@@ -112,7 +121,7 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
   private var retired: List[GraftFs] = Nil
 
   private def sweepRetired(): Unit = {
-    val (keep, free) = retired.partition(cp => pinned.exists(_._2 eq cp))
+    val (keep, free) = retired.partition(cp => pinned.exists(_.cp eq cp))
     free.foreach { cp =>
       PlanHygiene.releaseCheckpoint(cp.catalog.inodes)
       PlanHygiene.releaseCheckpoint(cp.chunks)

@@ -437,8 +437,20 @@ class GraftFileSystem extends FileSystem {
   }
 
   /** Current snapshot, for tests and interop with the query layer —
-    * PINNED: the snapshot's backing checkpoint survives this facade's
-    * later compactions, so the returned state stays queryable.
+    * PINNED (ref counted): the snapshot's backing checkpoint survives
+    * this facade's later compactions, so the returned state stays
+    * queryable. Release with `releaseSnapshot` when done, or let
+    * `close()` drop every pin with the mount.
     */
   def graftFs: GraftFs = cell.pinCurrent()
+
+  /** Release one `graftFs` escape (see FsState.unpin). */
+  def releaseSnapshot(snapshot: GraftFs): Unit = cell.unpin(snapshot)
+
+  override def close(): Unit = {
+    // the mount's escaped snapshots die with it — free their retained
+    // checkpoints instead of leaking one per compaction generation
+    if (cell != null) cell.releasePins()
+    super.close()
+  }
 }

@@ -86,27 +86,26 @@ object TextAnalysis {
   val PhoneRe = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
 
   /** PII scrubbing — redact emails, IPv4 addresses, and phone-shaped
-    * numbers to typed placeholders, with per-kind match counts (taken
-    * BEFORE redaction, so the counts audit what was removed). Order
+    * numbers to typed placeholders, with per-kind match counts. Order
     * matters: emails first (their local part can contain digits/dots an
-    * IP pattern would chew on), then IPs, then phones. A pure
-    * per-row projection of codegen'd regexp built-ins: no shuffle, no
-    * UDF — at 100 TB this runs at scan speed.
+    * IP pattern would chew on), then IPs, then phones — and each count
+    * is taken on the text AS THE PREVIOUS PASS LEFT IT, so the counts
+    * audit exactly what that pass removed (a phone-shaped string
+    * consumed by the email pass is counted zero times, not once as
+    * phone). A pure per-row projection of codegen'd regexp built-ins:
+    * no shuffle, no UDF — at 100 TB this runs at scan speed.
     */
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    def matches(stage: Column, re: String): Column =
+      size(regexp_extract_all(stage, lit(re), lit(0))).cast("long")
     docs.select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>").as("redacted"),
-      size(expr(s"regexp_extract_all($textCol, '${EmailRe.replace("\\", "\\\\")}', 0)"))
-        .cast("long").as("n_emails"),
-      size(expr(s"regexp_extract_all($textCol, '${Ipv4Re.replace("\\", "\\\\")}', 0)"))
-        .cast("long").as("n_ips"),
-      size(expr(s"regexp_extract_all($textCol, '${PhoneRe.replace("\\", "\\\\")}', 0)"))
-        .cast("long").as("n_phones"))
+      regexp_replace(afterIp, PhoneRe, "<PHONE>").as("redacted"),
+      matches(t, EmailRe).as("n_emails"),
+      matches(afterEmail, Ipv4Re).as("n_ips"),
+      matches(afterIp, PhoneRe).as("n_phones"))
   }
 }

@@ -54,9 +54,10 @@ object CatalogQueries {
         val out = graft.catalog.FsCatalog.load(s, dir.toString)
           .listStatusRecursive("/pt/Brand#13")
           .localCheckpoint(true)
-        java.nio.file.Files.walk(dir)
-          .sorted(java.util.Comparator.reverseOrder())
+        val w = java.nio.file.Files.walk(dir)
+        try w.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
         out
       },
       Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path, FALSE AS is_dir,

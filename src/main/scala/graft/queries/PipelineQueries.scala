@@ -84,24 +84,30 @@ object PipelineQueries {
           Tables.documents(s, d).select(
             col("doc_id"),
             concat(col("text"),
-              lit(" reach user"), col("doc_id"), lit("@example.com or +1 555-01"),
-              format_string("%02d", (col("doc_id") % 100).cast("int")),
+              lit(" reach user"), col("doc_id"), lit("@example.com or 555-010-"),
+              format_string("%04d", (col("doc_id") % 10000).cast("int")),
               lit(" from 10.0."), (col("doc_id") % 256), lit(".7")).as("text")))
           .orderBy(col("doc_id")),
       Some("""WITH injected AS (
              |  SELECT doc_id,
-             |         text || ' reach user' || doc_id || '@example.com or +1 555-01' ||
-             |         printf('%02d', doc_id % 100) || ' from 10.0.' || (doc_id % 256) || '.7' AS text
-             |  FROM documents)
+             |         text || ' reach user' || doc_id || '@example.com or 555-010-' ||
+             |         printf('%04d', doc_id % 10000) || ' from 10.0.' || (doc_id % 256) || '.7' AS text
+             |  FROM documents),
+             |staged AS (
+             |  SELECT doc_id, text,
+             |         regexp_replace(text,
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+             |  FROM injected),
+             |staged2 AS (
+             |  SELECT *, regexp_replace(after_email,
+             |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS after_ip
+             |  FROM staged)
              |SELECT doc_id,
-             |       regexp_replace(regexp_replace(regexp_replace(text,
-             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             |         '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted,
+             |       regexp_replace(after_ip, '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted,
              |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-             |       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-             |       CAST(len(regexp_extract_all(text, '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phones
-             |FROM injected ORDER BY doc_id""".stripMargin)),
+             |       CAST(len(regexp_extract_all(after_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |       CAST(len(regexp_extract_all(after_ip, '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phones
+             |FROM staged2 ORDER BY doc_id""".stripMargin)),
 
     // ── Deduplication ───────────────────────────────────────────────────
     QueryDef(
@@ -156,10 +162,15 @@ object PipelineQueries {
       "pipeline_decontaminate",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        // maxBenchDf pinned above any possible bench df so the oracle
+        // (which has no cap) and the operator agree at EVERY scale
+        // factor — the production default (100) would silently bind
+        // first on the Spark side at a large-enough sf and read as a
+        // red gate; the cap's behavior is spec-pinned instead
         Decontaminate.flagged(
             docs.filter(col("doc_id") % 10 =!= 0),
             docs.filter(col("doc_id") % 10 === 0),
-            n = 3, minShared = 3)
+            n = 3, minShared = 3, maxBenchDf = Int.MaxValue)
           .orderBy(col("doc_id"), col("bench_id"))
       },
       Some("""WITH sh AS (

@@ -113,9 +113,10 @@ object EventsStream {
     // the memory sink holds the emitted rows — the staged copies are
     // dead weight now; a bench run at REPS=3 must not leak three
     // landing directories per streaming query
-    Files.walk(landing)
-      .sorted(java.util.Comparator.reverseOrder())
+    val w = Files.walk(landing)
+    try w.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
+    finally w.close()
     spark.table(sink)
   }
 

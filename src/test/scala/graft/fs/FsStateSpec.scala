@@ -104,7 +104,7 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     }
     val escaped = cell.pinCurrent()
     cell.pinCurrent() must be theSameInstanceAs escaped // same generation
-    cell.pinCount must be(1) // re-escaping one generation is ONE pin
+    cell.pinCount must be(1) // two escapes of one generation share ONE entry
     val backing = checkpointRdd(escaped.chunks)
     // supersede the pinned generation; the pin keeps its storage alive
     (5 to 8).foreach { i =>
@@ -115,7 +115,12 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     }
     cell.compactNow()
     backing.getStorageLevel.useMemory must be(true)
-    // releasing the pin frees the superseded checkpoint immediately
+    // pins are ref counted: the FIRST unpin must not free storage the
+    // second holder of the same generation still reads
+    cell.unpin(escaped)
+    cell.pinCount must be(1)
+    backing.getStorageLevel.useMemory must be(true)
+    // the FINAL unpin frees the superseded checkpoint immediately
     cell.unpin(escaped)
     cell.pinCount must be(0)
     backing.getStorageLevel.useMemory must be(false)

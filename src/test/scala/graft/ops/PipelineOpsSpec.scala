@@ -463,6 +463,16 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     r(2L).getAs[Long]("n_emails") must be(0L)
   }
 
+  it must "count each kind on the text as the previous pass left it (no double audit)" in {
+    // the email pass consumes the phone-shaped local part — the phone
+    // count must NOT claim a removal the phone pass never made
+    val r = TextAnalysis.redactPii(docsDf(Seq(
+      1L -> "mail 555-123-4567@host.com end"))).collect()(0)
+    r.getAs[String]("redacted") must be("mail <EMAIL> end")
+    r.getAs[Long]("n_emails") must be(1L)
+    r.getAs[Long]("n_phones") must be(0L)
+  }
+
   behavior of "Decontaminate (benchmark n-gram overlap)"
 
   it must "flag training docs sharing enough shingles with a benchmark doc, and clean drops them" in {
