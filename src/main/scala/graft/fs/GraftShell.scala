@@ -37,6 +37,14 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
   private def setFs(next: GraftFs): Unit = cell.set(next)
   var ctx: FsContext = context
 
+  /** Release one `fs` escape (pins are ref counted — see FsState). */
+  def releaseSnapshot(snapshot: GraftFs): Unit = cell.unpin(snapshot)
+
+  /** End-of-session cleanup: drop every pinned snapshot so retained
+    * checkpoints free (mirrors GraftFileSystem.close).
+    */
+  def close(): Unit = cell.releasePins()
+
   private val minArgs: Map[String, Int] = Map(
     "-put" -> 2, "-copyFromLocal" -> 2, "-moveFromLocal" -> 2,
     "-get" -> 2, "-copyToLocal" -> 2, "-getmerge" -> 2,
