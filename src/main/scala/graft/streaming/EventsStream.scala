@@ -104,11 +104,22 @@ object EventsStream {
       } else Seq(src)
     toStage.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
       StandardCopyOption.REPLACE_EXISTING))
-    val q = transform(readEvents(spark, landing.toString))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // stateful operators allocate one state-store instance per shuffle
+    // partition per batch — at the drain harness's single-file scale
+    // the 32-partition default spends more on state init/commit than on
+    // data. 8 partitions here is a per-query tunable (state partition
+    // count is fixed by the FIRST run against a checkpoint; each drain
+    // uses a fresh temp checkpoint, so this never fights a restart); a
+    // production deployment sizes it to sustained input rate instead.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try transform(readEvents(spark, landing.toString))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
     // the memory sink holds the emitted rows — the staged copies are
     // dead weight now; a bench run at REPS=3 must not leak three
