@@ -463,6 +463,28 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     r(2L).getAs[Long]("n_emails") must be(0L)
   }
 
+  it must "exercise ALL THREE redaction paths in the text_redact gate query (injection really fires)" in {
+    // guards the oracle channel itself: if an injected pattern drifts
+    // out of sync with its regex, both engines agree on a no-op and the
+    // gate stays green while coverage silently drops to zero (this
+    // exact failure shipped once: a 3-4 digit phone against a 3-3-4
+    // pattern)
+    val out = graft.SparkEntry.queries("text_redact")(
+      spark, "/root/testdata/sf0.001").collect()
+    out.length must be > 0
+    out.foreach { r =>
+      withClue(s"doc ${r.getAs[Long]("doc_id")}: ") {
+        r.getAs[Long]("n_emails") must be >= 1L
+        r.getAs[Long]("n_ips") must be >= 1L
+        r.getAs[Long]("n_phones") must be >= 1L
+        val red = r.getAs[String]("redacted")
+        red must include("<EMAIL>")
+        red must include("<IP>")
+        red must include("<PHONE>")
+      }
+    }
+  }
+
   it must "count each kind on the text as the previous pass left it (no double audit)" in {
     // the email pass consumes the phone-shaped local part — the phone
     // count must NOT claim a removal the phone pass never made
