@@ -37,6 +37,55 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("sha"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Line-level boilerplate removal — the C4/RefinedWeb cleaning step
+    * that PER-DOC dedup cannot express: a header/footer line repeated
+    * across many documents of one source (nav bars, cookie banners,
+    * license footers) is stripped from every doc while the docs
+    * themselves survive.
+    *
+    * Semantics: a line is boilerplate when it occurs in >= `minDocs`
+    * DISTINCT documents of the same source; output is each doc's line
+    * count, kept-line count, and the cleaned text (kept lines rejoined
+    * in original order).
+    *
+    * Scale posture: the line table shuffles (source, md5(line)) — a
+    * fixed-width 32-hex key, never the line text — into one
+    * map-side-combined distinct-count aggregation; the resulting
+    * boilerplate set is small by construction (only lines crossing the
+    * frequency threshold), so the anti-join back onto the line rows
+    * broadcasts. Reassembly is one groupBy(doc_id) with a sorted
+    * collect — the only wide payload shuffle, bounded by the corpus
+    * itself. Docs scan twice (line rows + per-doc line counts), both
+    * scan-speed projections.
+    */
+  def stripBoilerplateLines(docs: DataFrame, minDocs: Long): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+    val boiler = lines
+      .groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("source"), col("h"))
+    val kept = lines.join(boiler, Seq("source", "h"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+          "\n").as("cleaned"))
+    // a doc whose every line is boilerplate vanishes from `kept` — it
+    // must come back as (n_kept 0, cleaned '') rather than disappear
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Distinct word n-gram shingles as ROWS (doc_id, shingle): tokens are
     * exploded once and shingles assembled with window `lead`s — no array
     * lambda ever re-slices a computed array.

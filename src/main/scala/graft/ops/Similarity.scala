@@ -222,6 +222,101 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
   }
 
+  /** Per-dimension SQ8 quantization bounds (min/max over the corpus) as
+    * ONE single-row frame of (los, his) arrays — a posexplode into a
+    * map-side-combined (dim, lo, hi) aggregation, then folded to arrays
+    * so the bounds BROADCAST to the quantization scan instead of
+    * joining per row. At 100 TB this is one linear pass producing 2×dim
+    * floats.
+    */
+  private def sq8Bounds(corpus: DataFrame): DataFrame =
+    corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo"), col("hi"))))
+        .as("dlh"))
+      .select(
+        expr("transform(dlh, x -> x.lo)").as("los"),
+        expr("transform(dlh, x -> x.hi)").as("his"))
+
+  /** Affine int8 quantization of the embedding column against broadcast
+    * per-dimension bounds: lo ↦ −127, hi ↦ +127. A constant-width
+    * dimension collapses to 0 instead of dividing by zero. Plain-column
+    * indexing only — the lambda never re-derives a computed array.
+    */
+  private def quantized(vecs: DataFrame, outId: String, outQ: String,
+                        bounds: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(bounds))
+      .select(col("vec_id").as(outId),
+        expr(
+          """transform(sequence(0, size(embedding) - 1),
+            |  i -> CAST(round((embedding[i] - los[i]) /
+            |         IF(his[i] = los[i], CAST(1.0 AS FLOAT), his[i] - los[i])
+            |         * 254.0D - 127.0D) AS INT))""".stripMargin).as(outQ))
+
+  /** SQ8 top-k: int8-quantized candidate generation + exact float
+    * rerank — the memory-bandwidth scale path ANN at 100 TB runs next
+    * to IVF (4× smaller vectors in the scan that touches EVERY corpus
+    * row; the float vectors are fetched only for the `cand` candidates
+    * per query). Candidate scoring is the native codegen'd
+    * graft_int_dot — on unit-norm embeddings the integer dot preserves
+    * cosine order up to quantization error, which the exact rerank over
+    * `cand` >> k candidates absorbs. Deterministic end to end: affine
+    * quantization has no RNG and every ranking breaks ties by
+    * neighbor_id.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              cand: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val bounds = sq8Bounds(corpus)
+    val qcorpus = quantized(corpus, "neighbor_id", "eq", bounds)
+    val qqueries = quantized(queries, "q_id", "qq", bounds)
+    val wa = Window.partitionBy(col("q_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id"))
+    val candidates = qcorpus
+      .crossJoin(broadcast(qqueries))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("ascore", expr("graft_int_dot(qq, eq)"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= cand)
+      .select(col("q_id"), col("neighbor_id"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    candidates
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ev")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qv"))), "q_id")
+      .withColumn("score", cosine(corpus))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Recall gate for the SQ8 path against the exact brute twin — same
+    * deterministic, oracle-checkable contract as `ivfRecall`: every
+    * query must recover >= `floor` of its true top-k through the
+    * quantized candidate pass.
+    */
+  def sq8Recall(queries: DataFrame, corpus: DataFrame, k: Int, cand: Int,
+                floor: Int): DataFrame = {
+    val sq8 = sq8TopK(queries, corpus, k, cand)
+      .select(col("q_id"), col("neighbor_id"))
+    val brute = bruteTopK(queries, corpus, k)
+      .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
+    val hits = sq8
+      .join(brute,
+        col("q_id") === col("bq") && col("neighbor_id") === col("bn"),
+        "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest centroid buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               numCentroids: Int, nprobe: Int, k: Int,

@@ -69,6 +69,54 @@ object TextAnalysis {
         (col("s_en") + col("s_es") + col("s_de") + col("s_fr")).cast("long").as("n_votes"))
   }
 
+  /** Within-document repetition signals — the Gopher-style quality
+    * heuristics that catch degenerate generated/scraped text (a page
+    * that is one word or one phrase repeated scores near 1.0 on the
+    * top-*-ratio columns and gets filtered upstream of training):
+    * distinct-word ratio, most-frequent-word mass, most-frequent-bigram
+    * mass.
+    *
+    * Shape: words explode once (codegen Generate) into a
+    * map-side-combined (doc_id, word) count; bigrams come from a
+    * zip_with over two shifted slices — a LINEAR per-row lambda (unlike
+    * pair generation, where chained posexplodes win — see Dedup's
+    * header note) — and explode into their own count. No window sort,
+    * no shuffle beyond the two partial-aggregated groupBys. Ratios are
+    * one int/int double division each, bit-identical across engines,
+    * then rounded.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(tokens).as("w"))
+    val wstats = words
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max(col("c")).cast("long").as("top_w"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(expr(
+        """zip_with(
+          |  slice(regexp_extract_all(lower(text), '\\w+', 0), 1,
+          |        greatest(size(regexp_extract_all(lower(text), '\\w+', 0)) - 1, 0)),
+          |  slice(regexp_extract_all(lower(text), '\\w+', 0), 2,
+          |        greatest(size(regexp_extract_all(lower(text), '\\w+', 0)) - 1, 0)),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    val bstats = bigrams
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_b"))
+    // left join: a one-token doc has words but no bigrams — it keeps a
+    // row with bigram mass 0 instead of vanishing
+    wstats.join(bstats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("distinct_word_ratio"),
+        round(col("top_w").cast("double") / col("n_words"), 6)
+          .as("top_word_ratio"),
+        coalesce(round(col("top_b").cast("double") / col("n_bigrams"), 6),
+          lit(0.0)).as("top_bigram_ratio"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the cheap cross-engine-stable dedup key (rolling-hash analog).
     */

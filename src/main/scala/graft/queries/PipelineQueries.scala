@@ -19,6 +19,21 @@ import graft.ops.{Curation, Decontaminate, Dedup, Multimodal, Similarity, TextAn
   */
 object PipelineQueries {
 
+  /** The pipeline_line_dedup injection, shared with the spec that pins
+    * the strip path actually firing (per-source header on every doc,
+    * footer on even docs, unique per-doc ref line).
+    */
+  private[graft] def lineDedupInjected(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(
+      col("doc_id"), col("source"),
+      concat_ws("\n",
+        concat(lit("promo header "), col("source")),
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("subscribe today "), col("source"))),
+        concat(lit("ref code "), col("doc_id"))).as("text"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ───────────────────────────────────────────────────
@@ -108,6 +123,81 @@ object PipelineQueries {
              |       CAST(len(regexp_extract_all(after_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
              |       CAST(len(regexp_extract_all(after_ip, '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phones
              |FROM staged2 ORDER BY doc_id""".stripMargin)),
+
+    // Within-doc repetition signals (Gopher-style quality heuristics):
+    // distinct-word ratio + most-frequent word/bigram mass. Every ratio
+    // is one int/int division rounded to 6 places, so the whole row set
+    // hash-checks.
+    QueryDef(
+      "text_repetition",
+      (s, d) => TextAnalysis.repetition(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+             |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+             |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |              CAST(MAX(c) AS BIGINT) AS top_w
+             |       FROM wc GROUP BY 1),
+             |bg AS (SELECT doc_id,
+             |              unnest([toks[i] || ' ' || toks[i+1]
+             |                      for i in range(1, len(toks))]) AS b
+             |       FROM t),
+             |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+             |bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_b
+             |       FROM bc GROUP BY 1)
+             |SELECT ws.doc_id, ws.n_words,
+             |       ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_word_ratio,
+             |       ROUND(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_ratio,
+             |       COALESCE(ROUND(CAST(top_b AS DOUBLE) / n_bigrams, 6), 0.0) AS top_bigram_ratio
+             |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+             |ORDER BY ws.doc_id""".stripMargin)),
+
+    // Line-level boilerplate removal (the C4/RefinedWeb cleaning step).
+    // The corpus has no line structure, so the query INJECTS it
+    // deterministically (same pattern as text_redact): a per-source
+    // header every doc of the source shares, a footer on every even
+    // doc, and a per-doc unique ref line — both engines clean the
+    // identical text, and a spec pins that the strip path actually
+    // fires (header/footer stripped, ref line kept) so the gate can
+    // never go green on a no-op. minDocs=5 << 25 docs/source at the
+    // smallest SF.
+    QueryDef(
+      "pipeline_line_dedup",
+      (s, d) =>
+        Dedup.stripBoilerplateLines(
+            lineDedupInjected(Tables.documents(s, d)), minDocs = 5)
+          .orderBy(col("doc_id")),
+      Some("""WITH inj AS (
+             |  SELECT doc_id, source,
+             |         concat_ws(chr(10),
+             |           'promo header ' || source,
+             |           text,
+             |           CASE WHEN doc_id % 2 = 0 THEN 'subscribe today ' || source END,
+             |           'ref code ' || doc_id) AS t
+             |  FROM documents),
+             |l0 AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM inj),
+             |lines AS (
+             |  SELECT doc_id, source, CAST(i AS BIGINT) AS pos, ls[CAST(i AS INT)] AS line
+             |  FROM l0, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+             |boiler AS (
+             |  SELECT source, md5(line) AS h FROM lines
+             |  GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 5),
+             |kept AS (
+             |  SELECT l.doc_id, l.pos, l.line
+             |  FROM lines l LEFT JOIN boiler b
+             |    ON l.source = b.source AND md5(l.line) = b.h
+             |  WHERE b.h IS NULL),
+             |tot AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM l0),
+             |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |              string_agg(line, chr(10) ORDER BY pos) AS cleaned
+             |       FROM kept GROUP BY 1)
+             |SELECT t.doc_id, t.n_lines,
+             |       COALESCE(cl.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+             |       COALESCE(cl.cleaned, '') AS cleaned
+             |FROM tot t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // ── Deduplication ───────────────────────────────────────────────────
     QueryDef(
@@ -346,6 +436,25 @@ object PipelineQueries {
         val emb = Tables.embeddings(s, d)
         Similarity.ivfRecall(emb.filter(col("vec_id") < 5), emb,
             numCentroids = 16, nprobe = 4, k = 5, floor = 3)
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    // SQ8 scale path: int8-quantized candidate generation (native
+    // graft_int_dot — 4× less scan bandwidth than float cosine over the
+    // full corpus) + exact float rerank of cand=50 candidates, gated on
+    // recall against the exact brute twin — same deterministic contract
+    // as ann_ivf_recall. (cand, floor) measured tri-SF: cand=25 loses
+    // one true neighbor at sf0.01 (q2: 4/5); cand=50 recovers the full
+    // true top-5 for every query at every SF, so floor=5 — a strict
+    // gate, not a relaxed one.
+    QueryDef(
+      "ann_sq8_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.sq8Recall(emb.filter(col("vec_id") < 5), emb,
+            k = 5, cand = 50, floor = 5)
           .orderBy(col("q_id"))
       },
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok

@@ -588,4 +588,85 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     f1 must be(f2)
     all(f1.map(math.abs(_))) must be <= 1.0f
   }
+
+  behavior of "Dedup.stripBoilerplateLines (line-level boilerplate)"
+
+  it must "strip per-source frequent lines, keep rare ones, and isolate sources" in {
+    val s = spark
+    import s.implicits._
+    // source A: docs 0-5 share a header (df 7 >= 5 with doc 6); docs 0-2
+    // also share a footer (df 3 < 5 → kept); doc 6 is ONLY the header.
+    // source B: 4 of 5 docs carry the SAME header text — df 4 < 5 in B,
+    // so it survives there while being stripped from A.
+    val docs = (
+      (0 until 6).map(i => (i.toLong, "A",
+        s"shared header\nbody $i" + (if (i < 3) "\ncommon footer" else ""))) ++
+      Seq((6L, "A", "shared header")) ++
+      (10 until 14).map(i => (i.toLong, "B", s"shared header\nuniq $i")) ++
+      Seq((14L, "B", "uniq 14"))
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.stripBoilerplateLines(docs, minDocs = 5)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    byId(0L) must be((3L, 2L, "body 0\ncommon footer"))
+    byId(5L) must be((2L, 1L, "body 5"))
+    // all-boilerplate doc comes back empty instead of vanishing
+    byId(6L) must be((1L, 0L, ""))
+    // same line text, different source, below threshold there → kept
+    byId(10L) must be((2L, 2L, "shared header\nuniq 10"))
+  }
+
+  it must "really strip the injected lines in the pipeline_line_dedup gate (injection fires)" in {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.stripBoilerplateLines(
+      graft.queries.PipelineQueries.lineDedupInjected(docs), minDocs = 5)
+    // the per-source header is boilerplate everywhere: every doc loses
+    // at least one line — a no-op corpus would leave n_kept == n_lines
+    // and both engines would agree on nothing having happened
+    out.filter(col("n_kept") >= col("n_lines")).count() must be(0L)
+    // the even-doc footer is frequent too: even docs lose >= 2 lines
+    out.filter(col("doc_id") % 2 === 0 &&
+      col("n_kept") >= col("n_lines") - 1).count() must be(0L)
+    // the unique per-doc ref line always survives
+    out.filter(!col("cleaned").contains("ref code ")).count() must be(0L)
+  }
+
+  behavior of "TextAnalysis.repetition (Gopher repetition signals)"
+
+  it must "measure distinct-word and top word/bigram mass per doc" in {
+    val out = TextAnalysis.repetition(docsDf(Seq(
+        1L -> "a a a b", 2L -> "hello")))
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    r1.getLong(1) must be(4L) // n_words
+    r1.getDouble(2) must be(0.5) // 2 distinct / 4
+    r1.getDouble(3) must be(0.75) // "a" 3/4
+    r1.getDouble(4) must be(0.666667) // "a a" 2 of 3 bigrams
+    // a one-token doc has no bigrams: mass 0, row still present
+    val r2 = out(1)
+    r2.getLong(1) must be(1L)
+    r2.getDouble(2) must be(1.0)
+    r2.getDouble(3) must be(1.0)
+    r2.getDouble(4) must be(0.0)
+  }
+
+  behavior of "Similarity.sq8TopK (int8-quantized ANN)"
+
+  it must "dot integer arrays natively and recover the exact top-k after rerank" in {
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("SELECT graft_int_dot(array(1, 2, 3), array(4, 5, 6)) AS v")
+      .collect()(0).getLong(0) must be(32L)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 5)
+    val sq8 = Similarity.sq8TopK(q, emb, k = 5, cand = 25)
+      .select("q_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteTopK(q, emb, k = 5)
+      .select("q_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // candidate set (cand = 5k) must contain the true top-k, and the
+    // float rerank then reproduces brute exactly — rank for rank
+    sq8 must be(brute)
+  }
 }
