@@ -283,7 +283,10 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"))
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    candidates
+    // the candidate set is <= |queries| * cand rows BY CONSTRUCTION —
+    // broadcast it so the float-vector fetch is a map-side BHJ and the
+    // corpus never shuffles for the rerank
+    broadcast(candidates)
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ev")), "neighbor_id")
       .join(broadcast(queries.select(col("vec_id").as("q_id"),

@@ -117,6 +117,22 @@ object TextAnalysis {
           lit(0.0)).as("top_bigram_ratio"))
   }
 
+  /** Corpus heavy hitters: the `k` word-n-grams appearing in the most
+    * DISTINCT documents — the statistics pass that feeds stop-phrase
+    * lists and template detection (the cross-corpus complement of
+    * `repetition`'s within-doc mass). Reuses the LSH shingle pipeline
+    * (per-doc distinct shingle ROWS), one map-side-combined count per
+    * shingle, then TakeOrderedAndProject — a top-k over partial
+    * per-partition heaps, never a full corpus sort. Ties at the cutoff
+    * break by shingle text, so the emitted SET is deterministic.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+    Dedup.shingleRows(docs, n)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the cheap cross-engine-stable dedup key (rolling-hash analog).
     */

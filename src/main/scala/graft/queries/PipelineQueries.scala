@@ -155,6 +155,23 @@ object PipelineQueries {
              |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
              |ORDER BY ws.doc_id""".stripMargin)),
 
+    // Corpus heavy hitters: top-20 3-grams by document frequency (the
+    // stop-phrase/template statistics pass). Cutoff ties break by
+    // shingle text on both engines, so the emitted set is exact.
+    QueryDef(
+      "text_top_ngrams",
+      (s, d) => TextAnalysis.topNgrams(Tables.documents(s, d), n = 3, k = 20)
+        .orderBy(col("df").desc, col("shingle")),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                               for i in range(1, len(t)-1)])) AS shingle
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents))
+             |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+             |FROM sh GROUP BY 1
+             |ORDER BY df DESC, shingle LIMIT 20""".stripMargin)),
+
     // Line-level boilerplate removal (the C4/RefinedWeb cleaning step).
     // The corpus has no line structure, so the query INJECTS it
     // deterministically (same pattern as text_redact): a per-source

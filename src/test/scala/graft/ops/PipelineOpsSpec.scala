@@ -651,6 +651,20 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     r2.getDouble(4) must be(0.0)
   }
 
+  behavior of "TextAnalysis.topNgrams (corpus heavy hitters)"
+
+  it must "rank n-grams by distinct-doc frequency with a deterministic cutoff tiebreak" in {
+    val out = TextAnalysis.topNgrams(docsDf(Seq(
+        1L -> "a b c x",
+        2L -> "a b c y",
+        3L -> "a b c a b c")), n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b c" occurs in all three docs (ONCE each — per-doc distinct);
+    // the df=1 tie at the cutoff breaks to the lexicographically first
+    out(0) must be(("a b c", 3L))
+    out(1) must be(("b c a", 1L))
+  }
+
   behavior of "Similarity.sq8TopK (int8-quantized ANN)"
 
   it must "dot integer arrays natively and recover the exact top-k after rerank" in {
