@@ -40,11 +40,18 @@ object GraftSession {
   * `--conf spark.sql.extensions=graft.GraftSessionExtensions`.
   */
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_int_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.IntDot].getName, "graft_int_dot"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.IntDot(exprs(0), exprs(1))))
+  }
 }

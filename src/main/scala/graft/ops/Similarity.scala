@@ -251,9 +251,9 @@ object Similarity {
       .select(col("vec_id").as(outId),
         expr(
           """transform(sequence(0, size(embedding) - 1),
-            |  i -> CAST(round((embedding[i] - los[i]) /
-            |         IF(his[i] = los[i], CAST(1.0 AS FLOAT), his[i] - los[i])
-            |         * 254.0D - 127.0D) AS INT))""".stripMargin).as(outQ))
+            |  i -> IF(his[i] = los[i], 0,
+            |       CAST(round((embedding[i] - los[i]) / (his[i] - los[i])
+            |            * 254.0D - 127.0D) AS INT)))""".stripMargin).as(outQ))
 
   /** SQ8 top-k: int8-quantized candidate generation + exact float
     * rerank — the memory-bandwidth scale path ANN at 100 TB runs next

@@ -93,14 +93,18 @@ object TextAnalysis {
       .agg(sum(col("c")).cast("long").as("n_words"),
         count(lit(1)).cast("long").as("n_distinct"),
         max(col("c")).cast("long").as("top_w"))
-    val bigrams = docs.select(col("doc_id"),
-      explode(expr(
-        """zip_with(
-          |  slice(regexp_extract_all(lower(text), '\\w+', 0), 1,
-          |        greatest(size(regexp_extract_all(lower(text), '\\w+', 0)) - 1, 0)),
-          |  slice(regexp_extract_all(lower(text), '\\w+', 0), 2,
-          |        greatest(size(regexp_extract_all(lower(text), '\\w+', 0)) - 1, 0)),
-          |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    val bigrams = docs
+      // Generate barrier: the token array materializes ONCE per row —
+      // without it CollapseProject inlines the tokenizer regex into
+      // every slice/size reference below (4 evaluations per doc, the
+      // HOF-inlining trap from Dedup's header note)
+      .select(col("doc_id"), explode(array(tokens)).as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          """zip_with(
+            |  slice(toks, 1, greatest(size(toks) - 1, 0)),
+            |  slice(toks, 2, greatest(size(toks) - 1, 0)),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
     val bstats = bigrams
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

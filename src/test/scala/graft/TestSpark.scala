@@ -10,6 +10,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the declarative cluster path — every suite runs through it, and
+      // the extensions spec asserts it resolves graft_* with NO
+      // imperative register call
+      .config("spark.sql.extensions", "graft.GraftSessionExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -32,6 +32,21 @@ class CosineSimilaritySpec extends AnyFlatSpec with Matchers {
     rows.foreach { r => r.getDouble(0) must be(r.getDouble(1)) }
   }
 
+  it must "resolve BOTH graft functions through the declarative extensions path alone" in {
+    // newSession() = fresh function registry (no temp registrations from
+    // other suites) but the same spark.sql.extensions — if
+    // GraftSessionExtensions ever drops a function the imperative
+    // register() path still has, this goes red (the r6 review found
+    // exactly that divergence for graft_int_dot)
+    val fresh = spark.newSession()
+    fresh.sql("SELECT graft_int_dot(array(1, 2, 3), array(4, 5, 6)) AS d")
+      .collect()(0).getLong(0) must be(32L)
+    fresh.sql(
+      "SELECT graft_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c")
+      .collect()(0).getDouble(0) must be(1.0 +- 1e-12)
+  }
+
   it must "answer known geometric cases" in {
     GraftFunctions.register(spark)
     val s = spark
