@@ -29,6 +29,42 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Temperature-weighted domain-mixing plan: per-source sampling
+    * weights w_s ∝ (token count)^(1/2) — the τ=0.5 temperature reweight
+    * that upsamples small domains relative to proportional sampling
+    * (τ=1) without the uniform extreme (τ→0). The planner step that
+    * decides how many samples each source contributes to a training
+    * mix.
+    *
+    * Determinism across engines (the oracle rule): sqrt of a BIGINT is
+    * correctly rounded IEEE in both engines; it is rounded then fixed
+    * to DECIMAL(38,6) so the cross-source SUM is exact integer
+    * arithmetic (a double Σ would be partition-order dependent), and
+    * the final weight is ONE double/double division, rounded. Shape:
+    * one map-side-combined per-source aggregate, a one-row broadcast
+    * total, no window over the corpus.
+    */
+  def domainMix(docs: DataFrame, source: Column): DataFrame = {
+    val nTok = size(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
+      .cast("long")
+    val per = docs
+      .groupBy(source.as("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(nTok).as("n_tokens"))
+      .withColumn("_sd",
+        round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(38,6)"))
+    // the total comes from an unpartitioned window over the ALREADY
+    // AGGREGATED per-source frame (bounded by source cardinality, not
+    // the corpus) — one corpus scan total; a crossJoin(agg) form would
+    // re-derive the whole aggregate subtree for the 1-row total
+    per
+      .withColumn("_total",
+        sum(col("_sd")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("_sd").cast("double") / col("_total").cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Sequence-packing plan: assign each document to a fixed-token-budget
     * pack, per shard, in key order — the planner step of a
     * concat-and-chunk tokenization pipeline. pack_id = the budget

@@ -131,33 +131,7 @@ object Dedup {
                    r: Int = 4,
                    threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
-    val k = b * r
-    val sh = shingleRows(docs, shingleN)
-
-    // minhash j of doc = MIN over shingles of murmur3(shingle, j),
-    // all k of them as aggregate COLUMNS of one groupBy(doc_id) pass:
-    // the map side combines k running minima per doc locally, so the
-    // shuffle carries one k-column row per (doc × map partition) —
-    // k× less aggregation input than exploding k rows per shingle
-    // (measured 12.3 s → ~4 s at sf0.1; was 23% of the whole bench).
-    val minCols = (0 until k).map(j =>
-      min(hash(col("shingle"), lit(j))).as(s"mh$j"))
-    val mh = sh
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-
-    // band i's hash folds its r minhashes (j ascending) + the band index;
-    // unpivot the b band columns to rows only AFTER aggregation, when
-    // there are just b rows per document left
-    val bandStructs = (0 until b).map { i =>
-      val members = (i * r until (i + 1) * r).map(j => col(s"mh$j"))
-      struct(lit(i).as("band_idx"),
-        xxhash64(members :+ lit(i): _*).as("band_hash"))
-    }
-    val bandRows = mh
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band_idx").as("band_idx"),
-        col("bb.band_hash").as("band_hash"))
+    val bandRows = minhashBandRows(docs, shingleN, b, r)
 
     // bucket-grouped candidate generation: ONE pass over bandRows. A
     // bandRows-self-join would duplicate the whole window+minhash-agg
@@ -173,6 +147,87 @@ object Dedup {
       maxBucket, "minhash")
 
     verifyByJaccard(docs, candidates, shingleN, threshold)
+  }
+
+  /** The banded MinHash index rows (doc_id, band_idx, band_hash) — the
+    * table a production pipeline PERSISTS so daily increments join
+    * against history without re-banding it.
+    *
+    * minhash j of doc = MIN over shingles of murmur3(shingle, j), all k
+    * of them as aggregate COLUMNS of one groupBy(doc_id) pass: the map
+    * side combines k running minima per doc locally, so the shuffle
+    * carries one k-column row per (doc × map partition) — k× less
+    * aggregation input than exploding k rows per shingle (measured
+    * 12.3 s → ~4 s at sf0.1; was 23% of the whole bench). Band i's hash
+    * folds its r minhashes (j ascending) + the band index; the b band
+    * columns unpivot to rows only AFTER aggregation, when there are
+    * just b rows per document left.
+    */
+  def minhashBandRows(docs: DataFrame, shingleN: Int = 3, b: Int = 8,
+                      r: Int = 4): DataFrame = {
+    val k = b * r
+    val minCols = (0 until k).map(j =>
+      min(hash(col("shingle"), lit(j))).as(s"mh$j"))
+    val mh = shingleRows(docs, shingleN)
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until b).map { i =>
+      val members = (i * r until (i + 1) * r).map(j => col(s"mh$j"))
+      struct(lit(i).as("band_idx"),
+        xxhash64(members :+ lit(i): _*).as("band_hash"))
+    }
+    mh
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_idx").as("band_idx"),
+        col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Exact incremental dedup: flag each NEW document whose exact
+    * content already exists in history — one hash equi-join on
+    * sha256(text), never touching history text twice (in production the
+    * history side is the persisted (sha, …) table). At 100 TB the join
+    * keys hash-partition; the new batch is orders smaller than history,
+    * so the new side broadcasts when small enough and AQE picks that up.
+    */
+  def incrementalExact(newDocs: DataFrame, history: DataFrame): DataFrame =
+    newDocs.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      .join(
+        history.select(sha2(col("text"), 256).as("sha"))
+          .distinct().withColumn("seen", lit(true)),
+        Seq("sha"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("seen"), lit(false)).as("dup_of_history"))
+
+  /** Incremental MinHash near-dup: candidate pairs ONLY across the
+    * new-batch × history boundary — the daily-crawl production shape
+    * (history's band rows come from the persisted index, new docs band
+    * once, nothing re-pairs history against itself). History buckets
+    * are capped through the shared LshGuard skeleton with minSize=1 (a
+    * single history doc per bucket still matches a new doc); the
+    * increment is orders smaller than history, so the per-bucket join
+    * fan-out is bounded by cap × new-bucket size. Verification is the
+    * same candidate-bounded exact-Jaccard pass as every dedup path.
+    * Caller contract: the two id spaces are disjoint.
+    */
+  def incrementalMinhash(newDocs: DataFrame, history: DataFrame,
+                         shingleN: Int = 3, b: Int = 8, r: Int = 4,
+                         threshold: Double = 0.5,
+                         maxBucket: Int = 1000): DataFrame = {
+    val nb = minhashBandRows(newDocs, shingleN, b, r)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
+    val hist = LshGuard.capBuckets(
+      minhashBandRows(history, shingleN, b, r)
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids")),
+      "ids", maxBucket, "minhash_inc", minSize = 1)
+      .select(col("band_idx"), col("band_hash"),
+        explode(col("ids")).as("old_id"))
+    val candidates = nb.join(hist, Seq("band_idx", "band_hash"))
+      .select(least(col("new_id"), col("old_id")).as("id_a"),
+        greatest(col("new_id"), col("old_id")).as("id_b"))
+      .distinct()
+    verifyByJaccard(newDocs.unionByName(history), candidates, shingleN,
+      threshold)
   }
 
   /** Exact-Jaccard verification of LSH candidate `(id_a, id_b)` pairs,

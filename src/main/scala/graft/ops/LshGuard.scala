@@ -83,17 +83,20 @@ object LshGuard {
   }
 
   /** Observe + cap one bucketed frame (one row per bucket holding a
-    * collected list column `listCol`): singleton buckets drop (no pair
-    * can come from them), drop metrics ride the same pass, buckets
-    * above `cap` are excluded — the shared front half of every bounded
-    * pair generator, so the cap/accounting logic exists exactly once.
+    * collected list column `listCol`): buckets below `minSize` drop
+    * (for WITHIN-bucket pair generation a singleton can yield no pair —
+    * the default; an incremental cross-side join passes minSize=1
+    * because one history doc per bucket still matches), drop metrics
+    * ride the same pass, buckets above `cap` are excluded — the shared
+    * front half of every bounded pair generator, so the cap/accounting
+    * logic exists exactly once.
     */
   def capBuckets(buckets: DataFrame, listCol: String, cap: Int,
-                 kind: String): DataFrame = {
+                 kind: String, minSize: Int = 2): DataFrame = {
     ensureListener(buckets.sparkSession)
     val metrics = dropMetrics(size(col(listCol)), cap)
     buckets
-      .filter(size(col(listCol)) > 1)
+      .filter(size(col(listCol)) >= minSize)
       .observe(observationName(kind), metrics.head, metrics.tail: _*)
       .filter(size(col(listCol)) <= cap)
   }

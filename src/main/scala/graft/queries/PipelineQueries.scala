@@ -260,6 +260,79 @@ object PipelineQueries {
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Incremental exact dedup: every-10th doc stands in as the daily
+    // increment, the rest as history — each new doc is flagged when its
+    // exact content already exists in history (one sha equi-join; the
+    // production history side is the persisted hash table).
+    QueryDef(
+      "dedup_incremental_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        Dedup.incrementalExact(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       sha256(text) IN (SELECT sha256(text) FROM documents
+             |                        WHERE doc_id % 10 <> 0) AS dup_of_history
+             |FROM documents WHERE doc_id % 10 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Incremental MinHash near-dup: candidates only across the
+    // increment × history boundary; the oracle is the cross-side
+    // all-pairs Jaccard (a subset of dedup_minhash's pair space, so it
+    // inherits that row's spec-asserted soundness: no testdata pairs in
+    // the LSH weak-recall band).
+    QueryDef(
+      "dedup_incremental_minhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        Dedup.incrementalMinhash(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0),
+            shingleN = 3, b = 8, r = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+             |         GREATEST(a.doc_id, b.doc_id) AS id_b,
+             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+             |  FROM sh a, sh b
+             |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+             |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
+             |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Temperature-weighted domain mixing (τ=0.5): per-source sampling
+    // weights ∝ sqrt(token mass). sqrt is IEEE-identical in both
+    // engines, fixed to DECIMAL(38,6) before the cross-source sum (a
+    // double Σ would be partition-order dependent), and the weight is
+    // one double/double division.
+    QueryDef(
+      "pipeline_domain_mix",
+      (s, d) => Curation.domainMix(Tables.documents(s, d), col("source"))
+        .orderBy(col("source")),
+      Some("""WITH per AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(LEN(regexp_extract_all(lower(text), '\w+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT *,
+             |             CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS sd
+             |      FROM per)
+             |SELECT source, n_docs, n_tokens,
+             |       ROUND(CAST(sd AS DOUBLE) /
+             |             CAST((SELECT SUM(sd) FROM w) AS DOUBLE), 6) AS weight
+             |FROM w ORDER BY source""".stripMargin)),
+
     // Benchmark decontamination: every-10th doc stands in as the eval
     // set; training docs sharing >= 3 distinct 3-gram shingles with any
     // bench doc are flagged. The oracle is the JOIN form (shingle rows

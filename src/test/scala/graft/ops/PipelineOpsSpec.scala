@@ -651,6 +651,47 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     r2.getDouble(4) must be(0.0)
   }
 
+  behavior of "Dedup incremental (new batch vs history)"
+
+  it must "flag exact content already seen in history and pass fresh content" in {
+    val out = Dedup.incrementalExact(
+        docsDf(Seq(10L -> base, 11L -> "entirely fresh content here")),
+        docsDf(Seq(1L -> base, 2L -> "other old stuff")))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out(10L) must be(true)
+    out(11L) must be(false)
+  }
+
+  it must "pair near-dups ONLY across the increment-history boundary" in {
+    val nearDup = base.replace("dog", "cat")
+    // history holds base TWICE (an intra-history dup that must NOT be
+    // reported); the increment holds a near-dup of base and a fresh doc
+    val pairs = Dedup.incrementalMinhash(
+        docsDf(Seq(10L -> nearDup,
+          11L -> "fresh unrelated words about completely different topics entirely today")),
+        docsDf(Seq(1L -> base, 2L -> base)),
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs must be(Set((1L, 10L), (2L, 10L)))
+  }
+
+  behavior of "Curation.domainMix (temperature-weighted mixing)"
+
+  it must "weight sources by sqrt token mass, summing to 1" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "A", "w w w w"), (2L, "B", "w"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.domainMix(docs, col("source"))
+      .orderBy("source").collect()
+    out(0).getLong(1) must be(1L) // A: 1 doc
+    out(0).getLong(2) must be(4L) // 4 tokens → sqrt 2
+    out(0).getDouble(3) must be(0.666667)
+    out(1).getLong(2) must be(1L) // 1 token → sqrt 1
+    out(1).getDouble(3) must be(0.333333)
+  }
+
   behavior of "TextAnalysis.topNgrams (corpus heavy hitters)"
 
   it must "rank n-grams by distinct-doc frequency with a deterministic cutoff tiebreak" in {
