@@ -343,6 +343,24 @@ object Relational {
           .orderBy(col("props")),
       Some("SELECT DISTINCT props FROM events ORDER BY props")),
 
+    // ── Stream-static anti-join, EXECUTED (fourth streaming channel):
+    //    the increment (event_id % 10 == 0) streams; history (the rest)
+    //    is the STATIC side; only rows with an unseen (user_id, props)
+    //    key emit. Stateless, so the emitted set is batch-predictable
+    //    row for row; ~55%/45% pass/filter measured tri-SF, both join
+    //    outcomes exercised. ─────────────────────────────────────────────
+    QueryDef(
+      "stream_unseen",
+      (s, d) =>
+        graft.streaming.EventsStream.unseenAvailableNow(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, event_type FROM events e
+             |WHERE event_id % 10 = 0 AND NOT EXISTS (
+             |  SELECT 1 FROM events h WHERE h.event_id % 10 <> 0
+             |    AND h.user_id = e.user_id AND h.props = e.props)
+             |ORDER BY event_id""".stripMargin)),
+
     // ── Conditional aggregation (manual pivot) ──────────────────────────
     QueryDef(
       "q15_conditional_agg",

@@ -163,6 +163,38 @@ object EventsStream {
       dedupByContent(_, "props"))
       .select(col("props")).distinct()
 
+  /** Stream-static anti-join — the ingest-time complement of
+    * `Dedup.incrementalExact`: emit only stream rows whose content key
+    * ((user_id, props) here, hashed to one 32-byte key) does NOT exist
+    * in the STATIC history table. Stateless by construction: no state
+    * store at all — each micro-batch hash-joins the static side (at
+    * scale, the persisted seen-keys table, broadcast when it fits), so
+    * the emitted set is exactly the batch anti-join regardless of how
+    * the input was micro-batched, which is what makes the channel
+    * oracle-comparable row for row.
+    */
+  def unseenOnly(stream: DataFrame, history: DataFrame): DataFrame = {
+    def keyed(df: DataFrame) = df.withColumn("content_sha",
+      sha2(concat_ws(":", col("user_id"), col("props")), 256))
+    keyed(stream)
+      .join(keyed(history).select(col("content_sha")).distinct(),
+        Seq("content_sha"), "left_anti")
+      .drop("content_sha")
+  }
+
+  /** Streaming-executed stream-static channel: events with
+    * event_id % 10 == 0 stream as the increment; the rest read as the
+    * STATIC history side. ~55% of the increment carries an unseen
+    * (user, props) key and ~45% is filtered (measured tri-SF), so both
+    * join outcomes are exercised — the gate can't go green on a no-op.
+    */
+  def unseenAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "graft_stream_unseen") { ev =>
+      unseenOnly(
+        ev.filter(col("event_id") % 10 === 0),
+        graft.Tables.events(spark, sfDir).filter(col("event_id") % 10 =!= 0))
+    }
+
   final case class SessionUpdate(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, closed: Boolean)

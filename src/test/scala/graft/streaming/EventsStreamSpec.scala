@@ -116,6 +116,33 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  behavior of "unseenOnly (stream-static anti-join)"
+
+  it must "emit only rows whose (user, props) key is absent from static history" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val history = Seq((0L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0, "{\"a\":1}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventsStream.unseenOnly(df, history).writeStream
+      .format("memory").queryName("unseen_test").outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{\"a\":1}"), // seen key
+        (11L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, "{\"a\":2}"), // new props
+        (12L, ts("2024-01-01 10:02:00"), 2L, "click", 1.0, "{\"a\":1}")) // new user
+      q.processAllAvailable()
+      val out = spark.table("unseen_test").collect()
+        .map(_.getAs[Long]("event_id")).sorted
+      out must be(Array(11L, 12L))
+    } finally q.stop()
+  }
+
   behavior of "streaming/batch parity"
 
   it must "produce the same hourly totals as the batch groupBy on the same rows" in {
