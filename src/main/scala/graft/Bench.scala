@@ -59,16 +59,28 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val totalFirst = results.map(_._2.head).sum
     val totalMin = results.map(_._2.min).sum
-    def line(qs: String): String =
+    def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
-        s""""queries":$qs,"queries_channel":"min_of_reps",""" +
+        s""""queries":$qs,"queries_channel":"min_of_reps"$extra,""" +
         s""""value_min":${r3(totalMin)},"reps":$reps,"sf":"$sfDir"}"""
-    val qsMin3 = results.map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }
-      .mkString("{", ",", "}")
-    val full = line(qsMin3)
-    // degrade gracefully if the query set ever outgrows the window:
-    // totals survive even if per-query detail must be dropped
-    val out = if (full.length <= 1850) full else line("{}")
+    // degrade ADAPTIVELY if the query set outgrows the window: raise a
+    // per-query floor until the line fits, keeping every query at or
+    // above it (failed queries always stay), and SAY SO in the line
+    // ("q_floor"/"n_below_floor") — never a silent truncation; the
+    // sub-floor numbers live in BENCH_DETAIL.json
+    val out = Seq(0.0, 0.05, 0.1, 0.15, 0.25, 0.5, 1.0).iterator
+      .map { floor =>
+        val kept = results.filter { case (_, ts) =>
+          ts.min < 0 || ts.min >= floor }
+        val qs = kept.map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }
+          .mkString("{", ",", "}")
+        val extra =
+          if (kept.size == results.size) ""
+          else s""","q_floor":${r3(floor)},"n_below_floor":${results.size - kept.size}"""
+        line(qs, extra)
+      }
+      .find(_.length <= 1850)
+      .getOrElse(line("{}", s""","q_floor":-1,"n_below_floor":${results.size}"""))
     val detail = results.map { case (k, ts) =>
       "\"" + k + "\":{\"reps\":" + ts.mkString("[", ",", "]") +
         ",\"first\":" + ts.head + ",\"min\":" + ts.min + "}"
@@ -76,12 +88,20 @@ object Bench {
       s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMin,""" +
         s""""unit":"sec","reps":$reps,"sf":"$sfDir","queries":{""",
       ",", "}}")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
-        "/root/repo/BENCH_DETAIL.json")),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // a SPARK_GRAFT_ONLY-restricted smoke run must never clobber the
+    // round's full-suite record (it did once — the committed detail file
+    // briefly held a single-query run); restricted runs write the detail
+    // only when SPARK_GRAFT_DETAIL names an explicit destination
+    val detailDest =
+      if (only.isEmpty) Some(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+        "/root/repo/BENCH_DETAIL.json"))
+      else sys.env.get("SPARK_GRAFT_DETAIL")
+    detailDest.foreach { dest =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(dest), (detail + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    }
     println(out)
     spark.stop()
   }
