@@ -63,23 +63,28 @@ object Bench {
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
         s""""queries":$qs,"queries_channel":"min_of_reps"$extra,""" +
         s""""value_min":${r3(totalMin)},"reps":$reps,"sf":"$sfDir"}"""
-    // degrade ADAPTIVELY if the query set outgrows the window: raise a
-    // per-query floor until the line fits, keeping every query at or
-    // above it (failed queries always stay), and SAY SO in the line
-    // ("q_floor"/"n_below_floor") — never a silent truncation; the
-    // sub-floor numbers live in BENCH_DETAIL.json
-    val out = Seq(0.0, 0.05, 0.1, 0.15, 0.25, 0.5, 1.0).iterator
-      .map { floor =>
-        val kept = results.filter { case (_, ts) =>
-          ts.min < 0 || ts.min >= floor }
-        val qs = kept.map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }
-          .mkString("{", ",", "}")
-        val extra =
-          if (kept.size == results.size) ""
-          else s""","q_floor":${r3(floor)},"n_below_floor":${results.size - kept.size}"""
-        line(qs, extra)
-      }
-      .find(_.length <= 1850)
+    // degrade ADAPTIVELY if the query set outgrows the window: keep the
+    // LARGEST prefix of queries by min-time (failures sort first — a
+    // red query must never fall off the record) that fits, and SAY SO
+    // in the line — "q_floor" is the effective cut (the smallest kept
+    // min) and "n_below_floor" counts what was cut; never a silent
+    // truncation, never a cliff to zero detail when dropping one more
+    // fast query would fit. The cut numbers live in BENCH_DETAIL.json.
+    val bySlowest = results.sortBy { case (_, ts) =>
+      -(if (ts.min < 0) Double.MaxValue else ts.min) }
+    val out = (results.size to 0 by -1).iterator.map { keep =>
+      val kept = bySlowest.take(keep).sortBy(_._1)
+      val qs = kept.map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }
+        .mkString("{", ",", "}")
+      val extra =
+        if (keep == results.size) ""
+        else {
+          val realMins = kept.map(_._2.min).filter(_ >= 0)
+          val floor = if (realMins.isEmpty) -1.0 else realMins.min
+          s""","q_floor":${r3(floor)},"n_below_floor":${results.size - keep}"""
+        }
+      line(qs, extra)
+    }.find(_.length <= 1850)
       .getOrElse(line("{}", s""","q_floor":-1,"n_below_floor":${results.size}"""))
     val detail = results.map { case (k, ts) =>
       "\"" + k + "\":{\"reps\":" + ts.mkString("[", ",", "]") +

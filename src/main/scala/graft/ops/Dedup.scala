@@ -213,15 +213,23 @@ object Dedup {
                          shingleN: Int = 3, b: Int = 8, r: Int = 4,
                          threshold: Double = 0.5,
                          maxBucket: Int = 1000): DataFrame = {
-    val nb = minhashBandRows(newDocs, shingleN, b, r)
-      .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
-    val hist = LshGuard.capBuckets(
-      minhashBandRows(history, shingleN, b, r)
-        .groupBy(col("band_idx"), col("band_hash"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids")),
-      "ids", maxBucket, "minhash_inc", minSize = 1)
-      .select(col("band_idx"), col("band_hash"),
-        explode(col("ids")).as("old_id"))
+    // BOTH sides run through the capped skeleton (minSize=1 — a
+    // single doc per bucket still matches across the boundary): a
+    // boilerplate-flooded INCREMENT is just as degenerate as
+    // boilerplate history, and an uncapped new side joining a
+    // cap-sized history bucket would plan |new_bucket| × cap rows
+    // with no shout. With both caps the per-bucket join is ≤ cap² by
+    // construction, and every drop goes through LshGuard's metrics.
+    def cappedBands(docs: DataFrame, idAlias: String) =
+      LshGuard.capBuckets(
+        minhashBandRows(docs, shingleN, b, r)
+          .groupBy(col("band_idx"), col("band_hash"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids")),
+        "ids", maxBucket, "minhash_inc", minSize = 1)
+        .select(col("band_idx"), col("band_hash"),
+          explode(col("ids")).as(idAlias))
+    val nb = cappedBands(newDocs, "new_id")
+    val hist = cappedBands(history, "old_id")
     val candidates = nb.join(hist, Seq("band_idx", "band_hash"))
       .select(least(col("new_id"), col("old_id")).as("id_a"),
         greatest(col("new_id"), col("old_id")).as("id_b"))

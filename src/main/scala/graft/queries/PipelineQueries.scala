@@ -274,9 +274,10 @@ object PipelineQueries {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-             |       sha256(text) IN (SELECT sha256(text) FROM documents
-             |                        WHERE doc_id % 10 <> 0) AS dup_of_history
-             |FROM documents WHERE doc_id % 10 = 0
+             |       EXISTS (SELECT 1 FROM documents h
+             |               WHERE h.doc_id % 10 <> 0
+             |                 AND sha256(h.text) = sha256(e.text)) AS dup_of_history
+             |FROM documents e WHERE doc_id % 10 = 0
              |ORDER BY doc_id""".stripMargin)),
 
     // Incremental MinHash near-dup: candidates only across the

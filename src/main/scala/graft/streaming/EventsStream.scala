@@ -164,23 +164,23 @@ object EventsStream {
       .select(col("props")).distinct()
 
   /** Stream-static anti-join — the ingest-time complement of
-    * `Dedup.incrementalExact`: emit only stream rows whose content key
-    * ((user_id, props) here, hashed to one 32-byte key) does NOT exist
-    * in the STATIC history table. Stateless by construction: no state
-    * store at all — each micro-batch hash-joins the static side (at
-    * scale, the persisted seen-keys table, broadcast when it fits), so
-    * the emitted set is exactly the batch anti-join regardless of how
-    * the input was micro-batched, which is what makes the channel
-    * oracle-comparable row for row.
+    * `Dedup.incrementalExact`: emit only stream rows whose
+    * (user_id, props) content key does NOT exist in the STATIC history
+    * table. The join is on the RAW columns, not a concatenated hash —
+    * concat_ws skips NULLs, so a hashed key would collapse
+    * (1, NULL) with ("1") and silently DROP rows a NOT-EXISTS oracle
+    * emits; plain equi-join semantics (NULL never matches → the row is
+    * unseen → emitted) agree with NOT EXISTS exactly. Stateless by
+    * construction: no state store at all — each micro-batch hash-joins
+    * the static side (at scale, the persisted seen-keys table,
+    * broadcast when it fits), so the emitted set is exactly the batch
+    * anti-join regardless of how the input was micro-batched, which is
+    * what makes the channel oracle-comparable row for row.
     */
-  def unseenOnly(stream: DataFrame, history: DataFrame): DataFrame = {
-    def keyed(df: DataFrame) = df.withColumn("content_sha",
-      sha2(concat_ws(":", col("user_id"), col("props")), 256))
-    keyed(stream)
-      .join(keyed(history).select(col("content_sha")).distinct(),
-        Seq("content_sha"), "left_anti")
-      .drop("content_sha")
-  }
+  def unseenOnly(stream: DataFrame, history: DataFrame): DataFrame =
+    stream.join(
+      history.select(col("user_id"), col("props")).distinct(),
+      Seq("user_id", "props"), "left_anti")
 
   /** Streaming-executed stream-static channel: events with
     * event_id % 10 == 0 stream as the increment; the rest read as the

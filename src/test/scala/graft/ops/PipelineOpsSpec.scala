@@ -238,6 +238,22 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     dropped must be(8L)
   }
 
+  it must "bound a boilerplate-flooded INCREMENT in incrementalMinhash, not just history" in {
+    // the degenerate side is the NEW batch: 60 identical new docs whose
+    // band buckets would each join history uncapped; with both sides
+    // capped the flood drops loudly and the genuine cross-boundary
+    // near-dup still comes through
+    val (pairs, dropped) = capturingDrops(expectDrop = true) {
+      Dedup.incrementalMinhash(
+        docsDf(Seq(500L -> base.replace("dog", "cat")) ++
+          (600L until 660L).map(_ -> boilerplate)),
+        docsDf(Seq(1L -> base)),
+        threshold = 0.3, maxBucket = 20).collect()
+    }
+    pairs.map(r => (r.getLong(0), r.getLong(1))) must be(Array((1L, 500L)))
+    dropped must be(8L) // the new-side flood bucket, once per band
+  }
+
   it must "guard IVF bucket skew: a clustered corpus cannot go quadratic silently" in {
     // first-K seeding from identical vectors degenerates k-means to ONE
     // bucket holding the whole corpus — exactly the skew the recall

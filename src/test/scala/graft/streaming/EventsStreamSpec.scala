@@ -123,7 +123,9 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    val history = Seq((0L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0, "{\"a\":1}"))
+    val history = Seq(
+        (0L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0, "{\"a\":1}"),
+        (1L, ts("2024-01-01 09:01:00"), 3L, "click", 1.0, null.asInstanceOf[String]))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
@@ -135,11 +137,16 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
       mem.addData(
         (10L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{\"a\":1}"), // seen key
         (11L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, "{\"a\":2}"), // new props
-        (12L, ts("2024-01-01 10:02:00"), 2L, "click", 1.0, "{\"a\":1}")) // new user
+        (12L, ts("2024-01-01 10:02:00"), 2L, "click", 1.0, "{\"a\":1}"), // new user
+        // NULL props must behave like the NOT EXISTS oracle: equality
+        // never matches NULL, so the row counts as unseen and EMITS —
+        // a concatenated-hash key would collapse it with history's
+        // (3, NULL) row and silently drop it
+        (13L, ts("2024-01-01 10:03:00"), 3L, "click", 1.0, null.asInstanceOf[String]))
       q.processAllAvailable()
       val out = spark.table("unseen_test").collect()
         .map(_.getAs[Long]("event_id")).sorted
-      out must be(Array(11L, 12L))
+      out must be(Array(11L, 12L, 13L))
     } finally q.stop()
   }
 
