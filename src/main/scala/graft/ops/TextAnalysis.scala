@@ -121,6 +121,27 @@ object TextAnalysis {
           lit(0.0)).as("top_bigram_ratio"))
   }
 
+  /** Token-rarity profile — the OOV/noise quality signal: per document,
+    * the mean and minimum CORPUS document-frequency of its distinct
+    * tokens (a doc dominated by tokens nothing else uses is noise,
+    * OCR garbage, or another language). All counts are integers and the
+    * mean is one int/int division, so the whole row set hash-checks.
+    * Shape: one explode into a (doc, distinct-token) row set, a
+    * vocabulary-sized df table (small — broadcasts back onto the word
+    * rows), two map-side-combined aggregations.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val dw = docs.select(col("doc_id"),
+      explode(array_distinct(tokens)).as("w"))
+    val tokDf = dw.groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    dw.join(tokDf, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        min(col("df")).cast("long").as("min_df"),
+        round(sum(col("df")).cast("double") / count(lit(1)), 4).as("avg_df"))
+  }
+
   /** Corpus heavy hitters: the `k` word-n-grams appearing in the most
     * DISTINCT documents — the statistics pass that feeds stop-phrase
     * lists and template detection (the cross-corpus complement of

@@ -155,6 +155,48 @@ object PipelineQueries {
              |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
              |ORDER BY ws.doc_id""".stripMargin)),
 
+    // Token-rarity profile: per-doc mean/min corpus document-frequency
+    // over distinct tokens — integer counts + one division, hash-exact.
+    QueryDef(
+      "text_token_rarity",
+      (s, d) => TextAnalysis.tokenRarity(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH dw AS (
+             |  SELECT doc_id,
+             |         unnest(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS w
+             |  FROM documents),
+             |tdf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY 1)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |       CAST(MIN(df) AS BIGINT) AS min_df,
+             |       ROUND(CAST(SUM(df) AS DOUBLE) / COUNT(*), 4) AS avg_df
+             |FROM dw JOIN tdf USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // JSONL export round-trip: write the documents slice as JSON Lines
+    // (the interchange format training pipelines actually ship), read
+    // it back schema-pinned (no inference scan), and hash-compare
+    // against the source — export fidelity IS the correctness claim.
+    // Same eager-materialize-then-cleanup lifecycle as fs_save_load so
+    // bench reps never leak export directories.
+    QueryDef(
+      "pipeline_export_jsonl",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+          .write.mode("overwrite").json(dir.toString)
+        val back = s.read
+          .schema("doc_id LONG, lang STRING, text STRING")
+          .json(dir.toString)
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+        val w = java.nio.file.Files.walk(dir)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+        back
+      },
+      Some("SELECT doc_id, lang, text FROM documents ORDER BY doc_id")),
+
     // Corpus heavy hitters: top-20 3-grams by document frequency (the
     // stop-phrase/template statistics pass). Cutoff ties break by
     // shingle text on both engines, so the emitted set is exact.

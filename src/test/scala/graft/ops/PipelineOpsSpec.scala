@@ -722,6 +722,40 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out(1) must be(("b c a", 1L))
   }
 
+  behavior of "TextAnalysis.tokenRarity (OOV/noise signal)"
+
+  it must "profile per-doc corpus document frequencies of distinct tokens" in {
+    val out = TextAnalysis.tokenRarity(docsDf(Seq(
+        1L -> "common common rare1",  // distinct: common(df2), rare1(df1)
+        2L -> "common")))
+      .orderBy("doc_id").collect()
+    out(0).getLong(1) must be(2L) // n_distinct
+    out(0).getLong(2) must be(1L) // min_df (rare1)
+    out(0).getDouble(3) must be(1.5) // (2+1)/2
+    out(1).getLong(2) must be(2L) // "common" appears in both docs
+    out(1).getDouble(3) must be(2.0)
+  }
+
+  it must "round-trip unicode, quotes, and embedded newlines through JSONL" in {
+    val s = spark
+    import s.implicits._
+    val tricky = "say \"hällo\"\nsecond line\ttab ünïcödé 🎉"
+    val docs = Seq((1L, "xx", tricky)).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-spec")
+    try {
+      docs.write.mode("overwrite").json(dir.toString)
+      val back = spark.read.schema("doc_id LONG, lang STRING, text STRING")
+        .json(dir.toString).collect()
+      back.length must be(1)
+      back(0).getString(2) must be(tricky)
+    } finally {
+      val w = java.nio.file.Files.walk(dir)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
+  }
+
   behavior of "Similarity.sq8TopK (int8-quantized ANN)"
 
   it must "dot integer arrays natively and recover the exact top-k after rerank" in {
