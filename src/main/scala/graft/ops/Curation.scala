@@ -29,6 +29,53 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Overlapping token chunking — the window-with-stride preprocessing
+    * step RAG indexing and long-document pretraining both run: each doc
+    * yields ⌈max(n−size,0)/stride⌉+1 chunks of up to `size` tokens
+    * starting every `stride` tokens (the last chunk may be short; a doc
+    * shorter than `size` yields exactly one chunk). Deterministic and
+    * purely per-row: the token array materializes ONCE behind a
+    * Generate barrier (the HOF-inlining trap — see Dedup's header
+    * note), chunk starts fan out through a codegen'd posexplode, and
+    * each chunk is one slice + concat_ws. No shuffle at all — at
+    * 100 TB this runs at scan speed and parallelizes by input split.
+    */
+  def chunkWithOverlap(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    docs
+      .select(col("doc_id"),
+        explode(array(expr("regexp_extract_all(lower(text), '\\\\w+', 0)")))
+          .as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(
+          s"sequence(0, int(ceil(greatest(size(toks) - $chunkSize, 0) / CAST($stride AS DOUBLE))))"))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(toks, start * $stride + 1, $chunkSize)").as("chunk_toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk_toks")).cast("long").as("n_tok"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+  }
+
+  /** Pack materialization — the EXECUTOR of the `packSequences` plan:
+    * concatenate each pack's documents (shard order = the planner's
+    * orderKey) into one training sequence with its exact token count.
+    * One ordered reassembly shuffle per pack — the same
+    * sorted-collect shape as line-dedup reassembly, bounded by the
+    * token budget per output row.
+    */
+  def materializePacks(docs: DataFrame, shard: Column, tokenBudget: Int,
+                       orderKey: Column): DataFrame =
+    packSequences(docs, shard, tokenBudget, orderKey)
+      .withColumn("_k", orderKey)
+      .groupBy(shard.as("shard"), col("pack_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).as("pack_tok"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(_k, text))), x -> x.text)"),
+          " ").as("packed_text"))
+
   /** Temperature-weighted domain-mixing plan: per-source sampling
     * weights w_s ∝ (token count)^(1/2) — the τ=0.5 temperature reweight
     * that upsamples small domains relative to proportional sampling

@@ -733,6 +733,48 @@ object PipelineQueries {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Overlapping token chunking (size 64, stride 48): the RAG/pretrain
+    // window-with-stride chunker; purely per-row (Generate fan-out, no
+    // shuffle), last chunk short, sub-size docs yield one chunk.
+    QueryDef(
+      "pipeline_chunk_overlap",
+      (s, d) => Curation.chunkWithOverlap(Tables.documents(s, d),
+          chunkSize = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |         toks[(CAST(i AS INT) * 48 + 1):(CAST(i AS INT) * 48 + 64)] AS ct
+             |  FROM t, UNNEST(range(0,
+             |    CAST(CEIL(GREATEST(len(toks) - 64, 0) / 48.0) AS BIGINT) + 1)) AS u(i))
+             |SELECT doc_id, chunk_idx, CAST(len(ct) AS BIGINT) AS n_tok,
+             |       array_to_string(ct, ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Pack materialization: the executor of pipeline_pack_sequences —
+    // each (lang, pack) concatenates its docs in planner order into one
+    // training sequence; ordered string_agg on both engines.
+    QueryDef(
+      "pipeline_pack_materialize",
+      (s, d) => Curation.materializePacks(Tables.documents(s, d),
+          col("lang"), tokenBudget = 4096, orderKey = col("doc_id"))
+        .orderBy(col("shard"), col("pack_id")),
+      Some("""SELECT lang AS shard,
+             |       CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 4096) AS BIGINT) AS pack_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tok) AS BIGINT) AS pack_tok,
+             |       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+             |FROM (
+             |  SELECT doc_id, lang, text,
+             |         LEN(regexp_extract_all(lower(text), '\w+')) AS n_tok,
+             |         SUM(LEN(regexp_extract_all(lower(text), '\w+')))
+             |           OVER (PARTITION BY lang ORDER BY doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM documents)
+             |GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin)),
+
     // ── Multimodal binary columns ───────────────────────────────────────
     QueryDef(
       "mm_sniff",

@@ -722,6 +722,38 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out(1) must be(("b c a", 1L))
   }
 
+  behavior of "Curation.chunkWithOverlap / materializePacks"
+
+  it must "window tokens with stride, short last chunk, one chunk for short docs" in {
+    // 10 tokens, size 4, stride 3 → ceil((10-4)/3)=2 → starts 0,3,6: 3 chunks
+    val out = Curation.chunkWithOverlap(docsDf(Seq(
+        1L -> "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", 2L -> "a b")),
+        chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out must be(Array(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t6 t7 t8 t9"),
+      (2L, 0L, 2L, "a b")))
+  }
+
+  it must "materialize packs in planner order with exact token totals" in {
+    val s = spark
+    import s.implicits._
+    // budget 5: doc1 (3 tok, cum-start 0 → pack 0), doc2 (3 tok,
+    // cum-start 3 → pack 0), doc3 (2 tok, cum-start 6 → pack 1)
+    val docs = Seq((1L, "x", "w w w"), (2L, "x", "y y y"), (3L, "x", "z z"))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.materializePacks(docs, col("lang"),
+        tokenBudget = 5, orderKey = col("doc_id"))
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    out must be(Array(
+      (0L, 2L, 6L, "w w w y y y"),
+      (1L, 1L, 2L, "z z")))
+  }
+
   behavior of "TextAnalysis.tokenRarity (OOV/noise signal)"
 
   it must "profile per-doc corpus document frequencies of distinct tokens" in {
