@@ -501,6 +501,25 @@ object Relational {
              |       TRUE AS approx_parts_ok, TRUE AS approx_orders_ok
              |FROM lineitem""".stripMargin)),
 
+    // ── Exact percentiles (median / p95): Spark's exact `percentile`
+    //    aggregate and DuckDB's quantile_cont share the same definition
+    //    (sorted values, rank p·(n−1), linear interpolation), so the
+    //    rounded values hash-match; the full sort is per-group, not
+    //    global, and partial aggregation buffers per group ────────────────
+    QueryDef(
+      "q23_percentiles",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50_qty"),
+            round(expr("percentile(l_quantity, 0.95D)"), 4).as("p95_qty"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             |       ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // ── Sessionization: window lag + cumulative gap counting ────────────
     QueryDef(
       "q17_sessionize",
