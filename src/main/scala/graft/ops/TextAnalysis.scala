@@ -126,9 +126,13 @@ object TextAnalysis {
     * tokens (a doc dominated by tokens nothing else uses is noise,
     * OCR garbage, or another language). All counts are integers and the
     * mean is one int/int division, so the whole row set hash-checks.
-    * Shape: one explode into a (doc, distinct-token) row set, a
-    * vocabulary-sized df table (small — broadcasts back onto the word
-    * rows), two map-side-combined aggregations.
+    * Shape: the (doc, distinct-token) row set derives TWICE (df
+    * aggregate + join probe — two scans, deliberate): the df table is
+    * vocabulary-sized and broadcasts, so the probe side never
+    * shuffles; the single-scan alternative (a count window partitioned
+    * by token) would hot-key on stopwords — a "the" partition holding
+    * most of the corpus on one task — which is the worse trade at
+    * 100 TB. Aggregations are map-side-combined.
     */
   def tokenRarity(docs: DataFrame): DataFrame = {
     val dw = docs.select(col("doc_id"),

@@ -516,8 +516,8 @@ object Relational {
             round(expr("percentile(l_quantity, 0.95D)"), 4).as("p95_qty"))
           .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag, COUNT(*) AS n,
-             |       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-             |       ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+             |       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50_qty,
+             |       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 4) AS p95_qty
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
     // ── Sessionization: window lag + cumulative gap counting ────────────

@@ -65,8 +65,11 @@ object CurationProperties extends Properties("Curation") {
       val docs = docsDf(texts)
       val packs = Curation.materializePacks(docs, col("lang"), budget,
         col("doc_id")).orderBy(col("pack_id")).collect()
-      val stitched = packs.map(_.getString(4)).filter(_.nonEmpty).mkString(" ")
-      val original = texts.filter(_.nonEmpty).mkString(" ")
+      // compare TOKEN sequences, not raw strings: an empty doc joins
+      // into its pack as an empty element, leaving a harmless extra
+      // separator in packed_text that a string compare would flag
+      val stitched = packs.flatMap(_.getString(4).split(" ")).filter(_.nonEmpty).toSeq
+      val original = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
       val tokensConserved = stitched == original
       // pack token totals sum to the corpus total
       val total = packs.map(_.getLong(3)).sum
