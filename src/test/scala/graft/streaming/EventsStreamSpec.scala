@@ -150,6 +150,38 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  it must "emit the same set regardless of micro-batch boundaries (stateless contract)" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val history = Seq((0L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0, "{\"a\":1}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Seq(
+      (20L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{\"a\":1}"),
+      (21L, ts("2024-01-01 10:01:00"), 2L, "click", 1.0, "{\"a\":1}"),
+      (22L, ts("2024-01-01 10:02:00"), 1L, "click", 1.0, "{\"a\":9}"))
+
+    def run(name: String)(feed: MemoryStream[(Long, Timestamp, Long, String, Double, String)] => Unit): Set[Long] = {
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val q = EventsStream.unseenOnly(df, history).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        feed(mem)
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getAs[Long]("event_id")).toSet
+      } finally q.stop()
+    }
+
+    val oneBatch = run("unseen_one") { m => m.addData(rows: _*) }
+    val perRow = run("unseen_split") { m =>
+      rows.foreach(r => m.addData(r))
+    }
+    oneBatch must be(perRow)
+    oneBatch must be(Set(21L, 22L))
+  }
+
   behavior of "streaming/batch parity"
 
   it must "produce the same hourly totals as the batch groupBy on the same rows" in {
