@@ -238,6 +238,64 @@ object Dedup {
       threshold)
   }
 
+  /** Prefix-containment dedup — the truncation-dup detector: pairs
+    * (short, long) where the short doc's ENTIRE token list is the first
+    * |short| tokens of the long one (truncated re-crawls, cut-off
+    * mirrors). Exact dedup misses these (different hashes) and MinHash
+    * usually does too (a short prefix of a long doc has low Jaccard),
+    * so this is its own mode, not a variant.
+    *
+    * Shape: any containing pair shares its first `minPrefix` tokens, so
+    * candidates come from ONE xxhash64(first-minPrefix-tokens) bucket
+    * key — the same capped/loud LshGuard skeleton as every other pair
+    * generator (bucket rows carry (n_tok, doc_id) only) — and
+    * containment is verified exactly on candidate docs via the shared
+    * melt-join (token arrays attach once, bounded by candidate count).
+    * Docs under `minPrefix` tokens are out of scope (documented floor:
+    * tiny docs belong to exact/near dedup).
+    */
+  def prefixContained(docs: DataFrame, minPrefix: Int = 8,
+                      maxBucket: Int = 1000): DataFrame = {
+    val toks = expr("regexp_extract_all(lower(text), '\\\\w+', 0)")
+    val keyed = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= minPrefix)
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        xxhash64(concat_ws(" ",
+          slice(col("toks"), 1, minPrefix))).as("pk"))
+    val candidates = LshGuard.capBuckets(
+      keyed.groupBy(col("pk"))
+        .agg(sort_array(collect_list(struct(col("n"), col("doc_id")))).as("ds")),
+      "ds", maxBucket, "prefix")
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("i"), col("a"), posexplode(col("ds")).as(Seq("j", "b")))
+      .filter(col("i") < col("j") && col("a.n") < col("b.n"))
+      .select(col("a.doc_id").as("id_short"), col("b.doc_id").as("id_long"))
+      .distinct()
+    val candIds = candidates
+      .select(explode(array(col("id_short"), col("id_long"))).as("doc_id"))
+      .distinct()
+    val tok = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), toks.as("toks"))
+    val sides = candidates.select(explode(array(
+        struct(col("id_short"), col("id_long"), col("id_short").as("doc_id")),
+        struct(col("id_short"), col("id_long"), col("id_long").as("doc_id")))).as("s"))
+      .select(col("s.id_short").as("id_short"), col("s.id_long").as("id_long"),
+        col("s.doc_id"))
+    sides
+      .join(tok, "doc_id")
+      .groupBy(col("id_short"), col("id_long"))
+      .agg(
+        first(when(col("doc_id") === col("id_short"), col("toks")),
+          ignoreNulls = true).as("ts"),
+        first(when(col("doc_id") === col("id_long"), col("toks")),
+          ignoreNulls = true).as("tl"))
+      .filter(size(col("ts")) < size(col("tl")) &&
+        expr("slice(tl, 1, size(ts))") === col("ts"))
+      .select(col("id_short"), col("id_long"),
+        size(col("ts")).cast("long").as("n_short"))
+  }
+
   /** Exact-Jaccard verification of LSH candidate `(id_a, id_b)` pairs,
     * shared by the MinHash and SimHash skeletons.
     *

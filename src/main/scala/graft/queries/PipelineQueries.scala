@@ -448,6 +448,45 @@ object PipelineQueries {
              |SELECT id AS doc_id, MIN(r) AS component
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // Prefix-containment dedup over a cloned-truncation corpus (the
+    // dedup_simhash_pairs injection pattern): docs < 100 are doubled
+    // with id+20000 clones truncated to their first max(3n DIV 5, 8)
+    // tokens — every (clone, original) pair must traverse the full
+    // bucket/cap/verify path on both engines; the oracle is all-pairs
+    // containment over the same doubled corpus, so natural pairs (if a
+    // regenerated corpus ever has them) stay covered too.
+    QueryDef(
+      "dedup_prefix_contained",
+      (s, d) => {
+        val base = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val toks = expr("regexp_extract_all(lower(text), '\\\\w+', 0)")
+        val clones = base.select(
+          (col("doc_id") + 20000).as("doc_id"),
+          array_join(
+            slice(toks, lit(1),
+              expr("greatest((size(regexp_extract_all(lower(text), '\\\\w+', 0)) * 3) div 5, 8)")),
+            " ").as("text"))
+        Dedup.prefixContained(base.unionByName(clones), minPrefix = 8)
+          .orderBy(col("id_short"), col("id_long"))
+      },
+      Some("""WITH d2 AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents WHERE doc_id < 100
+             |  UNION ALL
+             |  SELECT doc_id + 20000,
+             |         t[1:greatest((len(t) * 3) // 5, 8)]
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents WHERE doc_id < 100)),
+             |p AS (
+             |  SELECT a.doc_id AS id_short, b.doc_id AS id_long,
+             |         CAST(len(a.toks) AS BIGINT) AS n_short
+             |  FROM d2 a, d2 b
+             |  WHERE len(a.toks) >= 8 AND len(a.toks) < len(b.toks)
+             |    AND a.toks = b.toks[1:len(a.toks)])
+             |SELECT id_short, id_long, n_short FROM p
+             |ORDER BY id_short, id_long""".stripMargin)),
+
     QueryDef(
       "dedup_simhash",
       (s, d) =>

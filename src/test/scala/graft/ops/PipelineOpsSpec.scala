@@ -667,6 +667,20 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     r2.getDouble(4) must be(0.0)
   }
 
+  behavior of "Dedup.prefixContained (truncation dups)"
+
+  it must "find prefix-contained docs and ignore infix overlap and tiny docs" in {
+    val long = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    val out = Dedup.prefixContained(docsDf(Seq(
+        1L -> long,
+        2L -> "w0 w1 w2 w3 w4 w5 w6 w7 w8",       // 9-token prefix → pair
+        3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9",       // infix, NOT a prefix
+        4L -> "w0 w1 w2")),                        // under minPrefix → out of scope
+        minPrefix = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out must be(Array((2L, 1L, 9L)))
+  }
+
   behavior of "Dedup incremental (new batch vs history)"
 
   it must "flag exact content already seen in history and pass fresh content" in {
