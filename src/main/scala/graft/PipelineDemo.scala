@@ -28,26 +28,37 @@ object PipelineDemo {
     val docs = Tables.documents(spark, sfDir)
     val raw = docs.count()
 
+    // persist each funnel stage before counting: every stage feeds both
+    // its own count AND the next stage (and `clean` feeds three
+    // consumers) — uncached, the MinHash banding alone would re-run 4+
+    // times at larger SFs
     val quality = TextAnalysis.quality(docs).filter(col("quality_ok"))
       .select(col("doc_id"))
-    val afterQuality = docs.join(quality, Seq("doc_id"), "left_semi")
+    val afterQuality = docs.join(quality, Seq("doc_id"), "left_semi").persist()
 
     val exactSurvivors = Dedup.keepFirst(afterQuality)
       .select(col("doc_id"))
     val afterExact = afterQuality.join(exactSurvivors, Seq("doc_id"), "left_semi")
+      .persist()
 
     val nearDupDrops = Dedup.minhashPairs(afterExact, shingleN = 3,
         b = 8, r = 4, threshold = 0.5)
       .select(col("id_b").as("doc_id")).distinct()
     val afterNear = afterExact.join(nearDupDrops, Seq("doc_id"), "left_anti")
+      .persist()
 
+    // benchmark docs leave the TRAINING pool entirely (the split must be
+    // disjoint — a bench doc fed to the train side would flag itself as
+    // contaminated and read as leakage); survivors are then scrubbed of
+    // anything sharing >= 3 shingles with the bench set
     val bench = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
+    val trainPool = afterNear.filter(col("doc_id") % 10 =!= 0)
     val contaminated = Decontaminate.flagged(
-        afterNear.select(col("doc_id"), col("text")),
+        trainPool.select(col("doc_id"), col("text")),
         bench, n = 3, minShared = 3, maxBenchDf = Int.MaxValue)
       .select(col("doc_id")).distinct()
-    val clean = afterNear.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = trainPool.join(contaminated, Seq("doc_id"), "left_anti").persist()
 
     val packed = Curation.packSequences(clean, col("lang"),
       tokenBudget = 4096, orderKey = col("doc_id"))
@@ -71,6 +82,7 @@ object PipelineDemo {
       |quality-filtered      ${afterQuality.count()}%5d
       |exact-deduped         ${afterExact.count()}%5d
       |near-dup removed      ${afterNear.count()}%5d
+      |bench docs withheld   ${trainPool.count()}%5d
       |decontaminated        ${clean.count()}%5d
       |training packs        $nPacks%5d
       |exported (JSONL)      $exported%5d

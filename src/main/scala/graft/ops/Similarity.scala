@@ -229,7 +229,7 @@ object Similarity {
     * joining per row. At 100 TB this is one linear pass producing 2×dim
     * floats.
     */
-  private def sq8Bounds(corpus: DataFrame): DataFrame =
+  private[ops] def sq8Bounds(corpus: DataFrame): DataFrame =
     corpus
       .select(posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("dim"))
@@ -245,8 +245,8 @@ object Similarity {
     * dimension collapses to 0 instead of dividing by zero. Plain-column
     * indexing only — the lambda never re-derives a computed array.
     */
-  private def quantized(vecs: DataFrame, outId: String, outQ: String,
-                        bounds: DataFrame): DataFrame =
+  private[ops] def quantized(vecs: DataFrame, outId: String, outQ: String,
+                             bounds: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(bounds))
       .select(col("vec_id").as(outId),
         expr(

@@ -24,7 +24,11 @@ object PipelineProperties extends Properties("PipelineOps") {
     srcs <- Gen.listOfN(n, Gen.oneOf("A", "B"))
     texts <- Gen.listOfN(n, Gen.choose(1, 12).flatMap(k =>
       Gen.listOfN(k, Gen.oneOf("alpha", "beta", "gamma", "delta"))
-        .map(_.mkString(" "))))
+        // mixed separators so a third of corpora have MULTI-LINE docs —
+        // the identity property must exercise split/reassembly, not
+        // just single-line pass-through
+        .flatMap(ws => Gen.oneOf(" ", "\n", " ").map(sep =>
+          ws.mkString(sep)))))
   } yield srcs.zip(texts).zipWithIndex.map { case ((s, t), i) =>
     (i.toLong, s, t) }
 
@@ -74,6 +78,12 @@ object PipelineProperties extends Properties("PipelineOps") {
       val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("vec_id", "embedding")
         .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      // codomain: every quantized component is an int8 value
+      val qvals = Similarity.quantized(emb, "vec_id", "q",
+          Similarity.sq8Bounds(emb))
+        .select(explode(col("q")).as("v"))
+        .agg(min(col("v")), max(col("v"))).collect()(0)
+      val codomainOk = qvals.getInt(0) >= -127 && qvals.getInt(1) <= 127
       val q = emb.filter(col("vec_id") < 2)
       val k = math.min(3, vecs.size - 1)
       val sq8 = Similarity.sq8TopK(q, emb, k = k, cand = vecs.size)
@@ -82,6 +92,6 @@ object PipelineProperties extends Properties("PipelineOps") {
       val brute = Similarity.bruteTopK(q, emb, k = k).select("q_id", "neighbor_id", "rank")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       // full-candidate rerank makes sq8 EXACTLY brute for any geometry
-      sq8 == brute
+      codomainOk && sq8 == brute
     }
 }

@@ -162,21 +162,25 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
       (21L, ts("2024-01-01 10:01:00"), 2L, "click", 1.0, "{\"a\":1}"),
       (22L, ts("2024-01-01 10:02:00"), 1L, "click", 1.0, "{\"a\":9}"))
 
-    def run(name: String)(feed: MemoryStream[(Long, Timestamp, Long, String, Double, String)] => Unit): Set[Long] = {
+    def run(name: String)(feed: (MemoryStream[(Long, Timestamp, Long, String, Double, String)],
+                                 org.apache.spark.sql.streaming.StreamingQuery) => Unit): Set[Long] = {
       val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
       val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       val q = EventsStream.unseenOnly(df, history).writeStream
         .format("memory").queryName(name).outputMode("append").start()
       try {
-        feed(mem)
+        feed(mem, q)
         q.processAllAvailable()
         spark.table(name).collect().map(_.getAs[Long]("event_id")).toSet
       } finally q.stop()
     }
 
-    val oneBatch = run("unseen_one") { m => m.addData(rows: _*) }
-    val perRow = run("unseen_split") { m =>
-      rows.foreach(r => m.addData(r))
+    val oneBatch = run("unseen_one") { (m, _) => m.addData(rows: _*) }
+    // drain between rows so each one REALLY lands in its own
+    // micro-batch — adding all rows before one processAllAvailable
+    // would collapse to a single batch and compare identical runs
+    val perRow = run("unseen_split") { (m, q) =>
+      rows.foreach { r => m.addData(r); q.processAllAvailable() }
     }
     oneBatch must be(perRow)
     oneBatch must be(Set(21L, 22L))
