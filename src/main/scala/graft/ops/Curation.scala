@@ -112,6 +112,29 @@ object Curation {
           .as("weight"))
   }
 
+  /** Mixture application — the EXECUTOR of the `domainMix` plan: given
+    * a total document budget, each source contributes
+    * floor(weight × budget) documents, taken deterministically in key
+    * order (the reproducible version of weighted sampling — reruns and
+    * audits draw the identical mix). One window row_number per source
+    * against the broadcast per-source quota; floor rounding means the
+    * drawn total can undershoot the budget by < #sources, never
+    * overshoot.
+    */
+  def applyMix(docs: DataFrame, source: Column, totalBudget: Int,
+               orderKey: Column): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    val quotas = domainMix(docs, source)
+      .select(col("source").as("_mix_src"),
+        floor(col("weight") * totalBudget).cast("long").as("_quota"))
+    val w = Window.partitionBy(source).orderBy(orderKey)
+    docs
+      .withColumn("_rn", row_number().over(w))
+      .join(broadcast(quotas), source === col("_mix_src"))
+      .filter(col("_rn") <= col("_quota"))
+      .drop("_rn", "_quota", "_mix_src")
+  }
+
   /** Sequence-packing plan: assign each document to a fixed-token-budget
     * pack, per shard, in key order — the planner step of a
     * concat-and-chunk tokenization pipeline. pack_id = the budget

@@ -376,6 +376,32 @@ object PipelineQueries {
              |             CAST((SELECT SUM(sd) FROM w) AS DOUBLE), 6) AS weight
              |FROM w ORDER BY source""".stripMargin)),
 
+    // Mixture application: the domainMix executor — each source
+    // contributes floor(weight × 200) docs in id order; the whole
+    // draw is deterministic and SQL-expressible end to end.
+    QueryDef(
+      "pipeline_apply_mix",
+      (s, d) => Curation.applyMix(Tables.documents(s, d), col("source"),
+          totalBudget = 200, orderKey = col("doc_id"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""WITH per AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(LEN(regexp_extract_all(lower(text), '\w+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT *,
+             |             CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS sd
+             |      FROM per),
+             |q AS (SELECT source,
+             |             CAST(FLOOR(ROUND(CAST(sd AS DOUBLE) /
+             |                  CAST((SELECT SUM(sd) FROM w) AS DOUBLE), 6) * 200) AS BIGINT) AS quota
+             |      FROM w),
+             |r AS (SELECT doc_id, source,
+             |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |      FROM documents)
+             |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+             |WHERE rn <= quota ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: every-10th doc stands in as the eval
     // set; training docs sharing >= 3 distinct 3-gram shingles with any
     // bench doc are flagged. The oracle is the JOIN form (shingle rows
@@ -631,6 +657,32 @@ object PipelineQueries {
       },
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    // The SQ8 path's RESULT channel — a strictly stronger claim than
+    // the recall gate: with cand=50 the quantized candidate pass
+    // provably (measured tri-SF) contains the full true top-5, and the
+    // rerank is exact float cosine, so the emitted ranking IS brute's
+    // — hash-compared rank for rank against the same all-pairs oracle
+    // as ann_brute_topk.
+    QueryDef(
+      "ann_sq8_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.sq8TopK(emb.filter(col("vec_id") < 5), emb,
+            k = 5, cand = 50)
+          .select(col("q_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH scores AS (
+             |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+             |         list_cosine_similarity(q.embedding, e.embedding) AS score
+             |  FROM embeddings e, embeddings q
+             |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+             |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT q_id, neighbor_id,
+             |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM scores)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     // Embedding-cosine near-dup, recall-gated in-query against the
     // exact all-pairs twin on the bounded slice (the dedup analog of

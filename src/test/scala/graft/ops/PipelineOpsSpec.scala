@@ -722,6 +722,25 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out(1).getDouble(3) must be(0.333333)
   }
 
+  it must "apply mix quotas deterministically, lowest keys first, capped by availability" in {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 5).map(i => (i.toLong, "A", "w w w w")) ++
+      Seq((6L, "B", "w"), (7L, "B", "w"))).toDF("doc_id", "source", "text")
+    val budget = 6
+    val quotas = Curation.domainMix(docs, col("source")).collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(3) * budget).toLong)
+      .toMap
+    val out = Curation.applyMix(docs, col("source"), budget, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    // per-source draw = min(quota, available), and always the LOWEST ids
+    bySrc.getOrElse("A", Seq()) must be((1L to math.min(quotas("A"), 5L)).toSeq)
+    bySrc.getOrElse("B", Seq()) must be((6L until 6L + math.min(quotas("B"), 2L)).toSeq)
+    // the weighted draw actually drew from the dominant source
+    quotas("A") must be >= 3L
+  }
+
   behavior of "TextAnalysis.topNgrams (corpus heavy hitters)"
 
   it must "rank n-grams by distinct-doc frequency with a deterministic cutoff tiebreak" in {
