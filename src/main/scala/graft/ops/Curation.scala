@@ -117,16 +117,18 @@ object Curation {
     * floor(weight × budget) documents, taken deterministically in key
     * order (the reproducible version of weighted sampling — reruns and
     * audits draw the identical mix). One window row_number per source
-    * against the broadcast per-source quota; floor rounding means the
-    * drawn total can undershoot the budget by < #sources, never
-    * overshoot.
+    * against the broadcast per-source quota. Budget accounting: floor
+    * rounding undershoots by < #sources at realistic budgets; because
+    * weights are rounded to 6 decimals their SUM can exceed 1 by up to
+    * #sources·5e-7, so budgets ≥ ~2e6 can overshoot by a handful of
+    * docs — cap downstream if the budget is a hard ceiling.
     */
   def applyMix(docs: DataFrame, source: Column, totalBudget: Int,
                orderKey: Column): DataFrame = {
     require(totalBudget > 0, "totalBudget must be positive")
     val quotas = domainMix(docs, source)
       .select(col("source").as("_mix_src"),
-        floor(col("weight") * totalBudget).cast("long").as("_quota"))
+        floor(col("weight") * totalBudget).as("_quota"))
     val w = Window.partitionBy(source).orderBy(orderKey)
     docs
       .withColumn("_rn", row_number().over(w))

@@ -34,6 +34,22 @@ object PipelineQueries {
           concat(lit("subscribe today "), col("source"))),
         concat(lit("ref code "), col("doc_id"))).as("text"))
 
+  /** Shared by ann_brute_topk and ann_sq8_topk — the SQ8 result
+    * channel's claim is rank-for-rank equality against the SAME
+    * oracle, so the sameness is structural, not copy-paste.
+    */
+  private val bruteTopKOracle: String =
+    """WITH scores AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |         list_cosine_similarity(q.embedding, e.embedding) AS score
+      |  FROM embeddings e, embeddings q
+      |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+      |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT q_id, neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scores)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ───────────────────────────────────────────────────
@@ -610,16 +626,7 @@ object PipelineQueries {
           .select(col("q_id"), col("neighbor_id"), col("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
-      Some("""WITH scores AS (
-             |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-             |         list_cosine_similarity(q.embedding, e.embedding) AS score
-             |  FROM embeddings e, embeddings q
-             |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
-             |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
-             |  SELECT q_id, neighbor_id,
-             |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rank
-             |  FROM scores)
-             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+      Some(bruteTopKOracle)),
 
     // IVF scale path: probed-bucket search, gated on recall against the
     // exact twin IN-QUERY — the raw IVF ranking is centroid-dependent
@@ -673,16 +680,7 @@ object PipelineQueries {
           .select(col("q_id"), col("neighbor_id"), col("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
-      Some("""WITH scores AS (
-             |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-             |         list_cosine_similarity(q.embedding, e.embedding) AS score
-             |  FROM embeddings e, embeddings q
-             |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
-             |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
-             |  SELECT q_id, neighbor_id,
-             |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rank
-             |  FROM scores)
-             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+      Some(bruteTopKOracle)),
 
     // Embedding-cosine near-dup, recall-gated in-query against the
     // exact all-pairs twin on the bounded slice (the dedup analog of

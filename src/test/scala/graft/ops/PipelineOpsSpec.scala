@@ -739,6 +739,15 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     bySrc.getOrElse("B", Seq()) must be((6L until 6L + math.min(quotas("B"), 2L)).toSeq)
     // the weighted draw actually drew from the dominant source
     quotas("A") must be >= 3L
+
+    // availability cap REALLY binds: budget 20 gives A a quota (15)
+    // far above its 5 docs — applyMix must emit exactly the available
+    // rows, no phantoms, no duplicates
+    val big = Curation.applyMix(docs, col("source"), 20, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    big.length must be(big.distinct.length)
+    big.count(_._2 == "A") must be(5)
+    big.count(_._2 == "B") must be(2)
   }
 
   behavior of "TextAnalysis.topNgrams (corpus heavy hitters)"
