@@ -53,5 +53,11 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.IntDot].getName, "graft_int_dot"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.IntDot(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.TopKByScore].getName, "graft_topk"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.TopKByScore(exprs(0), exprs(1), exprs(2))))
   }
 }

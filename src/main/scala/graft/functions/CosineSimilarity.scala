@@ -136,5 +136,7 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_int_dot", exprs => IntDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.GraftFunctions
 
@@ -38,15 +37,31 @@ object Similarity {
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(corpus))
 
-  /** Exact top-k per query (rank ties broken by neighbor_id). */
-  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scoreAll(queries, corpus)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("rank"), col("score"))
-  }
+  /** Per-query top-k of a scored frame via the bounded MAP-SIDE
+    * `graft_topk` aggregate (TopKByScore) — the shape that survives
+    * 100×: each input partition folds to one ≤k heap per q_id, the
+    * exchange carries `partitions × |queries| × k` fixed-width entries,
+    * and the per-q_id merge handles `partitions × k` rows. The windowed
+    * (`row_number().over(partitionBy(q_id))`) formulation this replaced
+    * shuffled EVERY scored row onto |queries| reducer tasks — one
+    * full-corpus straggler per query. Ordering (score DESC, id ASC) and
+    * emitted rank are identical pair for pair.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(CAST(score AS DOUBLE), neighbor_id, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("e.score").as("score"))
+
+  /** Exact top-k per query (rank ties broken by neighbor_id). One corpus
+    * scan against broadcast queries; the ranking never shuffles the
+    * scored corpus (see `topKPerQuery`) — exact search stays viable as
+    * the baseline even at full corpus scale.
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topKPerQuery(scoreAll(queries, corpus), k)
 
   /** Distributed spherical k-means over the embedding column — the real
     * centroid computation the first-K seeding was a placeholder for.
@@ -94,16 +109,28 @@ object Similarity {
     * score desc then c_id, everywhere).
     */
   private def probeAssignments(corpus: DataFrame, centroids: DataFrame,
-                               nprobe: Int): DataFrame =
+                               nprobe: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    // The K centroids fold to ONE broadcast row of (c_id, vector)
+    // structs, and each corpus row picks its nprobe nearest entirely
+    // row-locally (score all K, sort, slice) — ZERO shuffle. The
+    // windowed formulation this replaced (row_number over
+    // partitionBy(vec_id) on the corpus×centroids cross join) shuffled
+    // every embedding K times just to rank K broadcast-scored rows.
+    // array_sort on struct(-score, c_id) is (score DESC, c_id ASC) —
+    // the same tie-break rule as everywhere else in this file.
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(col("vec_id").as("c_id"),
+        col("embedding").as("cv")))).as("cents"))
     corpus
       .select(col("vec_id"), col("embedding").as("ev"))
-      .crossJoin(broadcast(
-        centroids.select(col("vec_id").as("c_id"), col("embedding").as("qv"))))
-      .withColumn("score", cosine(corpus))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("ev"), col("c_id").as("bucket"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("ev"),
+        explode(expr(
+          s"""transform(slice(array_sort(transform(cents,
+             |  c -> struct(-graft_cosine(ev, c.cv) AS negs, c.c_id AS c_id))),
+             |  1, $nprobe), x -> x.c_id)""".stripMargin)).as("bucket"))
+  }
 
   /** Assign every vector to its nearest of the K centroid vectors. */
   def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame =
@@ -272,29 +299,30 @@ object Similarity {
     val bounds = sq8Bounds(corpus)
     val qcorpus = quantized(corpus, "neighbor_id", "eq", bounds)
     val qqueries = quantized(queries, "q_id", "qq", bounds)
-    val wa = Window.partitionBy(col("q_id"))
-      .orderBy(col("ascore").desc, col("neighbor_id"))
+    // candidate generation: quantized scan scored in codegen, then the
+    // bounded map-side graft_topk — the exchange carries ≤ partitions ×
+    // |queries| × cand heap entries, NEVER the scored corpus (the
+    // int-dot is exact in DOUBLE far past any int8 magnitude, so the
+    // cast preserves candidate order bit for bit)
     val candidates = qcorpus
       .crossJoin(broadcast(qqueries))
       .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("ascore", expr("graft_int_dot(qq, eq)"))
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= cand)
-      .select(col("q_id"), col("neighbor_id"))
-    val wr = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .withColumn("ascore", expr("CAST(graft_int_dot(qq, eq) AS DOUBLE)"))
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(ascore, neighbor_id, $cand)").as("top"))
+      .select(col("q_id"),
+        explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
     // the candidate set is <= |queries| * cand rows BY CONSTRUCTION —
     // broadcast it so the float-vector fetch is a map-side BHJ and the
     // corpus never shuffles for the rerank
-    broadcast(candidates)
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ev")), "neighbor_id")
-      .join(broadcast(queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("qv"))), "q_id")
-      .withColumn("score", cosine(corpus))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("rank"), col("score"))
+    topKPerQuery(
+      broadcast(candidates)
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ev")), "neighbor_id")
+        .join(broadcast(queries.select(col("vec_id").as("q_id"),
+          col("embedding").as("qv"))), "q_id")
+        .withColumn("score", cosine(corpus)),
+      k)
   }
 
   /** Recall gate for the SQ8 path against the exact brute twin — same
@@ -327,26 +355,21 @@ object Similarity {
     val centroids = kmeansCentroids(corpus, numCentroids, kmeansIters)
     val bucketed = assignBuckets(corpus, centroids)
 
-    val queryBuckets = queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      .crossJoin(broadcast(
-        centroids.select(col("vec_id").as("c_id"), col("embedding").as("ev"))))
-      .withColumn("score", cosine(corpus))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("qv"), col("c_id").as("bucket"))
+    // query-side probing reuses the zero-shuffle row-local selection
+    val queryBuckets = probeAssignments(
+        queries.select(col("vec_id"), col("embedding")), centroids, nprobe)
+      .select(col("vec_id").as("q_id"), col("ev").as("qv"), col("bucket"))
 
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    bucketed
-      .join(broadcast(queryBuckets), "bucket")
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("qv"), col("embedding").as("ev"))
-      .withColumn("score", cosine(corpus))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("rank"), col("score"))
+    // probed-bucket scoring in codegen, ranking via the bounded
+    // map-side graft_topk — the per-query nprobe/K corpus slice is
+    // reduced to ≤ k heap entries per partition before any exchange
+    topKPerQuery(
+      bucketed
+        .join(broadcast(queryBuckets), "bucket")
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("qv"), col("embedding").as("ev"))
+        .withColumn("score", cosine(corpus)),
+      k)
   }
 }
