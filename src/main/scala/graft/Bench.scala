@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Rep-slope degradation guard: true when any rep after the first
+    * runs slower than BOTH 2× rep-1 and rep-1 + 1 s (the absolute floor
+    * keeps sub-second warmup jitter from flagging). Warmup makes rep-1
+    * the SLOWEST healthy rep, so any later rep blowing past 2× it is
+    * monotone growth the min-of-reps summary channel would otherwise
+    * mask — the r6 dedup_simhash_wide pattern (3.27 → 5.17 → 14.57 s).
+    */
+  def degrades(times: Seq[Double]): Boolean =
+    times.nonEmpty && times.head >= 0 &&
+      times.tail.exists(t => t > 2 * times.head && t > times.head + 1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -59,9 +71,21 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val totalFirst = results.map(_._2.head).sum
     val totalMin = results.map(_._2.min).sum
+    // rep-slope guard: a query whose later reps blow past 2× rep-1 is
+    // named on stderr AND in the summary line — min-of-reps must never
+    // silently mask monotone in-process growth (the r6 lesson)
+    val degraded = results.collect { case (n, ts) if degrades(ts) => n }
+    degraded.foreach { n =>
+      System.err.println(s"[bench][WARN] $n DEGRADES across reps: " +
+        results.toMap.apply(n).map(r3).mkString(" -> ") +
+        " — monotone in-process growth, investigate before trusting min")
+    }
+    val degradedJson =
+      if (degraded.isEmpty) ""
+      else degraded.map("\"" + _ + "\"").mkString(""","degraded":[""", ",", "]")
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
-        s""""queries":$qs,"queries_channel":"min_of_reps"$extra,""" +
+        s""""queries":$qs,"queries_channel":"min_of_reps"$extra$degradedJson,""" +
         s""""value_min":${r3(totalMin)},"reps":$reps,"sf":"$sfDir"}"""
     // degrade ADAPTIVELY if the query set outgrows the window: keep the
     // LARGEST prefix of queries by min-time (failures sort first — a
@@ -88,7 +112,8 @@ object Bench {
       .getOrElse(line("{}", s""","q_floor":-1,"n_below_floor":${results.size}"""))
     val detail = results.map { case (k, ts) =>
       "\"" + k + "\":{\"reps\":" + ts.mkString("[", ",", "]") +
-        ",\"first\":" + ts.head + ",\"min\":" + ts.min + "}"
+        ",\"first\":" + ts.head + ",\"min\":" + ts.min +
+        ",\"degrades\":" + degrades(ts) + "}"
     }.mkString(
       s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMin,""" +
         s""""unit":"sec","reps":$reps,"sf":"$sfDir","queries":{""",

@@ -252,12 +252,20 @@ class GraftFileSystem extends FileSystem {
       setState(GraftFs(state.catalog.store(inodeFor(p, parent, written + used)),
         state.chunks))
 
-    /** The reference's flush() persists the buffered partial subblock
-      * (FileSystemOutputStream.scala:122-130) so flushed bytes are
-      * visible to readers before close; mirror that — store the partial
-      * row AND re-commit the inode at the flushed length. The buffer
-      * keeps filling afterwards; the next persist of this cell replaces
-      * the partial copy.
+    /** Flush persists the buffered partial subblock so flushed bytes
+      * are durable before close. DELIBERATE DIVERGENCE from the
+      * reference (FileSystemOutputStream.scala:122-130), not a mirror:
+      * the reference SEALS the subblock on flush (subsequent bytes
+      * start a new subblock), defers the inode store to a block
+      * boundary/close (so flushed bytes are durable but not yet
+      * reader-visible via metadata), and throws IOException("Stream
+      * closed") on a closed stream. Graft instead keeps filling the
+      * same subblock (the next persist replaces the partial copy —
+      * chunk geometry stays self-consistent instead of fragmenting per
+      * flush), re-commits the inode at the flushed length
+      * (HDFS-hflush-like read visibility), and no-ops when closed
+      * (FilterOutputStream wrappers call flush() from a second close(),
+      * which must stay harmless). Spec-pinned in the facade suite.
       */
     override def flush(): Unit = {
       if (isClosed || used == 0) return

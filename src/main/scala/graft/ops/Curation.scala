@@ -108,7 +108,15 @@ object Curation {
       .withColumn("_total",
         sum(col("_sd")).over(Window.partitionBy()))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("_sd").cast("double") / col("_total").cast("double"), 6)
+        // an all-empty corpus (every source at zero tokens) has no
+        // defined mixture — fail LOUDLY instead of emitting NULL/NaN
+        // weights that applyMix would silently filter to an empty draw
+        // (r6 ADVICE)
+        when(col("_total") === lit(0),
+          expr("raise_error('graft domainMix: total token mass is zero " +
+            "(every source is empty) — mixture weights are undefined')"))
+          .otherwise(
+            round(col("_sd").cast("double") / col("_total").cast("double"), 6))
           .as("weight"))
   }
 

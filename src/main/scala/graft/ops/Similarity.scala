@@ -268,9 +268,14 @@ object Similarity {
         expr("transform(dlh, x -> x.hi)").as("his"))
 
   /** Affine int8 quantization of the embedding column against broadcast
-    * per-dimension bounds: lo ↦ −127, hi ↦ +127. A constant-width
-    * dimension collapses to 0 instead of dividing by zero. Plain-column
-    * indexing only — the lambda never re-derives a computed array.
+    * per-dimension bounds: lo ↦ −127, hi ↦ +127, CLAMPED to [−127, 127]
+    * so the int8 codomain holds for ANY input — bounds come from the
+    * corpus, and a query vector outside a corpus dimension's [lo, hi]
+    * would otherwise quantize past ±127 (r6 ADVICE; in-corpus vectors
+    * are unaffected, the clamp is the out-of-sample contract). A
+    * constant-width dimension collapses to 0 instead of dividing by
+    * zero. Plain-column indexing only — the lambda never re-derives a
+    * computed array.
     */
   private[ops] def quantized(vecs: DataFrame, outId: String, outQ: String,
                              bounds: DataFrame): DataFrame =
@@ -279,8 +284,9 @@ object Similarity {
         expr(
           """transform(sequence(0, size(embedding) - 1),
             |  i -> IF(his[i] = los[i], 0,
-            |       CAST(round((embedding[i] - los[i]) / (his[i] - los[i])
-            |            * 254.0D - 127.0D) AS INT)))""".stripMargin).as(outQ))
+            |       GREATEST(-127, LEAST(127,
+            |         CAST(round((embedding[i] - los[i]) / (his[i] - los[i])
+            |              * 254.0D - 127.0D) AS INT)))))""".stripMargin).as(outQ))
 
   /** SQ8 top-k: int8-quantized candidate generation + exact float
     * rerank — the memory-bandwidth scale path ANN at 100 TB runs next

@@ -111,16 +111,20 @@ object EventsStream {
     // count is fixed by the FIRST run against a checkpoint; each drain
     // uses a fresh temp checkpoint, so this never fights a restart); a
     // production deployment sizes it to sustained input rate instead.
+    // restore AFTER awaitTermination, not after start(): the stream
+    // thread captures the conf asynchronously when planning batch 0, so
+    // an immediate restore races the capture and the 8-partition sizing
+    // could intermittently not apply (r6 ADVICE)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try transform(readEvents(spark, landing.toString))
+    try {
+      val q = transform(readEvents(spark, landing.toString))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    q.awaitTermination()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // the memory sink holds the emitted rows — the staged copies are
     // dead weight now; a bench run at REPS=3 must not leak three
     // landing directories per streaming query

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+/** Pins the Bench rep-slope degradation guard: the r6 driver bench
+  * recorded dedup_simhash_wide growing 3.27 → 5.17 → 14.57 s across
+  * in-process reps while the min-of-reps summary channel showed a
+  * healthy number — monotone growth must FLAG, normal warmup (rep-1
+  * slowest) and sub-second jitter must not.
+  */
+class BenchGuardSpec extends AnyFlatSpec with Matchers {
+
+  behavior of "Bench.degrades (rep-slope guard)"
+
+  it must "fire on the r6 dedup_simhash_wide degradation pattern" in {
+    Bench.degrades(Seq(3.27, 5.17, 14.57)) must be(true)
+  }
+
+  it must "fire on late-rep blowup even when middle reps look healthy" in {
+    Bench.degrades(Seq(2.0, 1.8, 9.0)) must be(true)
+  }
+
+  it must "stay clean on the normal warmup-then-stable profile" in {
+    // the measured r7 isolated profile of the same query
+    Bench.degrades(Seq(9.41, 3.31, 2.76, 2.62, 2.39)) must be(false)
+    Bench.degrades(Seq(2.95, 2.49, 2.54)) must be(false)
+  }
+
+  it must "not flag sub-second jitter that doubles a tiny rep-1" in {
+    // 2x trip alone would flag 0.11 -> 0.25; the +1s absolute floor
+    // keeps fast queries' noise band out of the guard
+    Bench.degrades(Seq(0.11, 0.25, 0.12)) must be(false)
+  }
+
+  it must "ignore failed runs and degenerate inputs" in {
+    Bench.degrades(Seq(-1.0)) must be(false)
+    Bench.degrades(Seq.empty) must be(false)
+    Bench.degrades(Seq(5.0)) must be(false)
+  }
+}

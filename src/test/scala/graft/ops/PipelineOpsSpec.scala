@@ -722,6 +722,18 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out(1).getDouble(3) must be(0.333333)
   }
 
+  it must "fail loudly when every source has zero token mass" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "A", ""), (2L, "B", "!!! ...")).toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      Curation.domainMix(docs, col("source")).collect()
+    }
+    // the raise_error fires instead of NULL/NaN weights silently
+    // filtering applyMix to an empty draw (r6 ADVICE)
+    e.getMessage must include("total token mass is zero")
+  }
+
   it must "apply mix quotas deterministically, lowest keys first, capped by availability" in {
     val s = spark
     import s.implicits._
@@ -847,5 +859,22 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     // candidate set (cand = 5k) must contain the true top-k, and the
     // float rerank then reproduces brute exactly — rank for rank
     sq8 must be(brute)
+  }
+
+  it must "clamp out-of-corpus query vectors to the int8 codomain" in {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, Seq(0f, -1f)), (1L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // a query far OUTSIDE the corpus per-dimension bounds [lo, hi] —
+    // before the clamp this quantized to ±~635, off the int8 codomain
+    val far = Seq((9L, Seq(5f, -5f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val q = Similarity.quantized(far, "q_id", "qq", Similarity.sq8Bounds(corpus))
+      .select(explode(col("qq")).as("v"))
+      .agg(min(col("v")), max(col("v"))).collect()(0)
+    q.getInt(0) must be(-127)
+    q.getInt(1) must be(127)
   }
 }
