@@ -4,6 +4,15 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{GroupType, MessageType, Type, Types}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -13,57 +22,81 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSourceV2 connector for a deterministic generated inode tree —
-  * the reference's locality surface (A10/B11: block → Cassandra ring
-  * token → replica endpoints, ThriftStore.scala:543-605) re-expressed
-  * the Spark-native way:
+/** DataSourceV2 connector that MOUNTS a saved FsCatalog snapshot — the
+  * reference's "point Spark at live filesystem state and read it"
+  * surface (SnackFS.scala:51-73 mounts the store; ThriftStore.scala:543-605
+  * maps blocks to ring replicas) re-expressed the Spark-native way:
   *
-  *  - one `InputPartition` per directory, with
-  *    `preferredLocations = node-(dir % 3)` — the scheduler places tasks
-  *    near the owning "replica" exactly as the reference's
-  *    getFileBlockLocations hints do;
-  *  - `SupportsPushDownFilters`: `path`/`parent_path` equality and
-  *    prefix filters PRUNE partitions at planning time (the reference's
-  *    secondary-index scan, done by not even planning the other splits).
-  *    Filters are conservatively left in the post-scan plan too, so
-  *    correctness never depends on connector pruning.
+  *  - `FsCatalog.save` writes the catalog path-range-partitioned and
+  *    path-sorted (FsCatalog.scala:347-356); this connector plans ONE
+  *    `InputPartition` per snapshot parquet file and prunes files at
+  *    planning time from the parquet footer's min/max `path` statistics —
+  *    the reference's secondary-index anchoring
+  *    (ThriftStore.scala:477-490), done by never planning the dead
+  *    splits. Pruning is CONSERVATIVE: missing/foreign stats keep the
+  *    file, and every filter stays in the residual plan, so correctness
+  *    never depends on connector pruning. (Interval logic compares
+  *    UTF-16 strings against UTF-8 byte order — identical for the
+  *    ASCII paths the engine produces; non-ASCII stats simply prune
+  *    less, never wrongly.)
+  *  - `preferredLocations` = the RF=3 token-ring replica set of the
+  *    file's lowest path (owner = first md5 hex char mod 3 — the same
+  *    ring function `FsCatalog.blockLocations` applies to block ids,
+  *    which ARE md5(path) for the first block of each file), so the
+  *    scheduler places each split on the "replica" that holds its data.
+  *  - Executors read their single file through parquet-hadoop's Group
+  *    API with a pruned projection (path, parentPath, isDir,
+  *    blocks.element.length only) — sub-block metadata, the bulk of the
+  *    snapshot bytes, is never materialized.
   *
   * Usage:
-  *   spark.read.format("graft.sources.GraftFsDataSource")
-  *     .option("dirs", 32).option("files_per_dir", 100).load()
+  *   catalog.save(dir)
+  *   spark.read.format("graft.sources.GraftFsDataSource").load(dir)
   *
-  * Tree shape: /gen/dir<i>/file<j>, i < dirs, j < files_per_dir,
-  * len = (i*31 + j) % 1000; plus one dir row per directory.
+  * Surfaced schema: (path, parent_path, is_dir, len) with
+  * len = Σ block lengths (A6 semantics, SnackFileStatus.scala:40).
   */
 class GraftFsDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftFsDataSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new GraftFsTable(
-      properties.getOrDefault("dirs", "32").toInt,
-      properties.getOrDefault("files_per_dir", "100").toInt)
+                        properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "GraftFsDataSource requires .load(<FsCatalog.save dir>)")
+    new GraftFsTable(path)
+  }
 }
 
 object GraftFsDataSource {
   val schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
-    StructField("parent_path", StringType, nullable = false),
+    StructField("parent_path", StringType, nullable = true), // null at "/"
     StructField("is_dir", BooleanType, nullable = false),
     StructField("len", LongType, nullable = false)))
+
+  /** Ring owner of a path: ascii of the first md5 hex char, mod 3 —
+    * mirrors `FsCatalog.blockLocations`'s `ascii(substring(id,1,1)) % 3`
+    * over block ids (= md5(path) for each file's first block).
+    */
+  def ringOwner(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"${d(0) & 0xff}%02x".charAt(0).toInt % 3
+  }
 }
 
-class GraftFsTable(dirs: Int, filesPerDir: Int) extends Table with SupportsRead {
-  override def name(): String = s"graftfs($dirs x $filesPerDir)"
+class GraftFsTable(snapshotDir: String) extends Table with SupportsRead {
+  override def name(): String = s"graftfs($snapshotDir)"
   override def schema(): StructType = GraftFsDataSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFsScanBuilder(dirs, filesPerDir)
+    new GraftFsScanBuilder(snapshotDir)
 }
 
-class GraftFsScanBuilder(dirs: Int, filesPerDir: Int)
+class GraftFsScanBuilder(snapshotDir: String)
     extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
 
@@ -80,67 +113,158 @@ class GraftFsScanBuilder(dirs: Int, filesPerDir: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftFsScan(dirs, filesPerDir, pushed)
+  override def build(): Scan = new GraftFsScan(snapshotDir, pushed)
 }
 
-class GraftFsScan(dirs: Int, filesPerDir: Int, pushed: Array[Filter])
+class GraftFsScan(snapshotDir: String, pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = GraftFsDataSource.schema
   override def toBatch: Batch = this
 
-  /** Partition pruning from pushed path predicates: a dir partition
-    * survives only if some pushed filter could match paths under it.
+  /** A pushed predicate as a closed path interval; every inode matching
+    * the predicate has `path` inside it. parent_path predicates translate
+    * through the invariant parentPath ⊂ path (children of v live under
+    * "v/"; the root's children under "/").
     */
-  private def dirSurvives(i: Int): Boolean = {
-    val dirPath = s"/gen/dir$i"
-    if (pushed.isEmpty) true
-    else pushed.forall {
-      case EqualTo("path", v: String) =>
-        v == dirPath || v.startsWith(dirPath + "/")
-      case EqualTo("parent_path", v: String) =>
-        v == dirPath || v == "/gen"
-      case StringStartsWith("path", p: String) =>
-        dirPath.startsWith(p) || (dirPath + "/").startsWith(p) || p.startsWith(dirPath + "/")
-      case StringStartsWith("parent_path", p: String) =>
-        dirPath.startsWith(p) || "/gen".startsWith(p)
-      case _ => true
+  private def interval(f: Filter): Option[(String, String)] = f match {
+    case EqualTo("path", v: String) => Some((v, v))
+    case StringStartsWith("path", p: String) => Some((p, p + "\uffff"))
+    case EqualTo("parent_path", v: String) =>
+      val pre = if (v == "/") "/" else v + "/"
+      Some((pre, pre + "\uffff"))
+    case StringStartsWith("parent_path", p: String) => Some((p, p + "\uffff"))
+    case _ => None
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    require(files.nonEmpty, s"no parquet snapshot files under $snapshotDir")
+    val intervals = pushed.flatMap(interval)
+
+    var projection: String = null
+    files.flatMap { st =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        val footer = rd.getFooter
+        if (projection == null)
+          projection = GraftFsScan.projectionOf(footer.getFileMetaData.getSchema).toString
+        val groups = footer.getBlocks.asScala
+        if (groups.isEmpty) None // zero-row file: nothing to read
+        else {
+          // min/max of `path` across the file's row groups; any row group
+          // missing stats collapses the whole file to None ⇒ kept
+          val perGroup = groups.map { bg =>
+            bg.getColumns.asScala.find(_.getPath.toDotString == "path")
+              .map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+              .map { s =>
+                (s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                  s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
+              }
+          }
+          val stats =
+            if (perGroup.exists(_.isEmpty)) None
+            else perGroup.flatten.reduceOption[(String, String)] {
+              case ((alo, ahi), (lo, hi)) =>
+                (if (lo < alo) lo else alo, if (hi > ahi) hi else ahi)
+            }
+          val survives = stats.forall { case (min, max) =>
+            intervals.forall { case (lo, hi) => min <= hi && max >= lo }
+          }
+          if (survives)
+            Some(GraftSnapshotPartition(st.getPath.toString, projection,
+              GraftFsScan.replicas(stats.map(_._1).getOrElse(st.getPath.getName))))
+          else None
+        }
+      } finally rd.close()
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    (0 until dirs).filter(dirSurvives)
-      .map(i => GraftFsPartition(i, filesPerDir): InputPartition).toArray
-
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftFsReaderFactory
+    new GraftSnapshotReaderFactory
 }
 
-/** One directory per partition; locality hint = the hash-ring owner. */
-case class GraftFsPartition(dir: Int, filesPerDir: Int) extends InputPartition {
-  override def preferredLocations(): Array[String] = Array(s"node-${dir % 3}")
+object GraftFsScan {
+  /** RF=3 replica endpoints of a path's ring owner. */
+  def replicas(anchor: String): Array[String] = {
+    val o = GraftFsDataSource.ringOwner(anchor)
+    Array(s"node-$o", s"node-${(o + 1) % 3}", s"node-${(o + 2) % 3}")
+  }
+
+  /** Column-pruned read schema built FROM the file's own footer schema
+    * (so repetition/annotations match by construction): keep path,
+    * parentPath, isDir, and blocks trimmed to element.length only —
+    * subBlocks, ids and offsets are never decoded.
+    */
+  def projectionOf(file: MessageType): MessageType = {
+    def field(name: String): Type = file.getType(file.getFieldIndex(name))
+    val blocks = field("blocks").asGroupType()
+    val list = blocks.getType(0).asGroupType()
+    val element = list.getType(0).asGroupType()
+    val length = element.getType(element.getFieldIndex("length"))
+    val prunedElement = new GroupType(element.getRepetition, element.getName, length)
+    val prunedList = new GroupType(list.getRepetition, list.getName,
+      prunedElement: Type)
+    val prunedBlocks = Types.buildGroup(blocks.getRepetition)
+      .as(blocks.getLogicalTypeAnnotation)
+      .addField(prunedList)
+      .named(blocks.getName)
+    new MessageType(file.getName,
+      field("path"), field("parentPath"), field("isDir"), prunedBlocks)
+  }
 }
 
-class GraftFsReaderFactory extends PartitionReaderFactory {
+/** One snapshot parquet file per partition; locality = ring replicas of
+  * the file's lowest path.
+  */
+case class GraftSnapshotPartition(file: String, projection: String,
+                                  locations: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
+
+class GraftSnapshotReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GraftFsPartition]
+    val gp = p.asInstanceOf[GraftSnapshotPartition]
     new PartitionReader[InternalRow] {
-      // row -1 is the directory inode itself; 0..filesPerDir-1 the files
-      private var j = -2
+      private val reader = {
+        val conf = new Configuration()
+        conf.set(ReadSupport.PARQUET_READ_SCHEMA, gp.projection)
+        ParquetReader.builder(new GroupReadSupport(), new Path(gp.file))
+          .withConf(conf).build()
+      }
+      private var current: Group = _
 
-      override def next(): Boolean = { j += 1; j < gp.filesPerDir }
+      override def next(): Boolean = { current = reader.read(); current != null }
 
       override def get(): InternalRow = {
-        val dirPath = s"/gen/dir${gp.dir}"
-        if (j == -1)
-          InternalRow(UTF8String.fromString(dirPath),
-            UTF8String.fromString("/gen"), true, 0L)
-        else
-          InternalRow(UTF8String.fromString(s"$dirPath/file$j"),
-            UTF8String.fromString(dirPath), false,
-            ((gp.dir * 31 + j) % 1000).toLong)
+        val parent =
+          if (current.getFieldRepetitionCount("parentPath") > 0)
+            UTF8String.fromString(current.getString("parentPath", 0))
+          else null // the root inode
+        // len = Σ block lengths (directories carry blocks = null)
+        var len = 0L
+        if (current.getFieldRepetitionCount("blocks") > 0) {
+          val blocks = current.getGroup("blocks", 0)
+          val n = blocks.getFieldRepetitionCount(0)
+          var i = 0
+          while (i < n) {
+            val entry = blocks.getGroup(0, i)
+            if (entry.getFieldRepetitionCount(0) > 0)
+              len += entry.getGroup(0, 0).getLong("length", 0)
+            i += 1
+          }
+        }
+        InternalRow(
+          UTF8String.fromString(current.getString("path", 0)),
+          parent, current.getBoolean("isDir", 0), len)
       }
 
-      override def close(): Unit = ()
+      override def close(): Unit = reader.close()
     }
   }
 }

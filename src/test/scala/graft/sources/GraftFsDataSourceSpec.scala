@@ -1,54 +1,106 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, IsNotNull, StringStartsWith}
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.must.Matchers
 
 import graft.TestSpark
+import graft.catalog.CatalogBuilder
 
-class GraftFsDataSourceSpec extends AnyFlatSpec with Matchers {
+/** Mounts a CatalogBuilder-built catalog back through
+  * `spark.read.format` — the reference's SnackFS.scala:51-73 surface:
+  * save real filesystem state, point Spark at it, read it.
+  */
+class GraftFsDataSourceSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
 
-  private def load() =
-    spark.read.format("graft.sources.GraftFsDataSource")
-      .option("dirs", 8).option("files_per_dir", 10).load()
+  // a tree whose 16 files spread across 4 range-partitioned snapshot
+  // files: /t/d0/f00.. /t/d3/f33 with deterministic lengths
+  private lazy val entries: Seq[(String, Boolean, Long)] =
+    Seq(("/t", true, 0L)) ++
+      (0 until 4).flatMap { d =>
+        Seq((s"/t/d$d", true, 0L)) ++
+          (0 until 4).map(f => (s"/t/d$d/f$d$f", false, (d * 31 + f * 7).toLong))
+      }
 
-  behavior of "GraftFsDataSource (DataSourceV2)"
+  private var dir: java.nio.file.Path = _
 
-  it must "serve the full deterministic tree" in {
-    val df = load()
-    df.count() must be(8L * 11) // 10 files + 1 dir row per directory
-    df.filter(col("is_dir")).count() must be(8L)
-    df.filter(col("path") === "/gen/dir3/file4").collect()(0)
-      .getAs[Long]("len") must be((3 * 31 + 4) % 1000L)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    dir = java.nio.file.Files.createTempDirectory("graft-dsv2-spec")
+    CatalogBuilder.fromEntries(spark, entries).save(dir.toString, numPartitions = 4)
   }
 
-  it must "prune partitions from pushed path predicates" in {
-    val sb = new GraftFsScanBuilder(8, 10)
-    sb.pushFilters(Array(EqualTo("parent_path", "/gen/dir7")))
-    sb.build().toBatch.planInputPartitions().length must be(1)
-
-    val sb2 = new GraftFsScanBuilder(8, 10)
-    sb2.pushFilters(Array(StringStartsWith("path", "/gen/dir2/")))
-    sb2.build().toBatch.planInputPartitions().length must be(1)
-
-    val sb3 = new GraftFsScanBuilder(8, 10)
-    sb3.pushFilters(Array.empty)
-    sb3.build().toBatch.planInputPartitions().length must be(8)
+  override def afterAll(): Unit = {
+    val w = java.nio.file.Files.walk(dir)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally w.close()
+    super.afterAll()
   }
 
-  it must "attach hash-ring locality hints per partition (A10 analog)" in {
-    val parts = new GraftFsScan(8, 10, Array.empty).planInputPartitions()
-    parts.map(_.preferredLocations().head).toSeq must be(
-      (0 until 8).map(i => s"node-${i % 3}"))
+  private def mounted() =
+    spark.read.format("graft.sources.GraftFsDataSource").load(dir.toString)
+
+  behavior of "GraftFsDataSource (DataSourceV2 snapshot mount)"
+
+  it must "serve the saved catalog's full contents" in {
+    val got = mounted()
+      .select("path", "parent_path", "is_dir", "len")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2), r.getLong(3)))
+      .toSet
+    val expected = entries.map { case (p, d, l) =>
+      val par = p.substring(0, p.lastIndexOf('/')) match { case "" => "/"; case s => s }
+      (p, Some(par), d, l)
+    }.toSet
+    got must be(expected)
   }
 
-  it must "answer filtered aggregates correctly through the V2 read path" in {
-    val out = load()
-      .filter(col("parent_path") === "/gen/dir7" && !col("is_dir"))
-      .agg(count(lit(1)), sum(col("len"))).collect()(0)
-    out.getLong(0) must be(10L)
-    out.getLong(1) must be((0 until 10).map(j => (7 * 31 + j) % 1000).sum.toLong)
+  it must "pin directory len to 0 and file len to the block-sum (A6)" in {
+    mounted().filter(col("is_dir")).agg(sum("len")).collect()(0).getLong(0) must be(0L)
+    mounted().filter(col("path") === "/t/d2/f23").collect()(0)
+      .getAs[Long]("len") must be((2 * 31 + 3 * 7).toLong)
+  }
+
+  it must "prune snapshot files from pushed path predicates via footer stats" in {
+    def planned(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val sb = new GraftFsScanBuilder(dir.toString)
+      sb.pushFilters(filters.toArray)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val total = planned()
+    total must be > 1 // range-partitioned into multiple files
+    planned(EqualTo("path", "/t/d3/f33")) must be(1)
+    planned(EqualTo("parent_path", "/t/d0")) must be < total
+    planned(StringStartsWith("path", "/t/d2/")) must be < total
+    // a filter outside every file's range prunes everything
+    planned(StringStartsWith("path", "/zzz")) must be(0)
+    // unsupported filters never prune
+    planned(IsNotNull("len")) must be(total)
+  }
+
+  it must "keep pruning an optimization, not a correctness dependency" in {
+    // pushed + residual evaluation must agree with a plain in-memory filter
+    val got = mounted().filter(col("parent_path") === "/t/d1" && !col("is_dir"))
+      .agg(count(lit(1)), sum("len")).collect()(0)
+    got.getLong(0) must be(4L)
+    got.getLong(1) must be((0 until 4).map(f => 31 + f * 7).sum.toLong)
+  }
+
+  it must "attach RF=3 hash-ring locality hints per snapshot file (A10 analog)" in {
+    val parts = {
+      val sb = new GraftFsScanBuilder(dir.toString)
+      sb.pushFilters(Array.empty)
+      sb.build().toBatch.planInputPartitions()
+    }
+    parts.foreach { p =>
+      val locs = p.preferredLocations().toSeq
+      locs.length must be(3)
+      locs.toSet.subsetOf(Set("node-0", "node-1", "node-2")) must be(true)
+      locs.toSet.size must be(3) // all three replicas, owner first
+    }
   }
 }
