@@ -283,6 +283,81 @@ object Dedup {
         size(col("left_payload")).cast("long").as("n_short"))
   }
 
+  /** Exact-substring overlap dedup — the Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better") ExactSubstr mode:
+    * report every cross-doc pair sharing a VERBATIM run of ≥ k tokens,
+    * with the maximal shared run length. Exact dedup misses these
+    * (different doc hashes), MinHash usually does too (a 50-token quote
+    * inside two long unrelated docs has tiny Jaccard), so copied
+    * passages, syndicated paragraphs and license blocks are this
+    * operator's own mode.
+    *
+    * The reference algorithm is a single-node suffix array; the
+    * Spark-native shape is anchor-and-extend, fully relational:
+    *
+    *  1. every token position anchors one k-gram, hashed to a 32-hex
+    *     key — ONE linear explode + window-lead pass (shingleRows'
+    *     codegen shape, positions kept);
+    *  2. anchor buckets group by hash (map-side combined; fixed-width
+    *     shuffle key), capped + LOUD via the shared [[LshGuard]]
+    *     skeleton — a boilerplate k-gram shared by 10^5 docs cannot
+    *     Generate 10^10 pairs silently;
+    *  3. matched anchors land on diagonals (pos_a − pos_b constant
+    *     along a shared run): per (pair, diagonal), the longest
+    *     CONSECUTIVE anchor run of length r is exactly a shared
+    *     r + k − 1 token substring — gaps-and-islands over a window
+    *     whose partitions are bounded by the overlap length itself,
+    *     never a global or per-doc window.
+    *
+    * No extension step re-reads document text: maximality falls out of
+    * the diagonal run arithmetic, so the only payload ever shuffled is
+    * (doc_id, pos) pairs. At 100 TB the anchor pass is one linear
+    * shuffle of the token stream — the same cost class as the MinHash
+    * shingle pass — and everything after is bounded by true matches
+    * plus the bucket cap.
+    */
+  def exactSubstringOverlaps(docs: DataFrame, k: Int = 8,
+                             maxBucket: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
+          .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = (0 until k).map(i =>
+      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
+    val anchors = pos
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", parts: _*)).as("h"), parts.last.isNotNull.as("complete"))
+      .filter(col("complete"))
+    val buckets = anchors
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("members"))
+    val matches = LshGuard.capBuckets(buckets, "members", maxBucket, "substr")
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "x")))
+      .select(col("i"), col("x"), posexplode(col("members")).as(Seq("j", "y")))
+      .filter(col("i") < col("j") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+        when(col("x.doc_id") < col("y.doc_id"), col("x.pos"))
+          .otherwise(col("y.pos")).as("pos_a"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.pos"))
+          .otherwise(col("x.pos")).as("pos_b"))
+    // one (id_a, id_b, pos_a, pos_b) per matched anchor: pos determines
+    // the k-gram, so no distinct is needed and row_number is stable
+    matches
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("island",
+        col("pos_a") - row_number().over(
+          Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+            .orderBy(col("pos_a"))))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+      .agg((count(lit(1)) + (k - 1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run")).cast("long").as("overlap_tokens"))
+  }
+
   /** Distinct ids appearing on either side of a candidate pair set. */
   private def pairIds(candidates: DataFrame, leftCol: String,
                       rightCol: String): DataFrame =

@@ -57,11 +57,31 @@ object LshGuard {
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  /** AQE's runtime empty-relation propagation can ERASE the accounting:
+    * when a cap suppresses every pair (total boilerplate flood — the
+    * exact case that must shout loudest), the post-cap stage reports
+    * zero rows, AQE replaces the downstream subtree with an empty scan,
+    * and the already-executed CollectMetrics stage is disconnected from
+    * the final adaptive plan — `observedMetrics` (which reads only that
+    * final plan) comes back EMPTY. Measured: a 6-doc flood under cap 3
+    * collected `[1 bucket, 6 ids]` yet surfaced `Map()`. Excluding this
+    * one AQE rule (static PropagateEmptyRelation still runs at
+    * optimization time) keeps drop metrics indestructible; none of the
+    * engine's query shapes rely on runtime empty-branch shortcuts.
+    */
+  private val EmptyProp =
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+
   /** Register the shouting listener once per session (weakly keyed — a
-    * stopped session unregisters itself by being collected).
+    * stopped session unregisters itself by being collected), and pin
+    * the session conf so plan replacement cannot swallow the shout.
     */
   def ensureListener(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      val key = "spark.sql.adaptive.optimizer.excludedRules"
+      val cur = spark.conf.getOption(key).getOrElse("")
+      if (!cur.contains(EmptyProp))
+        spark.conf.set(key, if (cur.isEmpty) EmptyProp else s"$cur,$EmptyProp")
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =
@@ -76,6 +96,7 @@ object LshGuard {
         override def onFailure(funcName: String, qe: QueryExecution,
                                exception: Exception): Unit = ()
       })
+    }
 
   private def longAt(row: Row, field: String): Long = {
     val i = row.fieldIndex(field)

@@ -529,6 +529,46 @@ object PipelineQueries {
              |SELECT id_short, id_long, n_short FROM p
              |ORDER BY id_short, id_long""".stripMargin)),
 
+    // Exact-substring overlap dedup (Lee et al. ExactSubstr shape):
+    // every cross-doc pair sharing a verbatim ≥8-token run, with the
+    // MAXIMAL shared run length. The oracle replays the same
+    // diagonal-islands arithmetic from scratch on the raw token lists
+    // (all-positions self-join, no hashing, no cap) — an independent
+    // formulation, so anchor hashing, bucket capping and the window
+    // algebra are all under test. Corpus probe (sf0.01/sf0.1): max
+    // anchor bucket is 4, so maxBucket=64 can only fire on degenerate
+    // inputs — where it shouts via LshGuard, spec-pinned.
+    QueryDef(
+      "dedup_substring",
+      (s, d) =>
+        Dedup.exactSubstringOverlaps(Tables.documents(s, d), k = 8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |         unnest(range(1, len(t) - 6)) AS pos,
+             |         unnest([list_aggregate(t[i:i+7], 'string_agg', ' ')
+             |                 for i in range(1, len(t) - 6)]) AS g
+             |  FROM toks WHERE len(t) >= 8),
+             |m AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         a.pos AS pos_a, b.pos AS pos_b
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id),
+             |isl AS (
+             |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+             |         pos_a - ROW_NUMBER() OVER (
+             |           PARTITION BY id_a, id_b, pos_a - pos_b
+             |           ORDER BY pos_a) AS island
+             |  FROM m),
+             |runs AS (
+             |  SELECT id_a, id_b, COUNT(*) + 7 AS ol
+             |  FROM isl GROUP BY id_a, id_b, diag, island)
+             |SELECT id_a, id_b, CAST(MAX(ol) AS BIGINT) AS overlap_tokens
+             |FROM runs GROUP BY id_a, id_b
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef(
       "dedup_simhash",
       (s, d) =>

@@ -877,4 +877,54 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     q.getInt(0) must be(-127)
     q.getInt(1) must be(127)
   }
+
+  behavior of "Dedup.exactSubstringOverlaps (Lee et al. ExactSubstr)"
+
+  // numbered synthetic tokens make every overlap unambiguous
+  private val sRun = (1 to 10).map(i => f"s$i%02d") // 10-token shared run
+  private val tRun = (1 to 15).map(i => f"t$i%02d") // 15-token shared run
+  private val qRun = (1 to 8).map(i => f"q$i%02d")  // repeated WITHIN one doc
+
+  private def substrCorpus = docsDf(Seq(
+    1L -> (((1 to 5).map(i => f"a$i%02d") ++ sRun ++
+      (6 to 10).map(i => f"a$i%02d") ++ tRun ++
+      (11 to 15).map(i => f"a$i%02d")).mkString(" ")),
+    2L -> ((Seq("b01", "b02") ++ sRun ++ (3 to 8).map(i => f"b$i%02d")).mkString(" ")),
+    3L -> ((Seq("c01", "c02") ++ sRun.take(7) ++ Seq("c03")).mkString(" ")), // 7 < k
+    4L -> ((Seq("d01") ++ sRun ++ Seq("d02", "d03", "d04", "d05") ++
+      tRun ++ Seq("d06")).mkString(" ")),
+    5L -> ((Seq("e01") ++ qRun ++ Seq("e02", "e03") ++ qRun ++ Seq("e04")).mkString(" ")),
+    6L -> ((Seq("g01") ++ sRun.updated(4, "gXX") ++ Seq("g02")).mkString(" "))))
+
+  it must "report maximal verbatim overlaps, and only those >= k tokens" in {
+    val got = Dedup.exactSubstringOverlaps(substrCorpus, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,4) shares BOTH runs — max(10, 15) = 15 must win; doc 3's
+    // 7-token share is under k; doc 5's within-doc repeat pairs with
+    // nobody; doc 6's run is broken mid-way (4 + 5 consecutive) so no
+    // 8-gram survives
+    got must be(Set((1L, 2L, 10L), (1L, 4L, 15L), (2L, 4L, 10L)))
+  }
+
+  it must "split diagonal islands at any token mismatch" in {
+    // two aligned runs of 8 separated by one differing token: each run
+    // is its own island of exactly one anchor -> overlap 8, NOT 17
+    val r1 = (1 to 8).map(i => f"u$i%02d")
+    val r2 = (1 to 8).map(i => f"v$i%02d")
+    val got = Dedup.exactSubstringOverlaps(docsDf(Seq(
+      1L -> ((r1 ++ Seq("xx1") ++ r2).mkString(" ")),
+      2L -> ((r1 ++ Seq("yy1") ++ r2).mkString(" ")))), k = 8).collect()
+    got.length must be(1)
+    got(0).getLong(2) must be(8L)
+  }
+
+  it must "cap hot anchor buckets loudly instead of exploding pairs" in {
+    val shared = (1 to 8).map(i => f"z$i%02d").mkString(" ")
+    val crowd = docsDf((11L to 16L).map(i => i -> s"f$i $shared h$i"))
+    val (rows, dropped) = capturingDrops(expectDrop = true) {
+      Dedup.exactSubstringOverlaps(crowd, k = 8, maxBucket = 3).collect()
+    }
+    rows.length must be(0) // the only shared run lived in the dropped bucket
+    dropped must be >= 1L
+  }
 }
