@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -75,10 +75,11 @@ object Similarity {
     * bounded instead of growing a lineage per iteration. Deterministic:
     * first-K seed, no RNG.
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+                      seeds: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
-    var centroids = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding"))
+    var centroids = seeds.getOrElse(
+      corpus.filter(col("vec_id") < k).select(col("vec_id"), col("embedding")))
     for (_ <- 0 until iters) {
       val means = assignBuckets(corpus, centroids)
         .select(col("bucket"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -100,6 +101,75 @@ object Similarity {
         java.util.Arrays.asList(updated.collect(): _*), updated.schema)
     }
     centroids
+  }
+
+  /** Deterministic k-means++-style seeding: a hash-ordered corpus
+    * sample (ONE TakeOrdered pass — `xxhash64(vec_id)` is a seedless
+    * pseudo-random order, ties broken by id), then a driver-local
+    * farthest-first traversal over the sample in cosine distance. A
+    * first-K seed puts all K start points wherever the id space begins —
+    * on a CLUSTERED corpus that is one region, and Lloyd rounds migrate
+    * co-located centroids out only slowly; farthest-first spreads the
+    * start points across the sample's hull, which is what k-means++
+    * buys, without RNG. The sample bounds driver work to `sampleSize`
+    * rows regardless of corpus scale; traversal is O(sampleSize × k)
+    * dot products. Seed ids are renumbered 0..k-1 in pick order so
+    * bucket ids stay dense and tie-breaks deterministic.
+    *
+    * Measured honestly (PLANS.md round-7): on the near-uniform synthetic
+    * embeddings the hull points this picks are OUTLIERS and tri-SF
+    * recall drops (per-query hits as low as 1/5 vs 3/5 for first-K);
+    * extra Lloyd rounds, not seeding, is what raises the floor there
+    * (iters=3 → min 4/5 tri-SF). So the IVF gate runs first-K + 3
+    * Lloyd rounds, and this seeder is the documented option for
+    * corpora that are actually clustered — use it when bucket-size
+    * skew (LshGuard drops on the `ivf` tag) says first-K landed inside
+    * one cluster.
+    */
+  def farthestPointSeeds(corpus: DataFrame, k: Int,
+                         sampleSize: Int = 1024): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(math.max(k, sampleSize))
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "farthestPointSeeds: empty corpus")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(0)
+    val minDist = Array.fill(sample.length)(Double.MaxValue)
+    while (picked.length < math.min(k, sample.length)) {
+      val last = sample(picked.last)
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val d = 1.0 - cos(sample(i), last)
+        if (d < minDist(i)) minDist(i) = d
+        // strict > keeps the earliest (hash-ordered) index on ties
+        if (!picked.contains(i) && minDist(i) > bestD) { best = i; bestD = minDist(i) }
+        i += 1
+      }
+      picked += best
+    }
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      picked.zipWithIndex.map { case (si, ci) =>
+        Row(ci.toLong, sample(si).toSeq)
+      }.toSeq: _*)
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)))))
   }
 
   /** Rank-bounded centroid assignments: every (vector, bucket) pair
@@ -230,8 +300,8 @@ object Similarity {
     */
   def ivfRecall(queries: DataFrame, corpus: DataFrame,
                 numCentroids: Int, nprobe: Int, k: Int,
-                floor: Int): DataFrame = {
-    val ivf = ivfTopK(queries, corpus, numCentroids, nprobe, k)
+                floor: Int, kmeansIters: Int = 1): DataFrame = {
+    val ivf = ivfTopK(queries, corpus, numCentroids, nprobe, k, kmeansIters)
       .select(col("q_id"), col("neighbor_id"))
     val brute = bruteTopK(queries, corpus, k)
       .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
@@ -357,8 +427,16 @@ object Similarity {
   /** IVF top-k: probe the query's `nprobe` nearest centroid buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               numCentroids: Int, nprobe: Int, k: Int,
-              kmeansIters: Int = 1): DataFrame = {
-    val centroids = kmeansCentroids(corpus, numCentroids, kmeansIters)
+              kmeansIters: Int = 1): DataFrame =
+    ivfTopKWith(queries, corpus,
+      kmeansCentroids(corpus, numCentroids, kmeansIters), nprobe, k)
+
+  /** IVF top-k against caller-supplied centroids — lets a long-lived
+    * pipeline train centroids once and search many times (and lets the
+    * seeding/iteration policy be measured independently of the search).
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+                  centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val bucketed = assignBuckets(corpus, centroids)
 
     // query-side probing reuses the zero-shuffle row-local selection

@@ -672,15 +672,18 @@ object PipelineQueries {
     // exact twin IN-QUERY — the raw IVF ranking is centroid-dependent
     // (not SQL-reproducible), but "every query recovers >= floor of its
     // true top-k through 4-of-16 probed buckets" is deterministic and
-    // oracle-checkable. floor=3 is the measured tri-SF minimum (per-query
-    // hits: sf0.001 {4,4,5,5,5}, sf0.01 {5,4,3,4,5}, sf0.1 all 5); a
+    // oracle-checkable. iters=3 Lloyd rounds raise the tri-SF per-query
+    // minimum from 3 to 4 (measured, PLANS.md round-7: iters=1 min is
+    // sf0.01 q2 at 3/5; iters 3/4/6 all converge to min 4; farthest-
+    // point seeding measured WORSE on this near-uniform corpus and is
+    // kept as the documented clustered-corpus option), so floor=4 — a
     // probe/centroid regression drives a row to FALSE and the gate red.
     QueryDef(
       "ann_ivf_recall",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.ivfRecall(emb.filter(col("vec_id") < 5), emb,
-            numCentroids = 16, nprobe = 4, k = 5, floor = 3)
+            numCentroids = 16, nprobe = 4, k = 5, floor = 4, kmeansIters = 3)
           .orderBy(col("q_id"))
       },
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok

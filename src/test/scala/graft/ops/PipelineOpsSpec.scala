@@ -381,6 +381,28 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it must "spread farthest-point seeds across clusters first-K seeding misses" in {
+    // two tight orthogonal clusters, ids 0-31 all on axis 0, 32-63 all
+    // on axis 1: first-K seeding (k=2) lands BOTH seeds in cluster A by
+    // id order; farthest-first must pick one representative per cluster
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 64L).map { i =>
+      val axis = if (i < 32) 0 else 1
+      val v = Array.fill(8)(rnd.nextFloat() * 0.05f)
+      v(axis) = 1f
+      i -> v.toSeq
+    }
+    val df = embDf(vecs)
+    val seeds = Similarity.farthestPointSeeds(df, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1)
+    seeds.map(_._1).toSeq must be(Seq(0L, 1L)) // renumbered dense ids
+    seeds.map { case (_, v) => v.indexOf(v.max) }.toSet must be(Set(0, 1))
+    // deterministic: no RNG anywhere, a second derivation is identical
+    val again = Similarity.farthestPointSeeds(df, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1)
+    again.toSeq must be(seeds.toSeq)
+  }
+
   behavior of "SkewJoin"
 
   it must "produce exactly the plain join's result set" in {
