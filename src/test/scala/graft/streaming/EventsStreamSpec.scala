@@ -87,6 +87,55 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  it must "hold one state row per active key, linear in cardinality, draining on timeout" in {
+    // The 100 TB posture question for flatMapGroupsWithState: what bounds
+    // the state store? Answer, pinned here by the reported state-operator
+    // metrics: ACTIVE KEY CARDINALITY — independent of events per key
+    // (10 events/key collapse to one SessionState row), linear in keys
+    // (10× keys ⇒ exactly 10× state rows: 40 → 400 measured), and
+    // timed-out sessions REMOVE their rows (400 → 1 after the watermark
+    // passes last+gap), so idle keys cannot accumulate forever.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverse.iterator
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        .find(_ => true).getOrElse(-1L)
+
+    def load(mem: MemoryStream[(Long, Timestamp, Long, String, Double, String)],
+             keys: Int): Unit =
+      mem.addData((0 until keys).flatMap { k =>
+        (0 until 10).map(i =>
+          ((k * 10 + i).toLong, ts(f"2024-01-01 10:0$i%01d:00"), k.toLong,
+            "click", 1.0, "{}"))
+      })
+
+    for ((keys, name) <- Seq(40 -> "session_state_1x", 400 -> "session_state_10x")) {
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val q = EventsStream.sessionize(df, gapSec = 1800).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        load(mem, keys)
+        q.processAllAvailable()
+        withClue(s"$keys keys, 10 events each: ") {
+          lastStateRows(q) must be(keys.toLong)
+        }
+        if (keys == 400) {
+          // watermark (1h delay) past 10:09 + 30min gap closes every
+          // session; their state rows must be REMOVED, not retained
+          mem.addData(Seq((99999L, ts("2024-01-01 13:00:00"), 99999L, "click", 1.0, "{}")))
+          q.processAllAvailable()
+          lastStateRows(q) must be(1L) // only the watermark-advancing key
+          q.recentProgress.flatMap(_.stateOperators.headOption)
+            .map(_.numRowsRemoved).sum must be >= 400L
+        }
+      } finally q.stop()
+    }
+  }
+
   behavior of "dedupByContent (streaming exact dedup)"
 
   it must "emit only the first arrival of each content hash" in {
