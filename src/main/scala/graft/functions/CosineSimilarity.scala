@@ -12,10 +12,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * The HOF formulation (`aggregate(zip_with(...))`) allocates a zipped
   * array per row and evaluates interpreted lambdas per element; this
   * expression is one fused primitive loop inside WholeStageCodegen — no
-  * allocation, no boxing. Semantics mirror the HOF version exactly
+  * allocation, no boxing. Semantics mirror the HOF version
   * (sequential double accumulation, dot over the common prefix, norms
-  * over each full array), so scores are bit-identical and query results
-  * don't change when it is swapped in.
+  * over each full array) with ONE deliberate divergence: a zero-norm
+  * side scores 0.0 instead of the HOF's 0/0 = NaN. NaN is poison
+  * downstream — IEEE comparisons all answer false, so a NaN score
+  * would jam ranking heaps and threshold filters alike; "no direction,
+  * no similarity" is the contract callers actually want.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,7 +47,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     i = 0
     while (i < y.numElements()) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -67,7 +71,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |for (int $i = 0; $i < $b.numElements(); $i++) {
          |  double $v = (double) $b.getFloat($i); $nb += $v * $v;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

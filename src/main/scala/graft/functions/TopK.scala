@@ -30,9 +30,19 @@ final class TopKBuffer(val k: Int) {
   /** Strict "worse than" under (score DESC, id ASC): lower score loses;
     * equal score, higher id loses — mirrors the row_number ordering the
     * windowed formulation used, so results are identical pair for pair.
+    *
+    * NaN orders as WORST (ties broken by id): raw IEEE comparisons all
+    * return false for NaN, which would let a NaN heap root block every
+    * later insertion AND hand sortWith a non-transitive comparator
+    * (TimSort throws). Mapping NaN below -Inf keeps the order total.
     */
-  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  private def rank(s: Double): Double =
+    if (s != s) Double.NegativeInfinity else s
+
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val a = rank(s1); val b = rank(s2)
+    a < b || (a == b && i1 > i2)
+  }
 
   private def swap(a: Int, b: Int): Unit = {
     val s = scores(a); scores(a) = scores(b); scores(b) = s
@@ -75,7 +85,10 @@ final class TopKBuffer(val k: Int) {
     val out = new Array[(Double, Long)](size)
     var i = 0
     while (i < size) { out(i) = (scores(i), ids(i)); i += 1 }
-    out.sortWith { case ((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2) }
+    out.sortWith { case ((s1, i1), (s2, i2)) =>
+      val a = rank(s1); val b = rank(s2)
+      a > b || (a == b && i1 < i2)
+    }
   }
 }
 
@@ -117,9 +130,10 @@ case class TopKByScore(
     else if (second.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a BIGINT id, got ${second.dataType.sql}")
-    else if (third.dataType != IntegerType || !third.foldable)
+    else if (third.dataType != IntegerType || !third.foldable ||
+        third.eval() == null)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a literal INT k, got ${third.sql}")
+        s"$prettyName requires a non-null literal INT k, got ${third.sql}")
     else if (k <= 0)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $k")
     else TypeCheckResult.TypeCheckSuccess

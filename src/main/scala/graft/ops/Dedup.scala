@@ -86,11 +86,15 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
-  /** Distinct word n-gram shingles as ROWS (doc_id, shingle): tokens are
-    * exploded once and shingles assembled with window `lead`s — no array
-    * lambda ever re-slices a computed array.
+  /** Positioned word n-grams — (doc_id, pos, gram) for every token
+    * position anchoring a COMPLETE n-gram. THE single tokenize +
+    * window-lead pass behind both shingleRows (content shingles for
+    * MinHash/Jaccard) and exactSubstringOverlaps (positioned anchors):
+    * one tokenizer definition, so a tokenization change cannot silently
+    * diverge the two paths. Tokens explode once; grams assemble with
+    * window `lead`s — no array lambda ever re-slices a computed array.
     */
-  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+  private[ops] def positionedGrams(docs: DataFrame, n: Int): DataFrame = {
     val pos = docs
       .select(col("doc_id"),
         posexplode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
@@ -99,12 +103,18 @@ object Dedup {
     val parts = (0 until n).map(i =>
       if (i == 0) col("tok") else lead(col("tok"), i).over(w))
     pos
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", parts: _*).as("gram"),
         parts.last.isNotNull.as("complete"))
       .filter(col("complete"))
-      .select(col("doc_id"), col("shingle"))
-      .distinct()
+      .select(col("doc_id"), col("pos"), col("gram"))
   }
+
+  /** Distinct word n-gram shingles as ROWS (doc_id, shingle). */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    positionedGrams(docs, n)
+      .select(col("doc_id"), col("gram").as("shingle"))
+      .distinct()
 
   /** Shingle SETS (doc_id, shingles array) for verification joins. */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
@@ -319,17 +329,8 @@ object Dedup {
   def exactSubstringOverlaps(docs: DataFrame, k: Int = 8,
                              maxBucket: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val pos = docs
-      .select(col("doc_id"),
-        posexplode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
-          .as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = (0 until k).map(i =>
-      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
-    val anchors = pos
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", parts: _*)).as("h"), parts.last.isNotNull.as("complete"))
-      .filter(col("complete"))
+    val anchors = positionedGrams(docs, k)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
     val buckets = anchors
       .groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("members"))

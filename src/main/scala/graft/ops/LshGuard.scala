@@ -80,8 +80,15 @@ object LshGuard {
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
       val key = "spark.sql.adaptive.optimizer.excludedRules"
       val cur = spark.conf.getOption(key).getOrElse("")
-      if (!cur.contains(EmptyProp))
+      if (!cur.contains(EmptyProp)) {
         spark.conf.set(key, if (cur.isEmpty) EmptyProp else s"$cur,$EmptyProp")
+        // session-wide and permanent — say so, or a user diffing plans
+        // before/after their first capped-dedup call has no clue why
+        Console.err.println(
+          s"[graft][INFO] capped-bucket accounting: excluded " +
+            s"AQEPropagateEmptyRelation via $key for this session so " +
+            "drop metrics survive empty-result plans")
+      }
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =

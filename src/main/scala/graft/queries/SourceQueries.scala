@@ -23,15 +23,19 @@ object SourceQueries {
   private def withSnapshot(s: org.apache.spark.sql.SparkSession, d: String)(
       q: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2")
-    CatalogBuilder.fromPart(s, d).save(dir.toString)
-    val mounted = s.read.format("graft.sources.GraftFsDataSource")
-      .load(dir.toString)
-    val out = q(mounted).localCheckpoint(true)
-    val w = java.nio.file.Files.walk(dir)
-    try w.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally w.close()
-    out
+    // delete in a finally: a failure anywhere (build, save, mount, the
+    // eager checkpoint) must not strand a multi-file snapshot per rep
+    try {
+      CatalogBuilder.fromPart(s, d).save(dir.toString)
+      val mounted = s.read.format("graft.sources.GraftFsDataSource")
+        .load(dir.toString)
+      q(mounted).localCheckpoint(true)
+    } finally {
+      val w = java.nio.file.Files.walk(dir)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(

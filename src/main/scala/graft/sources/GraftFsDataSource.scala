@@ -35,15 +35,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (ThriftStore.scala:477-490), done by never planning the dead
   *    splits. Pruning is CONSERVATIVE: missing/foreign stats keep the
   *    file, and every filter stays in the residual plan, so correctness
-  *    never depends on connector pruning. (Interval logic compares
-  *    UTF-16 strings against UTF-8 byte order — identical for the
-  *    ASCII paths the engine produces; non-ASCII stats simply prune
-  *    less, never wrongly.)
+  *    never depends on connector pruning. Interval logic compares
+  *    UNSIGNED UTF-8 BYTES on both sides — parquet's binary-stats
+  *    order — with prefix upper bounds via byte-successor, so pruning
+  *    is exact for any path content, not just ASCII (Java UTF-16
+  *    compare disagrees with byte order above the BMP and could prune
+  *    a live file; a pruned file is unrecoverable by residuals).
   *  - `preferredLocations` = the RF=3 token-ring replica set of the
   *    file's lowest path (owner = first md5 hex char mod 3 — the same
   *    ring function `FsCatalog.blockLocations` applies to block ids,
-  *    which ARE md5(path) for the first block of each file), so the
-  *    scheduler places each split on the "replica" that holds its data.
+  *    which ARE md5(path) for the first block of every
+  *    CatalogBuilder.fromPart file). For inodes whose block ids are
+  *    literal strings (facade writes, fromEntries), the computed OWNER
+  *    can differ from blockLocations' — but with RF=3 on the 3-node
+  *    ring the replica SET is all three nodes either way, so the hint
+  *    differs only in (Spark-irrelevant) order, never in membership.
   *  - Executors read their single file through parquet-hadoop's Group
   *    API with a pruned projection (path, parentPath, isDir,
   *    blocks.element.length only) — sub-block metadata, the bulk of the
@@ -121,18 +127,25 @@ class GraftFsScan(snapshotDir: String, pushed: Array[Filter])
   override def readSchema(): StructType = GraftFsDataSource.schema
   override def toBatch: Batch = this
 
-  /** A pushed predicate as a closed path interval; every inode matching
-    * the predicate has `path` inside it. parent_path predicates translate
-    * through the invariant parentPath ⊂ path (children of v live under
-    * "v/"; the root's children under "/").
+  /** A pushed predicate as a path interval in UNSIGNED UTF-8 BYTE order
+    * (parquet's binary-stats order); every inode matching the predicate
+    * has `path` inside it. parent_path predicates translate through the
+    * invariant parentPath ⊂ path (children of v live under "v/"; the
+    * root's children under "/"). Prefix upper bounds are the EXCLUSIVE
+    * byte-successor of the prefix (None = unbounded when the successor
+    * overflows) — the old `p + "￿"` UTF-16 bound under-covered
+    * supplementary-plane paths and could prune a live file.
     */
-  private def interval(f: Filter): Option[(String, String)] = f match {
-    case EqualTo("path", v: String) => Some((v, v))
-    case StringStartsWith("path", p: String) => Some((p, p + "\uffff"))
+  private def interval(f: Filter): Option[GraftFsScan.PathInterval] = f match {
+    case EqualTo("path", v: String) =>
+      val b = GraftFsScan.u8(v)
+      Some(GraftFsScan.PathInterval(b, Some(b), hiInclusive = true))
+    case StringStartsWith("path", p: String) =>
+      Some(GraftFsScan.prefixInterval(p))
     case EqualTo("parent_path", v: String) =>
-      val pre = if (v == "/") "/" else v + "/"
-      Some((pre, pre + "\uffff"))
-    case StringStartsWith("parent_path", p: String) => Some((p, p + "\uffff"))
+      Some(GraftFsScan.prefixInterval(if (v == "/") "/" else v + "/"))
+    case StringStartsWith("parent_path", p: String) =>
+      Some(GraftFsScan.prefixInterval(p))
     case _ => None
   }
 
@@ -163,22 +176,30 @@ class GraftFsScan(snapshotDir: String, pushed: Array[Filter])
               .map(_.getStatistics)
               .filter(s => s != null && s.hasNonNullValue)
               .map { s =>
-                (s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
-                  s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
+                (s.genericGetMin.asInstanceOf[Binary].getBytes,
+                  s.genericGetMax.asInstanceOf[Binary].getBytes)
               }
           }
           val stats =
             if (perGroup.exists(_.isEmpty)) None
-            else perGroup.flatten.reduceOption[(String, String)] {
+            else perGroup.flatten.reduceOption[(Array[Byte], Array[Byte])] {
               case ((alo, ahi), (lo, hi)) =>
-                (if (lo < alo) lo else alo, if (hi > ahi) hi else ahi)
+                (if (GraftFsScan.cmp(lo, alo) < 0) lo else alo,
+                  if (GraftFsScan.cmp(hi, ahi) > 0) hi else ahi)
             }
           val survives = stats.forall { case (min, max) =>
-            intervals.forall { case (lo, hi) => min <= hi && max >= lo }
+            intervals.forall { iv =>
+              GraftFsScan.cmp(max, iv.lo) >= 0 && iv.hi.forall { h =>
+                val c = GraftFsScan.cmp(min, h)
+                if (iv.hiInclusive) c <= 0 else c < 0
+              }
+            }
           }
           if (survives)
             Some(GraftSnapshotPartition(st.getPath.toString, projection,
-              GraftFsScan.replicas(stats.map(_._1).getOrElse(st.getPath.getName))))
+              GraftFsScan.replicas(stats
+                .map(b => new String(b._1, java.nio.charset.StandardCharsets.UTF_8))
+                .getOrElse(st.getPath.getName))))
           else None
         }
       } finally rd.close()
@@ -190,6 +211,45 @@ class GraftFsScan(snapshotDir: String, pushed: Array[Filter])
 }
 
 object GraftFsScan {
+  /** Path interval in unsigned UTF-8 byte order; hi=None is unbounded. */
+  final case class PathInterval(lo: Array[Byte], hi: Option[Array[Byte]],
+                                hiInclusive: Boolean)
+
+  def u8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Unsigned lexicographic byte compare — parquet's UTF8 stats order. */
+  def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Smallest byte string strictly greater than every string with prefix
+    * `p`: increment the last non-0xFF byte, dropping the tail after it;
+    * all-0xFF has no successor (None = unbounded above).
+    */
+  def successor(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  def prefixInterval(p: String): PathInterval = {
+    val b = u8(p)
+    PathInterval(b, successor(b), hiInclusive = false)
+  }
+
   /** RF=3 replica endpoints of a path's ring owner. */
   def replicas(anchor: String): Array[String] = {
     val o = GraftFsDataSource.ringOwner(anchor)

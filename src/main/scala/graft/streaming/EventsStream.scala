@@ -118,20 +118,29 @@ object EventsStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = transform(readEvents(spark, landing.toString))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    // the memory sink holds the emitted rows — the staged copies are
-    // dead weight now; a bench run at REPS=3 must not leak three
-    // landing directories per streaming query
-    val w = Files.walk(landing)
-    try w.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-    finally w.close()
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = transform(readEvents(spark, landing.toString))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        // a failed drain (awaitTermination throws) must not strand the
+        // query handle in the session's active list
+        if (q != null && q.isActive) q.stop()
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // the memory sink holds the emitted rows — the staged copies are
+      // dead weight now; a bench run at REPS=3 must not leak three
+      // landing directories per streaming query, success OR failure
+      val w = Files.walk(landing)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally w.close()
+    }
     spark.table(sink)
   }
 

@@ -72,6 +72,41 @@ class TopKSpec extends AnyFlatSpec with Matchers {
     back.sorted.toSeq must be(Seq((9.0, 4L), (7.0, 9L), (5.0, 1L)))
   }
 
+  it must "rank NaN scores worst instead of letting one jam the heap" in {
+    // IEEE comparisons answer false for NaN: an unguarded heap whose
+    // ROOT goes NaN (first row of a partition) rejects every later
+    // insertion. The rank() guard orders NaN below -Inf, ties by id.
+    val agg = TopKByScore(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(2))
+    val buf = agg.createAggregationBuffer()
+    buf.insert(Double.NaN, 1L) // NaN lands at the root first
+    buf.insert(5.0, 2L)
+    buf.insert(3.0, 3L) // must EVICT the NaN, not be rejected by it
+    buf.sorted.toSeq must be(Seq((5.0, 2L), (3.0, 3L)))
+    // a NaN may be retained only while better scores don't fill k —
+    // and then sorts LAST, after every real score
+    val loose = agg.createAggregationBuffer()
+    loose.insert(Double.NaN, 7L)
+    loose.insert(1.0, 8L)
+    val out = loose.sorted.toSeq
+    out.head must be((1.0, 8L))
+    out(1)._2 must be(7L)
+  }
+
+  it must "score a zero-norm vector as 0.0 cosine, never NaN" in {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS z,
+        |       graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS o
+        |""".stripMargin).collect()(0)
+    r.getDouble(0) must be(0.0)
+    r.getDouble(1) must be(1.0)
+  }
+
   it must "resolve through the declarative extensions path alone" in {
     val fresh = spark.newSession()
     val arr = fresh.sql(

@@ -90,6 +90,27 @@ class GraftFsDataSourceSpec extends AnyFlatSpec with Matchers with BeforeAndAfte
     got.getLong(1) must be((0 until 4).map(f => 31 + f * 7).sum.toLong)
   }
 
+  it must "order pruning comparisons by UTF-8 bytes, not UTF-16 code units" in {
+    // U+10000 (surrogate pair, UTF-16 𐀀) encodes F0 90 80 80,
+    // ABOVE U+E000's EE 80 80 in byte order — but BELOW it in Java
+    // String order. A UTF-16 compare would prune a file whose stats
+    // bracket the supplementary-plane path; the byte compare must not.
+    val supp = "/a" + new String(Character.toChars(0x10000))
+    val bmp = "/a"
+    GraftFsScan.cmp(GraftFsScan.u8(supp), GraftFsScan.u8(bmp)) must be > 0
+    supp.compareTo(bmp) must be < 0 // the trap this replaces
+    // successor: plain increment, trailing-0xFF drop, all-0xFF unbounded
+    GraftFsScan.successor(GraftFsScan.u8("ab")).map(_.toSeq) must
+      be(Some(GraftFsScan.u8("ac").toSeq))
+    GraftFsScan.successor(Array(0x61.toByte, 0xff.toByte)).map(_.toSeq) must
+      be(Some(Seq(0x62.toByte)))
+    GraftFsScan.successor(Array(0xff.toByte, 0xff.toByte)) must be(None)
+    // end-to-end: a prefix interval over the supplementary path keeps
+    // covering stats that UTF-16 order would reject
+    val iv = GraftFsScan.prefixInterval(supp)
+    GraftFsScan.cmp(GraftFsScan.u8(bmp), iv.lo) < 0 must be(true)
+  }
+
   it must "attach RF=3 hash-ring locality hints per snapshot file (A10 analog)" in {
     val parts = {
       val sb = new GraftFsScanBuilder(dir.toString)
