@@ -135,6 +135,16 @@ case class IntDot(left: Expression, right: Expression)
 object GraftFunctions {
   /** Register graft extensions on a session (idempotent). Exposed both
     * here and through GraftSessionExtensions for spark.sql.extensions.
+    *
+    * graft_bloom_agg / graft_might_contain surface Spark's own
+    * runtime-filter Bloom machinery (BloomFilterAggregate /
+    * BloomFilterMightContain — the codegen'd sketch behind AQE's
+    * InjectRuntimeFilter) as callable functions: the optimizer only
+    * injects them between join sides, but decontamination wants the
+    * same "fixed-size filter built once, probed map-side" shape as an
+    * explicit dataflow stage. Both take xxhash64(value) LONGs; the
+    * filter argument of graft_might_contain must be a constant or a
+    * scalar subquery (Spark's own analyzer rule enforces it).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -143,5 +153,13 @@ object GraftFunctions {
       "graft_int_dot", exprs => IntDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -76,6 +76,36 @@ object Curation {
           expr("transform(array_sort(collect_list(struct(_k, text))), x -> x.text)"),
           " ").as("packed_text"))
 
+  /** Per-domain document cap — "keep at most `cap` docs per domain,
+    * best first" (the crawl-curation step that stops one hot domain
+    * from dominating a training mix). Ordering is (score DESC, id ASC),
+    * so ties break deterministically and reruns reproduce.
+    *
+    * Shape at 100 TB: a `row_number().over(partitionBy(domain))`
+    * window would shuffle EVERY document onto |domains| reducer tasks
+    * and sort each domain's full slice — one straggler per hot domain.
+    * The `graft_topk` bounded aggregate (TopKByScore) instead folds
+    * each input partition into a ≤cap-entry heap per domain map-side,
+    * so the exchange carries `partitions × domains × cap` fixed-width
+    * entries no matter how skewed the domain distribution is. Returns
+    * (domain, rk, doc_id, score) — callers semi-join `doc_id` back to
+    * recover payloads (the kept-id set is ≤ |domains|×cap rows,
+    * broadcast-sized by construction).
+    */
+  def domainCap(docs: DataFrame, domain: Column, score: Column,
+                id: Column, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(domain.as("domain"), score.cast("double").as("_score"),
+        id.cast("long").as("_id"))
+      .groupBy(col("domain"))
+      .agg(expr(s"graft_topk(_score, _id, $cap)").as("top"))
+      .select(col("domain"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("domain"), (col("pos") + 1).as("rk"),
+        col("e.id").as("doc_id"), col("e.score").as("score"))
+  }
+
   /** Temperature-weighted domain-mixing plan: per-source sampling
     * weights w_s ∝ (token count)^(1/2) — the τ=0.5 temperature reweight
     * that upsamples small domains relative to proportional sampling

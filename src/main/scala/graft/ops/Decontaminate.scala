@@ -24,6 +24,36 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** The df-capped benchmark (shingle, bench_id) rows every
+    * decontamination variant joins against, with drops shouted through
+    * the LshGuard observe channel.
+    */
+  private def benchShingleRows(benchmark: DataFrame, n: Int,
+                               maxBenchDf: Int): DataFrame = {
+    val benchBuckets = Dedup.shingleRows(benchmark, n)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    // capBuckets would also drop SINGLETON buckets (right for pair
+    // generation, wrong here — df=1 is the common, signal-bearing
+    // case), so the df cap applies directly with the same loud metrics
+    val metrics = LshGuard.dropMetrics(size(col("ids")), maxBenchDf)
+    benchBuckets
+      .observe(LshGuard.observationName("decontam"), metrics.head, metrics.tail: _*)
+      .filter(size(col("ids")) <= maxBenchDf)
+      .select(col("shingle"), explode(col("ids")).as("bench_id"))
+  }
+
+  /** Shared tail: count distinct shared shingles per (train, bench)
+    * document pair and keep pairs at or above the overlap floor.
+    */
+  private def sharedPairs(trainShingles: DataFrame, benchShingles: DataFrame,
+                          minShared: Int): DataFrame =
+    trainShingles
+      .join(benchShingles, "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** Contaminated (doc_id, bench_id, n_shared) pairs: training docs
     * sharing ≥ `minShared` distinct `n`-gram shingles with a benchmark
     * doc. `train` and `benchmark` both need (doc_id, text).
@@ -32,23 +62,53 @@ object Decontaminate {
               n: Int = 3, minShared: Int = 3,
               maxBenchDf: Int = 100): DataFrame = {
     LshGuard.ensureListener(train.sparkSession)
-    val benchBuckets = Dedup.shingleRows(benchmark, n)
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-    // capBuckets would also drop SINGLETON buckets (right for pair
-    // generation, wrong here — df=1 is the common, signal-bearing
-    // case), so the df cap applies directly with the same loud metrics
-    val metrics = LshGuard.dropMetrics(size(col("ids")), maxBenchDf)
-    val benchShingles = benchBuckets
-      .observe(LshGuard.observationName("decontam"), metrics.head, metrics.tail: _*)
-      .filter(size(col("ids")) <= maxBenchDf)
-      .select(col("shingle"), explode(col("ids")).as("bench_id"))
-    Dedup.shingleRows(train, n)
-      .join(benchShingles, "shingle")
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    sharedPairs(Dedup.shingleRows(train, n),
+      benchShingleRows(benchmark, n, maxBenchDf), minShared)
   }
+
+  /** `flagged` with a Bloom-filter pre-prune — identical output (the
+    * Bloom filter admits no false negatives and an exact confirm join
+    * removes its false positives), different 100 TB shape: `flagged`
+    * shuffles EVERY corpus shingle into the bench join, while this
+    * variant probes a fixed-size filter map-side and shuffles only the
+    * ~matching sliver. At bench sets large enough that the exact
+    * shingle rows stop auto-broadcasting (1e8 shingles ≈ GBs), the
+    * Bloom stays `numBits/8` bytes by construction — the filter is
+    * built once by `graft_bloom_agg` (Spark's own runtime-filter
+    * sketch, see GraftFunctions.register) and reaches every probe task
+    * as a scalar-subquery literal, the same delivery the optimizer's
+    * InjectRuntimeFilter uses.
+    *
+    * `expectedItems`/`numBits` size the sketch; at the default 1 M
+    * items / 8 Mbit the false-positive rate is < 1% up to capacity and
+    * degrades gracefully (FPs cost confirm-join work, never
+    * correctness).
+    */
+  def flaggedBloom(train: DataFrame, benchmark: DataFrame,
+                   n: Int = 3, minShared: Int = 3,
+                   maxBenchDf: Int = 100,
+                   expectedItems: Long = 1L << 20,
+                   numBits: Long = 1L << 23): DataFrame = {
+    val spark = train.sparkSession
+    LshGuard.ensureListener(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val benchShingles = benchShingleRows(benchmark, n, maxBenchDf)
+    val view = s"graft_bloom_bench_${bloomViewSeq.incrementAndGet()}"
+    benchShingles
+      .select(col("shingle")).distinct()
+      .agg(expr(s"graft_bloom_agg(xxhash64(shingle), ${expectedItems}L, ${numBits}L)")
+        .as("bf"))
+      .createOrReplaceTempView(view)
+    val pruned = Dedup.shingleRows(train, n)
+      .filter(expr(s"graft_might_contain((SELECT bf FROM $view), xxhash64(shingle))"))
+    sharedPairs(pruned, benchShingles, minShared)
+  }
+
+  /** Temp-view names must be unique per call: ScalaTest suites share
+    * one session and run in parallel, and a rebound view under a live
+    * lazy plan would silently swap the filter.
+    */
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Training docs that survive decontamination: anti-join on the
     * flagged ids — the id set is orders smaller than the corpus and

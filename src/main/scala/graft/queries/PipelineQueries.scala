@@ -50,6 +50,25 @@ object PipelineQueries {
       |  FROM scores)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Shared by pipeline_decontaminate and its Bloom-pruned variant —
+    * both produce the identical exact overlap-pair set.
+    */
+  private val decontaminateOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                               for i in range(1, len(t)-1)])) AS shingle
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+      |        FROM documents)),
+      |hits AS (
+      |  SELECT train.doc_id AS doc_id, bench.doc_id AS bench_id,
+      |         COUNT(*) AS n_shared
+      |  FROM (SELECT * FROM sh WHERE doc_id % 10 <> 0) train
+      |  JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) bench USING (shingle)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT doc_id, bench_id, n_shared FROM hits
+      |ORDER BY doc_id, bench_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ───────────────────────────────────────────────────
@@ -438,20 +457,48 @@ object PipelineQueries {
             n = 3, minShared = 3, maxBenchDf = Int.MaxValue)
           .orderBy(col("doc_id"), col("bench_id"))
       },
-      Some("""WITH sh AS (
-             |  SELECT doc_id,
-             |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-             |                               for i in range(1, len(t)-1)])) AS shingle
-             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
-             |        FROM documents)),
-             |hits AS (
-             |  SELECT train.doc_id AS doc_id, bench.doc_id AS bench_id,
-             |         COUNT(*) AS n_shared
-             |  FROM (SELECT * FROM sh WHERE doc_id % 10 <> 0) train
-             |  JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) bench USING (shingle)
-             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
-             |SELECT doc_id, bench_id, n_shared FROM hits
-             |ORDER BY doc_id, bench_id""".stripMargin)),
+      Some(decontaminateOracle)),
+
+    // Bloom-pruned decontamination: same contract and the SAME oracle
+    // as pipeline_decontaminate (the Bloom filter has no false
+    // negatives and the confirm join removes false positives, so the
+    // output is exactly the exact-join's) — what changes is the 100 TB
+    // shape: the corpus probes a fixed-size filter map-side and only
+    // the matching sliver reaches the shuffle, instead of every corpus
+    // shingle riding the bench join.
+    QueryDef(
+      "pipeline_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        Decontaminate.flaggedBloom(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            n = 3, minShared = 3, maxBenchDf = Int.MaxValue)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some(decontaminateOracle)),
+
+    // Per-domain document cap: keep the top-20 docs per source by
+    // (n_chars DESC, doc_id ASC) through the bounded graft_topk
+    // aggregate — map-side ≤cap heaps per domain, no corpus-wide
+    // window, skew-immune by construction. The oracle is the window
+    // form (row_number per source), which defines the semantics the
+    // aggregate must reproduce pair for pair.
+    QueryDef(
+      "pipeline_domain_cap",
+      (s, d) =>
+        Curation.domainCap(Tables.documents(s, d), col("source"),
+            col("n_chars"), col("doc_id"), cap = 20)
+          .select(col("domain"), col("rk"), col("doc_id"),
+            col("score").cast("long").as("n_chars"))
+          .orderBy(col("domain"), col("rk")),
+      Some("""SELECT source AS domain, CAST(rk AS INTEGER) AS rk, doc_id, n_chars
+             |FROM (SELECT source, doc_id, n_chars,
+             |             ROW_NUMBER() OVER (PARTITION BY source
+             |                                ORDER BY n_chars DESC, doc_id) AS rk
+             |      FROM documents)
+             |WHERE rk <= 20
+             |ORDER BY domain, rk""".stripMargin)),
 
     // Near-dup CLUSTERS, not just pairs: connected components over the
     // LSH-verified pair set (label = min reachable doc id, iterative

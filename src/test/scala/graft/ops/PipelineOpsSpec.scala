@@ -574,6 +574,70 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     dropped2 must be(0L)
   }
 
+  behavior of "Decontaminate.flaggedBloom (Bloom-pruned variant)"
+
+  it must "produce exactly the exact-join's output and actually probe a Bloom filter" in {
+    val bench = docsDf(Seq(
+      100L -> "alpha beta gamma delta epsilon zeta",
+      101L -> "one two three four five six seven"))
+    val train = docsDf(Seq(
+      1L -> "prefix words then alpha beta gamma delta epsilon zeta suffix",
+      2L -> "completely unrelated content about volcanoes and weather",
+      3L -> "counting one two three four five six seven endings"))
+    val exact = graft.ops.Decontaminate.flagged(train, bench, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared"))).sorted
+    val bloom = graft.ops.Decontaminate.flaggedBloom(train, bench, minShared = 3)
+    // the prune must really be in the plan — a silently dropped filter
+    // would also "match the exact output" while testing nothing
+    bloom.queryExecution.executedPlan.toString must include("might_contain")
+    bloom.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared")))
+      .sorted must be(exact)
+  }
+
+  it must "stay exact under a saturated filter (false positives confirmed away)" in {
+    // 64 bits for dozens of shingles ≈ every probe answers "maybe" —
+    // the confirm join must absorb the FP flood without output drift
+    val bench = docsDf(Seq(100L -> "alpha beta gamma delta epsilon zeta"))
+    val train = docsDf(Seq(
+      1L -> "prefix words then alpha beta gamma delta epsilon zeta suffix",
+      2L -> "completely unrelated content about volcanoes and weather"))
+    val got = graft.ops.Decontaminate.flaggedBloom(train, bench, minShared = 3,
+        expectedItems = 4L, numBits = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared")))
+    got must be(Array((1L, 100L, 4L)))
+  }
+
+  behavior of "Curation.domainCap (per-domain top-k)"
+
+  it must "keep the best cap docs per domain by (score DESC, id ASC) with dense ranks" in {
+    val s = spark
+    import s.implicits._
+    // "big" is the hot domain (5 docs incl. a score tie), "small" has
+    // fewer docs than the cap
+    val docs = Seq(
+      (1L, "big", 50L), (2L, "big", 90L), (3L, "big", 70L),
+      (4L, "big", 90L), (5L, "big", 10L),
+      (6L, "small", 30L), (7L, "small", 20L)
+    ).toDF("doc_id", "source", "n_chars")
+    val got = Curation.domainCap(docs, col("source"), col("n_chars"),
+        col("doc_id"), cap = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    // tie at 90 breaks to the lower doc_id; "small" yields all its docs
+    got must be(Array(
+      ("big", 1, 2L), ("big", 2, 4L), ("big", 3, 3L),
+      ("small", 1, 6L), ("small", 2, 7L)))
+  }
+
+  it must "plan as a bounded aggregate, not a per-domain window sort" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a", 5L), (2L, "a", 6L)).toDF("doc_id", "source", "n_chars")
+    val plan = Curation.domainCap(docs, col("source"), col("n_chars"),
+      col("doc_id"), cap = 2).queryExecution.executedPlan.toString
+    plan must include("graft_topk")
+    plan must not include "Window"
+  }
+
   behavior of "Multimodal stub decode"
 
   it must "decode deterministic fake dimensions with real binary plumbing" in {
