@@ -20,15 +20,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects by default; read it as a long and convert ns → µs with integer
-    * division (a double division would lose precision at 1.7e18 ns epochs).
+  /** events.ts has shipped in two physical forms across driver refreshes:
+    * parquet TIMESTAMP(NANOS) (read as a long via nanosAsLong, then ns → µs
+    * with integer division — double division would lose precision at 1.7e18
+    * ns epochs) and plain timestamp[us] without UTC adjustment (Spark reads
+    * it as TIMESTAMP_NTZ). Normalize both to session-zoned TIMESTAMP so
+    * every downstream window/watermark/epoch computation — and the DuckDB
+    * oracle, which reads the same file as a naive timestamp under the UTC
+    * session zone — sees identical wall-clock instants.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

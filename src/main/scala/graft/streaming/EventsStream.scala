@@ -26,18 +26,26 @@ object EventsStream {
     StructField("props", StringType)))
 
   /** File-based streaming source over an events directory (parquet files
-    * appearing over time — the production entry point). The driver's
-    * events files carry TIMESTAMP(NANOS), so ts streams in as a long
-    * (nanosAsLong) and converts ns → µs exactly like Tables.events.
+    * appearing over time — the production entry point). The driver's events
+    * files have shipped with ts as TIMESTAMP(NANOS) (streams in as a long
+    * via nanosAsLong) and as plain timestamp[us] (TIMESTAMP_NTZ); a
+    * streaming source needs its schema declared up front, so sniff the
+    * landing files' footer with a one-off batch read, then normalize to
+    * session-zoned TIMESTAMP exactly like Tables.events.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanoSchema = StructType(eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+    val fileTsType = spark.read.parquet(path).schema("ts").dataType
+    val readSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = fileTsType)
       case f => f
     })
-    spark.readStream.schema(nanoSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.readStream.schema(readSchema).parquet(path)
+    fileTsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour window aggregation with a 2-hour watermark: late
