@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-data-pipeline op that keeps
@@ -109,6 +110,83 @@ object Decontaminate {
     * lazy plan would silently swap the filter.
     */
   private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Verbatim-substring decontamination — the ExactSubstr form of
+    * benchmark leakage scrubbing: flag (doc_id, bench_id) pairs where a
+    * training doc shares a CONTIGUOUS verbatim run of at least
+    * `minOverlap` tokens with a benchmark doc, reporting the maximal
+    * run length. `flagged` counts distinct shared shingles scattered
+    * anywhere in the doc; this detects contiguous quotation — the
+    * stricter signal an eval-answer leak actually leaves, and the
+    * corpus-vs-eval counterpart of `Dedup.exactSubstringOverlaps`
+    * (whose anchor → diagonal → gaps-and-islands algebra it reuses
+    * unchanged, via the same positionedGrams tokenizer).
+    *
+    * Asymmetric 100 TB shape: every bench token position anchors a
+    * hashed k-gram; anchor hashes occurring at more than
+    * `maxBenchPositions` bench positions are dropped LOUDLY through the
+    * shared LshGuard observe channel (a k-gram that frequent across an
+    * eval set is boilerplate, not an answer — and each surviving hash
+    * bounds the per-match fan-out). The surviving bench anchor table —
+    * thousands of eval docs × their token counts — broadcasts; the
+    * corpus side is one linear positioned-gram pass that joins
+    * map-side, so nothing all-to-all and nothing corpus-sized ever
+    * shuffles. Matched anchors land on (train_pos − bench_pos)
+    * diagonals where consecutive-anchor arithmetic reads the maximal
+    * shared run, bounded per (pair, diagonal) by the overlap itself.
+    */
+  def substringFlagged(train: DataFrame, benchmark: DataFrame,
+                       k: Int = 8, minOverlap: Int = 8,
+                       maxBenchPositions: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minOverlap >= k,
+      s"minOverlap ($minOverlap) below the anchor width k ($k) is undetectable")
+    LshGuard.ensureListener(train.sparkSession)
+    val trainAnchors = Dedup.positionedGrams(train, k)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+    // df-cap applies directly (not capBuckets, which also drops the
+    // singleton buckets that are the common, signal-bearing case here)
+    val benchBuckets = Dedup.positionedGrams(benchmark, k)
+      .select(col("doc_id").as("bench_id"), col("pos").as("bpos"),
+        md5(col("gram")).as("h"))
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("bench_id"), col("bpos"))).as("members"))
+    val metrics = LshGuard.dropMetrics(size(col("members")), maxBenchPositions)
+    val benchAnchors = benchBuckets
+      .observe(LshGuard.observationName("decontam_substr"),
+        metrics.head, metrics.tail: _*)
+      .filter(size(col("members")) <= maxBenchPositions)
+      .select(col("h"), explode(col("members")).as("m"))
+      .select(col("h"), col("m.bench_id"), col("m.bpos"))
+    // within one (doc_id, bench_id, diag) partition pos ↔ bpos is a
+    // bijection (bpos = pos − diag, both sides' positions unique), so
+    // row_number over pos is duplicate-free and the island arithmetic
+    // is exactly the symmetric op's
+    trainAnchors
+      .join(broadcast(benchAnchors), "h")
+      .select(col("doc_id"), col("bench_id"), col("pos"),
+        (col("pos") - col("bpos")).as("diag"))
+      .withColumn("island",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id"), col("bench_id"), col("diag"))
+            .orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("bench_id"), col("diag"), col("island"))
+      .agg((count(lit(1)) + (k - 1)).as("run"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(max(col("run")).cast("long").as("overlap_tokens"))
+      .filter(col("overlap_tokens") >= minOverlap)
+  }
+
+  /** Training docs surviving substring decontamination: anti-join on
+    * the flagged id set (orders smaller than the corpus, broadcasts).
+    */
+  def substringClean(train: DataFrame, benchmark: DataFrame,
+                     k: Int = 8, minOverlap: Int = 8,
+                     maxBenchPositions: Int = 64): DataFrame =
+    train.join(
+      substringFlagged(train, benchmark, k, minOverlap, maxBenchPositions)
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 
   /** Training docs that survive decontamination: anti-join on the
     * flagged ids — the id set is orders smaller than the corpus and
