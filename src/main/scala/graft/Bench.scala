@@ -2,16 +2,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Rep-slope degradation guard: true when any rep after the first
-    * runs slower than BOTH 2× rep-1 and rep-1 + 1 s (the absolute floor
-    * keeps sub-second warmup jitter from flagging). Warmup makes rep-1
-    * the SLOWEST healthy rep, so any later rep blowing past 2× it is
-    * monotone growth the min-of-reps summary channel would otherwise
-    * mask — the r6 dedup_simhash_wide pattern (3.27 → 5.17 → 14.57 s).
+  /** Rep-slope degradation guard: true when any rep runs slower than
+    * BOTH 2× and +1 s over the MIN of the reps before it (the absolute
+    * floor keeps sub-second warmup jitter from flagging). r7 lesson:
+    * the old rep-1 baseline missed the 8.31 → 3.27 → 13.02 shape —
+    * when rep-1 is itself slow (warmup or variance), a later blowup
+    * stays under 2×rep-1; against min-so-far the same 13 s rep is 4×
+    * the proven 3.27 s capability and flags. Warmup (rep-1 slowest,
+    * later reps fast) never flags because the min only shrinks.
+    * Protocol note: a flag means in-PROCESS growth relative to proven
+    * capability — rerun the query isolated (SPARK_GRAFT_ONLY=<name>)
+    * before recording it as self-degrading; r7's fs_rename flag was a
+    * cross-query contamination victim, clean in isolation.
     */
   def degrades(times: Seq[Double]): Boolean =
     times.nonEmpty && times.head >= 0 &&
-      times.tail.exists(t => t > 2 * times.head && t > times.head + 1.0)
+      times.indices.drop(1).exists { i =>
+        val base = times.take(i).min
+        times(i) > 2 * base && times(i) > base + 1.0
+      }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,6 +62,15 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
+        } finally {
+          // release whatever the rep checkpointed/persisted (counted
+          // above, so nothing needs the blocks anymore): the r7 suite
+          // accumulated every query's eager localCheckpoints across
+          // 90 queries × 3 reps and slowed 1.8× suite-wide. The sweep
+          // is OUTSIDE the timed region — hygiene isn't the query's
+          // cost — and runs on failure too (a failed rep can leak the
+          // checkpoints it made before throwing).
+          PlanHygiene.sweepPersisted(spark)
         }
       }
       name -> (if (times.contains(-1.0)) Seq(-1.0) else times)

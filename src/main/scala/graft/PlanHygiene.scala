@@ -25,4 +25,22 @@ object PlanHygiene {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Unpersist EVERY persistent RDD in the context — checkpoint blocks
+    * included — and return how many were released. The r7 bench
+    * regression (86.6 s vs r6's 47.3 s, same plans) was exactly this
+    * accumulation: queries that eagerly checkpoint (to outlive a temp
+    * snapshot they delete, or to flatten an iterative plan) hand back a
+    * frame whose blocks nothing ever frees, and a 90-query × 3-rep
+    * suite — or any long-lived session — slows under the pile-up.
+    * Call between independent units of work, AFTER the previous unit's
+    * frames are fully materialized/dumped: a swept checkpoint cannot be
+    * recomputed.
+    */
+  def sweepPersisted(spark: org.apache.spark.sql.SparkSession,
+                     blocking: Boolean = false): Int = {
+    val rdds = spark.sparkContext.getPersistentRDDs
+    rdds.valuesIterator.foreach(_.unpersist(blocking))
+    rdds.size
+  }
 }

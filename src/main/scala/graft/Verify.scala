@@ -25,7 +25,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // the dump is on disk — release the query's eager checkpoints
+        // so 90 queries' blocks don't pile up in one session (the r7
+        // bench regression class; Bench sweeps identically per rep)
+        PlanHygiene.sweepPersisted(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

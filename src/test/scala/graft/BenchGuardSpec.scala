@@ -21,10 +21,20 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     Bench.degrades(Seq(2.0, 1.8, 9.0)) must be(true)
   }
 
+  it must "fire on blowup masked by a slow rep-1 (the r7 escape)" in {
+    // measured isolated dedup_simhash_wide r7: 13.02 is under 2×8.31
+    // (the old rep-1 baseline let it through) but 4× the proven 3.27 s
+    // capability — min-of-preceding-reps catches it
+    Bench.degrades(Seq(8.31, 3.27, 13.02)) must be(true)
+  }
+
   it must "stay clean on the normal warmup-then-stable profile" in {
     // the measured r7 isolated profile of the same query
     Bench.degrades(Seq(9.41, 3.31, 2.76, 2.62, 2.39)) must be(false)
     Bench.degrades(Seq(2.95, 2.49, 2.54)) must be(false)
+    // r7 fs_cascade_delete contamination-victim shape: warmup rep-1,
+    // fast later reps — min-shrinking must never flag it
+    Bench.degrades(Seq(2.86, 0.97, 0.98)) must be(false)
   }
 
   it must "not flag sub-second jitter that doubles a tiny rep-1" in {

@@ -94,6 +94,35 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
         case other => fail(s"expected one LogicalRDD leaf, got ${other.size}")
       }
 
+  it must "bound live checkpointed RDDs at one generation (2 planes) across many mutations" in {
+    // the facade/long-session leak-class guard: however many mutations
+    // and compaction boundaries a session crosses, storage must hold
+    // exactly the CURRENT generation's checkpoint pair (inodes+chunks)
+    // — every superseded generation's blocks released. A bound that
+    // grew with mutation count would be the r7 bench-suite leak shape.
+    graft.PlanHygiene.sweepPersisted(spark, blocking = true)
+    val cell = new FsState(emptyFs(), compactEvery = 2)
+    (1 to 20).foreach { i =>
+      val fs = cell.get
+      cell.set(GraftFs(
+        fs.catalog.touchz(s"/b$i"),
+        fs.chunks.unionByName(oneFile(s"/b$i", s"bound-$i"))))
+    }
+    // compactEvery=2 doubling: boundaries at 2,6,14 → 3 generations
+    // made, 2 released; plus unreleased per-compaction transients would
+    // show up here too
+    val live = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.getStorageLevel.useMemory)
+    live.size must be <= 2
+    cell.compactNow() // superseding again still leaves one generation
+    val after = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.getStorageLevel.useMemory)
+    after.size must be <= 2
+    // and the live snapshot still reads
+    new String(DataPlane.cat(cell.get.chunks, "/b20").collect()(0)
+      .getAs[Array[Byte]]("data")) must be("bound-20")
+  }
+
   it must "free an unpinned generation's checkpoint storage instead of retaining one snapshot per pin forever" in {
     val cell = new FsState(emptyFs(), compactEvery = 2)
     (1 to 4).foreach { i =>
