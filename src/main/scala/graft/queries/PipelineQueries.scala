@@ -478,6 +478,55 @@ object PipelineQueries {
       },
       Some(decontaminateOracle)),
 
+    // Verbatim-substring decontamination (the ExactSubstr form against
+    // the eval set): same every-10th-doc bench split; (train, bench)
+    // pairs sharing a contiguous >= 8-token run are flagged with the
+    // MAXIMAL run. The oracle replays the diagonal-islands arithmetic
+    // from scratch on raw token lists (all-positions join, no hashing,
+    // no cap), so anchor hashing, the df-cap plumbing, the broadcast
+    // join and the window algebra are all under test — the asymmetric
+    // twin of dedup_substring's oracle. maxBenchPositions is pinned
+    // above any possible bench fan-out so the capless oracle agrees at
+    // every scale factor; the cap's loud-drop path is spec-pinned
+    // (PipelineOpsSpec) instead.
+    QueryDef(
+      "pipeline_decontaminate_substr",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        Decontaminate.substringFlagged(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            k = 8, minOverlap = 8, maxBenchPositions = Int.MaxValue)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |         unnest(range(1, len(t) - 6)) AS pos,
+             |         unnest([list_aggregate(t[i:i+7], 'string_agg', ' ')
+             |                 for i in range(1, len(t) - 6)]) AS g
+             |  FROM toks WHERE len(t) >= 8),
+             |m AS (
+             |  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+             |         a.pos AS pos, b.pos AS bpos
+             |  FROM sh a JOIN sh b ON a.g = b.g
+             |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+             |isl AS (
+             |  SELECT doc_id, bench_id, pos - bpos AS diag, pos,
+             |         pos - ROW_NUMBER() OVER (
+             |           PARTITION BY doc_id, bench_id, pos - bpos
+             |           ORDER BY pos) AS island
+             |  FROM m),
+             |runs AS (
+             |  SELECT doc_id, bench_id, COUNT(*) + 7 AS ol
+             |  FROM isl GROUP BY doc_id, bench_id, diag, island)
+             |SELECT doc_id, bench_id, CAST(MAX(ol) AS BIGINT) AS overlap_tokens
+             |FROM runs GROUP BY doc_id, bench_id
+             |HAVING MAX(ol) >= 8
+             |ORDER BY doc_id, bench_id""".stripMargin)),
+
     // Per-domain document cap: keep the top-20 docs per source by
     // (n_chars DESC, doc_id ASC) through the bounded graft_topk
     // aggregate — map-side ≤cap heaps per domain, no corpus-wide

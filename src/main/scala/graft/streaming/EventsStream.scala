@@ -35,7 +35,13 @@ object EventsStream {
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileTsType = spark.read.parquet(path).schema("ts").dataType
+    // an EMPTY landing directory is a normal state for a stream's entry
+    // point (files arrive later) — the sniff's AnalysisException must
+    // not kill stream start, so fall back to the declared schema's
+    // TIMESTAMP and let the first real files match it
+    val fileTsType = scala.util.Try(
+      spark.read.parquet(path).schema("ts").dataType
+    ).getOrElse(eventSchema("ts").dataType)
     val readSchema = StructType(eventSchema.map {
       case f if f.name == "ts" => f.copy(dataType = fileTsType)
       case f => f

@@ -607,6 +607,71 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     got must be(Array((1L, 100L, 4L)))
   }
 
+  behavior of "Decontaminate.substringFlagged (verbatim-run decontamination)"
+
+  it must "flag contiguous verbatim quotes with the MAXIMAL run length and clean drops them" in {
+    val bench = docsDf(Seq(
+      100L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"))
+    val train = docsDf(Seq(
+      // 10-token contiguous quote: 3 consecutive 8-gram anchors on one
+      // diagonal -> run = 3 + (8-1) = 10, the maximal shared run
+      1L -> "intro words q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 outro",
+      // every bench TOKEN present but permuted — no shared 8-gram, the
+      // scattered-overlap case substring decontamination must NOT flag
+      2L -> "q12 q10 q8 q6 q4 q2 q1 q3 q5 q7 q9 q11",
+      // exactly the minimum 8-token quote
+      3L -> "zz q5 q6 q7 q8 q9 q10 q11 q12 yy"))
+    val flagged = graft.ops.Decontaminate.substringFlagged(train, bench)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("overlap_tokens")))
+      .sortBy(_._1)
+    flagged must be(Array((1L, 100L, 10L), (3L, 100L, 8L)))
+    // raising the floor above a doc's maximal run excludes exactly it
+    graft.ops.Decontaminate.substringFlagged(train, bench, minOverlap = 10)
+      .collect().map(_.getLong(0)) must be(Array(1L))
+    val survivors = graft.ops.Decontaminate.substringClean(train, bench)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    survivors must be(Array(2L))
+  }
+
+  it must "split runs across islands instead of bridging a gap" in {
+    // two separate 8-token quotes with an interruption: two diagonals'
+    // islands of one anchor each -> overlap_tokens = 8, never 16+
+    val bench = docsDf(Seq(
+      100L -> "a1 a2 a3 a4 a5 a6 a7 a8 b1 b2 b3 b4 b5 b6 b7 b8"))
+    val train = docsDf(Seq(
+      1L -> "a1 a2 a3 a4 a5 a6 a7 a8 BREAK b1 b2 b3 b4 b5 b6 b7 b8"))
+    val flagged = graft.ops.Decontaminate.substringFlagged(train, bench)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("overlap_tokens")))
+    flagged must be(Array((1L, 100L, 8L)))
+  }
+
+  it must "drop anchors above the bench-position cap LOUDLY instead of fanning out" in {
+    // the same 8-gram at TWO bench positions busts maxBenchPositions=1
+    // — boilerplate by the cap's judgment, so the train quote of it
+    // goes unflagged and the drop is shouted, not silent
+    val bench = docsDf(Seq(
+      100L -> "a1 a2 a3 a4 a5 a6 a7 a8 filler a1 a2 a3 a4 a5 a6 a7 a8"))
+    val train = docsDf(Seq(
+      1L -> "xx a1 a2 a3 a4 a5 a6 a7 a8 yy"))
+    val (capped, dropped) = capturingDrops(expectDrop = true) {
+      graft.ops.Decontaminate.substringFlagged(train, bench,
+          maxBenchPositions = 1)
+        .collect().map(_.getLong(0))
+    }
+    capped must be(Array.empty[Long])
+    dropped must be(1L) // the one repeated-anchor bucket
+    // at the default cap the identical input flags normally
+    val (full, dropped2) = capturingDrops(expectDrop = false) {
+      graft.ops.Decontaminate.substringFlagged(train, bench)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("overlap_tokens")))
+    }
+    full must be(Array((1L, 100L, 8L)))
+    dropped2 must be(0L)
+  }
+
   behavior of "Curation.domainCap (per-domain top-k)"
 
   it must "keep the best cap docs per domain by (score DESC, id ASC) with dense ranks" in {

@@ -268,4 +268,19 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
       stream must be(batch)
     } finally q.stop()
   }
+
+  behavior of "readEvents (file source entry point)"
+
+  it must "start on an EMPTY landing directory via the declared-schema fallback" in {
+    // files arriving later is the normal state for a file stream's
+    // entry point; the ts-type sniff (an eager batch read) must not
+    // turn "no files yet" into an AnalysisException at stream start
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-landing")
+    try {
+      val df = EventsStream.readEvents(spark, dir.toString)
+      df.isStreaming must be(true)
+      df.schema("ts").dataType must be(
+        org.apache.spark.sql.types.TimestampType)
+    } finally java.nio.file.Files.deleteIfExists(dir)
+  }
 }
