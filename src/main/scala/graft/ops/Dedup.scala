@@ -430,14 +430,24 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature from per-bit vote sums over token
-    * xxhash64 values — explode + 64 codegen'd conditional sums in ONE
+    * hashes — explode + 64 codegen'd conditional sums in ONE
     * aggregation pass.
+    *
+    * The token hash is md5-derived (two 32-bit hex halves recombined
+    * into one signed 64-bit word) rather than xxhash64: equally
+    * uniform for simhash voting, but REPRODUCIBLE in ANSI SQL — the
+    * driver's DuckDB oracle recomputes every signature bit for bit
+    * from the same md5, which a Spark-only hash cannot offer. The
+    * cost (md5 vs xxhash64 per distinct token) is noise next to the
+    * banding/verify stages downstream.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         explode(expr("array_distinct(regexp_extract_all(lower(text), '\\\\w+', 0))")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        expr("shiftleft(cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint), 32)" +
+          " | cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)").as("h"))
     val votes = (0 until 64).map { bit =>
       sum(expr(s"CAST(((h >> $bit) & 1) * 2 - 1 AS BIGINT)")).as(s"v$bit")
     }

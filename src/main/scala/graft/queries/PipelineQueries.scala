@@ -9,10 +9,10 @@ import graft.ops.{Curation, Decontaminate, Dedup, Multimodal, Similarity, TextAn
   * with an ANSI-SQL-expressible answer carries a DuckDB oracle —
   * including MinHash-LSH (its VERIFIED pairs are checked against a full
   * all-pairs Jaccard oracle, even though the hashes themselves are
-  * murmur3) and the stub decode (its sniffed-format projection).
-  * Rows-only exemption remaining: dedup_simhash signatures (xxhash64
-  * has no DuckDB equivalent; the PAIRS op built on them is oracle-green
-  * via dedup_simhash_pairs). Every centroid-dependent path is
+  * murmur3), the stub decode (its sniffed-format projection), and the
+  * raw SimHash signatures (md5-derived token hash chosen precisely so
+  * DuckDB recomputes every bit — see simhashOracle; no rows-only
+  * exemptions remain). Every centroid-dependent path is
   * oracle-GATED in-query against its exact twin: ann_ivf_recall for
   * search, dedup_embedding_recall for near-dup pairs. All
   * deterministic.
@@ -68,6 +68,40 @@ object PipelineQueries {
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
       |SELECT doc_id, bench_id, n_shared FROM hits
       |ORDER BY doc_id, bench_id""".stripMargin
+
+  /** DuckDB twin of `Dedup.simhash`: same md5-derived token hash (two
+    * 32-bit hex halves), same per-bit ±1 vote sums, same v>0 sign
+    * threshold — generated because it needs 64 vote columns and 64
+    * bit-weight terms.
+    */
+  private val simhashOracle: String = {
+    val votes = (0 until 64).map { b =>
+      val word = if (b < 32) s"(lo >> $b)" else s"(hi >> ${b - 32})"
+      s"SUM((($word & 1) * 2 - 1)) AS v$b"
+    }.mkString(",\n         ")
+    val bits = (0 until 64).map { b =>
+      val weight =
+        if (b == 63) "(-9223372036854775808)::BIGINT"
+        else s"(${1L << b}::BIGINT)"
+      s"CASE WHEN v$b > 0 THEN $weight ELSE 0::BIGINT END"
+    }.mkString("\n        + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(regexp_extract_all(lower(text), '\\w+'))) AS tok
+       |  FROM documents WHERE doc_id < 50),
+       |h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+       |         ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+       |  FROM toks),
+       |v AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id,
+       |       ($bits) AS simhash
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -665,12 +699,19 @@ object PipelineQueries {
              |FROM runs GROUP BY id_a, id_b
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Raw 64-bit signatures, oracle-checked BIT FOR BIT: the md5-based
+    // token hash (Dedup.simhash scaladoc) lets DuckDB recompute the
+    // identical per-token word, per-bit vote sums and sign-threshold
+    // assembly — closing the last no-oracle row (r7 item 5). The SQL
+    // is generated (64 vote sums + 64 bit terms); bit 63's weight is
+    // the signed MIN_LONG literal because 1<<63 overflows DuckDB's
+    // checked shift, and summing distinct bit weights equals the OR.
     QueryDef(
       "dedup_simhash",
       (s, d) =>
         Dedup.simhash(Tables.documents(s, d).filter(col("doc_id") < 50))
           .orderBy(col("doc_id")),
-      None),
+      Some(simhashOracle)),
 
     // SimHash-banded pairs at the J=1.0 point, where simhash banding is
     // PROVABLY complete and therefore fully oracle-checkable: identical
@@ -681,9 +722,9 @@ object PipelineQueries {
     // id-shifted clone slice — every clone pair must come back through
     // the full band/bucket/gate/verify path (a missed pair, a broken
     // band hash, or a false extra all go red). The sub-1.0 radius
-    // contract (d <= maxHamming, not SQL-expressible — DuckDB has no
-    // xxhash64) is spec-asserted against brute all-pairs Hamming
-    // instead (PipelineOpsSpec).
+    // contract (d <= maxHamming) is spec-asserted against brute
+    // all-pairs Hamming instead (PipelineOpsSpec); the signatures
+    // themselves are oracle-checked bit for bit by dedup_simhash.
     QueryDef(
       "dedup_simhash_pairs",
       (s, d) => {

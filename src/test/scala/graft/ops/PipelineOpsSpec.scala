@@ -172,7 +172,10 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
   }
 
   it must "pair near-duplicates via banded signatures and verify with exact jaccard" in {
-    val nearDup = base.replace("dog", "cat")
+    // one-token swap measured at Hamming 4 under the md5 token hash —
+    // inside the default radius-7 gate (the dog→cat swap sits at 9,
+    // findable only through the widened 2-block keys tested above)
+    val nearDup = base.replace("fox", "wolf")
     val pairs = Dedup.simhashPairs(docsDf(Seq(
       1L -> base, 2L -> nearDup, 3L -> base,
       4L -> "unrelated text that shares zero shingles with anything else at all ok")),
@@ -229,7 +232,8 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
   }
 
   it must "bound simhash pair generation the same way" in {
-    val docs = docsDf(Seq(1L -> base, 2L -> base.replace("dog", "cat")) ++
+    // fox→wolf: Hamming 4 under the md5 token hash, inside radius 7
+    val docs = docsDf(Seq(1L -> base, 2L -> base.replace("fox", "wolf")) ++
       (100L until 160L).map(_ -> boilerplate))
     val (pairs, dropped) = capturingDrops(expectDrop = true) {
       Dedup.simhashPairs(docs, threshold = 0.3, maxBucket = 20).collect()
