@@ -503,16 +503,23 @@ object Dedup {
     val combos: Seq[Seq[Int]] =
       if (blocksPerKey == 1) (0 until b).map(Seq(_))
       else for { i <- 0 until b; j <- (i + 1) until b } yield Seq(i, j)
-    val bandStructs = combos.zipWithIndex.map { case (blocks, ci) =>
-      val key = blocks
-        .map(i => s"((simhash >> ${i * width}) & $mask)")
-        .reduce((a, c) => s"(($a << $width) | $c)")
-      struct(lit(ci).as("band_idx"), expr(key).as("band_bits"))
+    // ONE generic shift expression over an exploded literal combo table
+    // — not one expanded expression tree per combo: at blocksPerKey=2
+    // the C(16,2)=120 per-combo trees compiled to ~10 s of first-run
+    // codegen/JIT (the r7 "unstable even isolated" finding traced
+    // there); the literal array constant-folds and the per-row work is
+    // two shifts parameterized by the combo's block offsets
+    val comboStructs = combos.zipWithIndex.map { case (blocks, ci) =>
+      struct(lit(ci).as("ci"), lit(blocks.head * width).as("s0"),
+        lit(if (blocks.size > 1) blocks(1) * width else -1).as("s1"))
     }
     val bandRows = sig
-      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
+      .select(col("doc_id"), col("simhash"), explode(array(comboStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.ci").as("band_idx"),
+        expr(s"""CASE WHEN bb.s1 < 0 THEN (simhash >> bb.s0) & $mask
+                 |ELSE ((((simhash >> bb.s0) & $mask) << $width)
+                 |      | ((simhash >> bb.s1) & $mask)) END""".stripMargin)
+          .as("band_bits"))
     // signatures ride into the buckets so the Hamming gate needs no
     // extra join — each bucket row is (id, sig), still narrow; the
     // shared LshGuard skeleton caps and drop-accounts the buckets, and
