@@ -1113,6 +1113,38 @@ object PipelineQueries {
              |            AS BIGINT) AS n_bytes,
              |       CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
              |            ELSE 'bin' END AS format
+             |FROM documents WHERE doc_id < 100 ORDER BY path""".stripMargin)),
+
+    // REAL codec round-trip (r7 stretch item): per doc a true PNG/GIF is
+    // encoded by the JDK's ImageIO writer at doc_id-derived dimensions,
+    // then ImageIoDecoder header-parses it back — format, width, height
+    // and frame count must match the construction formula the oracle
+    // recomputes in SQL. This closes the decode loop with a REAL codec
+    // (no stub on this path; StubDecoder remains the non-image
+    // fallback, spec-checked in PipelineOpsSpec). n_bytes is excluded:
+    // PNG/GIF payload size is compressor-dependent, not SQL-predictable.
+    QueryDef(
+      "mm_decode_real",
+      (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val fmt = if (id % 2 == 0) "png" else "gif"
+            ("/mm/" + id, Multimodal.syntheticImage(
+              id, 16 + (id % 48).toInt, 16 + (id % 31).toInt, fmt))
+          })
+          .toDF("path", "data")
+        Multimodal.decodeMeta(payloads, Multimodal.ImageIoDecoder)
+          .select(col("path"), col("format"), col("width"), col("height"),
+            col("n_frames"))
+          .orderBy(col("path"))
+      },
+      Some("""SELECT '/mm/' || doc_id AS path,
+             |       CASE doc_id % 2 WHEN 0 THEN 'png' ELSE 'gif' END AS format,
+             |       CAST(16 + doc_id % 48 AS INT) AS width,
+             |       CAST(16 + doc_id % 31 AS INT) AS height,
+             |       CAST(1 AS INT) AS n_frames
              |FROM documents WHERE doc_id < 100 ORDER BY path""".stripMargin))
   )
 }

@@ -725,6 +725,48 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     again("/mm/1") must be(meta("/mm/1").getAs[Int]("width"))
   }
 
+  behavior of "Multimodal.ImageIoDecoder (real codec path)"
+
+  it must "header-decode true dimensions for JDK-encoded PNG and GIF" in {
+    val png = Multimodal.syntheticImage(seed = 7L, width = 33, height = 21)
+    val gif = Multimodal.syntheticImage(seed = 8L, width = 17, height = 45,
+      format = "gif")
+    val p = Multimodal.ImageIoDecoder.decode("/i/p", png)
+    p.format must be("png")
+    p.width must be(33)
+    p.height must be(21)
+    p.n_frames must be(1)
+    p.n_bytes must be(png.length.toLong)
+    val g = Multimodal.ImageIoDecoder.decode("/i/g", gif)
+    g.format must be("gif")
+    (g.width, g.height) must be((17, 45))
+  }
+
+  it must "fall back to the stub for non-image and truncated payloads" in {
+    val raw = "not an image at all".getBytes
+    Multimodal.ImageIoDecoder.decode("/i/raw", raw) must be(
+      Multimodal.StubDecoder.decode("/i/raw", raw))
+    // a real PNG magic with a severed header must degrade, not throw
+    val cut = Multimodal.syntheticImage(seed = 9L, width = 10, height = 10)
+      .take(12)
+    Multimodal.ImageIoDecoder.decode("/i/cut", cut) must be(
+      Multimodal.StubDecoder.decode("/i/cut", cut))
+  }
+
+  it must "run the real decoder through the distributed decodeMeta path" in {
+    val s = spark
+    import s.implicits._
+    val bin = Seq(
+      ("/i/1", Multimodal.syntheticImage(1L, 20, 30)),
+      ("/i/2", "plain".getBytes)).toDF("path", "data")
+    val meta = Multimodal.decodeMeta(bin, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getAs[String]("path") -> r).toMap
+    meta("/i/1").getAs[String]("format") must be("png")
+    meta("/i/1").getAs[Int]("width") must be(20)
+    meta("/i/1").getAs[Int]("height") must be(30)
+    meta("/i/2").getAs[String]("format") must be("bin")
+  }
+
   behavior of "Multimodal frameSample / resize / featureExtract"
 
   it must "emit every stride-th frame window with exact byte slices" in {
