@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // codegen-heavy suites churn generated classes through the JIT code
+  // cache; the 240 MB default can silently stop compilation mid-suite
+  "-XX:ReservedCodeCacheSize=512m",
+) ++
+  // ad-hoc instrumentation for the forked run/test JVMs (GC logs,
+  // spark.* sysprops, profilers) without editing the build each time
+  sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -29,6 +29,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // see GraftSession: the 100-entry default recompiles every
+      // generated class on every rep of a 92-query suite
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/file-listing warmup so it isn't charged to

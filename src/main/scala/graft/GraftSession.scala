@@ -27,6 +27,14 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static conf, must be set before the first session: the default
+      // 100-entry Janino class cache thrashes the moment a session runs
+      // more than ~a dozen distinct query shapes, and every re-run then
+      // recompiles all its generated classes (~100-300 ms each, on the
+      // driver, serialized) and executes them cold. A long-lived engine
+      // session re-running a query mix is the expected deployment —
+      // size the cache for it.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 
   def getOrCreate(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores).getOrCreate()

@@ -416,11 +416,34 @@ object Dedup {
     */
   private def verifyByJaccard(docs: DataFrame, candidates: DataFrame,
                               shingleN: Int, threshold: Double): DataFrame = {
+    // Explicit width on the candidate docs BEFORE tokenize/shingle/agg:
+    // hashpartitioning(doc_id, n) already satisfies the shingle window's
+    // required distribution, so no AQE-owned exchange exists for byte-
+    // based coalescing to collapse — without this the whole per-doc
+    // tokenize+window+collect pipeline ran as ONE task (text bytes are
+    // tiny; the CPU per row is not). A QUARTER of the session shuffle
+    // width: pinned partitioning exempts ~6 downstream stages from AQE
+    // coalescing, so full width pays small-stage scheduling overhead on
+    // every verify (measured +0.3–2 s/query at 32), while the quarter
+    // keeps the single-thread worst case bounded AND still scales
+    // proportionally with cluster size.
+    val nVerify =
+      math.max(2, docs.sparkSession.sessionState.conf.numShufflePartitions / 4)
     val sets = shingleSets(
-      docs.join(pairIds(candidates, "id_a", "id_b"), Seq("doc_id"), "left_semi"),
+      docs.join(pairIds(candidates, "id_a", "id_b"), Seq("doc_id"), "left_semi")
+        .repartition(nVerify, col("doc_id")),
       shingleN)
+    // Explicit repartition before the per-pair set math: AQE's byte-based
+    // coalescing sees a few KB of candidate rows and collapses them to
+    // ONE partition, but each row costs an array_intersect+array_union
+    // over full shingle sets — the bench's single-task 0.5–3 s verify
+    // stage (and its JIT-sensitivity) traced exactly here. A user-
+    // specified partition count is exempt from AQE coalescing, so the
+    // verify's parallelism follows candidate count, not payload bytes —
+    // the shape a 100 TB candidate set needs anyway.
     attachPairSides(candidates, "id_a", "id_b",
         sets.select(col("doc_id"), col("shingles")), "shingles")
+      .repartition(nVerify, col("id_a"), col("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("left_payload"), col("right_payload")))
           .cast("double") /

@@ -184,6 +184,52 @@ object Multimodal {
       .toDF("path", "resized", "n_bytes")
   }
 
+  /** REAL resize: decode (ImageIO) → nearest-neighbor rescale to exactly
+    * `targetW`×`targetH` → re-encode (lossless PNG by default, so the
+    * output round-trips bit-identically through [[ImageIoDecoder]]).
+    * Nearest-neighbor via explicit RenderingHints keeps the transform
+    * deterministic across JVMs — no platform-dependent smoothing.
+    * Payloads ImageIO cannot decode fall back to the stub byte
+    * projection (format "bin"), so mixed corpora flow instead of
+    * failing the batch. Same partition-wise batch shape as
+    * [[decodeMeta]]: payloads never shuffle, one codec context per
+    * partition.
+    */
+  def resizeImages(binaries: DataFrame, targetW: Int, targetH: Int,
+                   format: String = "png"): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) {
+          // stub fallback — same deterministic projection as resize()
+          val out = Array.tabulate(targetW * targetH) { i =>
+            if (bytes.isEmpty) 0.toByte else bytes(i % bytes.length)
+          }
+          (p, out, "bin")
+        } else {
+          val dst = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, format, bos)
+          (p, bos.toByteArray, format)
+        }
+      })
+      .toDF("path", "resized", "format")
+  }
+
   /** Feature extraction: binary → Array[Float] embedding (stub: hash-
     * derived unit-ish vector) — the output feeds the Similarity ops
     * directly, so multimodal payloads join the ANN/near-dup machinery

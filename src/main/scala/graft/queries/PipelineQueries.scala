@@ -1145,6 +1145,36 @@ object PipelineQueries {
              |       CAST(16 + doc_id % 48 AS INT) AS width,
              |       CAST(16 + doc_id % 31 AS INT) AS height,
              |       CAST(1 AS INT) AS n_frames
+             |FROM documents WHERE doc_id < 100 ORDER BY path""".stripMargin)),
+
+    // Real codec FULL loop: encode at doc-derived dims → decode →
+    // nearest-neighbor rescale to a fixed 24×18 → re-encode PNG →
+    // decode AGAIN. The oracle pins the invariant a real resize must
+    // hold — every output decodes to exactly the target geometry
+    // regardless of input size — which is only checkable because both
+    // codec directions are real (the stub could fake n_bytes but not a
+    // PNG that ImageIO re-parses to 24×18).
+    QueryDef(
+      "mm_resize_real",
+      (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            ("/mm/" + id, Multimodal.syntheticImage(
+              id, 16 + (id % 48).toInt, 16 + (id % 31).toInt,
+              if (id % 2 == 0) "png" else "gif"))
+          })
+          .toDF("path", "data")
+        val resized = Multimodal.resizeImages(payloads, 24, 18)
+        Multimodal.decodeMeta(
+            resized.select(col("path"), col("resized").as("data")),
+            Multimodal.ImageIoDecoder)
+          .select(col("path"), col("format"), col("width"), col("height"))
+          .orderBy(col("path"))
+      },
+      Some("""SELECT '/mm/' || doc_id AS path, 'png' AS format,
+             |       CAST(24 AS INT) AS width, CAST(18 AS INT) AS height
              |FROM documents WHERE doc_id < 100 ORDER BY path""".stripMargin))
   )
 }

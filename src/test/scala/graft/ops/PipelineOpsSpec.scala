@@ -753,6 +753,29 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.StubDecoder.decode("/i/cut", cut))
   }
 
+  it must "really rescale: output re-decodes to target geometry, deterministically" in {
+    val s = spark
+    import s.implicits._
+    val bin = Seq(
+      ("/i/a", Multimodal.syntheticImage(3L, 40, 25)),
+      ("/i/b", Multimodal.syntheticImage(4L, 19, 52, format = "gif")),
+      ("/i/raw", "not an image".getBytes)).toDF("path", "data")
+    val out = Multimodal.resizeImages(bin, 24, 18).collect()
+      .map(r => r.getAs[String]("path") -> r).toMap
+    for (p <- Seq("/i/a", "/i/b")) {
+      out(p).getAs[String]("format") must be("png")
+      val m = Multimodal.ImageIoDecoder.decode(p, out(p).getAs[Array[Byte]]("resized"))
+      (m.width, m.height, m.format) must be((24, 18, "png"))
+    }
+    // non-image fallback keeps flowing with the stub projection
+    out("/i/raw").getAs[String]("format") must be("bin")
+    out("/i/raw").getAs[Array[Byte]]("resized").length must be(24 * 18)
+    // determinism: same payload → byte-identical resized output
+    val again = Multimodal.resizeImages(bin, 24, 18).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Array[Byte]]("resized")).toMap
+    again("/i/a") must be(out("/i/a").getAs[Array[Byte]]("resized"))
+  }
+
   it must "run the real decoder through the distributed decodeMeta path" in {
     val s = spark
     import s.implicits._
