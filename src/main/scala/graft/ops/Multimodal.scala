@@ -230,6 +230,50 @@ object Multimodal {
       .toDF("path", "resized", "format")
   }
 
+  /** REAL feature extraction: decode (ImageIO) → per-cell channel sums
+    * over a `grid`×`grid` partition of the image — one output row per
+    * (path, cell) with exact integer r/g/b sums. Integer sums (not
+    * float means) keep the features bit-reproducible across engines,
+    * and the long format (row per cell) keeps the schema array-free.
+    * Pivot + normalize to get an embedding for the Similarity ops.
+    * Non-decodable payloads are dropped (they carry no pixel
+    * statistics); use [[featureExtract]] for a total function.
+    */
+  def featureGrid(binaries: DataFrame, grid: Int = 2): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val r = Array.ofDim[Long](grid * grid)
+          val g = Array.ofDim[Long](grid * grid)
+          val b = Array.ofDim[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val cell = (y * grid / h) * grid + (x * grid / w)
+              val v = img.getRGB(x, y) & 0xFFFFFF
+              r(cell) += (v >> 16) & 255
+              g(cell) += (v >> 8) & 255
+              b(cell) += v & 255
+              x += 1
+            }
+            y += 1
+          }
+          (0 until grid * grid).iterator.map(c => (p, c, r(c), g(c), b(c)))
+        }
+      })
+      .toDF("path", "cell", "r_sum", "g_sum", "b_sum")
+  }
+
   /** Feature extraction: binary → Array[Float] embedding (stub: hash-
     * derived unit-ish vector) — the output feeds the Similarity ops
     * directly, so multimodal payloads join the ANN/near-dup machinery

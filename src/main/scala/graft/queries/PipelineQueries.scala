@@ -1175,6 +1175,41 @@ object PipelineQueries {
       },
       Some("""SELECT '/mm/' || doc_id AS path, 'png' AS format,
              |       CAST(24 AS INT) AS width, CAST(18 AS INT) AS height
-             |FROM documents WHERE doc_id < 100 ORDER BY path""".stripMargin))
+             |FROM documents WHERE doc_id < 100 ORDER BY path""".stripMargin)),
+
+    // Real feature extraction, exact to the pixel: the synthetic PNG's
+    // pixel at (x,y) is (seed*31 + y*w + x) mod 2^24 by construction,
+    // PNG is lossless, and featureGrid sums integer channel values — so
+    // DuckDB can regenerate every pixel arithmetically and the 2×2-cell
+    // channel sums must match BIT FOR BIT through a real encode→decode.
+    // (PNG only: the GIF writer palette-quantizes, which is lossy.)
+    // The large seed multiplier exercises all three channels.
+    QueryDef(
+      "mm_features_real",
+      (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            ("/mm/" + id, Multimodal.syntheticImage(
+              id * 2654435761L, 16 + (id % 48).toInt, 16 + (id % 31).toInt))
+          })
+          .toDF("path", "data")
+        Multimodal.featureGrid(payloads, grid = 2)
+          .orderBy(col("path"), col("cell"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 31 AS h
+             |  FROM documents WHERE doc_id < 100),
+             |px AS (
+             |  SELECT doc_id, w, h, yy.i AS y, xx.i AS x,
+             |         (doc_id * 2654435761 * 31 + yy.i * w + xx.i) % 16777216 AS v
+             |  FROM d, UNNEST(range(0, h)) AS yy(i), UNNEST(range(0, w)) AS xx(i))
+             |SELECT '/mm/' || doc_id AS path,
+             |       CAST((y * 2) // h * 2 + (x * 2) // w AS INT) AS cell,
+             |       CAST(SUM((v >> 16) & 255) AS BIGINT) AS r_sum,
+             |       CAST(SUM((v >> 8) & 255) AS BIGINT) AS g_sum,
+             |       CAST(SUM(v & 255) AS BIGINT) AS b_sum
+             |FROM px GROUP BY 1, 2 ORDER BY path, cell""".stripMargin))
   )
 }

@@ -776,6 +776,29 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     again("/i/a") must be(out("/i/a").getAs[Array[Byte]]("resized"))
   }
 
+  it must "extract exact per-cell channel sums from decoded pixels" in {
+    val s = spark
+    import s.implicits._
+    val seed = 99999L
+    val (w, h) = (10, 6)
+    val bin = Seq(
+      ("/i/f", Multimodal.syntheticImage(seed, w, h)),
+      ("/i/raw", "undecodable".getBytes)).toDF("path", "data")
+    val rows = Multimodal.featureGrid(bin, grid = 2).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        (r.getAs[Long]("r_sum"), r.getAs[Long]("g_sum"), r.getAs[Long]("b_sum"))).toMap
+    rows.size must be(4) // undecodable payload dropped, 2x2 cells remain
+    // independent recomputation from the construction formula
+    val expect = Array.fill(4)((0L, 0L, 0L))
+    for (y <- 0 until h; x <- 0 until w) {
+      val cell = (y * 2 / h) * 2 + (x * 2 / w)
+      val v = (seed * 31 + y * w + x).toInt & 0xFFFFFF
+      val (r, g, b) = expect(cell)
+      expect(cell) = (r + ((v >> 16) & 255), g + ((v >> 8) & 255), b + (v & 255))
+    }
+    for (c <- 0 until 4) rows(c) must be(expect(c))
+  }
+
   it must "run the real decoder through the distributed decodeMeta path" in {
     val s = spark
     import s.implicits._
