@@ -55,6 +55,59 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  /** Streaming-shaped decontamination: same (doc_id, bench_id, n_shared)
+    * contract and semantics as [[flagged]], but as a PER-ROW probe of a
+    * broadcast benchmark shingle index — no shuffle, no aggregation, no
+    * state store — so it runs under Structured Streaming's append mode
+    * (stream aggregations need an event-time watermark documents don't
+    * have, and window-based shingling is illegal on a stream). The
+    * index is batch-built from the static benchmark side with the SAME
+    * df cap as the join path; the benchmark is bounded by design
+    * (thousands of eval docs), which is exactly what makes broadcasting
+    * it the right 100 TB shape — each streamed row probes locally and
+    * emits only its flagged pairs. Works identically on batch frames
+    * (it is a pure projection), which is how the oracle pins it.
+    */
+  def flaggedStream(stream: DataFrame, benchmark: DataFrame,
+                    n: Int = 3, minShared: Int = 3,
+                    maxBenchDf: Int = 100): DataFrame = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val index: Map[String, Array[Long]] =
+      benchShingleRows(benchmark, n, maxBenchDf)
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_list(col("bench_id"))).as("ids"))
+        .as[(String, Array[Long])]
+        .collect().toMap
+    val bc = spark.sparkContext.broadcast(index)
+    val tokenRe = java.util.regex.Pattern.compile("\\w+")
+    // tokenization MUST mirror Dedup.positionedGrams'
+    // regexp_extract_all(lower(text), '\w+'): Java regex, ROOT-locale
+    // lowercase — a locale-sensitive toLowerCase would diverge from
+    // UTF8String's on dotted-I alphabets
+    val probe = udf { (text: String) =>
+      val m = tokenRe.matcher(
+        Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT))
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) toks += m.group()
+      val hits = scala.collection.mutable.HashMap.empty[Long, Long]
+      if (toks.length >= n) {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        toks.sliding(n).foreach { gram =>
+          val s = gram.mkString(" ")
+          if (seen.add(s))
+            bc.value.getOrElse(s, Array.empty[Long])
+              .foreach(id => hits(id) = hits.getOrElse(id, 0L) + 1L)
+        }
+      }
+      hits.iterator.filter(_._2 >= minShared).toArray.sortBy(_._1)
+    }
+    stream
+      .select(col("doc_id"), explode(probe(col("text"))).as("hit"))
+      .select(col("doc_id"), col("hit._1").as("bench_id"),
+        col("hit._2").as("n_shared"))
+  }
+
   /** Contaminated (doc_id, bench_id, n_shared) pairs: training docs
     * sharing ≥ `minShared` distinct `n`-gram shingles with a benchmark
     * doc. `train` and `benchmark` both need (doc_id, text).

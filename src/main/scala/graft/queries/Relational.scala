@@ -361,6 +361,32 @@ object Relational {
              |    AND h.user_id = e.user_id AND h.props = e.props)
              |ORDER BY event_id""".stripMargin)),
 
+    // ── Streaming decontamination, EXECUTED (fifth streaming channel):
+    //    documents stream through a per-row probe of the broadcast
+    //    benchmark shingle index — stateless append mode, no shuffle,
+    //    so the emitted pair set is batch-predictable row for row and
+    //    shares pipeline_decontaminate's EXACT oracle (same %10 split,
+    //    same n/minShared). ─────────────────────────────────────────────
+    QueryDef(
+      "stream_decontaminate",
+      (s, d) =>
+        graft.streaming.EventsStream.decontaminateAvailableNow(s, d)
+          .orderBy(col("doc_id"), col("bench_id")),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                               for i in range(1, len(t)-1)])) AS shingle
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |hits AS (
+             |  SELECT train.doc_id AS doc_id, bench.doc_id AS bench_id,
+             |         COUNT(*) AS n_shared
+             |  FROM (SELECT * FROM sh WHERE doc_id % 10 <> 0) train
+             |  JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) bench USING (shingle)
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT doc_id, bench_id, n_shared FROM hits
+             |ORDER BY doc_id, bench_id""".stripMargin)),
+
     // ── Conditional aggregation (manual pivot) ──────────────────────────
     QueryDef(
       "q15_conditional_agg",

@@ -104,10 +104,20 @@ object EventsStream {
     */
   private def runAvailableNow(spark: SparkSession, sfDir: String,
                               sink: String)(
+      transform: DataFrame => DataFrame): DataFrame =
+    drainAvailableNow(spark, s"$sfDir/events.parquet", sink)(
+      readEvents(spark, _))(transform)
+
+  /** Generic parquet AvailableNow drain for non-events tables; the
+    * reader receives the staged landing directory.
+    */
+  private def drainAvailableNow(spark: SparkSession, srcParquet: String,
+                                sink: String)(
+      read: String => DataFrame)(
       transform: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val landing = Files.createTempDirectory("graft-events-landing")
-    val src = Paths.get(s"$sfDir/events.parquet")
+    val src = Paths.get(srcParquet)
     val toStage: Seq[Path] =
       if (Files.isDirectory(src)) {
         val s = Files.list(src)
@@ -134,7 +144,7 @@ object EventsStream {
     try {
       var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
-        q = transform(readEvents(spark, landing.toString))
+        q = transform(read(landing.toString))
           .writeStream.format("memory").queryName(sink)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -157,6 +167,35 @@ object EventsStream {
     }
     spark.table(sink)
   }
+
+  /** documents-table file-stream schema — a streaming file source needs
+    * its schema declared up front (matches TESTDATA.md / the parquet
+    * footer; no ts quirks on this table).
+    */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming benchmark decontamination — documents stream through a
+    * per-row probe of the broadcast benchmark shingle index
+    * (`Decontaminate.flaggedStream`): stateless append mode, no
+    * shuffle, each arriving doc immediately emits its flagged
+    * (doc_id, bench_id, n_shared) pairs. The ingest-time shape of
+    * pipeline_decontaminate — same split (doc_id%10==0 is the static
+    * benchmark side), same oracle.
+    */
+  def decontaminateAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    drainAvailableNow(spark, s"$sfDir/documents.parquet",
+      "graft_stream_decontam")(
+      spark.readStream.schema(documentsSchema).parquet(_)) { docs =>
+      graft.ops.Decontaminate.flaggedStream(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0),
+        n = 3, minShared = 3, maxBenchDf = Int.MaxValue)
+    }
 
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
     * for a training-data pipeline: emit each content hash's FIRST

@@ -578,6 +578,54 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     dropped2 must be(0L)
   }
 
+  behavior of "Decontaminate.flaggedStream (broadcast-index per-row probe)"
+
+  it must "emit exactly the join path's pairs, including the df cap" in {
+    val bench = docsDf((0L until 10L).map(i =>
+      (100L + i) -> s"lorem ipsum dolor sit amet unique$i trailer") :+
+      (200L -> "alpha beta gamma delta epsilon zeta"))
+    val train = docsDf(Seq(
+      1L -> "has alpha beta gamma delta epsilon zeta inside",
+      2L -> "lorem ipsum dolor sit amet but nothing else relevant",
+      3L -> "no overlap whatsoever in this one",
+      4L -> "Alpha BETA gamma DELTA epsilon ZETA case-folded"))
+    for (cap <- Seq(5, Int.MaxValue)) {
+      val viaJoin = graft.ops.Decontaminate
+        .flagged(train, bench, minShared = 3, maxBenchDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared")))
+        .sorted
+      val viaProbe = graft.ops.Decontaminate
+        .flaggedStream(train, bench, minShared = 3, maxBenchDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared")))
+        .sorted
+      viaProbe must be(viaJoin)
+    }
+  }
+
+  it must "run statelessly on an actual stream in append mode" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val bench = docsDf(Seq(100L -> "alpha beta gamma delta epsilon zeta"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.Decontaminate
+      .flaggedStream(in.toDF().toDF("doc_id", "text"), bench, minShared = 3)
+      .writeStream.format("memory").queryName("decontam_probe")
+      .outputMode("append").start()
+    try {
+      in.addData(1L -> "xx alpha beta gamma delta yy",
+                 2L -> "unrelated text entirely")
+      q.processAllAvailable()
+      in.addData(3L -> "alpha beta gamma delta epsilon zeta verbatim")
+      q.processAllAvailable()
+      val rows = s.table("decontam_probe").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared"))).sorted
+      // doc 1 shares only 2 shingles (below floor); doc 3 shares 4
+      rows must be(Array((3L, 100L, 4L)))
+    } finally q.stop()
+  }
+
   behavior of "Decontaminate.flaggedBloom (Bloom-pruned variant)"
 
   it must "produce exactly the exact-join's output and actually probe a Bloom filter" in {
