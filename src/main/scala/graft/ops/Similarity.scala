@@ -326,6 +326,108 @@ object Similarity {
     * joining per row. At 100 TB this is one linear pass producing 2×dim
     * floats.
     */
+  /** Deterministic random-hyperplane (sign-)LSH keys: for each of
+    * `tables` hash tables, a `bits`-bit key whose b-th bit is
+    * sign(v · h_tb) for a pseudo-random hyperplane h_tb derived from
+    * (seed, table, bit, dim) via splitmix64 — no RNG state, so the same
+    * vector always lands in the same bucket on every executor and every
+    * run. Computed per partition as a single imperative kernel (a
+    * tables×bits×dim literal-expression formulation would repeat the
+    * SimHash r7 codegen blow-up), one plane matrix per partition.
+    * Emits (id, table, key, vec); vectors never shuffle — candidate
+    * joins broadcast the QUERY side's keys.
+    */
+  private[ops] def lshKeys(vecs: DataFrame, idCol: String,
+                           tables: Int, bits: Int, dim: Int,
+                           seed: Long): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val t = tables; val b = bits; val d = dim; val s0 = seed
+    vecs
+      .select(col(idCol).cast("long").as("id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        // plane(t)(b)(d): symmetric uniform in [-1, 1] from splitmix64
+        val planes = Array.tabulate(t, b, d) { (ti, bi, di) =>
+          val h = splitmix(s0 ^ (ti.toLong << 42) ^ (bi.toLong << 21) ^ di.toLong)
+          (h.toDouble / Long.MaxValue).toFloat
+        }
+        it.flatMap { case (id, v) =>
+          (0 until t).iterator.map { ti =>
+            var key = 0L
+            var bi = 0
+            while (bi < b) {
+              var dot = 0.0f
+              var di = 0
+              val p = planes(ti)(bi)
+              while (di < d && di < v.length) { dot += v(di) * p(di); di += 1 }
+              if (dot > 0) key |= 1L << bi
+              bi += 1
+            }
+            (id, ti, key, v)
+          }
+        }
+      }
+      .toDF("id", "table", "key", "vec")
+  }
+
+  /** LSH-bucketed ANN — the brief's second scale path next to IVF:
+    * corpus vectors key into `tables` sign-LSH tables; a query's
+    * candidates are the union of its buckets across tables (any-table
+    * collision), exact-cosine-scored and ranked with the bounded
+    * map-side `graft_topk`. The corpus never shuffles: query keys
+    * broadcast into the candidate join exactly like IVF's probe side,
+    * and only candidate (q, neighbor) id pairs (plus the two vectors
+    * riding the matched rows) reach the ranking. More tables raise
+    * recall; more bits shrink buckets — the (tables, bits) pair tunes
+    * the same curve (bucket work vs recall) nprobe/K tunes for IVF.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              tables: Int = 24, bits: Int = 4, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val ck = lshKeys(corpus, "vec_id", tables, bits, dim, seed)
+    val qk = lshKeys(queries, "vec_id", tables, bits, dim, seed)
+      .select(col("id").as("q_id"), col("table"), col("key"),
+        col("vec").as("qv"))
+    val candidates = ck
+      .join(broadcast(qk), Seq("table", "key"))
+      .filter(col("q_id") =!= col("id"))
+      // a pair colliding in several tables must score once, not T times
+      .dropDuplicates("q_id", "id")
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        col("qv"), col("vec").as("ev"))
+    topKPerQuery(candidates.withColumn("score", cosine(corpus)), k)
+  }
+
+  /** Recall gate for the LSH path — identical skeleton to [[ivfRecall]]:
+    * per query, at least `floor` of the exact brute top-k must be
+    * recovered, zero-hit queries surface as red rows.
+    */
+  def lshRecall(queries: DataFrame, corpus: DataFrame, k: Int, floor: Int,
+                tables: Int = 24, bits: Int = 4, dim: Int = 64,
+                seed: Long = 42L): DataFrame = {
+    val lsh = lshTopK(queries, corpus, k, tables, bits, dim, seed)
+      .select(col("q_id"), col("neighbor_id"))
+    val brute = bruteTopK(queries, corpus, k)
+      .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
+    val hits = lsh
+      .join(brute,
+        col("q_id") === col("bq") && col("neighbor_id") === col("bn"),
+        "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
+  }
+
   private[ops] def sq8Bounds(corpus: DataFrame): DataFrame =
     corpus
       .select(posexplode(col("embedding")).as(Seq("dim", "v")))

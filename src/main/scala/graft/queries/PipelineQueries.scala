@@ -826,6 +826,28 @@ object PipelineQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
 
+    // LSH-bucketed ANN scale path (sign-LSH over deterministic
+    // splitmix-derived hyperplanes), recall-gated per query against the
+    // exact brute top-5 like ann_ivf_recall: the oracle demands
+    // recall_ok for every query, so a parameter set whose any-table
+    // candidate union misses the floor goes red — the gate measures the
+    // real (tables, bits) operating point, not a vacuous smoke test.
+    QueryDef(
+      "ann_lsh_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // (24, 4) measured tri-SF: hits 4-5/5 per query (PLANS.md r8).
+        // The synthetic near-uniform embeddings are sign-LSH's worst
+        // case (neighbors at wide angles), so the operating point is
+        // coarse buckets × many tables; a clustered real corpus
+        // supports more bits (smaller buckets) at the same recall.
+        Similarity.lshRecall(emb.filter(col("vec_id") < 5), emb,
+            k = 5, floor = 4, tables = 24, bits = 4)
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
     // SQ8 scale path: int8-quantized candidate generation (native
     // graft_int_dot — 4× less scan bandwidth than float cosine over the
     // full corpus) + exact float rerank of cand=50 candidates, gated on

@@ -362,6 +362,60 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     recall.forall(_.getBoolean(1)) must be(true)
   }
 
+  behavior of "Similarity sign-LSH (lshKeys / lshTopK / lshRecall)"
+
+  it must "key deterministically and collide identical vectors in every table" in {
+    val v = Seq.tabulate(8)(i => (i + 1) * 0.1f)
+    val df = embDf(Seq(0L -> v, 1L -> v, 2L -> v.map(-_)))
+    val keys = Similarity.lshKeys(df, "vec_id", tables = 4, bits = 6,
+        dim = 8, seed = 42L)
+      .select(col("id"), col("table"), col("key")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    keys.size must be(12) // 3 vecs x 4 tables
+    for (t <- 0 until 4) {
+      keys((0L, t)) must be(keys((1L, t))) // identical vecs share buckets
+      // the antipode flips every sign bit
+      keys((2L, t)) must be(~keys((0L, t)) & 0x3FL)
+    }
+    // rerun: bit-identical (no RNG state)
+    val again = Similarity.lshKeys(df, "vec_id", tables = 4, bits = 6,
+        dim = 8, seed = 42L)
+      .select(col("id"), col("table"), col("key")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    again must be(keys)
+  }
+
+  it must "recover brute top-1 on clustered vectors and gate recall" in {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 64L).map { i =>
+      val axis = (i % 4).toInt
+      val v = Array.fill(8)(rnd.nextFloat() * 0.05f)
+      v(axis) = 1f
+      i -> v.toSeq
+    }
+    val df = embDf(vecs)
+    val queries = df.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteTopK(queries, df, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTopK(queries, df, k = 1, tables = 8, bits = 4,
+        dim = 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lsh must be(brute)
+    val recall = Similarity.lshRecall(queries, df, k = 1, floor = 1,
+      tables = 8, bits = 4, dim = 8).collect()
+    recall.length must be(4)
+    recall.forall(_.getBoolean(1)) must be(true)
+  }
+
+  it must "score a multi-table collision once, not once per table" in {
+    val v = Seq.tabulate(8)(i => (i + 1) * 0.1f)
+    // near-identical pair collides in EVERY table
+    val df = embDf(Seq(0L -> v, 1L -> v.map(_ * 1.01f)))
+    val top = Similarity.lshTopK(df.filter(col("vec_id") < 1), df, k = 5,
+      tables = 8, bits = 4, dim = 8).collect()
+    top.length must be(1) // one (q, neighbor) row despite 8 collisions
+    top(0).getLong(1) must be(1L)
+  }
+
   it must "move centroids to cluster means under Lloyd iterations" in {
     // 4 tight clusters around orthogonal axes; seeds = first 4 vectors
     // (one per cluster since axis = i % 4)
