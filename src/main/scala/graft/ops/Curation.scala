@@ -92,6 +92,26 @@ object Curation {
     * recover payloads (the kept-id set is ≤ |domains|×cap rows,
     * broadcast-sized by construction).
     */
+  /** C4/Gopher-style rule gate: keep documents passing every hard
+    * quality filter — minimum word count, punctuation-density ceiling,
+    * and a stopword-ratio FLOOR (the Gopher "is this natural language"
+    * heuristic: real prose contains function words; keyword lists,
+    * logs, and code dumps don't). Emits the surviving ids with their
+    * scores so downstream stages can re-verify or re-rank. Pure
+    * per-row projection + filter on the corpus scan — no shuffle, no
+    * aggregation; at 100 TB this is a single codegen'd pass whose
+    * selectivity shows up in the scan's output row count.
+    */
+  def qualityFilter(docs: DataFrame, minWords: Int = 5,
+                    maxPunctRatio: Double = 0.1,
+                    minStopwordRatio: Double = 0.02): DataFrame =
+    TextAnalysis.quality(docs)
+      .filter(col("n_words") >= minWords &&
+        col("punct_ratio") < maxPunctRatio &&
+        col("stopword_ratio") >= minStopwordRatio)
+      .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+        col("stopword_ratio"))
+
   def domainCap(docs: DataFrame, domain: Column, score: Column,
                 id: Column, cap: Int): DataFrame = {
     require(cap > 0, "cap must be positive")

@@ -1066,6 +1066,32 @@ object PipelineQueries {
              |  FROM documents)
              |GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin)),
 
+    // Rule-based quality gate (C4/Gopher shape): hard word-count,
+    // punctuation-density, and stopword-floor filters in one codegen'd
+    // pass. On this corpus the stopword floor is the discriminating
+    // rule (~12% drop measured sf0.01) so the gate provably fires; both
+    // engines filter on the ROUNDED ratio columns they hash-compare.
+    QueryDef(
+      "pipeline_quality_filter",
+      (s, d) => Curation.qualityFilter(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, LENGTH(text) AS n_chars,
+             |         regexp_extract_all(lower(text), '\w+') AS toks,
+             |         LEN(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_words,
+             |         ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+             |         ROUND(CAST(LEN(list_filter(toks,
+             |               w -> w IN ('the','a','of','and','to','in','is','it')))
+             |               AS DOUBLE) / LEN(toks), 6) AS stopword_ratio
+             |  FROM t)
+             |SELECT doc_id, n_words, punct_ratio, stopword_ratio FROM q
+             |WHERE n_words >= 5 AND punct_ratio < 0.1
+             |  AND stopword_ratio >= 0.02
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── Multimodal binary columns ───────────────────────────────────────
     QueryDef(
       "mm_sniff",

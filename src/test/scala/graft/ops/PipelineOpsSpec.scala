@@ -827,6 +827,23 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     again("/mm/1") must be(meta("/mm/1").getAs[Int]("width"))
   }
 
+  behavior of "Curation.qualityFilter (rule gate)"
+
+  it must "drop documents failing any hard rule and keep prose" in {
+    val docs = docsDf(Seq(
+      1L -> "the cat sat on the mat and it is a fine day today.", // passes all
+      2L -> "it is too few",                              // < 5 words
+      3L -> "a; b; c; d; e; f; g; h; i; j; k; l,,,!!!",   // punct-dense
+      4L -> "alpha beta gamma delta epsilon zeta eta"))   // zero stopwords
+    val kept = Curation.qualityFilter(docs).collect().map(_.getLong(0))
+    kept must be(Array(1L))
+    // relaxing exactly the violated rule admits exactly that doc
+    Curation.qualityFilter(docs, minStopwordRatio = 0.0)
+      .collect().map(_.getLong(0)).sorted must be(Array(1L, 4L))
+    Curation.qualityFilter(docs, minWords = 2)
+      .collect().map(_.getLong(0)).sorted must be(Array(1L, 2L))
+  }
+
   behavior of "Multimodal.ImageIoDecoder (real codec path)"
 
   it must "header-decode true dimensions for JDK-encoded PNG and GIF" in {
