@@ -293,6 +293,71 @@ object Dedup {
         size(col("left_payload")).cast("long").as("n_short"))
   }
 
+  /** Exact n-gram Jaccard near-dup — the inverted-index COUNTING join
+    * (the Vernica et al. MapReduce set-similarity family): EVERY pair
+    * with word-n-gram Jaccard ≥ `threshold` is reported with its exact
+    * value, no probabilistic recall assumption. MinHash's S-curve
+    * leaves a weak-recall band below ~0.85 where true pairs can slip;
+    * this channel is exact by construction, so it is the right tool
+    * when the threshold sits below LSH's reliable band.
+    *
+    * Shape: every shingle bucket explodes into its i<j pairs WITH
+    * multiplicity, and a map-side-combined `count` per (id_a, id_b) is
+    * then exactly |A∩B| (shingle rows are distinct per doc, so each
+    * common shingle contributes one row). J = c / (|A| + |B| − c) needs
+    * only the slim per-doc size table — the whole pipeline is integer
+    * columns through codegen'd Generates and hash aggregation; nothing
+    * ever shuffles shingle STRINGS per pair. A prefix-filter variant
+    * (rank shingles rare-first, pair only within |s| − ⌈t·|s|⌉ + 1
+    * prefixes, then verify sets) was measured 4× slower here: at low
+    * thresholds the prefix covers most of each doc, and the set-verify
+    * melt-join shuffles ~50-element string arrays per candidate —
+    * 582k candidates at sf0.1 made verification, not candidate
+    * generation, the bottleneck.
+    *
+    * Cap semantics (precision-safe): a bucket larger than `maxBucket`
+    * is dropped loudly via the shared LshGuard skeleton, and every id
+    * it held is TAINTED — pairs touching a tainted id are removed
+    * entirely rather than reported with an undercounted overlap. A
+    * surviving pair's ids sat in no dropped bucket, so every common
+    * shingle's bucket survived and its count is exact: caps cost
+    * recall (shouted), never a wrong value. Degenerate boilerplate
+    * floods therefore converge to an empty, loudly-accounted result —
+    * exact-dedup upstream remains the fix, as with every generator.
+    *
+    * At 100 TB: one shuffle groups shingle rows into buckets, pair
+    * multiplicity rows partial-aggregate before their shuffle, and the
+    * bucket cap bounds the explode at cap·|rows|/2 by construction —
+    * nothing is all-pairs, and no stage's width depends on corpus luck.
+    */
+  def ngramJaccardPairs(docs: DataFrame,
+                        shingleN: Int = 3,
+                        threshold: Double = 0.5,
+                        maxBucket: Int = 1000): DataFrame = {
+    val rows = shingleRows(docs, shingleN)
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val buckets = rows.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    // ids from dropped buckets; the groupBy exchange is reused across
+    // this branch and the capped branch (ReuseExchange), not recomputed
+    val tainted = buckets.filter(size(col("ids")) > maxBucket)
+      .select(explode(col("ids")).as("tid")).distinct()
+    val counts = LshGuard.capBuckets(buckets, "ids", maxBucket, "ngram_jaccard")
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("i"), col("id_a"), posexplode(col("ids")).as(Seq("j", "id_b")))
+      .filter(col("i") < col("j"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    counts
+      .join(tainted, col("id_a") === col("tid"), "left_anti")
+      .join(tainted, col("id_b") === col("tid"), "left_anti")
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact-substring overlap dedup — the Lee et al. ("Deduplicating
     * Training Data Makes Language Models Better") ExactSubstr mode:
     * report every cross-doc pair sharing a VERBATIM run of ≥ k tokens,

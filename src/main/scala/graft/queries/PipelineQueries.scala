@@ -371,6 +371,34 @@ object PipelineQueries {
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Exact n-gram Jaccard via the inverted-index counting join — NO
+    // soundness assumption needed, unlike the LSH rows above: overlap
+    // counts are exact by construction (bucket pair multiplicities sum
+    // to |A∩B|), so the oracle holds at ANY threshold, including 0.35
+    // here — inside MinHash's weak-recall band, where the S-curve
+    // argument could not certify an LSH channel.
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, d) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), shingleN = 3,
+            threshold = 0.35)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
+             |WHERE j >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
+
     // Incremental exact dedup: every-10th doc stands in as the daily
     // increment, the rest as history — each new doc is flagged when its
     // exact content already exists in history (one sha equi-join; the

@@ -69,6 +69,54 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     weak must be(0L)
   }
 
+  behavior of "Dedup.ngramJaccardPairs (exact inverted-index counting join)"
+
+  it must "match brute-force all-pairs Jaccard exactly (lossless counting)" in {
+    // the channel's whole claim is exactness: at a threshold below the
+    // LSH-reliable band the output must equal the all-pairs result,
+    // pair for pair and value for value — no S-curve escape hatch
+    val docs = docsDf(Seq(
+      1L -> base,
+      2L -> base,
+      3L -> base.replace("dog", "cat"),
+      4L -> (base + " with a moderately divergent tail of extra words appended"),
+      5L -> "unrelated text that shares zero shingles with anything else at all ok",
+      6L -> "another disjoint document about query planners and shuffle exchanges",
+      7L -> (base.replace("quick", "slow").replace("lazy", "sleepy") +
+        " plus more drift so the overlap lands mid-band")))
+    val t = 0.35
+    val got = Dedup.ngramJaccardPairs(docs, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = Dedup.shingleSets(docs)
+    val brute = sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      .join(broadcast(sets.select(col("doc_id").as("id_b"),
+        col("shingles").as("sh_b"))), col("id_a") < col("id_b"))
+      .withColumn("j",
+        org.apache.spark.sql.functions.size(
+          array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          org.apache.spark.sql.functions.size(
+            array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("j") >= t)
+      .select(col("id_a"), col("id_b"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    brute must not be empty // the fixture must actually exercise mid-band pairs
+    got must be(brute)
+  }
+
+  it must "cap oversized buckets loudly instead of exploding pairs" in {
+    // identical docs share every shingle, so every bucket holds all of
+    // them; a cap of 3 must shout, taint the flood, and report nothing
+    // rather than emit undercounted Jaccard values
+    val flood = docsDf((1L to 6L).map(_ -> base))
+    val (pairs, dropped) = capturingDrops(expectDrop = true) {
+      Dedup.ngramJaccardPairs(flood, threshold = 0.35, maxBucket = 3).collect()
+    }
+    dropped must be > 0L
+    // tainted ids' pairs are removed entirely — caps cost recall
+    // (shouted), never an undercounted-but-reported value
+    pairs must be(empty)
+  }
+
   behavior of "Dedup.components (near-dup clustering)"
 
   it must "collapse transitive chains to min-label components across iterations" in {
