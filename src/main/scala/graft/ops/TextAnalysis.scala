@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, all built from
@@ -144,6 +145,44 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_distinct"),
         min(col("df")).cast("long").as("min_df"),
         round(sum(col("df")).cast("double") / count(lit(1)), 4).as("avg_df"))
+  }
+
+  /** Per-document top-k characteristic terms by TF-IDF — the keyword /
+    * topic-signal extractor (feeds domain tagging and near-dup triage).
+    * Uses the LINEAR idf variant, score = tf · N / df, deliberately:
+    * the classic ln(N/df) damping would hinge on `ln` rounding
+    * identically in every engine (the JVM's Math.log is not guaranteed
+    * correctly rounded), while tf·N is an exact integer and one IEEE
+    * division by df is bit-identical everywhere — the same
+    * integers-through-one-division rule every hash-compared double in
+    * this repo follows. Ranking happens on the UNROUNDED score (also
+    * deterministic for the same reason) with the term string as
+    * tiebreak, so the selected set — not just the values — is stable
+    * across engines.
+    *
+    * Shape mirrors tokenRarity: the vocabulary-sized df table
+    * broadcasts into the (doc, term, tf) probe so the corpus-sized side
+    * never reshuffles for the join, and the top-k window partitions by
+    * doc_id — per-doc state, no hot key, no global sort. tf aggregates
+    * map-side-combine before their one shuffle.
+    */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(tokens).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val termDf = words.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("df"))
+    val n = docs.select(count(lit(1)).cast("long").as("n_docs"))
+    val byScore = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(broadcast(termDf), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("w"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"), col("rk"))
   }
 
   /** Corpus heavy hitters: the `k` word-n-grams appearing in the most

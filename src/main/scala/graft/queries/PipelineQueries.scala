@@ -241,6 +241,33 @@ object PipelineQueries {
              |FROM dw JOIN tdf USING (w)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Per-doc top-3 characteristic terms by TF-IDF (linear idf: score =
+    // tf·N/df — exact integers through ONE IEEE division, so ranking and
+    // value are bit-identical in both engines; ln damping would hinge
+    // on cross-engine ln rounding). Rank on the unrounded score, term
+    // string as tiebreak; emit rounded.
+    QueryDef(
+      "text_tfidf",
+      (s, d) => TextAnalysis.tfidf(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rk")),
+      Some("""WITH wd AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM wd GROUP BY 1, 2),
+             |tdf AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |        FROM wd GROUP BY 1),
+             |s AS (SELECT doc_id, w, tf, df,
+             |             CAST(tf AS DOUBLE) *
+             |               (SELECT COUNT(*) FROM documents) / df AS score
+             |      FROM tf JOIN tdf USING (w)),
+             |r AS (SELECT *, ROW_NUMBER() OVER
+             |               (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+             |      FROM s)
+             |SELECT doc_id, w, tf, df, ROUND(score, 4) AS tfidf,
+             |       CAST(rk AS INTEGER) AS rk
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // JSONL export round-trip: write the documents slice as JSON Lines
     // (the interchange format training pipelines actually ship), read
     // it back schema-pinned (no inference scan), and hash-compare

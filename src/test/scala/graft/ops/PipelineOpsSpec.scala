@@ -1232,6 +1232,37 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out(1).getDouble(3) must be(2.0)
   }
 
+  behavior of "TextAnalysis.tfidf (per-doc characteristic terms)"
+
+  it must "rank a doc's unique term above corpus-wide stopwords" in {
+    // 3 docs: "shared" in all (df=3), each doc has one unique term (df=1).
+    // linear idf: unique term score = tf·3/1 = 3, "shared" = tf·3/3 = tf
+    val out = TextAnalysis.tfidf(docsDf(Seq(
+        1L -> "shared alpha shared",
+        2L -> "shared beta",
+        3L -> "shared gamma")), k = 2)
+      .orderBy(col("doc_id"), col("rk")).collect()
+    out.length must be(6) // 2 terms × 3 docs
+    // doc 1: alpha (1·3/1 = 3.0) beats shared (2·3/3 = 2.0)
+    out(0).getString(1) must be("alpha")
+    out(0).getDouble(4) must be(3.0)
+    out(1).getString(1) must be("shared")
+    out(1).getDouble(4) must be(2.0)
+    // doc 2: beta 3.0, then shared 1·3/3 = 1.0
+    out(2).getString(1) must be("beta")
+    out(3).getDouble(4) must be(1.0)
+  }
+
+  it must "break score ties deterministically by term string" in {
+    // two unique terms with equal tf in one doc tie on score — the
+    // emitted SET and order must pick lexicographic term order
+    val out = TextAnalysis.tfidf(docsDf(Seq(
+        1L -> "zeta alpha", 2L -> "filler")), k = 2)
+      .filter(col("doc_id") === 1L)
+      .orderBy(col("rk")).collect()
+    out.map(_.getString(1)).toSeq must be(Seq("alpha", "zeta"))
+  }
+
   it must "round-trip unicode, quotes, and embedded newlines through JSONL" in {
     val s = spark
     import s.implicits._
