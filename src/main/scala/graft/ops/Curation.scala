@@ -29,6 +29,42 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Deterministic per-row uniform in [0, 1) — a Lehmer-style
+    * multiplicative hash of the id: ((id + seed)·2654435761) mod
+    * (2³¹−1), divided once. The seed mixes BEFORE the multiply — an
+    * additive-after-multiply seed would shift u by only seed/2³¹
+    * (~1.6e−8 per unit) and leave every keep/drop decision unchanged;
+    * pre-mixing relabels every id, so each seed draws an independent
+    * same-law sample. Exact 64-bit integer arithmetic (the product
+    * stays under Long.Max for |id + seed| up to ~3.4·10⁹) plus one
+    * IEEE division, so the value — and therefore every decision built
+    * on it — is bit-identical in any engine that does exact integer
+    * math, unlike engine RNGs, whose streams differ by partitioning.
+    * Knuth's multiplier gives the avalanche sampling needs; this is a
+    * sampling hash, not a cryptographic one.
+    */
+  def uniformHash(id: Column, seed: Long): Column =
+    (((id + lit(seed)) * lit(2654435761L)) % lit(2147483647L))
+      .cast("double") / lit(2147483647.0)
+
+  /** Deterministic weighted (importance) sampling: keep each document
+    * with probability `weight` (clamped to [0, 1]) using the
+    * reproducible [[uniformHash]] stream — "sample proportional to
+    * quality/length" without an RNG, so reruns, audits, and the oracle
+    * all see the same training set. Emits the uniform draw `u` and the
+    * clamped weight `w` (the downstream importance-reweight factor is
+    * 1/w). One codegen'd per-row pass, no shuffle — at 100 TB this is
+    * a scan-speed filter.
+    */
+  def weightedSample(docs: DataFrame, weight: Column,
+                     seed: Long = 42L): DataFrame = {
+    val w = least(lit(1.0), greatest(lit(0.0), weight))
+    docs
+      .withColumn("w", w)
+      .withColumn("u", uniformHash(col("doc_id"), seed))
+      .filter(col("u") < col("w"))
+  }
+
   /** Overlapping token chunking — the window-with-stride preprocessing
     * step RAG indexing and long-document pretraining both run: each doc
     * yields ⌈max(n−size,0)/stride⌉+1 chunks of up to `size` tokens

@@ -1056,6 +1056,39 @@ object PipelineQueries {
              |  FROM documents)
              |WHERE rn % 10 = 1 ORDER BY lang, doc_id""".stripMargin)),
 
+    // Deterministic weighted (importance) sampling: keep each doc with
+    // probability proportional to its token length (clamped at 200
+    // tokens), decided by the Lehmer-hash uniform — exact integer
+    // arithmetic + one division in BOTH engines, so every keep/drop
+    // decision is bit-identical and the sample hash-checks (an RNG
+    // sample never could: engine streams differ by partitioning).
+    QueryDef(
+      "pipeline_weighted_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tokens", size(TextAnalysis.tokens).cast("long"))
+        Curation.weightedSample(docs,
+            col("n_tokens").cast("double") / lit(200.0), seed = 42L)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("w"), 6).as("w"), round(col("u"), 6).as("u"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(LEN(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
+             |           AS n_tokens
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, n_tokens,
+             |         LEAST(CAST(1.0 AS DOUBLE),
+             |               GREATEST(CAST(0.0 AS DOUBLE),
+             |                        CAST(n_tokens AS DOUBLE) / 200)) AS w,
+             |         CAST(((doc_id + 42) * 2654435761) % 2147483647 AS DOUBLE) /
+             |           2147483647 AS u
+             |  FROM t)
+             |SELECT doc_id, n_tokens, ROUND(w, 6) AS w, ROUND(u, 6) AS u
+             |FROM s WHERE u < w ORDER BY doc_id""".stripMargin)),
+
     // Sequence-packing plan — per-language cumulative token offsets
     // assign each doc to its 4096-token pack (the planner step of a
     // concat-and-chunk tokenization run): one window prefix-sum per

@@ -331,6 +331,39 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     dropped2 must be(0L)
   }
 
+  behavior of "Curation.weightedSample (deterministic importance sampling)"
+
+  it must "keep everything at weight 1, nothing at weight 0, and reproduce exactly" in {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Curation.weightedSample(docs, lit(1.0)).count() must be(500L)
+    Curation.weightedSample(docs, lit(0.0)).count() must be(0L)
+    val a = Curation.weightedSample(docs, lit(0.3)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.weightedSample(docs, lit(0.3)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    a must be(b) // no RNG: rerun = same sample
+    // empirical rate near the target (Lehmer stream is uniform enough)
+    a.size.toDouble / 500 must (be >= 0.2 and be <= 0.4)
+    // a different seed draws a different (same-law) sample
+    val c = Curation.weightedSample(docs, lit(0.3), seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    c must not be a
+  }
+
+  it must "clamp out-of-range weights and emit the reweight factor inputs" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val kept = Curation.weightedSample(docs, lit(5.0)).collect()
+    kept.length must be(2) // clamped to 1.0 keeps all
+    kept.foreach { r =>
+      r.getAs[Double]("w") must be(1.0)
+      r.getAs[Double]("u") must (be >= 0.0 and be < 1.0)
+    }
+  }
+
   behavior of "Curation planners"
 
   it must "pick every k-th doc per stratum deterministically" in {
