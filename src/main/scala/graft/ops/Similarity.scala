@@ -558,4 +558,152 @@ object Similarity {
         .withColumn("score", cosine(corpus)),
       k)
   }
+
+  /** Product-quantization codebooks: the embedding splits into `m`
+    * contiguous `dim/m`-wide subspaces, and each subspace trains its own
+    * `ksub`-centroid spherical k-means codebook (the Jégou et al. "PQ"
+    * index shape). Reuses [[kmeansCentroids]] per subspace — m small
+    * driver-looped DISTRIBUTED trainings, the offline index-build pass
+    * of a production pipeline. Deterministic: first-K seeds, no RNG.
+    * Returns (subspace, c_id, cv).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
+                  dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      kmeansCentroids(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
+        ksub, iters)
+        .select(lit(s).as("subspace"), col("vec_id").as("c_id"),
+          col("embedding").as("cv"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ top-k: m-byte-code candidate generation + exact float rerank —
+    * the third scale path next to IVF (bucket pruning) and SQ8 (narrow
+    * exact scan). The full-corpus candidate scan touches only each
+    * vector's m subspace codes: ADC (asymmetric distance computation)
+    * approximates cosine as Σ_s lut[s][code_s] / (|q|·|v̂|), where the
+    * per-query lut holds q's sub-vector dot against every codebook
+    * centroid and |v̂| is the reconstruction norm stored at encode time
+    * — m table lookups per (row, query) instead of `dim` multiplies,
+    * and a dim·32/(m·log₂ksub)-fold smaller index (64× here: 4-byte
+    * codes vs 256-byte vectors) in the scan that touches EVERY corpus
+    * row. Encode and score run as per-partition kernels against the
+    * broadcast codebook (the lshKeys precedent — an m×ksub×dsub
+    * nested-HOF expression would re-slice computed arrays per centroid,
+    * the r5 154× trap). Exact rerank over `cand` ≫ k candidates
+    * absorbs quantization error; everything breaks ties by id, so the
+    * result is deterministic end to end.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, cand: Int,
+             m: Int = 4, ksub: Int = 16, iters: Int = 1,
+             dim: Int = 64): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    // cb(s)(c)(d) + per-centroid norms, driver-held (m×ksub×dsub floats)
+    // and closure-broadcast into both kernels
+    val cbRows = pqCodebooks(corpus, m, ksub, iters, dim).collect()
+    val cb = Array.ofDim[Array[Float]](m, ksub)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getLong(1).toInt) =
+      r.getSeq[Float](2).toArray)
+    val cbNorm = cb.map(_.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)))
+
+    def subDot(v: Array[Float], s: Int, c: Array[Float]): Double = {
+      var dot = 0.0; var d = 0
+      while (d < dsub && s * dsub + d < v.length) {
+        dot += v(s * dsub + d).toDouble * c(d); d += 1
+      }
+      dot
+    }
+
+    // queries are broadcast-small by contract (as in every path here):
+    // collect once, precompute each query's lut[s][c] and norm
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val qLut = qRows.map { case (qid, qv) =>
+      val lut = Array.tabulate(m, ksub)((s, c) => subDot(qv, s, cb(s)(c)))
+      val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      (qid, lut, qn)
+    }
+
+    // encode+score in ONE corpus pass: code_s = argmax_c cos(v_s, c)
+    // (ties to the lower c_id), |v̂|² = Σ_s |c_code|², then every
+    // query's ADC score from its lut — emitted rows are slim
+    // (q_id, neighbor_id, ascore) straight into the bounded top-cand
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val codes = new Array[Int](m)
+          var rn2 = 0.0
+          var s = 0
+          while (s < m) {
+            var best = 0; var bestScore = Double.NegativeInfinity
+            var c = 0
+            while (c < ksub) {
+              val n = cbNorm(s)(c)
+              val sc = if (n == 0.0) 0.0 else subDot(v, s, cb(s)(c)) / n
+              if (sc > bestScore) { best = c; bestScore = sc }
+              c += 1
+            }
+            codes(s) = best
+            rn2 += cbNorm(s)(best) * cbNorm(s)(best)
+            s += 1
+          }
+          val rn = math.sqrt(rn2)
+          qLut.iterator.filter(_._1 != id).map { case (qid, lut, qn) =>
+            var adc = 0.0
+            var si = 0
+            while (si < m) { adc += lut(si)(codes(si)); si += 1 }
+            (qid, id, if (rn == 0.0 || qn == 0.0) 0.0 else adc / (qn * rn))
+          }
+        }
+      }
+      .toDF("q_id", "neighbor_id", "ascore")
+
+    val candidates = scored
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(ascore, neighbor_id, $cand)").as("top"))
+      .select(col("q_id"),
+        explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
+    // ≤ |queries| × cand rows by construction — broadcast so the
+    // float-vector fetch is a map-side BHJ and the corpus never shuffles
+    topKPerQuery(
+      broadcast(candidates)
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ev")), "neighbor_id")
+        .join(broadcast(queries.select(col("vec_id").as("q_id"),
+          col("embedding").as("qv"))), "q_id")
+        .withColumn("score", cosine(corpus)),
+      k)
+  }
+
+  /** Recall gate for the PQ path against the exact brute twin — the
+    * same deterministic, oracle-checkable contract as `ivfRecall` /
+    * `sq8Recall`: every query must recover ≥ `floor` of its true top-k
+    * through the coded candidate pass.
+    */
+  def pqRecall(queries: DataFrame, corpus: DataFrame, k: Int, cand: Int,
+               floor: Int, m: Int = 4, ksub: Int = 16, iters: Int = 1,
+               dim: Int = 64): DataFrame = {
+    val pq = pqTopK(queries, corpus, k, cand, m, ksub, iters, dim)
+      .select(col("q_id"), col("neighbor_id"))
+    val brute = bruteTopK(queries, corpus, k)
+      .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
+    val hits = pq
+      .join(brute,
+        col("q_id") === col("bq") && col("neighbor_id") === col("bn"),
+        "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
+  }
 }

@@ -939,6 +939,27 @@ object PipelineQueries {
       },
       Some(bruteTopKOracle)),
 
+    // PQ (product quantization) — the fourth ANN path: m-byte codes in
+    // the full-corpus candidate scan (64× smaller than float vectors
+    // here), ADC lookup scoring, exact rerank. (8 subspaces, 32
+    // centroids, cand=300) measured tri-SF: 4-5/5 per query, stable
+    // across 3 reps (PLANS.md r8). The near-uniform synthetic
+    // embeddings are the hard case for PQ as for sign-LSH — true
+    // neighbors sit at wide angles, so quantization cells separate
+    // them and the honest operating point spends a 6% candidate
+    // fraction; a clustered real corpus reaches the same recall with
+    // far fewer candidates.
+    QueryDef(
+      "ann_pq_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqRecall(emb.filter(col("vec_id") < 5), emb,
+            k = 5, cand = 300, floor = 4, m = 8, ksub = 32, iters = 1)
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
     // Embedding-cosine near-dup, recall-gated in-query against the
     // exact all-pairs twin on the bounded slice (the dedup analog of
     // ann_ivf_recall): bucket assignment is centroid-dependent, but

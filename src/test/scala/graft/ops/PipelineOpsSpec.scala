@@ -443,6 +443,49 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     recall.forall(_.getBoolean(1)) must be(true)
   }
 
+  behavior of "Similarity PQ (pqCodebooks / pqTopK / pqRecall)"
+
+  it must "train m codebooks of ksub centroids over dim/m-wide subspaces" in {
+    val rnd = new scala.util.Random(11)
+    val df = embDf((0L until 32L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val cb = Similarity.pqCodebooks(df, m = 2, ksub = 4, iters = 1, dim = 8)
+      .collect()
+    cb.length must be(8) // 2 subspaces x 4 centroids
+    cb.map(_.getInt(0)).toSet must be(Set(0, 1))
+    cb.foreach(r => r.getSeq[Float](2).length must be(4)) // dsub = 8/2
+  }
+
+  it must "recover a planted duplicate at rank 1 and reproduce exactly" in {
+    // near-orthogonal clutter + an exact duplicate of query 0: the dup
+    // encodes to identical codes, maxing ADC, and the exact rerank
+    // puts it at rank 1 with score ~1
+    val rnd = new scala.util.Random(13)
+    val clutter = (2L until 66L).map { i =>
+      val v = Array.fill(8)(rnd.nextFloat() * 0.1f)
+      v((i % 8).toInt) = 1f
+      i -> v.toSeq
+    }
+    val q = Seq.tabulate(8)(i => (i + 1) * 0.125f)
+    val df = embDf(Seq(0L -> q, 1L -> q) ++ clutter)
+    val top = Similarity.pqTopK(df.filter(col("vec_id") < 1), df,
+        k = 3, cand = 16, m = 2, ksub = 8, iters = 1, dim = 8)
+      .collect().sortBy(_.getInt(2))
+    top(0).getLong(1) must be(1L)
+    top(0).getDouble(3) must be > 0.999
+    val again = Similarity.pqTopK(df.filter(col("vec_id") < 1), df,
+        k = 3, cand = 16, m = 2, ksub = 8, iters = 1, dim = 8)
+      .collect().sortBy(_.getInt(2))
+    again.map(r => (r.getLong(0), r.getLong(1))) must be(
+      top.map(r => (r.getLong(0), r.getLong(1))))
+    // and the gate sees it: floor=1 (the planted dup) passes
+    val recall = Similarity.pqRecall(df.filter(col("vec_id") < 1), df,
+        k = 3, cand = 16, floor = 1, m = 2, ksub = 8, iters = 1, dim = 8)
+      .collect()
+    recall.length must be(1)
+    recall(0).getBoolean(1) must be(true)
+  }
+
   behavior of "Similarity sign-LSH (lshKeys / lshTopK / lshRecall)"
 
   it must "key deterministically and collide identical vectors in every table" in {
