@@ -148,6 +148,29 @@ object Curation {
       .select(col("doc_id"), col("n_words"), col("punct_ratio"),
         col("stopword_ratio"))
 
+  /** Group-wise quantile gate: keep the top `keepFrac` fraction of each
+    * group by score — the DYNAMIC-threshold quality filter ("drop each
+    * domain's worst decile") that complements [[qualityFilter]]'s fixed
+    * rules: a fixed threshold over-prunes clean domains and under-prunes
+    * noisy ones; a per-group quantile adapts. The cut uses
+    * `percent_rank` — (rank−1)/(n−1), pure integer-derived arithmetic,
+    * so the kept SET is deterministic and cross-engine identical (a
+    * percentile-interpolation formulation would hinge on matching
+    * interpolation arithmetic); ties break by doc_id so equal scores
+    * cut identically everywhere. One window per group — the same
+    * per-stratum sort shape as every planner here, never a whole-corpus
+    * sort.
+    */
+  def quantileGate(docs: DataFrame, group: Column, score: Column,
+                   keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+    val w = Window.partitionBy(group).orderBy(score.desc, col("doc_id"))
+    docs
+      .withColumn("_pr", percent_rank().over(w))
+      .filter(col("_pr") < keepFrac)
+      .withColumnRenamed("_pr", "pr")
+  }
+
   def domainCap(docs: DataFrame, domain: Column, score: Column,
                 id: Column, cap: Int): DataFrame = {
     require(cap > 0, "cap must be positive")

@@ -1201,6 +1201,36 @@ object PipelineQueries {
              |  AND stopword_ratio >= 0.02
              |ORDER BY doc_id""".stripMargin)),
 
+    // Group-wise quantile gate: keep each source's top 80% by token
+    // count — the dynamic-threshold quality cut (fixed thresholds
+    // over-prune clean domains, under-prune noisy ones). percent_rank
+    // is (rank−1)/(n−1) — integer-derived, so the kept set and the
+    // emitted pr values hash-check; ties break by doc_id.
+    QueryDef(
+      "pipeline_quantile_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+        Curation.quantileGate(docs, col("source"), col("n_tokens"),
+            keepFrac = 0.8)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            round(col("pr"), 6).as("pr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CAST(LEN(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
+             |           AS n_tokens
+             |  FROM documents),
+             |r AS (
+             |  SELECT *, PERCENT_RANK() OVER
+             |           (PARTITION BY source ORDER BY n_tokens DESC, doc_id)
+             |           AS pr
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens, ROUND(pr, 6) AS pr
+             |FROM r WHERE pr < 0.8 ORDER BY doc_id""".stripMargin)),
+
     // ── Multimodal binary columns ───────────────────────────────────────
     QueryDef(
       "mm_sniff",

@@ -364,6 +364,34 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "Curation.quantileGate (per-group dynamic threshold)"
+
+  it must "cut each group at its own quantile, not a global one" in {
+    val s = spark
+    import s.implicits._
+    // group a: scores 10..1 (10 docs); group b: scores 100..91 —
+    // a global cut at any threshold keeps all of one group; the
+    // per-group 80% cut must drop exactly the worst 2 of EACH
+    val docs = ((1L to 10L).map(i => (i, "a", 11L - i)) ++
+      (11L to 20L).map(i => (i, "b", 111L - i)))
+      .toDF("doc_id", "grp", "score")
+    val kept = Curation.quantileGate(docs, col("grp"), col("score"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // worst 2 of a = ids 9, 10 (scores 2, 1); worst 2 of b = ids 19, 20
+    kept must be(((1L to 8L) ++ (11L to 18L)).toSet)
+  }
+
+  it must "break score ties by doc_id so the cut is deterministic" in {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 5L).map(i => (i, "g", 7L)).toDF("doc_id", "grp", "score")
+    // all scores equal: percent_rank = (rank-1)/4 ordered by doc_id,
+    // keepFrac 0.5 keeps ranks with pr < 0.5 → doc_ids 1 and 2
+    val kept = Curation.quantileGate(docs, col("grp"), col("score"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept must be(Set(1L, 2L))
+  }
+
   behavior of "Curation planners"
 
   it must "pick every k-th doc per stratum deterministically" in {
