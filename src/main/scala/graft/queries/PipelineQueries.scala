@@ -960,6 +960,26 @@ object PipelineQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
 
+    // IVF-PQ — the COMPOSED production index (Jégou IVFADC layout):
+    // coarse buckets prune the scan to nprobe/K of the corpus AND PQ
+    // codes shrink what it touches, multiplying the two savings. One
+    // index-build pass emits (bucket, codes, rnorm) per vector.
+    // (K=16, nprobe=6, coarseIters=3, m=8, ksub=32, cand=300) measured
+    // tri-SF: 4-5/5 per query, identical across 3 reps (PLANS.md r8) —
+    // at sf0.1 the composition is 5/5, BETTER than flat PQ's 4-5/5,
+    // because cand=300 covers a larger fraction of the pruned scan.
+    QueryDef(
+      "ann_ivfpq_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfpqRecall(emb.filter(col("vec_id") < 5), emb,
+            k = 5, cand = 300, floor = 4, numCentroids = 16, nprobe = 6,
+            coarseIters = 3, m = 8, ksub = 32, iters = 1)
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
     // Embedding-cosine near-dup, recall-gated in-query against the
     // exact all-pairs twin on the bounded slice (the dedup analog of
     // ann_ivf_recall): bucket assignment is centroid-dependent, but

@@ -514,6 +514,32 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     recall(0).getBoolean(1) must be(true)
   }
 
+  it must "compose IVF pruning with PQ codes and still find clustered neighbors" in {
+    // 4 tight orthogonal clusters (the shape IVF pruning is FOR): the
+    // composed path must agree with brute on top-1, like the IVF spec
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 64L).map { i =>
+      val axis = (i % 4).toInt
+      val v = Array.fill(8)(rnd.nextFloat() * 0.05f)
+      v(axis * 2) = 1f
+      i -> v.toSeq
+    }
+    val df = embDf(vecs)
+    val queries = df.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteTopK(queries, df, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfpq = Similarity.ivfpqTopK(queries, df, k = 1, cand = 8,
+        numCentroids = 4, nprobe = 2, coarseIters = 1, m = 2, ksub = 8,
+        iters = 1, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivfpq must be(brute)
+    val recall = Similarity.ivfpqRecall(queries, df, k = 1, cand = 8,
+        floor = 1, numCentroids = 4, nprobe = 2, coarseIters = 1, m = 2,
+        ksub = 8, iters = 1, dim = 8).collect()
+    recall.length must be(4)
+    recall.forall(_.getBoolean(1)) must be(true)
+  }
+
   behavior of "Similarity sign-LSH (lshKeys / lshTopK / lshRecall)"
 
   it must "key deterministically and collide identical vectors in every table" in {
