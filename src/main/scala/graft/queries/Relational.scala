@@ -330,6 +330,25 @@ object Relational {
              |WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ── Chained stateful streaming, EXECUTED (sixth streaming
+    //    channel): watermarked dropDuplicates state feeding a windowed
+    //    count in ONE query — per-hour unique users, the ingest-time
+    //    "daily actives" shape. Both stateful ops key on the truncated
+    //    event hour, so one watermark evicts dedup state AND closes
+    //    windows; the final watermark (max truncated ts − 2 h) makes
+    //    the emitted prefix SQL-predictable. ───────────────────────────
+    QueryDef(
+      "stream_hourly_unique",
+      (s, d) =>
+        graft.streaming.EventsStream.hourlyUniqueAvailableNow(s, d)
+          .orderBy(col("hour")),
+      Some("""WITH m AS (SELECT DATE_TRUNC('hour', MAX(ts)) AS mxh FROM events)
+             |SELECT DATE_TRUNC('hour', ts) AS hour,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events, m
+             |WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mxh - INTERVAL 2 HOUR
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── Streaming exact dedup, EXECUTED (third streaming channel):
     //    dropDuplicatesWithinWatermark over the staged events drained
     //    with AvailableNow. The deterministic view is the emitted

@@ -98,6 +98,33 @@ object EventsStream {
           col("n_events"))
     }
 
+  /** Watermarked streaming DISTINCT-count: unique users per hour — the
+    * ingest-time "daily actives" shape, and the engine's CHAINED
+    * stateful pipeline: watermarked `dropDuplicates` state feeds a
+    * downstream windowed aggregation in one query (Spark's
+    * multiple-stateful-operator chain with watermark propagation; the
+    * other channels each exercise ONE stateful op). The event time is
+    * truncated to the hour FIRST and both operators key on that
+    * column, so dedup state evicts with the same watermark that closes
+    * the count's windows. Append mode emits exactly the hours the
+    * final watermark (max truncated ts − 2 h) closed — SQL-predictable,
+    * so the full result hash-checks.
+    */
+  def hourlyUniqueUsers(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hts"))
+      .withWatermark("hts", "2 hours")
+      .dropDuplicates("user_id", "hts")
+      .groupBy(window(col("hts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("hour"), col("n_users"))
+
+  /** Streaming-executed chained-stateful channel (see
+    * [[hourlyUniqueUsers]]).
+    */
+  def hourlyUniqueAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "graft_stream_unique")(hourlyUniqueUsers)
+
   /** Shared AvailableNow harness: stage the events parquet into a
     * landing DIRECTORY (the file-source contract), run the streaming
     * transform to a memory sink, drain, return the emitted rows.

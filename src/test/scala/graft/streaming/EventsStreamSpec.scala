@@ -46,6 +46,43 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  behavior of "hourlyUniqueUsers (chained dedup state + windowed count)"
+
+  it must "count each user once per hour through the chained stateful ops" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventsStream.hourlyUniqueUsers(df).writeStream
+      .format("memory").queryName("unique_test").outputMode("append").start()
+    try {
+      mem.addData(
+        // user 1 three times + user 2 once in the 10:00 hour → 2 uniques
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 10:15:00"), 1L, "view", 1.0, "{}"),
+        (3L, ts("2024-01-01 10:55:00"), 1L, "click", 1.0, "{}"),
+        (4L, ts("2024-01-01 10:45:00"), 2L, "click", 1.0, "{}"),
+        // user 1 again in 11:00 — a NEW (user, hour) key, counted again
+        (5L, ts("2024-01-01 11:10:00"), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // advance the watermark (on the TRUNCATED hour) past 10:00+1h+2h
+      mem.addData((6L, ts("2024-01-01 14:30:00"), 9L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+
+      val out = spark.table("unique_test").collect()
+        .map(r => r.getAs[Timestamp]("hour").toString -> r.getAs[Long]("n_users"))
+        .toMap
+      out("2024-01-01 10:00:00.0") must be(2L) // dedup collapsed user 1's 3 events
+      // 11:00 closed too (watermark = 14:00 − 2 h = 12:00 ≥ 11:00 + 1 h)
+      out("2024-01-01 11:00:00.0") must be(1L)
+      // 14:00 is not final — append mode must not have emitted it
+      out.keySet must not contain "2024-01-01 14:00:00.0"
+    } finally q.stop()
+  }
+
   behavior of "sessionize (flatMapGroupsWithState)"
 
   it must "split a user's events into gap-delimited sessions" in {
