@@ -114,6 +114,103 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decoded audio features — the audio analog of [[MediaMeta]].
+    * duration_ms is integer arithmetic (n_samples·1000 / rate), so the
+    * value is engine-independent.
+    */
+  final case class AudioMeta(
+      path: String,
+      n_bytes: Long,
+      format: String,
+      channels: Int,
+      sample_rate: Int,
+      bits_per_sample: Int,
+      n_samples: Long,
+      duration_ms: Long)
+
+  /** REAL audio metadata decode: canonical RIFF/WAVE chunk walking in
+    * pure byte arithmetic — WAV is an uncompressed container, so unlike
+    * images no codec library is involved at all; channels, rate, bit
+    * depth come from the `fmt ` chunk and the sample count from the
+    * `data` chunk length. HEADER-ONLY like [[ImageIoDecoder]]: the walk
+    * touches tens of bytes per payload regardless of audio length —
+    * the 100 TB-scan-safe shape. Non-RIFF or truncated payloads yield
+    * a zeroed row with a sniffed format instead of failing the batch.
+    */
+  def decodeWav(path: String, payload: Array[Byte]): AudioMeta = {
+    def le16(o: Int): Int =
+      (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long =
+      (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+        ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 <= payload.length)
+        new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    val bad = AudioMeta(path, payload.length.toLong, "bin", 0, 0, 0, 0L, 0L)
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") bad
+    else {
+      var off = 12
+      var ch = 0; var rate = 0; var bits = 0; var dataLen = -1L
+      while (off + 8 <= payload.length && (ch == 0 || dataLen < 0)) {
+        val id = tag(off); val len = le32(off + 4)
+        if (id == "fmt " && off + 24 <= payload.length) {
+          ch = le16(off + 10); rate = le32(off + 12).toInt
+          bits = le16(off + 22)
+        } else if (id == "data") dataLen = len
+        // chunks are word-aligned: odd lengths carry a pad byte
+        off += 8 + len.toInt + (len.toInt & 1)
+      }
+      if (ch <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) bad
+      else {
+        val n = dataLen / (ch.toLong * (bits / 8))
+        AudioMeta(path, payload.length.toLong, "wav", ch, rate, bits, n,
+          n * 1000L / rate)
+      }
+    }
+  }
+
+  /** Batched partition-wise audio metadata — same mapInPandas shape as
+    * [[decodeMeta]]: one pass, payloads never shuffle.
+    */
+  def audioMeta(binaries: DataFrame): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) => decodeWav(p, bytes) })
+      .toDF()
+  }
+
+  /** Deterministic REAL WAV fixture: canonical 44-byte PCM header +
+    * seed-derived 16-bit samples. Every header field — and, because WAV
+    * is uncompressed, the TOTAL byte length — is predictable from the
+    * construction parameters, so the oracle can pin n_bytes too (the
+    * PNG fixtures cannot: compressor-dependent).
+    */
+  def syntheticWav(seed: Long, channels: Int, sampleRate: Int,
+                   nSamples: Long): Array[Byte] = {
+    val dataLen = (nSamples * channels * 2).toInt
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < dataLen / 2) {
+      buf.putShort(((seed * 31 + i) & 0xFFFF).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** Batched partition-wise decode — the mapInPandas-shaped hot path:
     * one decoder instance per partition, payload bytes never shuffled.
     */

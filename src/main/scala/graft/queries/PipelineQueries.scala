@@ -1354,6 +1354,42 @@ object PipelineQueries {
              |       CAST(1 AS INT) AS n_frames
              |FROM documents WHERE doc_id < 100 ORDER BY path""".stripMargin)),
 
+    // REAL audio metadata: doc-derived canonical PCM WAV payloads →
+    // RIFF chunk-walk decode. WAV is uncompressed, so EVERY emitted
+    // column — including n_bytes (44 + samples·ch·2) and the integer
+    // duration_ms — is predictable from the construction formula; the
+    // image fixtures can't pin n_bytes (compressor-dependent).
+    QueryDef(
+      "mm_audio_meta",
+      (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            ("/audio/" + id, Multimodal.syntheticWav(
+              id, channels = 1 + (id % 2).toInt,
+              sampleRate = Seq(8000, 16000, 44100)((id % 3).toInt),
+              nSamples = 500 + id % 1000))
+          })
+          .toDF("path", "data")
+        Multimodal.audioMeta(payloads).orderBy(col("path"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+             |         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |              ELSE 44100 END AS rate,
+             |         500 + doc_id % 1000 AS n
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT '/audio/' || doc_id AS path,
+             |       CAST(44 + n * ch * 2 AS BIGINT) AS n_bytes,
+             |       'wav' AS format,
+             |       CAST(ch AS INT) AS channels,
+             |       CAST(rate AS INT) AS sample_rate,
+             |       CAST(16 AS INT) AS bits_per_sample,
+             |       CAST(n AS BIGINT) AS n_samples,
+             |       CAST((n * 1000) // rate AS BIGINT) AS duration_ms
+             |FROM p ORDER BY path""".stripMargin)),
+
     // Real codec FULL loop: encode at doc-derived dims → decode →
     // nearest-neighbor rescale to a fixed 24×18 → re-encode PNG →
     // decode AGAIN. The oracle pins the invariant a real resize must

@@ -1022,6 +1022,36 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       .collect().map(_.getLong(0)).sorted must be(Array(1L, 2L))
   }
 
+  behavior of "Multimodal WAV decode (real RIFF chunk walk)"
+
+  it must "round-trip every header field through encode then decode" in {
+    val wav = Multimodal.syntheticWav(7L, channels = 2, sampleRate = 16000,
+      nSamples = 1234L)
+    val meta = Multimodal.decodeWav("/a", wav)
+    meta.format must be("wav")
+    meta.channels must be(2)
+    meta.sample_rate must be(16000)
+    meta.bits_per_sample must be(16)
+    meta.n_samples must be(1234L)
+    meta.duration_ms must be(1234L * 1000 / 16000)
+    meta.n_bytes must be(44L + 1234 * 2 * 2) // uncompressed: exact size
+  }
+
+  it must "zero out non-RIFF and truncated payloads instead of failing" in {
+    Multimodal.decodeWav("/b", "not audio at all".getBytes).channels must be(0)
+    val truncated = Multimodal.syntheticWav(1L, 1, 8000, 100L).take(20)
+    Multimodal.decodeWav("/c", truncated).sample_rate must be(0)
+    // distributed path: mixed batch keeps flowing
+    val s = spark
+    import s.implicits._
+    val rows = Multimodal.audioMeta(Seq(
+        ("/ok", Multimodal.syntheticWav(2L, 1, 8000, 10L)),
+        ("/bad", Array[Byte](1, 2, 3))).toDF("path", "data"))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("format")).toMap
+    rows("/ok") must be("wav")
+    rows("/bad") must be("bin")
+  }
+
   behavior of "Multimodal.ImageIoDecoder (real codec path)"
 
   it must "header-decode true dimensions for JDK-encoded PNG and GIF" in {
