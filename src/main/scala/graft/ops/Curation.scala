@@ -94,6 +94,58 @@ object Curation {
         array_join(col("chunk_toks"), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking (CDC) — rolling-hash chunk boundaries,
+    * the insertion-robust complement of [[chunkWithOverlap]]'s fixed
+    * stride: a fixed-stride chunker shifts EVERY later chunk when one
+    * token is inserted upstream, so near-identical docs share almost no
+    * chunk hashes; content-defined boundaries (a boundary wherever the
+    * k-token window's hash lands in 1/16 of its range) realign
+    * immediately after any edit, so long shared runs yield literally
+    * identical chunks — the primitive behind sub-document dedup and
+    * dedupe-friendly storage (LBFS/rsync lineage). The boundary rule is
+    * `md5(gram)` first hex char = '0' — md5 of the same string is
+    * identical in every engine, so chunking (and every sha built on it)
+    * is cross-engine deterministic; a seeded-integer-hash rule would
+    * need the hash function replicated in SQL. Tokens, k-gram leads,
+    * and the running boundary count share ONE per-doc window sort; the
+    * chunk fold is one map-side-combinable aggregation. No cross-doc
+    * shuffle — at 100 TB this parallelizes by document like every
+    * per-doc pass here.
+    */
+  def cdcChunks(docs: DataFrame, k: Int = 4): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gramParts = (0 until k).map(i =>
+      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
+    toks
+      .withColumn("b",
+        when(col("pos") > 0 && gramParts.last.isNotNull &&
+          substring(md5(concat_ws(" ", gramParts: _*)), 1, 1) === "0",
+          1L).otherwise(0L))
+      .withColumn("chunk_idx",
+        sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sha2(array_join(expr("transform(sort_array(collect_list(" +
+          "struct(pos, tok))), x -> x.tok)"), " "), 256).as("sha"))
+  }
+
+  /** Cross-document shared CDC chunks — the sub-document dedup report:
+    * chunk contents appearing in ≥ 2 distinct documents. Because
+    * boundaries are content-defined, a verbatim shared run longer than
+    * a couple of average chunk lengths necessarily contains aligned
+    * shared chunks, whatever surrounds it in each doc.
+    */
+  def cdcSharedChunks(docs: DataFrame, k: Int = 4): DataFrame =
+    cdcChunks(docs, k)
+      .groupBy(col("sha"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        max(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= 2)
+
   /** Pack materialization — the EXECUTOR of the `packSequences` plan:
     * concatenate each pack's documents (shard order = the planner's
     * orderKey) into one training sequence with its exact token count.

@@ -1097,6 +1097,46 @@ object PipelineQueries {
              |  FROM documents)
              |WHERE rn % 10 = 1 ORDER BY lang, doc_id""".stripMargin)),
 
+    // Content-defined chunking, cross-doc shared-chunk report: chunk
+    // boundaries wherever the 4-token window's md5 lands in 1/16 of
+    // its range (content-defined, so shared runs realign after any
+    // upstream edit — the sub-document dedup primitive). md5 of the
+    // same string is identical in both engines, so chunking and the
+    // chunk shas hash-check end to end. ~13-token average chunks and
+    // 90-103 shared chunks measured on this corpus, so the channel
+    // provably fires.
+    QueryDef(
+      "dedup_cdc_shared",
+      (s, d) => Curation.cdcSharedChunks(Tables.documents(s, d), k = 4)
+        .orderBy(col("sha")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok, u['b'] AS b
+             |  FROM (
+             |    SELECT doc_id, unnest([{'pos': i, 'tok': t[i],
+             |      'b': CASE WHEN i > 1 AND i + 3 <= len(t)
+             |                AND substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+             |                               t[i+2] || ' ' || t[i+3]), 1, 1) = '0'
+             |           THEN 1 ELSE 0 END}
+             |      for i in range(1, len(t) + 1)]) AS u
+             |    FROM d)),
+             |ck AS (
+             |  SELECT doc_id, pos, tok,
+             |         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+             |                      ROWS UNBOUNDED PRECEDING) AS chunk_idx
+             |  FROM tok),
+             |ch AS (
+             |  SELECT doc_id, chunk_idx,
+             |         sha256(STRING_AGG(tok, ' ' ORDER BY pos)) AS sha,
+             |         COUNT(*) AS n_tokens
+             |  FROM ck GROUP BY 1, 2)
+             |SELECT sha, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens
+             |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+             |ORDER BY sha""".stripMargin)),
+
     // Deterministic weighted (importance) sampling: keep each doc with
     // probability proportional to its token length (clamped at 200
     // tokens), decided by the Lehmer-hash uniform — exact integer

@@ -331,6 +331,38 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     dropped2 must be(0L)
   }
 
+  behavior of "Curation.cdcChunks (content-defined chunking)"
+
+  // non-periodic (Lehmer-mixed) tokens: a 1-token shift can never
+  // reproduce a fixed-stride window by accident
+  private val cdcText =
+    (1 to 200).map(i => s"word${i * 2654435761L % 9973}").mkString(" ")
+
+  it must "partition every token into exactly one chunk" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, cdcText)).toDF("doc_id", "text")
+    val chunks = Curation.cdcChunks(docs).collect()
+    chunks.map(_.getLong(2)).sum must be(200L) // n_tokens partition the doc
+    chunks.length must be > 1 // the fixture contains boundaries
+  }
+
+  it must "realign after an upstream insertion where fixed-stride cannot" in {
+    val s = spark
+    import s.implicits._
+    // doc 2 = one token prepended to doc 1's text: every token shifts
+    val docs = Seq((1L, cdcText), (2L, "inserted " + cdcText))
+      .toDF("doc_id", "text")
+    val sharedCdc = Curation.cdcSharedChunks(docs).count()
+    sharedCdc must be > 0L // content-defined boundaries realign
+    // the fixed-stride chunker shares nothing after the shift
+    val strideShas = Curation.chunkWithOverlap(docs, 16, 16)
+      .select(col("doc_id"), sha2(col("chunk_text"), 256).as("sha"))
+    val sharedStride = strideShas.groupBy("sha")
+      .agg(countDistinct("doc_id").as("n")).filter(col("n") >= 2).count()
+    sharedStride must be(0L)
+  }
+
   behavior of "Curation.weightedSample (deterministic importance sampling)"
 
   it must "keep everything at weight 1, nothing at weight 0, and reproduce exactly" in {
