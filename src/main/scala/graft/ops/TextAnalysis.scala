@@ -201,6 +201,66 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
 
+  /** Distributed BPE merge induction — the tokenizer-TRAINING pass a
+    * pretraining pipeline runs before token counting: `nMerges` rounds
+    * of "count adjacent token-pair frequencies corpus-wide, merge the
+    * most frequent pair everywhere". Each round is one distributed
+    * map-side-combined pair count (the heavy part — pairs come from a
+    * per-doc window `lead`, never crossing documents) plus one
+    * scan-speed literal `replace` applying the merge, so the driver
+    * holds only the k winning pairs. Deterministic: frequency ties
+    * break by (left, right) lexicographically, and merge application
+    * is leftmost-non-overlapping `replace` — and the sequence encodes
+    * as bracket-wrapped symbols (`<a><b><c>`) precisely so no pattern
+    * ever SHARES a character with the next occurrence (a space-
+    * delimited encoding makes " a b a b " match only alternately,
+    * because the trailing space of one match is the leading space of
+    * the next) and so a pair pattern can never match a token suffix.
+    * Tokens are \w+, so '<'/'>' never occur inside a symbol. Merged
+    * symbols join with '_'; a corpus token that already contains '_'
+    * is indistinguishable from a merged symbol on both sides of the
+    * oracle (documented ambiguity, harmless to the contract).
+    * Returns (merge_rank, lhs, rhs, freq) — names chosen to dodge the
+    * RANK/LEFT/RIGHT SQL keywords on the oracle side.
+    *
+    * Scale note: each round stacks one `replace` onto the working
+    * column, and CollapseProject folds them into a single growing
+    * projection — fine at report-scale merge counts like this
+    * channel's 3, but a real vocab induction (tens of thousands of
+    * merges) must materialize the working column every few hundred
+    * rounds (write/read or localCheckpoint+release, the components()
+    * lifecycle) or the collapsed expression outgrows codegen.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var cur = docs.select(col("doc_id"),
+      concat(lit("<"), array_join(tokens, "><"), lit(">")).as("s"))
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val toks = cur.select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(s, '[^<>]+', 0)"))
+          .as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val top = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"), col("nxt"))
+        .limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        found += ((rank, l, r, f))
+        cur = cur.withColumn("s",
+          expr(s"replace(s, '<$l><$r>', '<${l}_$r>')"))
+      }
+    }
+    import spark.implicits._
+    found.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the cheap cross-engine-stable dedup key (rolling-hash analog).
     */

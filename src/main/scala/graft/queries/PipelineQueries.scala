@@ -241,6 +241,63 @@ object PipelineQueries {
              |FROM dw JOIN tdf USING (w)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Distributed BPE merge induction — 3 rounds of "count adjacent
+    // pair frequencies corpus-wide, merge the winner everywhere" (the
+    // tokenizer-training pass). The learned merge TABLE hash-checks:
+    // tie-breaks are (freq desc, lhs, rhs) and merge application is
+    // leftmost-non-overlapping replace over the bracket-wrapped
+    // symbol encoding in BOTH engines.
+    QueryDef(
+      "text_bpe_merges",
+      (s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d), nMerges = 3)
+        .orderBy(col("merge_rank")),
+      Some("""WITH s0 AS (
+             |  SELECT doc_id,
+             |         '<' || array_to_string(regexp_extract_all(lower(text), '\w+'),
+             |                                '><') || '>' AS s
+             |  FROM documents),
+             |p1 AS (
+             |  SELECT u['l'] AS l, u['r'] AS r, CAST(COUNT(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest([{'l': t[i], 'r': t[i+1]}
+             |                       for i in range(1, len(t))]) AS u
+             |        FROM (SELECT regexp_extract_all(s, '[^<>]+') AS t FROM s0))
+             |  GROUP BY 1, 2),
+             |m1 AS (SELECT l, r, freq FROM p1 ORDER BY freq DESC, l, r LIMIT 1),
+             |s1 AS (
+             |  SELECT doc_id,
+             |         replace(s, '<' || (SELECT l FROM m1) || '><' ||
+             |                    (SELECT r FROM m1) || '>',
+             |                 '<' || (SELECT l FROM m1) || '_' ||
+             |                 (SELECT r FROM m1) || '>') AS s
+             |  FROM s0),
+             |p2 AS (
+             |  SELECT u['l'] AS l, u['r'] AS r, CAST(COUNT(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest([{'l': t[i], 'r': t[i+1]}
+             |                       for i in range(1, len(t))]) AS u
+             |        FROM (SELECT regexp_extract_all(s, '[^<>]+') AS t FROM s1))
+             |  GROUP BY 1, 2),
+             |m2 AS (SELECT l, r, freq FROM p2 ORDER BY freq DESC, l, r LIMIT 1),
+             |s2 AS (
+             |  SELECT doc_id,
+             |         replace(s, '<' || (SELECT l FROM m2) || '><' ||
+             |                    (SELECT r FROM m2) || '>',
+             |                 '<' || (SELECT l FROM m2) || '_' ||
+             |                 (SELECT r FROM m2) || '>') AS s
+             |  FROM s1),
+             |p3 AS (
+             |  SELECT u['l'] AS l, u['r'] AS r, CAST(COUNT(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest([{'l': t[i], 'r': t[i+1]}
+             |                       for i in range(1, len(t))]) AS u
+             |        FROM (SELECT regexp_extract_all(s, '[^<>]+') AS t FROM s2))
+             |  GROUP BY 1, 2),
+             |m3 AS (SELECT l, r, freq FROM p3 ORDER BY freq DESC, l, r LIMIT 1)
+             |SELECT CAST(1 AS INT) AS merge_rank, l AS lhs, r AS rhs, freq FROM m1
+             |UNION ALL
+             |SELECT CAST(2 AS INT), l, r, freq FROM m2
+             |UNION ALL
+             |SELECT CAST(3 AS INT), l, r, freq FROM m3
+             |ORDER BY merge_rank""".stripMargin)),
+
     // Per-doc top-3 characteristic terms by TF-IDF (linear idf: score =
     // tf·N/df — exact integers through ONE IEEE division, so ranking and
     // value are bit-identical in both engines; ln damping would hinge

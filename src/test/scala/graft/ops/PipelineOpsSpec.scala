@@ -1424,6 +1424,33 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out(1).getDouble(3) must be(2.0)
   }
 
+  behavior of "TextAnalysis.bpeMerges (distributed merge induction)"
+
+  it must "learn the hand-computed merge chain with lexicographic tie-breaks" in {
+    val out = TextAnalysis.bpeMerges(docsDf(Seq(1L -> "a b a b a b c")), 3)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,b) x3; round 2: (a_b,a_b) x2;
+    // round 3: tie at freq 1 between (a_b_a_b, a_b) and (a_b, c) —
+    // lexicographic lhs order picks (a_b, c)
+    out.toSeq must be(Seq(
+      (1, "a", "b", 3L),
+      (2, "a_b", "a_b", 2L),
+      (3, "a_b", "c", 1L)))
+  }
+
+  it must "merge runs greedily left-to-right without delimiter sharing" in {
+    // "a a a a": the bracket encoding lets BOTH adjacent occurrences
+    // merge in one pass (a space encoding would alternate, because
+    // consecutive matches share their boundary space)
+    val out = TextAnalysis.bpeMerges(docsDf(Seq(1L -> "a a a a")), 2)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq must be(Seq(
+      (1, "a", "a", 3L),
+      (2, "a_a", "a_a", 1L)))
+  }
+
   behavior of "TextAnalysis.tfidf (per-doc characteristic terms)"
 
   it must "rank a doc's unique term above corpus-wide stopwords" in {
