@@ -35,17 +35,21 @@ object Curation {
     * additive-after-multiply seed would shift u by only seed/2³¹
     * (~1.6e−8 per unit) and leave every keep/drop decision unchanged;
     * pre-mixing relabels every id, so each seed draws an independent
-    * same-law sample. Exact 64-bit integer arithmetic (the product
-    * stays under Long.Max for |id + seed| up to ~3.4·10⁹) plus one
-    * IEEE division, so the value — and therefore every decision built
-    * on it — is bit-identical in any engine that does exact integer
-    * math, unlike engine RNGs, whose streams differ by partitioning.
-    * Knuth's multiplier gives the avalanche sampling needs; this is a
-    * sampling hash, not a cryptographic one.
+    * same-law sample. The mixed id reduces mod 2³¹−1 BEFORE the
+    * multiply, so the product is bounded by (2³¹−2)·2654435761 ≈
+    * 5.7·10¹⁸ < Long.Max for ANY id/seed — a raw (id+seed)·M would
+    * wrap past ~3.4·10⁹ and yield negative u (keeping rows even at
+    * weight 0, and diverging from a no-wraparound SQL engine). Exact
+    * integer arithmetic plus one IEEE division, so the value — and
+    * therefore every decision built on it — is bit-identical in any
+    * engine that does exact integer math, unlike engine RNGs, whose
+    * streams differ by partitioning. Knuth's multiplier gives the
+    * avalanche sampling needs; this is a sampling hash, not a
+    * cryptographic one.
     */
   def uniformHash(id: Column, seed: Long): Column =
-    (((id + lit(seed)) * lit(2654435761L)) % lit(2147483647L))
-      .cast("double") / lit(2147483647.0)
+    ((pmod(id + lit(seed), lit(2147483647L)) * lit(2654435761L)) %
+      lit(2147483647L)).cast("double") / lit(2147483647.0)
 
   /** Deterministic weighted (importance) sampling: keep each document
     * with probability `weight` (clamped to [0, 1]) using the
@@ -217,10 +221,13 @@ object Curation {
                    keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
     val w = Window.partitionBy(group).orderBy(score.desc, col("doc_id"))
-    docs
-      .withColumn("_pr", percent_rank().over(w))
-      .filter(col("_pr") < keepFrac)
-      .withColumnRenamed("_pr", "pr")
+    val ranked = docs.withColumn("_pr", percent_rank().over(w))
+    // keepFrac = 1.0 means keep ALL — but each group's last row has
+    // percent_rank exactly 1.0, so a strict < would silently drop one
+    // doc per group
+    val kept = if (keepFrac >= 1.0) ranked
+               else ranked.filter(col("_pr") < keepFrac)
+    kept.withColumnRenamed("_pr", "pr")
   }
 
   def domainCap(docs: DataFrame, domain: Column, score: Column,

@@ -150,18 +150,26 @@ object Multimodal {
     val bad = AudioMeta(path, payload.length.toLong, "bin", 0, 0, 0, 0L, 0L)
     if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") bad
     else {
-      var off = 12
+      // walk in LONG arithmetic: a malformed length near 2^31 must end
+      // the walk (→ zeroed row), never wrap Int and index negatively
+      var off = 12L
       var ch = 0; var rate = 0; var bits = 0; var dataLen = -1L
       while (off + 8 <= payload.length && (ch == 0 || dataLen < 0)) {
-        val id = tag(off); val len = le32(off + 4)
+        val id = tag(off.toInt); val len = le32(off.toInt + 4)
         if (id == "fmt " && off + 24 <= payload.length) {
-          ch = le16(off + 10); rate = le32(off + 12).toInt
-          bits = le16(off + 22)
-        } else if (id == "data") dataLen = len
+          ch = le16(off.toInt + 10); rate = le32(off.toInt + 12).toInt
+          bits = le16(off.toInt + 22)
+        } else if (id == "data") {
+          // a data chunk claiming more bytes than the payload holds is
+          // a truncated file — zeroed row, not trusted metadata
+          dataLen = if (off + 8 + len <= payload.length) len else -2L
+        }
         // chunks are word-aligned: odd lengths carry a pad byte
-        off += 8 + len.toInt + (len.toInt & 1)
+        off += 8L + len + (len & 1L)
       }
-      if (ch <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) bad
+      // sub-byte sample widths (4-bit ADPCM) are compressed audio this
+      // header-only PCM walk cannot size — degrade, don't divide by 0
+      if (ch <= 0 || rate <= 0 || bits < 8 || dataLen < 0) bad
       else {
         val n = dataLen / (ch.toLong * (bits / 8))
         AudioMeta(path, payload.length.toLong, "wav", ch, rate, bits, n,

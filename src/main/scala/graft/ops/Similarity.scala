@@ -300,24 +300,9 @@ object Similarity {
     */
   def ivfRecall(queries: DataFrame, corpus: DataFrame,
                 numCentroids: Int, nprobe: Int, k: Int,
-                floor: Int, kmeansIters: Int = 1): DataFrame = {
-    val ivf = ivfTopK(queries, corpus, numCentroids, nprobe, k, kmeansIters)
-      .select(col("q_id"), col("neighbor_id"))
-    val brute = bruteTopK(queries, corpus, k)
-      .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
-    val hits = ivf
-      .join(brute,
-        col("q_id") === col("bq") && col("neighbor_id") === col("bn"),
-        "left_semi")
-      .groupBy(col("q_id"))
-      .agg(count(lit(1)).as("n_hits"))
-    // left join from the query set so a pathological zero-hit query
-    // still yields a (red) row instead of silently vanishing
-    queries.select(col("vec_id").as("q_id"))
-      .join(hits, Seq("q_id"), "left_outer")
-      .select(col("q_id"),
-        (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
-  }
+                floor: Int, kmeansIters: Int = 1): DataFrame =
+    recallGate(queries, corpus, k, floor,
+      ivfTopK(queries, corpus, numCentroids, nprobe, k, kmeansIters))
 
   /** Per-dimension SQ8 quantization bounds (min/max over the corpus) as
     * ONE single-row frame of (los, his) arrays — a posexplode into a
@@ -411,22 +396,9 @@ object Similarity {
     */
   def lshRecall(queries: DataFrame, corpus: DataFrame, k: Int, floor: Int,
                 tables: Int = 24, bits: Int = 4, dim: Int = 64,
-                seed: Long = 42L): DataFrame = {
-    val lsh = lshTopK(queries, corpus, k, tables, bits, dim, seed)
-      .select(col("q_id"), col("neighbor_id"))
-    val brute = bruteTopK(queries, corpus, k)
-      .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
-    val hits = lsh
-      .join(brute,
-        col("q_id") === col("bq") && col("neighbor_id") === col("bn"),
-        "left_semi")
-      .groupBy(col("q_id"))
-      .agg(count(lit(1)).as("n_hits"))
-    queries.select(col("vec_id").as("q_id"))
-      .join(hits, Seq("q_id"), "left_outer")
-      .select(col("q_id"),
-        (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
-  }
+                seed: Long = 42L): DataFrame =
+    recallGate(queries, corpus, k, floor,
+      lshTopK(queries, corpus, k, tables, bits, dim, seed))
 
   private[ops] def sq8Bounds(corpus: DataFrame): DataFrame =
     corpus
@@ -482,25 +454,11 @@ object Similarity {
     // |queries| × cand heap entries, NEVER the scored corpus (the
     // int-dot is exact in DOUBLE far past any int8 magnitude, so the
     // cast preserves candidate order bit for bit)
-    val candidates = qcorpus
+    val scored = qcorpus
       .crossJoin(broadcast(qqueries))
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("ascore", expr("CAST(graft_int_dot(qq, eq) AS DOUBLE)"))
-      .groupBy(col("q_id"))
-      .agg(expr(s"graft_topk(ascore, neighbor_id, $cand)").as("top"))
-      .select(col("q_id"),
-        explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
-    // the candidate set is <= |queries| * cand rows BY CONSTRUCTION —
-    // broadcast it so the float-vector fetch is a map-side BHJ and the
-    // corpus never shuffles for the rerank
-    topKPerQuery(
-      broadcast(candidates)
-        .join(corpus.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ev")), "neighbor_id")
-        .join(broadcast(queries.select(col("vec_id").as("q_id"),
-          col("embedding").as("qv"))), "q_id")
-        .withColumn("score", cosine(corpus)),
-      k)
+    rerankExact(topCandidates(scored, cand), queries, corpus, k)
   }
 
   /** Recall gate for the SQ8 path against the exact brute twin — same
@@ -509,22 +467,8 @@ object Similarity {
     * quantized candidate pass.
     */
   def sq8Recall(queries: DataFrame, corpus: DataFrame, k: Int, cand: Int,
-                floor: Int): DataFrame = {
-    val sq8 = sq8TopK(queries, corpus, k, cand)
-      .select(col("q_id"), col("neighbor_id"))
-    val brute = bruteTopK(queries, corpus, k)
-      .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
-    val hits = sq8
-      .join(brute,
-        col("q_id") === col("bq") && col("neighbor_id") === col("bn"),
-        "left_semi")
-      .groupBy(col("q_id"))
-      .agg(count(lit(1)).as("n_hits"))
-    queries.select(col("vec_id").as("q_id"))
-      .join(hits, Seq("q_id"), "left_outer")
-      .select(col("q_id"),
-        (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
-  }
+                floor: Int): DataFrame =
+    recallGate(queries, corpus, k, floor, sq8TopK(queries, corpus, k, cand))
 
   /** IVF top-k: probe the query's `nprobe` nearest centroid buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
@@ -763,8 +707,22 @@ object Similarity {
                            iters: Int, dim: Int): PqIndex = {
     val cbRows = pqCodebooks(corpus, m, ksub, iters, dim).collect()
     val cb = Array.ofDim[Array[Float]](m, ksub)
-    cbRows.foreach(r => cb(r.getInt(0))(r.getLong(1).toInt) =
-      r.getSeq[Float](2).toArray)
+    cbRows.foreach { r =>
+      val cid = r.getLong(1)
+      // first-K seeding hands centroids the seed vectors' vec_ids, so
+      // a sparse / offset id space yields out-of-range or missing
+      // slots — fail LOUDLY here (the IVF path degrades gracefully on
+      // the same input; an array index must not)
+      require(cid >= 0 && cid < ksub,
+        s"PQ codebook centroid id $cid outside [0, $ksub): first-K " +
+          "seeding needs corpus vec_ids to include 0..ksub-1 — re-id " +
+          "the corpus")
+      cb(r.getInt(0))(cid.toInt) = r.getSeq[Float](2).toArray
+    }
+    require(cb.forall(_.forall(_ != null)),
+      s"PQ codebooks incomplete (fewer than $ksub centroids in some " +
+        "subspace): corpus vec_ids must include 0..ksub-1 for first-K " +
+        "seeding — re-id the corpus")
     val cbNorm = cb.map(_.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)))
     new PqIndex(cb, cbNorm, m, ksub, dim / m)
   }

@@ -1221,8 +1221,8 @@ object PipelineQueries {
              |         LEAST(CAST(1.0 AS DOUBLE),
              |               GREATEST(CAST(0.0 AS DOUBLE),
              |                        CAST(n_tokens AS DOUBLE) / 200)) AS w,
-             |         CAST(((doc_id + 42) * 2654435761) % 2147483647 AS DOUBLE) /
-             |           2147483647 AS u
+             |         CAST((((doc_id + 42) % 2147483647) * 2654435761)
+             |              % 2147483647 AS DOUBLE) / 2147483647 AS u
              |  FROM t)
              |SELECT doc_id, n_tokens, ROUND(w, 6) AS w, ROUND(u, 6) AS u
              |FROM s WHERE u < w ORDER BY doc_id""".stripMargin)),

@@ -396,6 +396,19 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it must "stay in [0, 1) for ids past the raw-multiply overflow point" in {
+    val s = spark
+    import s.implicits._
+    // raw (id+seed)*M wraps Long past id ~3.47e9 → negative u → rows
+    // kept even at weight 0; the pre-reduced form must not
+    val docs = Seq(4_000_000_000L, 9_000_000_000_000_000_000L)
+      .map(i => (i, "x")).toDF("doc_id", "text")
+    Curation.weightedSample(docs, lit(0.0)).count() must be(0L)
+    val us = docs.select(Curation.uniformHash(col("doc_id"), 42L).as("u"))
+      .collect().map(_.getDouble(0))
+    us.foreach(_ must (be >= 0.0 and be < 1.0))
+  }
+
   behavior of "Curation.quantileGate (per-group dynamic threshold)"
 
   it must "cut each group at its own quantile, not a global one" in {
@@ -422,6 +435,14 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     val kept = Curation.quantileGate(docs, col("grp"), col("score"), 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     kept must be(Set(1L, 2L))
+  }
+
+  it must "keep EVERYTHING at keepFrac 1.0 (each group's last row has pr exactly 1)" in {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 4L).map(i => (i, "g", i)).toDF("doc_id", "grp", "score")
+    Curation.quantileGate(docs, col("grp"), col("score"), 1.0)
+      .count() must be(4L) // a strict < cut would silently drop one per group
   }
 
   behavior of "Curation planners"
@@ -1073,6 +1094,19 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     Multimodal.decodeWav("/b", "not audio at all".getBytes).channels must be(0)
     val truncated = Multimodal.syntheticWav(1L, 1, 8000, 100L).take(20)
     Multimodal.decodeWav("/c", truncated).sample_rate must be(0)
+    // malformed chunk length near 2^31 must END the walk, not wrap Int
+    // into negative indexing
+    val evil = Multimodal.syntheticWav(1L, 1, 8000, 4L)
+    evil(16) = 0; evil(17) = 0; evil(18) = 0; evil(19) = 0x80.toByte // fmt len = 2^31
+    Multimodal.decodeWav("/d", evil).channels must be(0)
+    // a data chunk claiming more bytes than the payload is truncation
+    val lying = Multimodal.syntheticWav(1L, 1, 8000, 4L)
+    lying(40) = 0x7F // data len >> actual
+    Multimodal.decodeWav("/e", lying).n_samples must be(0L)
+    // sub-byte widths (4-bit ADPCM) degrade instead of dividing by zero
+    val adpcm = Multimodal.syntheticWav(1L, 1, 8000, 4L)
+    adpcm(34) = 4; adpcm(35) = 0 // bits_per_sample = 4
+    Multimodal.decodeWav("/f", adpcm).bits_per_sample must be(0)
     // distributed path: mixed batch keeps flowing
     val s = spark
     import s.implicits._
