@@ -565,6 +565,40 @@ object Relational {
              |       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 4) AS p95_qty
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // ── Table profiling: the ANALYZE pass — per-column row/null/
+    //    distinct counts from ONE scan (multi-distinct plans as a
+    //    single Expand + partial agg; a per-column loop would rescan
+    //    the table |columns| times). Counts are exact integers, so the
+    //    profile hash-checks. ────────────────────────────────────────────
+    QueryDef(
+      "q24_profile",
+      (s, d) => graft.ops.Profile.profile(
+          graft.Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy(col("column_name")),
+      Some("""SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+             |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+             |       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+             |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+             |       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+             |       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+             |UNION ALL
+             |SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+             |       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+             |       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+             |       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+             |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+             |ORDER BY column_name""".stripMargin)),
+
     // ── Sessionization: window lag + cumulative gap counting ────────────
     QueryDef(
       "q17_sessionize",

@@ -331,6 +331,22 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     dropped2 must be(0L)
   }
 
+  behavior of "Profile.profile (one-pass table profiling)"
+
+  it must "count rows, nulls, and distincts per column in one pass" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None),
+      (Some(2), Some("b")), (None, Some("b")))
+      .toDF("x", "y")
+    val out = Profile.profile(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    out("x") must be((4L, 1L, 2L)) // distinct ignores the null
+    out("y") must be((4L, 1L, 2L))
+  }
+
   behavior of "Curation.cdcChunks (content-defined chunking)"
 
   // non-periodic (Lehmer-mixed) tokens: a 1-token shift can never
