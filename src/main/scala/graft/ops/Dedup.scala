@@ -338,8 +338,11 @@ object Dedup {
     val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val buckets = rows.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-    // ids from dropped buckets; the groupBy exchange is reused across
-    // this branch and the capped branch (ReuseExchange), not recomputed
+    // ids from dropped buckets. Plan-audited (PLANS.md r8): the groupBy
+    // SHUFFLE is a ReusedExchange across this branch and the capped
+    // branch — scan, tokenize, partial agg, and the exchange write run
+    // once; only the final collect_list fold re-runs over the shuffled
+    // rows per branch
     val tainted = buckets.filter(size(col("ids")) > maxBucket)
       .select(explode(col("ids")).as("tid")).distinct()
     val counts = LshGuard.capBuckets(buckets, "ids", maxBucket, "ngram_jaccard")
