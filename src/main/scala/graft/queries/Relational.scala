@@ -665,6 +665,47 @@ object Relational {
              |FROM g, m
              |WHERE sid < (SELECT MAX(sid) FROM g g2 WHERE g2.user_id = g.user_id)
              |   OR end_ms + 1800000 < mx - 3600000
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ── Native session_window, EXECUTED (seventh streaming channel):
+    //    Spark's built-in session aggregation under the same gap and
+    //    watermark as the custom flatMapGroupsWithState channel, so
+    //    BOTH emission contracts are pinned. Two oracle-encoded
+    //    semantic differences: session_end = last event + gap (the
+    //    window end), and sessions emit ONLY when the watermark passes
+    //    that end (no split-closed early emission). The merge boundary
+    //    is INCLUSIVE — an exactly-30-min gap still merges (MemoryStream
+    //    spec-pinned), the same > rule as the custom oracle. ────────────
+    QueryDef(
+      "stream_session_window",
+      (s, d) =>
+        graft.streaming.EventsStream.sessionWindowAvailableNow(s, d)
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+             |flags AS (
+             |  SELECT user_id, tus, event_id,
+             |         CASE WHEN LAG(tus) OVER w IS NULL
+             |                OR tus - LAG(tus) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |s AS (
+             |  SELECT user_id, tus,
+             |         SUM(new_session) OVER (PARTITION BY user_id
+             |                                ORDER BY tus, event_id
+             |                                ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flags),
+             |g AS (
+             |  SELECT user_id, sid, MIN(tus) AS start_us, MAX(tus) AS end_us,
+             |         COUNT(*) AS n_events
+             |  FROM s GROUP BY user_id, sid),
+             |m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events)
+             |SELECT user_id,
+             |       make_timestamp(start_us) AS session_start,
+             |       make_timestamp(end_us + 1800000000) AS session_end,
+             |       n_events
+             |FROM g, m
+             |WHERE end_us + 1800000000 <= mx - 3600000000
              |ORDER BY user_id, session_start""".stripMargin))
   )
 }

@@ -98,6 +98,36 @@ object EventsStream {
           col("n_events"))
     }
 
+  /** The BUILT-IN session-window twin of [[sessionize]]: Spark's native
+    * `session_window` aggregation under the same 30-minute gap and
+    * 1-hour watermark — the declarative path a user reaches for before
+    * writing custom state, kept side by side with the
+    * flatMapGroupsWithState channel so both emission contracts are
+    * pinned. Two deliberate semantic differences from the custom
+    * operator, both oracle-encoded: (1) the emitted session_end is
+    * last-event + gap (the window's end), not the last event itself;
+    * (2) sessions only emit when the watermark passes the window end —
+    * there is no split-closed early emission. The merge boundary is
+    * INCLUSIVE: an event arriving exactly `gap` after the previous one
+    * still merges (MemoryStream spec-pinned), the same `>`-means-new
+    * rule as the custom operator — so the two channels' session SETS
+    * agree and only end/emission semantics differ.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming-executed native-session-window channel (see
+    * [[sessionWindowAgg]]).
+    */
+  def sessionWindowAvailableNow(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "graft_stream_swin")(sessionWindowAgg)
+
   /** Watermarked streaming DISTINCT-count: unique users per hour — the
     * ingest-time "daily actives" shape, and the engine's CHAINED
     * stateful pipeline: watermarked `dropDuplicates` state feeds a

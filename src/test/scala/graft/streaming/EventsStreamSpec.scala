@@ -83,6 +83,41 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  behavior of "sessionWindowAgg (built-in session_window twin)"
+
+  it must "merge an exactly-gap-separated event (inclusive boundary) and emit window ends" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventsStream.sessionWindowAgg(df).writeStream
+      .format("memory").queryName("swin_test").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0, "{}"), // merges (10 min)
+        (3L, ts("2024-01-01 10:40:00"), 1L, "click", 1.0, "{}"), // EXACTLY 30 min → merges
+        (4L, ts("2024-01-01 11:10:01"), 1L, "click", 1.0, "{}")) // 30 min + 1 s → new
+      q.processAllAvailable()
+      mem.addData((5L, ts("2024-01-01 14:00:00"), 9L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+
+      val out = spark.table("swin_test").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Timestamp]("session_end").toString, r.getAs[Long]("n_events")))
+        .sortBy(_._1)
+      // the exact-gap event MERGED (inclusive boundary); the gap+1s
+      // event did not; emitted ends are last event + gap
+      out.toSeq must be(Seq(
+        ("2024-01-01 10:00:00.0", "2024-01-01 11:10:00.0", 3L),
+        ("2024-01-01 11:10:01.0", "2024-01-01 11:40:01.0", 1L)))
+    } finally q.stop()
+  }
+
   behavior of "sessionize (flatMapGroupsWithState)"
 
   it must "split a user's events into gap-delimited sessions" in {
