@@ -69,6 +69,27 @@ object Curation {
       .filter(col("u") < col("w"))
   }
 
+  /** Deterministic train/val/test assignment — the holdout-split step
+    * every training run needs, built on the same [[uniformHash]]
+    * stream as weighted sampling so it shares the reproducibility
+    * contract: the same doc lands in the same split on every run,
+    * every engine, and every cluster size (an RNG split cannot promise
+    * any of that, and re-splitting on each run leaks yesterday's
+    * training docs into today's eval). Cut points are cumulative
+    * fractions of the unit interval; one codegen'd per-row pass, no
+    * shuffle.
+    */
+  def assignSplits(docs: DataFrame, trainFrac: Double, valFrac: Double,
+                   seed: Long = 42L): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      "need trainFrac > 0, valFrac >= 0, trainFrac + valFrac < 1")
+    val u = uniformHash(col("doc_id"), seed)
+    docs.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+
   /** Overlapping token chunking — the window-with-stride preprocessing
     * step RAG indexing and long-document pretraining both run: each doc
     * yields ⌈max(n−size,0)/stride⌉+1 chunks of up to `size` tokens

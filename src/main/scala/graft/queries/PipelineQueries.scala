@@ -1154,6 +1154,36 @@ object PipelineQueries {
              |  FROM documents)
              |WHERE rn % 10 = 1 ORDER BY lang, doc_id""".stripMargin)),
 
+    // Deterministic train/val/test split (80/10/10 by the Lehmer-hash
+    // uniform): per-(source, split) doc and token counts — the holdout
+    // assignment reproduces run over run and engine over engine, so
+    // the whole assignment hash-checks (an RNG split cannot).
+    QueryDef(
+      "pipeline_split",
+      (s, d) => Curation.assignSplits(
+          Tables.documents(s, d)
+            .withColumn("n_tokens", size(TextAnalysis.tokens).cast("long")),
+          trainFrac = 0.8, valFrac = 0.1)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("source"), col("split")),
+      Some("""WITH t AS (
+             |  SELECT source,
+             |         CAST(LEN(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
+             |           AS n_tokens,
+             |         CAST((((doc_id + 42) % 2147483647) * 2654435761)
+             |              % 2147483647 AS DOUBLE) / 2147483647 AS u
+             |  FROM documents),
+             |s AS (
+             |  SELECT source, n_tokens,
+             |         CASE WHEN u < 0.8 THEN 'train'
+             |              WHEN u < 0.9 THEN 'val'
+             |              ELSE 'test' END AS split
+             |  FROM t)
+             |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+             |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
+
     // Content-defined chunking, cross-doc shared-chunk report: chunk
     // boundaries wherever the 4-token window's md5 lands in 1/16 of
     // its range (content-defined, so shared runs realign after any

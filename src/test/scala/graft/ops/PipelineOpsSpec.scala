@@ -412,6 +412,25 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it must "assign disjoint, exhaustive, reproducible train/val/test splits" in {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Curation.assignSplits(docs, 0.8, 0.1)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.values.sum must be(1000L) // every doc in exactly one split
+    a("train").toDouble must (be >= 750.0 and be <= 850.0)
+    a("val").toDouble must (be >= 60.0 and be <= 140.0)
+    a("test").toDouble must (be >= 60.0 and be <= 140.0)
+    // rerun-identical assignment, not just identical counts
+    val x = Curation.assignSplits(docs, 0.8, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val y = Curation.assignSplits(docs, 0.8, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    x must be(y)
+  }
+
   it must "stay in [0, 1) for ids past the raw-multiply overflow point" in {
     val s = spark
     import s.implicits._
