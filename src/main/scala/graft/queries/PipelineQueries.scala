@@ -350,6 +350,47 @@ object PipelineQueries {
       },
       Some("SELECT doc_id, lang, text FROM documents ORDER BY doc_id")),
 
+    // Hive-partitioned train-set write path: documents land as
+    // lang=<x>/ parquet partitions (the layout a training job's data
+    // loader prunes by), read back through partition discovery, and
+    // per-partition counts — plus the on-disk partition-directory
+    // count riding every row — hash-check. Same eager-materialize-
+    // then-cleanup lifecycle as pipeline_export_jsonl, so bench reps
+    // never leak output directories.
+    QueryDef(
+      "pipeline_write_partitioned",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-part")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          .write.mode("overwrite").partitionBy("lang").parquet(dir.toString)
+        val nPartDirs = {
+          val ls = java.nio.file.Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            ls.iterator().asScala
+              .count(_.getFileName.toString.startsWith("lang="))
+          } finally ls.close()
+        }
+        val back = s.read.parquet(dir.toString)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("n_chars"))
+          .withColumn("n_partitions", lit(nPartDirs))
+          .orderBy(col("lang"))
+          .localCheckpoint(true)
+        val w = java.nio.file.Files.walk(dir)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+        back
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+             |       CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS INT)
+             |         AS n_partitions
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Corpus heavy hitters: top-20 3-grams by document frequency (the
     // stop-phrase/template statistics pass). Cutoff ties break by
     // shingle text on both engines, so the emitted set is exact.
