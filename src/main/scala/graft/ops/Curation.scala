@@ -139,8 +139,7 @@ object Curation {
     */
   def cdcChunks(docs: DataFrame, k: Int = 4): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      posexplode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
-        .as(Seq("pos", "tok")))
+      posexplode(TextAnalysis.tokens).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val gramParts = (0 until k).map(i =>
       if (i == 0) col("tok") else lead(col("tok"), i).over(w))

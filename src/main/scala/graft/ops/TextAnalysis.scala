@@ -170,8 +170,9 @@ object TextAnalysis {
     val words = docs.select(col("doc_id"), explode(tokens).as("w"))
     val tf = words.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    val termDf = words.select(col("doc_id"), col("w")).distinct()
-      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("df"))
+    // df derives FROM tf (one row per (doc, term) by construction), so
+    // the tokenize+explode scan runs once, not once per aggregate
+    val termDf = tf.groupBy(col("w")).agg(count(lit(1)).cast("long").as("df"))
     val n = docs.select(count(lit(1)).cast("long").as("n_docs"))
     val byScore = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("w"))

@@ -53,6 +53,14 @@ object PipelineQueries {
   /** Shared by pipeline_decontaminate and its Bloom-pruned variant —
     * both produce the identical exact overlap-pair set.
     */
+  /** SQL twin of `Curation.uniformHash(doc_id, 42)` — shared by the
+    * weighted-sample and split oracles so the formula cannot drift
+    * between them (it MUST track the Scala implementation exactly).
+    */
+  private val lehmerUSql: String =
+    "CAST((((doc_id + 42) % 2147483647) * 2654435761) " +
+      "% 2147483647 AS DOUBLE) / 2147483647"
+
   private val decontaminateOracle: String =
     """WITH sh AS (
       |  SELECT doc_id,
@@ -1208,13 +1216,12 @@ object PipelineQueries {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy(col("source"), col("split")),
-      Some("""WITH t AS (
-             |  SELECT source,
-             |         CAST(LEN(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
-             |           AS n_tokens,
-             |         CAST((((doc_id + 42) % 2147483647) * 2654435761)
-             |              % 2147483647 AS DOUBLE) / 2147483647 AS u
-             |  FROM documents),
+      Some(s"""WITH t AS (
+              |  SELECT source,
+              |         CAST(LEN(regexp_extract_all(lower(text), '\\w+')) AS BIGINT)
+              |           AS n_tokens,
+              |         $lehmerUSql AS u
+              |  FROM documents),
              |s AS (
              |  SELECT source, n_tokens,
              |         CASE WHEN u < 0.8 THEN 'train'
@@ -1282,21 +1289,20 @@ object PipelineQueries {
             round(col("w"), 6).as("w"), round(col("u"), 6).as("u"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id,
-             |         CAST(LEN(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
-             |           AS n_tokens
-             |  FROM documents),
-             |s AS (
-             |  SELECT doc_id, n_tokens,
-             |         LEAST(CAST(1.0 AS DOUBLE),
-             |               GREATEST(CAST(0.0 AS DOUBLE),
-             |                        CAST(n_tokens AS DOUBLE) / 200)) AS w,
-             |         CAST((((doc_id + 42) % 2147483647) * 2654435761)
-             |              % 2147483647 AS DOUBLE) / 2147483647 AS u
-             |  FROM t)
-             |SELECT doc_id, n_tokens, ROUND(w, 6) AS w, ROUND(u, 6) AS u
-             |FROM s WHERE u < w ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |         CAST(LEN(regexp_extract_all(lower(text), '\\w+')) AS BIGINT)
+              |           AS n_tokens
+              |  FROM documents),
+              |s AS (
+              |  SELECT doc_id, n_tokens,
+              |         LEAST(CAST(1.0 AS DOUBLE),
+              |               GREATEST(CAST(0.0 AS DOUBLE),
+              |                        CAST(n_tokens AS DOUBLE) / 200)) AS w,
+              |         $lehmerUSql AS u
+              |  FROM t)
+              |SELECT doc_id, n_tokens, ROUND(w, 6) AS w, ROUND(u, 6) AS u
+              |FROM s WHERE u < w ORDER BY doc_id""".stripMargin)),
 
     // Sequence-packing plan — per-language cumulative token offsets
     // assign each doc to its 4096-token pack (the planner step of a
