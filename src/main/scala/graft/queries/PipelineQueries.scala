@@ -54,10 +54,11 @@ object PipelineQueries {
     * both produce the identical exact overlap-pair set.
     */
   /** SQL twin of `Curation.uniformHash(doc_id, 42)` — shared by the
-    * weighted-sample and split oracles so the formula cannot drift
-    * between them (it MUST track the Scala implementation exactly).
+    * weighted-sample, split, and streaming-sample oracles so the
+    * formula cannot drift between them (it MUST track the Scala
+    * implementation exactly).
     */
-  private val lehmerUSql: String =
+  private[queries] val lehmerUSql: String =
     "CAST((((doc_id + 42) % 2147483647) * 2654435761) " +
       "% 2147483647 AS DOUBLE) / 2147483647"
 

@@ -667,6 +667,32 @@ object Relational {
              |   OR end_ms + 1800000 < mx - 3600000
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ── Streaming weighted sampling, EXECUTED (eighth streaming
+    //    channel): Curation.weightedSample runs verbatim on the
+    //    document stream — stateless, and the Lehmer-hash uniform
+    //    (not an RNG) makes the ingest-time sample IDENTICAL to the
+    //    batch sample whatever the micro-batch boundaries, so it
+    //    shares pipeline_weighted_sample's exact oracle. ───────────────
+    QueryDef(
+      "stream_weighted_sample",
+      (s, d) =>
+        graft.streaming.EventsStream.weightedSampleAvailableNow(s, d)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |         CAST(LEN(regexp_extract_all(lower(text), '\\w+')) AS BIGINT)
+              |           AS n_tokens
+              |  FROM documents),
+              |s AS (
+              |  SELECT doc_id, n_tokens,
+              |         LEAST(CAST(1.0 AS DOUBLE),
+              |               GREATEST(CAST(0.0 AS DOUBLE),
+              |                        CAST(n_tokens AS DOUBLE) / 200)) AS w,
+              |         ${PipelineQueries.lehmerUSql} AS u
+              |  FROM t)
+              |SELECT doc_id, n_tokens, ROUND(w, 6) AS w, ROUND(u, 6) AS u
+              |FROM s WHERE u < w ORDER BY doc_id""".stripMargin)),
+
     // ── Native session_window, EXECUTED (seventh streaming channel):
     //    Spark's built-in session aggregation under the same gap and
     //    watermark as the custom flatMapGroupsWithState channel, so

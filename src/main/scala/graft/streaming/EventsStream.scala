@@ -254,6 +254,29 @@ object EventsStream {
         n = 3, minShared = 3, maxBenchDf = Int.MaxValue)
     }
 
+  /** Streaming weighted sampling — `Curation.weightedSample` applied
+    * verbatim to a document STREAM: the op is a stateless per-row
+    * projection + filter, so it composes with readStream unchanged,
+    * and because its uniform draw is the deterministic Lehmer hash
+    * (not an RNG), the ingest-time sample is IDENTICAL to the batch
+    * sample regardless of micro-batch boundaries — the property that
+    * lets a pipeline sample at ingest and still reproduce the
+    * training set offline. Same length-proportional weight as
+    * pipeline_weighted_sample, same oracle.
+    */
+  def weightedSampleAvailableNow(spark: SparkSession,
+                                 sfDir: String): DataFrame =
+    drainAvailableNow(spark, s"$sfDir/documents.parquet",
+      "graft_stream_wsample")(
+      spark.readStream.schema(documentsSchema).parquet(_)) { docs =>
+      graft.ops.Curation.weightedSample(
+          docs.withColumn("n_tokens",
+            size(graft.ops.TextAnalysis.tokens).cast("long")),
+          col("n_tokens").cast("double") / lit(200.0), seed = 42L)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("w"), 6).as("w"), round(col("u"), 6).as("u"))
+    }
+
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
     * for a training-data pipeline: emit each content hash's FIRST
     * arrival only. `dropDuplicatesWithinWatermark` bounds the dedup
