@@ -599,6 +599,33 @@ object Relational {
              |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
              |ORDER BY column_name""".stripMargin)),
 
+    // ── RANGE window frame: time-based sliding aggregation (events in
+    //    the trailing hour per user) — the VALUE-based frame category
+    //    q07's ROWS prefix-sum doesn't cover. Both engines frame over
+    //    truncated epoch SECONDS, and a RANGE frame includes all peers
+    //    of the current value, so tie order can't change the count. ─────
+    QueryDef(
+      "q25_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"))
+          .rangeBetween(-3599, 0)
+        events(s, d)
+          .withColumn("sec", col("ts").cast("long"))
+          .withColumn("n_trailing_1h", count(lit(1)).over(w))
+          .select(col("event_id"), col("n_trailing_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id,
+             |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events)
+             |SELECT event_id,
+             |       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+             |            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+             |            AS BIGINT) AS n_trailing_1h
+             |FROM e ORDER BY event_id""".stripMargin)),
+
     // ── Sessionization: window lag + cumulative gap counting ────────────
     QueryDef(
       "q17_sessionize",
