@@ -599,6 +599,37 @@ object Relational {
              |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
              |ORDER BY column_name""".stripMargin)),
 
+    // ── Explicit GROUPING SETS: the third grouping-analytics surface
+    //    beside rollup (q13) and cube (q20) — arbitrary set lists the
+    //    other two can't express (here: by-type, by-day, grand total,
+    //    but NOT by (type, day)). grouping_id disambiguates subtotal
+    //    rows from genuine nulls; ORDER BY pins NULLS FIRST because
+    //    Spark and DuckDB default opposite null orderings. ──────────────
+    QueryDef(
+      "q26_grouping_sets",
+      (s, d) => {
+        events(s, d)
+          .withColumn("day", col("ts").cast("date"))
+          .createOrReplaceTempView("events_gs")
+        // day emits as STRING: a DATE column stringifies differently
+        // across the compare harness's readers ('2024-01-01' vs
+        // midnight-timestamp repr); ISO text is unambiguous in both
+        s.sql("""SELECT event_type, CAST(day AS STRING) AS day,
+                |       CAST(grouping_id(event_type, day) AS INT) AS gid,
+                |       COUNT(*) AS n
+                |FROM events_gs
+                |GROUP BY GROUPING SETS ((event_type), (day), ())
+                |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST
+                |""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INT) AS gid,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+             |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin)),
+
     // ── RANGE window frame: time-based sliding aggregation (events in
     //    the trailing hour per user) — the VALUE-based frame category
     //    q07's ROWS prefix-sum doesn't cover. Both engines frame over
