@@ -248,6 +248,58 @@ object Dedup {
       threshold)
   }
 
+  /** Incremental EXACT n-gram Jaccard: the counting join
+    * ([[ngramJaccardPairs]]) restricted to the new-batch × history
+    * boundary — cross-side bucket products sum to the exact overlap
+    * count, so the daily increment gets the same no-S-curve guarantee
+    * as the full join at any threshold, while history never re-pairs
+    * against itself. Both sides' buckets cap through the shared
+    * LshGuard skeleton (minSize=1 — one history doc per bucket still
+    * matches a new doc; per-shingle join fan-out ≤ cap² by
+    * construction) and ids from EITHER side's dropped buckets taint
+    * their pairs away entirely: recall loss shouts, reported values
+    * never undercount. Caller contract: the two id spaces are
+    * disjoint.
+    */
+  def incrementalNgramJaccard(newDocs: DataFrame, history: DataFrame,
+                              shingleN: Int = 3, threshold: Double = 0.5,
+                              maxBucket: Int = 1000): DataFrame = {
+    val newBuckets = shingleRows(newDocs, shingleN)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("new_ids"))
+    val histBuckets = shingleRows(history, shingleN)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("old_ids"))
+    // each side's bucket shuffle is reused across its capped and
+    // tainted branches, as in ngramJaccardPairs
+    val taintedNew = newBuckets.filter(size(col("new_ids")) > maxBucket)
+      .select(explode(col("new_ids")).as("tid")).distinct()
+    val taintedOld = histBuckets.filter(size(col("old_ids")) > maxBucket)
+      .select(explode(col("old_ids")).as("tid")).distinct()
+    val counts = LshGuard
+      .capBuckets(newBuckets, "new_ids", maxBucket, "ngram_inc_new",
+        minSize = 1)
+      .join(LshGuard.capBuckets(histBuckets, "old_ids", maxBucket,
+        "ngram_inc_hist", minSize = 1), "shingle")
+      .select(explode(col("new_ids")).as("new_id"), col("old_ids"))
+      .select(col("new_id"), explode(col("old_ids")).as("old_id"))
+      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("c"))
+    val sizes = shingleRows(newDocs.unionByName(history), shingleN)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    counts
+      .join(taintedNew, col("new_id") === col("tid"), "left_anti")
+      .join(taintedOld, col("old_id") === col("tid"), "left_anti")
+      .join(sizes.select(col("doc_id").as("new_id"), col("sz").as("sz_a")),
+        "new_id")
+      .join(sizes.select(col("doc_id").as("old_id"), col("sz").as("sz_b")),
+        "old_id")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("new_id"), col("old_id")).as("id_a"),
+        greatest(col("new_id"), col("old_id")).as("id_b"), col("jaccard"))
+  }
+
   /** Prefix-containment dedup — the truncation-dup detector: pairs
     * (short, long) where the short doc's ENTIRE token list is the first
     * |short| tokens of the long one (truncated re-crawls, cut-off

@@ -186,6 +186,21 @@ object TextAnalysis {
         round(col("score"), 4).as("tfidf"), col("rk"))
   }
 
+  /** Vocabulary count-of-counts — the Zipf profile ("how many distinct
+    * terms appear in exactly d documents"): the corpus-statistics pass
+    * behind vocabulary sizing, min-df cutoff selection, and OCR-noise
+    * detection (a healthy natural corpus shows the long df=1 hapax
+    * tail; a template-flooded crawl shows mass at high df). Two
+    * map-side-combined aggregations — term df, then count per df —
+    * over one explode scan; all integers, so the profile hash-checks.
+    */
+  def vocabZipf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(tokens)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_terms"))
+      .select(col("df").cast("long").as("df"),
+        col("n_terms").cast("long").as("n_terms"))
+
   /** Corpus heavy hitters: the `k` word-n-grams appearing in the most
     * DISTINCT documents — the statistics pass that feeds stop-phrase
     * lists and template detection (the cross-corpus complement of

@@ -400,6 +400,21 @@ object PipelineQueries {
              |         AS n_partitions
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Vocabulary Zipf profile: distinct-term count per document
+    // frequency — feeds min-df cutoffs and vocabulary sizing; all
+    // integer counts, so the whole curve hash-checks.
+    QueryDef(
+      "text_vocab_zipf",
+      (s, d) => TextAnalysis.vocabZipf(Tables.documents(s, d))
+        .orderBy(col("df")),
+      Some("""WITH dw AS (
+             |  SELECT doc_id,
+             |         unnest(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS w
+             |  FROM documents),
+             |tdf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY 1)
+             |SELECT df, CAST(COUNT(*) AS BIGINT) AS n_terms
+             |FROM tdf GROUP BY df ORDER BY df""".stripMargin)),
+
     // Corpus heavy hitters: top-20 3-grams by document frequency (the
     // stop-phrase/template statistics pass). Cutoff ties break by
     // shingle text on both engines, so the emitted set is exact.
@@ -585,6 +600,38 @@ object PipelineQueries {
              |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Incremental EXACT n-gram Jaccard across the increment × history
+    // boundary — the counting join's no-S-curve guarantee at t=0.35
+    // for the daily-crawl shape (dedup_incremental_minhash's exact
+    // twin, certifiable below LSH's reliable band).
+    QueryDef(
+      "dedup_incremental_ngram",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        Dedup.incrementalNgramJaccard(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0),
+            shingleN = 3, threshold = 0.35)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+             |         GREATEST(a.doc_id, b.doc_id) AS id_b,
+             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+             |  FROM sh a, sh b
+             |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+             |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
+             |WHERE j >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
 
     // Temperature-weighted domain mixing (τ=0.5): per-source sampling
     // weights ∝ sqrt(token mass). sqrt is IEEE-identical in both

@@ -103,6 +103,36 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     got must be(brute)
   }
 
+  it must "match brute cross-side Jaccard exactly in the incremental form" in {
+    val newDocs = docsDf(Seq(1L -> base,
+      2L -> "totally unrelated increment content words here"))
+    val hist = docsDf(Seq(
+      10L -> base.replace("dog", "cat"),
+      11L -> base,
+      12L -> "disjoint history text about planner internals"))
+    val t = 0.35
+    val got = Dedup.incrementalNgramJaccard(newDocs, hist, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ns = Dedup.shingleSets(newDocs)
+      .select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val hs = Dedup.shingleSets(hist)
+      .select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val brute = ns.join(broadcast(hs), lit(true))
+      .withColumn("j",
+        org.apache.spark.sql.functions.size(
+          array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          org.apache.spark.sql.functions.size(
+            array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("j") >= t)
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    brute must not be empty
+    got must be(brute)
+    // and no history×history pair leaks in (10 vs 11 are near-dups)
+    got.map(p => (p._1, p._2)) must not contain ((10L, 11L))
+  }
+
   it must "cap oversized buckets loudly instead of exploding pairs" in {
     // identical docs share every shingle, so every bucket holds all of
     // them; a cap of 3 must shout, taint the flood, and report nothing
