@@ -222,24 +222,42 @@ object Dedup {
   def incrementalMinhash(newDocs: DataFrame, history: DataFrame,
                          shingleN: Int = 3, b: Int = 8, r: Int = 4,
                          threshold: Double = 0.5,
-                         maxBucket: Int = 1000): DataFrame = {
-    // BOTH sides run through the capped skeleton (minSize=1 — a
-    // single doc per bucket still matches across the boundary): a
-    // boilerplate-flooded INCREMENT is just as degenerate as
-    // boilerplate history, and an uncapped new side joining a
-    // cap-sized history bucket would plan |new_bucket| × cap rows
-    // with no shout. With both caps the per-bucket join is ≤ cap² by
-    // construction, and every drop goes through LshGuard's metrics.
-    def cappedBands(docs: DataFrame, idAlias: String) =
+                         maxBucket: Int = 1000): DataFrame =
+    incrementalMinhashWithIndex(newDocs,
+      minhashBandRows(history, shingleN, b, r), history,
+      shingleN, b, r, threshold, maxBucket)
+
+  /** Incremental MinHash against a PRELOADED history band index — the
+    * true production shape behind [[incrementalMinhash]]: history
+    * bands ONCE ([[minhashBandRows]]), the index persists as plain
+    * parquet, and each daily increment bands only itself and joins the
+    * loaded rows (nothing re-reads or re-shingles history text for
+    * candidate generation — only verification fetches the candidate
+    * docs). BOTH sides run through the capped skeleton (minSize=1 — a
+    * single doc per bucket still matches across the boundary): a
+    * boilerplate-flooded INCREMENT is just as degenerate as
+    * boilerplate history, and an uncapped new side joining a
+    * cap-sized history bucket would plan |new_bucket| × cap rows
+    * with no shout. With both caps the per-bucket join is ≤ cap² by
+    * construction, and every drop goes through LshGuard's metrics.
+    */
+  def incrementalMinhashWithIndex(newDocs: DataFrame,
+                                  historyBands: DataFrame,
+                                  history: DataFrame,
+                                  shingleN: Int = 3, b: Int = 8,
+                                  r: Int = 4, threshold: Double = 0.5,
+                                  maxBucket: Int = 1000): DataFrame = {
+    def capped(bands: DataFrame, idAlias: String, kind: String) =
       LshGuard.capBuckets(
-        minhashBandRows(docs, shingleN, b, r)
+        bands
           .groupBy(col("band_idx"), col("band_hash"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ids")),
-        "ids", maxBucket, "minhash_inc", minSize = 1)
+        "ids", maxBucket, kind, minSize = 1)
         .select(col("band_idx"), col("band_hash"),
           explode(col("ids")).as(idAlias))
-    val nb = cappedBands(newDocs, "new_id")
-    val hist = cappedBands(history, "old_id")
+    val nb = capped(minhashBandRows(newDocs, shingleN, b, r), "new_id",
+      "minhash_inc")
+    val hist = capped(historyBands, "old_id", "minhash_idx")
     val candidates = nb.join(hist, Seq("band_idx", "band_hash"))
       .select(least(col("new_id"), col("old_id")).as("id_a"),
         greatest(col("new_id"), col("old_id")).as("id_b"))

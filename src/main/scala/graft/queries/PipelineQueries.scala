@@ -601,6 +601,51 @@ object PipelineQueries {
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Persisted-index round-trip: history's MinHash band rows write to
+    // parquet ONCE, reload, and the increment joins the LOADED index —
+    // the result must be IDENTICAL to dedup_incremental_minhash's
+    // direct computation (same oracle), proving the persisted index is
+    // lossless: the production "band once, search daily" story
+    // end-to-end. Same eager-materialize-then-cleanup lifecycle as
+    // fs_save_load so bench reps never leak index directories.
+    QueryDef(
+      "dedup_index_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val inc = docs.filter(col("doc_id") % 10 === 0)
+        val hist = docs.filter(col("doc_id") % 10 =!= 0)
+        val dir = java.nio.file.Files.createTempDirectory("graft-mh-index")
+        Dedup.minhashBandRows(hist, shingleN = 3, b = 8, r = 4)
+          .write.mode("overwrite").parquet(dir.toString)
+        val out = Dedup.incrementalMinhashWithIndex(inc,
+            s.read.parquet(dir.toString), hist,
+            shingleN = 3, b = 8, r = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val w = java.nio.file.Files.walk(dir)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+        out
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+             |         GREATEST(a.doc_id, b.doc_id) AS id_b,
+             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+             |  FROM sh a, sh b
+             |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+             |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
+             |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
     // Incremental EXACT n-gram Jaccard across the increment × history
     // boundary — the counting join's no-S-curve guarantee at t=0.35
     // for the daily-crawl shape (dedup_incremental_minhash's exact
