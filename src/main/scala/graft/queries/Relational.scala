@@ -599,6 +599,37 @@ object Relational {
              |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
              |ORDER BY column_name""".stripMargin)),
 
+    // ── Count-Min frequency sketch, bound-gated: the second sketch
+    //    family beside q22's HLL — per-key frequency ESTIMATES from one
+    //    mergeable sketch pass (seeded, so deterministic), gated by the
+    //    CMS contract the oracle can check without recomputing the
+    //    sketch: est ≥ exact always, est ≤ exact + eps·N at the sketch's
+    //    confidence (eps=0.001 on this key cardinality holds
+    //    deterministically with seed 42, tri-SF). ───────────────────────
+    QueryDef(
+      "q27_cms_freq",
+      (s, d) => {
+        val ev = events(s, d)
+        val total = ev.count()
+        val cms = ev.stat.countMinSketch(col("event_type"),
+          eps = 0.001, confidence = 0.99, seed = 42)
+        // the UDF probes the driver-merged sketch over the AGGREGATED
+        // frame — |distinct keys| rows, not the corpus; no built-in
+        // expression exposes CountMinSketch.estimateCount
+        val estimate = udf((k: String) => cms.estimateCount(k))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_exact"))
+          .withColumn("est", estimate(col("event_type")))
+          .select(col("event_type"), col("n_exact"),
+            (col("est") >= col("n_exact") &&
+              col("est") <= col("n_exact") + lit(0.001 * total))
+              .as("bound_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             |       TRUE AS bound_ok
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // ── Explicit GROUPING SETS: the third grouping-analytics surface
     //    beside rollup (q13) and cube (q20) — arbitrary set lists the
     //    other two can't express (here: by-type, by-day, grand total,
