@@ -158,6 +158,37 @@ object PipelineQueries {
              |       CAST(s_en + s_es + s_de + s_fr AS BIGINT) AS n_votes
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Classifier EVALUATION against gold labels — the confusion matrix
+    // a pipeline publishes for any heuristic before trusting it as a
+    // filter: per (gold lang, predicted lang) doc counts over the
+    // labeled corpus. Both engines compute the identical vote
+    // heuristic, so the matrix hash-checks; off-diagonal rows quantify
+    // the heuristic's real error surface instead of hiding it.
+    QueryDef(
+      "text_langid_eval",
+      (s, d) => TextAnalysis.langId(Tables.documents(s, d))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_guess")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         LEN(list_filter(regexp_extract_all(lower(text), '\w+'), w -> w IN ('the','and','of','to','a'))) AS s_en,
+             |         LEN(list_filter(regexp_extract_all(lower(text), '\w+'), w -> w IN ('el','los','que','y','es'))) AS s_es,
+             |         LEN(list_filter(regexp_extract_all(lower(text), '\w+'), w -> w IN ('der','die','und','das','ist'))) AS s_de,
+             |         LEN(list_filter(regexp_extract_all(lower(text), '\w+'), w -> w IN ('le','les','et','des','une'))) AS s_fr
+             |  FROM documents),
+             |p AS (
+             |  SELECT lang,
+             |         CASE WHEN s_en >= GREATEST(s_es, s_de, s_fr) THEN 'en'
+             |              WHEN s_es >= GREATEST(s_de, s_fr) THEN 'es'
+             |              WHEN s_de >= s_fr THEN 'de'
+             |              ELSE 'fr' END AS lang_guess
+             |  FROM t)
+             |SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM p GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin)),
+
     QueryDef(
       "text_fingerprint",
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id")),
