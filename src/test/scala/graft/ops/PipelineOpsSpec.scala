@@ -1172,6 +1172,19 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     val adpcm = Multimodal.syntheticWav(1L, 1, 8000, 4L)
     adpcm(34) = 4; adpcm(35) = 0 // bits_per_sample = 4
     Multimodal.decodeWav("/f", adpcm).bits_per_sample must be(0)
+    // a foreign chunk BEFORE fmt must be walked over, not choked on —
+    // splice a 6-byte (odd→padded) "LIST" chunk after the RIFF header
+    val base = Multimodal.syntheticWav(3L, 2, 16000, 8L)
+    val extra = java.nio.ByteBuffer.allocate(8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put(Array[Byte](1, 2, 3, 4, 5, 0)) // 5 bytes + pad
+    val spliced = base.take(12) ++ extra.array() ++ base.drop(12)
+    val m = Multimodal.decodeWav("/g", spliced)
+    m.format must be("wav")
+    m.channels must be(2)
+    m.sample_rate must be(16000)
+    m.n_samples must be(8L)
     // distributed path: mixed batch keeps flowing
     val s = spark
     import s.implicits._
@@ -1548,6 +1561,16 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out.toSeq must be(Seq(
       (1, "a", "a", 3L),
       (2, "a_a", "a_a", 1L)))
+  }
+
+  behavior of "TextAnalysis.vocabZipf (count-of-counts)"
+
+  it must "count distinct terms per document frequency" in {
+    // "a" in 3 docs, "b" in 2, "c"/"d" in 1 each → df=1:2, df=2:1, df=3:1
+    val out = TextAnalysis.vocabZipf(docsDf(Seq(
+        1L -> "a b c", 2L -> "a b", 3L -> "a d a")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out must be(Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
   behavior of "TextAnalysis.tfidf (per-doc characteristic terms)"
