@@ -29,27 +29,46 @@ object Curation {
       .drop("_rn")
   }
 
-  /** Deterministic per-row uniform in [0, 1) — a Lehmer-style
-    * multiplicative hash of the id: ((id + seed)·2654435761) mod
-    * (2³¹−1), divided once. The seed mixes BEFORE the multiply — an
-    * additive-after-multiply seed would shift u by only seed/2³¹
-    * (~1.6e−8 per unit) and leave every keep/drop decision unchanged;
-    * pre-mixing relabels every id, so each seed draws an independent
-    * same-law sample. The mixed id reduces mod 2³¹−1 BEFORE the
-    * multiply, so the product is bounded by (2³¹−2)·2654435761 ≈
-    * 5.7·10¹⁸ < Long.Max for ANY id/seed — a raw (id+seed)·M would
-    * wrap past ~3.4·10⁹ and yield negative u (keeping rows even at
-    * weight 0, and diverging from a no-wraparound SQL engine). Exact
-    * integer arithmetic plus one IEEE division, so the value — and
-    * therefore every decision built on it — is bit-identical in any
-    * engine that does exact integer math, unlike engine RNGs, whose
-    * streams differ by partitioning. Knuth's multiplier gives the
-    * avalanche sampling needs; this is a sampling hash, not a
-    * cryptographic one.
+  /** Deterministic per-row uniform in [0, 1): m = (id + seed) mod
+    * (2³¹−1), one xor-shift mixing round m ^= m >> 15, then Knuth's
+    * multiplier mod (2³¹−1), divided once. The seed mixes BEFORE the
+    * multiply — an additive-after-multiply seed would shift u by only
+    * seed/2³¹ (~1.6e−8 per unit) and leave every keep/drop decision
+    * unchanged; pre-mixing relabels every id. The xor-shift makes the
+    * map non-affine: without it u(id+1) − u(id) is a CONSTANT mod 1,
+    * so two streams at different seeds differ by a constant offset and
+    * composed sampling decisions stay perfectly correlated — the
+    * mixing round is what lets distinct seeds draw genuinely
+    * independent same-law samples. The mixed id reduces mod 2³¹−1
+    * BEFORE the multiply and the xor-shift keeps m < 2³¹, so the
+    * product is bounded by (2³¹−1)·2654435761 ≈ 5.7·10¹⁸ < Long.Max
+    * for ANY id/seed — a raw (id+seed)·M would wrap past ~3.4·10⁹ and
+    * yield negative u (keeping rows even at weight 0, and diverging
+    * from a no-wraparound SQL engine). Exact integer arithmetic plus
+    * one IEEE division, so the value — and therefore every decision
+    * built on it — is bit-identical in any engine that does exact
+    * integer math, unlike engine RNGs, whose streams differ by
+    * partitioning. A sampling hash, not a cryptographic one: ids
+    * differing by exactly 2³¹−1 still collide (the initial mod), so
+    * id spaces wider than 2³¹ see period-p structure.
     */
-  def uniformHash(id: Column, seed: Long): Column =
-    ((pmod(id + lit(seed), lit(2147483647L)) * lit(2654435761L)) %
-      lit(2147483647L)).cast("double") / lit(2147483647.0)
+  def uniformHash(id: Column, seed: Long): Column = {
+    val m = pmod(id + lit(seed), lit(2147483647L))
+    val mixed = m.bitwiseXOR(shiftright(m, 15))
+    ((mixed * lit(2654435761L)) % lit(2147483647L))
+      .cast("double") / lit(2147483647.0)
+  }
+
+  /** Op-domain salt for [[assignSplits]]: composed sample-then-split
+    * pipelines at the SAME user seed must not reuse one uniform
+    * stream — a doc kept by `weightedSample` at weight w ≤ trainFrac
+    * would then be GUARANTEED to land in 'train', and val/test would
+    * systematically over-represent sample-dropped docs. XORing a
+    * fixed op constant into the seed puts the split draw in its own
+    * stream (the xor-shift round in [[uniformHash]] is what makes
+    * distinct seeds genuinely independent rather than offset copies).
+    */
+  val SplitSeedSalt: Long = 0x73706C69L // "spli"
 
   /** Deterministic weighted (importance) sampling: keep each document
     * with probability `weight` (clamped to [0, 1]) using the
@@ -70,12 +89,14 @@ object Curation {
   }
 
   /** Deterministic train/val/test assignment — the holdout-split step
-    * every training run needs, built on the same [[uniformHash]]
-    * stream as weighted sampling so it shares the reproducibility
-    * contract: the same doc lands in the same split on every run,
-    * every engine, and every cluster size (an RNG split cannot promise
-    * any of that, and re-splitting on each run leaks yesterday's
-    * training docs into today's eval). Cut points are cumulative
+    * every training run needs, built on the [[uniformHash]] family so
+    * it shares the reproducibility contract: the same doc lands in the
+    * same split on every run, every engine, and every cluster size (an
+    * RNG split cannot promise any of that, and re-splitting on each
+    * run leaks yesterday's training docs into today's eval). The seed
+    * is salted with [[SplitSeedSalt]] so the split draw is independent
+    * of a `weightedSample` draw at the same user seed (see the salt's
+    * doc for the correlation hazard). Cut points are cumulative
     * fractions of the unit interval; one codegen'd per-row pass, no
     * shuffle.
     */
@@ -83,7 +104,7 @@ object Curation {
                    seed: Long = 42L): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
       "need trainFrac > 0, valFrac >= 0, trainFrac + valFrac < 1")
-    val u = uniformHash(col("doc_id"), seed)
+    val u = uniformHash(col("doc_id"), seed ^ SplitSeedSalt)
     docs.withColumn("split",
       when(u < trainFrac, "train")
         .when(u < trainFrac + valFrac, "val")

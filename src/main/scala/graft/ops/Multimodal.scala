@@ -156,7 +156,10 @@ object Multimodal {
       var ch = 0; var rate = 0; var bits = 0; var dataLen = -1L
       while (off + 8 <= payload.length && (ch == 0 || dataLen < 0)) {
         val id = tag(off.toInt); val len = le32(off.toInt + 4)
-        if (id == "fmt " && off + 24 <= payload.length) {
+        // len >= 16: an undersized fmt chunk (declared shorter than
+        // the PCM header fields) must degrade to the zeroed row, not
+        // read channels/rate/bits from the NEXT chunk's bytes
+        if (id == "fmt " && len >= 16 && off + 24 <= payload.length) {
           ch = le16(off.toInt + 10); rate = le32(off.toInt + 12).toInt
           bits = le16(off.toInt + 22)
         } else if (id == "data") {

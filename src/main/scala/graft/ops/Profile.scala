@@ -28,8 +28,15 @@ object Profile {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         countDistinct(col(c)).as(s"${c}__distinct"))
     }
+    // the names are interpolated into an expr() string — a quote or
+    // backtick in a column name must read as DATA, not break parsing
+    // or inject into the SQL (SQL string literals escape ' by
+    // doubling; backtick-quoted identifiers escape ` by doubling)
+    def sqlStr(c: String) = "'" + c.replace("'", "''") + "'"
+    def sqlId(c: String) = "`" + c.replace("`", "``") + "`"
     val stackArgs = columns
-      .map(c => s"'$c', `${c}__n`, `${c}__nulls`, `${c}__distinct`")
+      .map(c => s"${sqlStr(c)}, ${sqlId(s"${c}__n")}, " +
+        s"${sqlId(s"${c}__nulls")}, ${sqlId(s"${c}__distinct")}")
       .mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${columns.size}, $stackArgs) AS " +

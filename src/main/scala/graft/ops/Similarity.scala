@@ -534,7 +534,11 @@ object Similarity {
             col("embedding").as("cv"))
       }
     }
-    Await.result(Future.sequence(trained), Duration.Inf).reduce(_ unionByName _)
+    // finite (if generous) deadline: one wedged subspace job must
+    // surface as a TimeoutException naming this call site, not hang
+    // the caller forever with no diagnostic
+    Await.result(Future.sequence(trained), Duration(30, "min"))
+      .reduce(_ unionByName _)
   }
 
   /** PQ top-k: m-byte-code candidate generation + exact float rerank —

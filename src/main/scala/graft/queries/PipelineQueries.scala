@@ -53,14 +53,26 @@ object PipelineQueries {
   /** Shared by pipeline_decontaminate and its Bloom-pruned variant —
     * both produce the identical exact overlap-pair set.
     */
-  /** SQL twin of `Curation.uniformHash(doc_id, 42)` — shared by the
+  /** SQL twin of `Curation.uniformHash(doc_id, seed)` — shared by the
     * weighted-sample, split, and streaming-sample oracles so the
     * formula cannot drift between them (it MUST track the Scala
-    * implementation exactly).
+    * implementation exactly: mod-reduce, one xor-shift mixing round,
+    * Knuth multiply, mod, divide — all exact 64-bit integer math in
+    * both engines).
     */
-  private[queries] val lehmerUSql: String =
-    "CAST((((doc_id + 42) % 2147483647) * 2654435761) " +
+  private[queries] def lehmerUSqlFor(seed: Long): String = {
+    val m = s"((doc_id + $seed) % 2147483647)"
+    s"CAST((xor($m, $m >> 15) * 2654435761) " +
       "% 2147483647 AS DOUBLE) / 2147483647"
+  }
+
+  private[queries] val lehmerUSql: String = lehmerUSqlFor(42L)
+
+  /** The split oracle's uniform draws from the salted stream (see
+    * `Curation.SplitSeedSalt`).
+    */
+  private val splitUSql: String =
+    lehmerUSqlFor(42L ^ graft.ops.Curation.SplitSeedSalt)
 
   private val decontaminateOracle: String =
     """WITH sh AS (
@@ -1344,7 +1356,7 @@ object PipelineQueries {
               |  SELECT source,
               |         CAST(LEN(regexp_extract_all(lower(text), '\\w+')) AS BIGINT)
               |           AS n_tokens,
-              |         $lehmerUSql AS u
+              |         $splitUSql AS u
               |  FROM documents),
              |s AS (
              |  SELECT source, n_tokens,

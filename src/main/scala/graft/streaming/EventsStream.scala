@@ -165,32 +165,87 @@ object EventsStream {
     drainAvailableNow(spark, s"$sfDir/events.parquet", sink)(
       readEvents(spark, _))(transform)
 
+  /** Landing directories staged ONCE per source per JVM. The previous
+    * lifecycle (create + copy + delete per drain) put a mkdir/copy/
+    * recursive-delete churn cycle in /tmp on EVERY bench rep of every
+    * streaming channel — the r8 driver run flagged monotone in-process
+    * growth on a stateless channel (1.1→3.5→3.7 s), the same signature
+    * as the r7 checkpoint leak, pointing at harness dir lifecycle
+    * rather than the operator. A staged landing is immutable input
+    * (the drain never writes into it), so one copy per distinct source
+    * serves every subsequent drain; a JVM shutdown hook removes the
+    * bounded set (one per source table).
+    */
+  private val stagedLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      val w = java.nio.file.Files.walk(dir)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
+
+  private def stageLanding(srcParquet: String): String =
+    stagedLandings.computeIfAbsent(srcParquet, src => {
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      val landing = Files.createTempDirectory("graft-events-landing")
+      val srcPath = Paths.get(src)
+      val toStage: Seq[Path] =
+        if (Files.isDirectory(srcPath)) {
+          val s = Files.list(srcPath)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+          } finally s.close()
+        } else Seq(srcPath)
+      toStage.foreach(p => Files.copy(p,
+        landing.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(landing)))
+      landing.toString
+    })
+
+  /** Best-effort unload of every loaded state-store provider. Each
+    * drain runs against a FRESH checkpoint, so its stateful operators
+    * load brand-new provider instances — and nothing ever unloads the
+    * superseded ones until the maintenance thread's next pass (default
+    * 60 s), so a multi-channel bench suite accumulates dead providers
+    * whose maintenance churns against already-deleted checkpoint dirs.
+    * `StateStore.unloadAll` is `private[sql]`, hence reflection; a
+    * provider a future query needs reloads on demand, so unloading
+    * between drains is always safe.
+    */
+  private def unloadStateStores(): Unit =
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val module = cls.getField("MODULE$").get(null)
+      cls.getMethod("unloadAll").invoke(module)
+    } catch { case _: Throwable => () }
+
   /** Generic parquet AvailableNow drain for non-events tables; the
-    * reader receives the staged landing directory.
+    * reader receives the staged landing directory. The checkpoint is an
+    * EXPLICIT per-drain temp dir removed in the finally — Spark's
+    * unmanaged temp checkpoint is deleted only "best effort", and a
+    * 24-drain bench suite must not depend on best effort for /tmp
+    * hygiene.
     */
   private def drainAvailableNow(spark: SparkSession, srcParquet: String,
                                 sink: String)(
       read: String => DataFrame)(
       transform: DataFrame => DataFrame): DataFrame = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    val landing = Files.createTempDirectory("graft-events-landing")
-    val src = Paths.get(srcParquet)
-    val toStage: Seq[Path] =
-      if (Files.isDirectory(src)) {
-        val s = Files.list(src)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-        } finally s.close()
-      } else Seq(src)
-    toStage.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
-      StandardCopyOption.REPLACE_EXISTING))
+    val landing = stageLanding(srcParquet)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
     // stateful operators allocate one state-store instance per shuffle
     // partition per batch — at the drain harness's single-file scale
     // the 32-partition default spends more on state init/commit than on
     // data. 8 partitions here is a per-query tunable (state partition
     // count is fixed by the FIRST run against a checkpoint; each drain
-    // uses a fresh temp checkpoint, so this never fights a restart); a
+    // uses a fresh checkpoint, so this never fights a restart); a
     // production deployment sizes it to sustained input rate instead.
     // restore AFTER awaitTermination, not after start(): the stream
     // thread captures the conf asynchronously when planning batch 0, so
@@ -201,8 +256,9 @@ object EventsStream {
     try {
       var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
-        q = transform(read(landing.toString))
+        q = transform(read(landing))
           .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -214,13 +270,8 @@ object EventsStream {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      // the memory sink holds the emitted rows — the staged copies are
-      // dead weight now; a bench run at REPS=3 must not leak three
-      // landing directories per streaming query, success OR failure
-      val w = Files.walk(landing)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally w.close()
+      unloadStateStores()
+      deleteRecursively(ckpt)
     }
     spark.table(sink)
   }
