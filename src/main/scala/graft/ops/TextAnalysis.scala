@@ -277,6 +277,116 @@ object TextAnalysis {
     found.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
   }
 
+  /** Batched BPE merge induction — the vocabulary-SCALE form of
+    * [[bpeMerges]]: up to `batchM` merges per corpus scan instead of
+    * one, so a 32k-merge vocabulary costs ~nMerges/batchM scans, not
+    * 32k. Produces EXACTLY the sequential algorithm's merge table
+    * (same ranks, same pairs, same frequencies) via a conservative
+    * selection rule, so callers can batch without changing semantics
+    * (spec-pinned against [[bpeMerges]], which deliberately keeps an
+    * independent window-lead counting mechanism as the reference).
+    *
+    * Why the selection is exact: pairs are ordered (freq desc, lhs,
+    * rhs) — the sequential pick order. Applying merge (a,b) only
+    * changes counts of pairs sharing a symbol with it (pairs (x,a) /
+    * (b,y) shrink; new pairs (x,a_b)/(a_b,y) appear with count ≤ the
+    * pre-merge count of the conflicted pair (x,a)/(b,y) they came
+    * from). So walking the count table in order: a pair sharing NO
+    * symbol with anything selected so far still has its exact
+    * sequential-moment count, and it is the sequential algorithm's
+    * next pick as long as its freq strictly exceeds every conflicted
+    * pair seen so far (a new pair can never out-count the conflicted
+    * pair that spawned it, and ties break against us only at equal
+    * freq — hence strict). Selection stops at the first candidate
+    * that fails the gate; the next scan re-counts with all applied
+    * merges visible. Every round selects at least its top pair, so
+    * rounds ≤ nMerges always, and ≈ nMerges/batchM when the corpus
+    * has many independent frequent pairs (the realistic regime at
+    * vocab scale). Carries the same documented '_'-collision caveat
+    * as [[bpeMerges]]: a corpus token textually equal to a merged
+    * symbol name is indistinguishable from it.
+    *
+    * Per-round dataflow is leaner than the reference loop: adjacent
+    * pairs come from a zero-width-lookahead regex over the encoded
+    * string — a pure per-row projection straight into one map-side-
+    * combined count — so there is NO per-doc window sort and the only
+    * shuffle is the pair aggregation. (tok, nxt) are re-extracted
+    * AFTER aggregation (distinct-pair cardinality, not corpus
+    * cardinality) because ordering by the raw pair string would
+    * diverge from (lhs, rhs) order on digit-bearing tokens ('0'-'9'
+    * sort below '>'). The working column localCheckpoints every
+    * `checkpointEvery` rounds, releasing the superseded snapshot, so
+    * lineage and codegen size stay bounded at any merge count.
+    */
+  def bpeMergesBatched(docs: DataFrame, nMerges: Int, batchM: Int = 64,
+                       checkpointEvery: Int = 8): DataFrame = {
+    require(nMerges >= 0 && batchM >= 1 && checkpointEvery >= 1,
+      "need nMerges >= 0, batchM >= 1, checkpointEvery >= 1")
+    val spark = docs.sparkSession
+    var cur = docs.select(col("doc_id"),
+      concat(lit("<"), array_join(tokens, "><"), lit(">")).as("s"))
+    var prevCkpt: Option[DataFrame] = None
+    val found =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var exhausted = false
+    while (found.size < nMerges && !exhausted) {
+      rounds += 1
+      val m = math.min(batchM, nMerges - found.size)
+      // enough headroom that one conflicted cluster doesn't starve the
+      // round; correctness never depends on the horizon (pairs below
+      // it simply wait for the next scan)
+      val collectN = 4 * m + 16
+      val top = cur
+        .select(explode(regexp_extract_all(col("s"),
+          lit("(?=(<[^<>]+><[^<>]+>))"), lit(1))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("freq"))
+        .select(
+          regexp_extract(col("pair"), "^<([^<>]+)>", 1).as("tok"),
+          regexp_extract(col("pair"), "><([^<>]+)>$", 1).as("nxt"),
+          col("freq"))
+        .orderBy(col("freq").desc, col("tok"), col("nxt"))
+        .limit(collectN)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val selected =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var maxConflicted = Long.MinValue
+        var i = 0
+        var stop = false
+        while (!stop && i < top.length && selected.size < m) {
+          val (l, r, f) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (used(l) || used(r)) maxConflicted = math.max(maxConflicted, f)
+          else if (f > maxConflicted) {
+            selected += ((l, r, f))
+            used += l; used += r; used += s"${l}_$r"
+          } else stop = true
+          i += 1
+        }
+        selected.foreach { case (l, r, f) =>
+          found += ((found.size + 1, l, r, f))
+        }
+        val applied = selected.foldLeft(col("s")) { case (c, (l, r, _)) =>
+          replace(c, lit(s"<$l><$r>"), lit(s"<${l}_$r>"))
+        }
+        cur = cur.withColumn("s", applied)
+        if (rounds % checkpointEvery == 0) {
+          val snap = cur.localCheckpoint()
+          prevCkpt.foreach(graft.PlanHygiene.releaseCheckpoint)
+          prevCkpt = Some(snap)
+          cur = snap
+        }
+      }
+    }
+    prevCkpt.foreach(graft.PlanHygiene.releaseCheckpoint)
+    import spark.implicits._
+    found.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the cheap cross-engine-stable dedup key (rolling-hash analog).
     */

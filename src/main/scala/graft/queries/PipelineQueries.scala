@@ -301,7 +301,12 @@ object PipelineQueries {
     // symbol encoding in BOTH engines.
     QueryDef(
       "text_bpe_merges",
-      (s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d), nMerges = 3)
+      // the batched trainer (provably sequential-equal — see its
+      // Scaladoc + the agreement spec) against the STRICTLY SEQUENTIAL
+      // 3-round chained-CTE oracle below: the oracle doubles as the
+      // cross-engine proof that batching preserved the merge chain
+      (s, d) => TextAnalysis.bpeMergesBatched(Tables.documents(s, d),
+          nMerges = 3)
         .orderBy(col("merge_rank")),
       Some("""WITH s0 AS (
              |  SELECT doc_id,

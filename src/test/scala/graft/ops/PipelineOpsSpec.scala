@@ -1563,6 +1563,55 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       (2, "a_a", "a_a", 1L)))
   }
 
+  behavior of "TextAnalysis.bpeMergesBatched (vocab-scale merge induction)"
+
+  it must "reproduce the sequential merge table exactly on a mixed corpus" in {
+    // two independent counting mechanisms (regex-adjacency vs
+    // window-lead) AND two schedules (batched vs one-per-scan) must
+    // land on the identical (rank, lhs, rhs, freq) table
+    val corpus = docsDf(Seq(
+      1L -> "the cat sat on the mat the cat sat",
+      2L -> "a b a b a b c d c d",
+      3L -> "the dog sat on the log",
+      4L -> "x y x y z z z z x y"))
+    val seqOut = TextAnalysis.bpeMerges(corpus, 10)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val batOut = TextAnalysis.bpeMergesBatched(corpus, 10, batchM = 4,
+        checkpointEvery = 2)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    batOut.toSeq must be(seqOut.toSeq)
+    batOut.length must be(10)
+  }
+
+  it must "fall back to smaller rounds when the top pairs conflict" in {
+    // "a b c" x3: round 1 counts (a,b):3 and (b,c):3 — (b,c) shares b
+    // with the selected (a,b) AND ties it at freq 3, so the gate stops
+    // the round after ONE merge (selecting (b,c) would diverge: after
+    // merging (a,b) the pair (b,c) no longer exists); the next scan
+    // must find (a_b, c) instead
+    val corpus = docsDf(Seq(1L -> "a b c a b c a b c"))
+    val batOut = TextAnalysis.bpeMergesBatched(corpus, 2, batchM = 8)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    batOut.toSeq must be(Seq(
+      (1, "a", "b", 3L),
+      (2, "a_b", "c", 3L)))
+  }
+
+  it must "merge adjacent runs greedily like the sequential trainer" in {
+    // the bracket encoding's leftmost-non-overlapping property must
+    // survive the regex-adjacency counting path too
+    val out = TextAnalysis.bpeMergesBatched(docsDf(Seq(1L -> "a a a a")), 2,
+        batchM = 8)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq must be(Seq(
+      (1, "a", "a", 3L),
+      (2, "a_a", "a_a", 1L)))
+  }
+
   behavior of "TextAnalysis.vocabZipf (count-of-counts)"
 
   it must "count distinct terms per document frequency" in {
