@@ -22,6 +22,19 @@ object Bench {
         times(i) > 2 * base && times(i) > base + 1.0
       }
 
+  /** Exoneration criterion for a flagged query's in-JVM recheck: the
+    * flag claimed the query can no longer reach its proven capability
+    * (`origMin`); any recheck rep landing back inside the guard band
+    * (≤ 2× AND within +1 s of that minimum — the same band `degrades`
+    * polices) refutes the claim, because a genuine in-process leak
+    * would still be loaded and keep every recheck rep slow. Failed
+    * reps (−1) never exonerate.
+    */
+  def exonerates(origMin: Double, recheck: Seq[Double]): Boolean = {
+    val ok = recheck.filter(_ >= 0)
+    ok.nonEmpty && ok.min <= math.max(2 * origMin, origMin + 1.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -95,15 +108,51 @@ object Bench {
     // rep-slope guard: a query whose later reps blow past 2× rep-1 is
     // named on stderr AND in the summary line — min-of-reps must never
     // silently mask monotone in-process growth (the r6 lesson)
-    val degraded = results.collect { case (n, ts) if degrades(ts) => n }
-    degraded.foreach { n =>
+    val flagged = results.collect { case (n, ts) if degrades(ts) => n }
+    // Automated exoneration (the protocol note on `degrades`, now in
+    // the harness instead of a manual rerun): a flagged query is
+    // immediately re-measured IN THIS JVM. A genuine in-process leak
+    // (accumulated checkpoints, codegen-cache thrash, stranded
+    // streaming state) is still present, so the recheck stays slow and
+    // the flag is CONFIRMED; a host-contention blip — this box's
+    // documented ~2× noise band hitting one rep of a fixed-overhead-
+    // dominated query — does not reproduce, and the query is
+    // exonerated when any recheck rep lands back inside the guard band
+    // of the suite-run minimum. Both lists are emitted; nothing is
+    // silent. r8 evidence for why: dedup_simhash_wide flagged at reps
+    // 3.0→3.1→9.1 on the driver box while five isolated runs held a
+    // 2.0–2.5 s floor — the 9.1 was weather, and the old flag could
+    // not say so.
+    val recheckReps = sys.env.get("SPARK_GRAFT_RECHECK")
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(3)
+    val queryFns = SparkEntry.queries
+    val rechecks: Map[String, Seq[Double]] = flagged.map { n =>
+      val ts = (1 to recheckReps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          queryFns(n)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        finally PlanHygiene.sweepPersisted(spark)
+      }
+      n -> ts
+    }.toMap
+    val (exonerated, degraded) = flagged.partition { n =>
+      exonerates(results.toMap.apply(n).min, rechecks(n))
+    }
+    flagged.foreach { n =>
+      val verdict = if (degraded.contains(n)) "CONFIRMED" else "exonerated"
       System.err.println(s"[bench][WARN] $n DEGRADES across reps: " +
         results.toMap.apply(n).map(r3).mkString(" -> ") +
-        " — monotone in-process growth, investigate before trusting min")
+        s" — recheck ${rechecks(n).map(r3).mkString(" -> ")} → $verdict")
     }
     val degradedJson =
-      if (degraded.isEmpty) ""
-      else degraded.map("\"" + _ + "\"").mkString(""","degraded":[""", ",", "]")
+      (if (degraded.isEmpty) ""
+       else degraded.map("\"" + _ + "\"")
+         .mkString(""","degraded":[""", ",", "]")) +
+        (if (exonerated.isEmpty) ""
+         else exonerated.map("\"" + _ + "\"")
+           .mkString(""","exonerated":[""", ",", "]"))
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
         s""""queries":$qs,"queries_channel":"min_of_reps"$extra$degradedJson,""" +
@@ -132,9 +181,13 @@ object Bench {
     }.find(_.length <= 1850)
       .getOrElse(line("{}", s""","q_floor":-1,"n_below_floor":${results.size}"""))
     val detail = results.map { case (k, ts) =>
+      val recheck = rechecks.get(k)
+        .map(r => ",\"recheck\":" + r.mkString("[", ",", "]") +
+          ",\"confirmed\":" + degraded.contains(k))
+        .getOrElse("")
       "\"" + k + "\":{\"reps\":" + ts.mkString("[", ",", "]") +
         ",\"first\":" + ts.head + ",\"min\":" + ts.min +
-        ",\"degrades\":" + degrades(ts) + "}"
+        ",\"degrades\":" + degrades(ts) + recheck + "}"
     }.mkString(
       s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMin,""" +
         s""""unit":"sec","reps":$reps,"sf":"$sfDir","queries":{""",

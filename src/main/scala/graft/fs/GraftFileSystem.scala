@@ -57,8 +57,11 @@ class GraftFileSystem extends FileSystem {
     setConf(conf)
     ctx = FsContext.initialize(uri.toString,
       Option(System.getProperty("user.name")).getOrElse("graft"))
-    subBlockSize = conf.getInt("graft.subblock.size", DataPlane.DefaultSubBlock)
-    blockSize = conf.getInt("graft.block.size", DataPlane.DefaultBlock)
+    // precedence: explicit Hadoop conf key (the core-site.xml analog) →
+    // session-level spark.graft.* key (GraftConfig) → built-in default
+    val (sparkSub, sparkBlock) = GraftConfig.geometry(spark)
+    subBlockSize = conf.getInt("graft.subblock.size", sparkSub)
+    blockSize = conf.getInt("graft.block.size", sparkBlock)
     require(subBlockSize > 0 && blockSize % subBlockSize == 0,
       "graft.block.size must be a positive multiple of graft.subblock.size")
     val s = spark

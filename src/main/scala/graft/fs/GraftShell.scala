@@ -318,16 +318,19 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
           throw new IOException(s"Target $dst already exists")
         // size BEFORE moveFromLocal unlinks the source
         val len = java.nio.file.Files.size(java.nio.file.Paths.get(local))
+        // block geometry from the session conf (spark.graft.* keys —
+        // the reference shell reads the same knobs from core-site.xml)
+        val (sub, blk) = GraftConfig.geometry(spark)
         val newChunks =
-          if (cmd == "-moveFromLocal") DataPlane.moveFromLocal(spark, local, dst)
-          else DataPlane.put(spark, local, dst)
+          if (cmd == "-moveFromLocal")
+            DataPlane.moveFromLocal(spark, local, dst, sub, blk)
+          else DataPlane.put(spark, local, dst, sub, blk)
         val (cat2, ok) = cur.catalog.mkdirs(PathOps.parent(dst))
         if (!ok) throw new IOException(
           s"Parent path is not a directory: ${PathOps.parent(dst)}")
         val node = graft.catalog.Inode(dst, PathOps.parent(dst), "graft", "graft",
           420, isDir = false, new java.sql.Timestamp(1704067200000L),
-          graft.catalog.BlockMeta.forLength(dst, len,
-            DataPlane.DefaultSubBlock, DataPlane.DefaultBlock))
+          graft.catalog.BlockMeta.forLength(dst, len, sub, blk))
         setFs(GraftFs(cat2.store(node), cur.chunks.unionByName(newChunks)))
         Nil
       }

@@ -48,4 +48,33 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     Bench.degrades(Seq.empty) must be(false)
     Bench.degrades(Seq(5.0)) must be(false)
   }
+
+  behavior of "Bench.exonerates (in-JVM recheck of a flagged query)"
+
+  it must "exonerate the r8 driver simhash_wide blip shape" in {
+    // suite reps 3.0 → 3.1 → 9.1 flagged; an isolated recheck landing
+    // back at the ~3 s capability proves the 9.1 was transient weather,
+    // not in-process growth
+    Bench.exonerates(2.99, Seq(3.1, 2.8, 3.0)) must be(true)
+  }
+
+  it must "confirm a flag whose recheck stays slow (a real leak)" in {
+    // the r7 checkpoint-leak class: leaked state is still loaded, so
+    // every recheck rep stays far above the proven minimum
+    Bench.exonerates(1.1, Seq(3.6, 3.7, 3.8)) must be(false)
+  }
+
+  it must "use the same band as the guard: 2x OR +1s, whichever is wider" in {
+    // fast query: 2x of 0.4 is 0.8, but +1s allows up to 1.4
+    Bench.exonerates(0.4, Seq(1.3)) must be(true)
+    Bench.exonerates(0.4, Seq(1.5)) must be(false)
+    // slow query: +1s of 4.0 is 5.0, but 2x allows up to 8.0
+    Bench.exonerates(4.0, Seq(7.9)) must be(true)
+    Bench.exonerates(4.0, Seq(8.1)) must be(false)
+  }
+
+  it must "never exonerate on failed or empty rechecks" in {
+    Bench.exonerates(2.0, Seq(-1.0, -1.0)) must be(false)
+    Bench.exonerates(2.0, Seq.empty) must be(false)
+  }
 }

@@ -262,4 +262,89 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     new String(Files.readAllBytes(back)) must be("local payload")
     Files.delete(local); Files.delete(back)
   }
+
+  it must "chunk -put uploads with the session's spark.graft.* geometry" in {
+    // the reference reads snackfs.{block,subblock}.size from
+    // core-site.xml (core-site.xml:37-44); the spark.conf surface must
+    // reach the shell's write path the same way
+    spark.conf.set(GraftConfig.SubBlockSizeKey, "4")
+    spark.conf.set(GraftConfig.BlockSizeKey, "8")
+    try {
+      val sh = newShell()
+      val local = Files.createTempFile("graft-shell-geo", ".txt")
+      Files.write(local, ("y" * 10).getBytes) // 10 B → 3 subblocks, 2 blocks
+      sh.run(Array("-put", local.toString, "/geo")).code must be(0)
+      val s = sh.fs
+      try {
+        val rows = s.chunks.filter(col("path") === "/geo")
+          .select("block_id", "sub_id", "length")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+        rows.toSeq must be(Seq((0, 0, 4L), (0, 1, 4L), (1, 0, 2L)))
+        // the inode's block metadata follows the same override
+        s.catalog.retrieve("/geo").get.blocks.map(_.length) must be(
+          Seq(8L, 2L))
+      } finally sh.releaseSnapshot(s)
+      Files.delete(local)
+    } finally {
+      spark.conf.unset(GraftConfig.SubBlockSizeKey)
+      spark.conf.unset(GraftConfig.BlockSizeKey)
+    }
+  }
+
+  it must "reject an invalid spark.graft.* geometry loudly" in {
+    spark.conf.set(GraftConfig.SubBlockSizeKey, "5")
+    spark.conf.set(GraftConfig.BlockSizeKey, "8") // not a multiple
+    try {
+      an[IllegalArgumentException] must be thrownBy
+        GraftConfig.geometry(spark)
+    } finally {
+      spark.conf.unset(GraftConfig.SubBlockSizeKey)
+      spark.conf.unset(GraftConfig.BlockSizeKey)
+    }
+  }
+
+  it must "persist and reload CLI state through GraftShellMain's helpers" in {
+    // consecutive bin/graftfs invocations share the filesystem through
+    // GRAFT_FS_STATE (the Cassandra-persistence analog) — pin the
+    // save/load round trip the main wires around every mutating verb
+    val dir = Files.createTempDirectory("graft-shell-state")
+    val sh = new GraftShell(GraftShellMain.emptyFs(spark),
+      FsContext.initialize("graftfs://test"))
+    sh.run(Array("-mkdir", "/persisted")).code must be(0)
+    sh.run(Array("-touchz", "/persisted/marker")).code must be(0)
+    val snap = sh.fs
+    try GraftShellMain.saveFs(snap, dir.toString)
+    finally sh.releaseSnapshot(snap)
+    sh.close()
+    val re = GraftShellMain.loadFs(spark, dir.toString)
+    re.catalog.retrieve("/persisted").exists(_.isDir) must be(true)
+    re.catalog.retrieve("/persisted/marker").exists(!_.isDir) must be(true)
+    val w = Files.walk(dir)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally w.close()
+  }
+
+  behavior of "bin/graftfs (process-boundary wrapper)"
+
+  it must "exec the shell JVM from a spawned process like the reference script" in {
+    // the reference ships src/main/scripts/snackfs:35 exec'ing the
+    // shell class; bin/graftfs is its counterpart — spawn it for real
+    // and assert the -help fast path answers over the process boundary
+    val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    val script = new java.io.File(repo, "bin/graftfs")
+    assume(script.canExecute, "bin/graftfs missing or not executable")
+    val pb = new ProcessBuilder(script.getAbsolutePath, "-help", "-ls")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) must be(true)
+    p.exitValue() must be(0)
+    out must include("-ls")
+    // an unknown-verb invocation must exit non-zero through the same
+    // boundary (exit codes are part of the CLI contract)
+    val bad = new ProcessBuilder(script.getAbsolutePath).start()
+    bad.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) must be(true)
+    bad.exitValue() must not be 0
+  }
 }
