@@ -375,19 +375,30 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               tables: Int = 24, bits: Int = 4, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L): DataFrame =
+    topKPerQuery(
+      lshCandidates(queries, corpus, tables, bits, dim, seed)
+        .withColumn("score", cosine(corpus)), k)
+
+  /** The LSH path's candidate set — (q_id, neighbor_id, qv, ev) rows,
+    * one per any-table bucket collision: the frame whose SIZE is the
+    * index's work (and whose fraction of the corpus the clustered
+    * gates assert).
+    */
+  private[ops] def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                                 tables: Int, bits: Int, dim: Int,
+                                 seed: Long): DataFrame = {
     val ck = lshKeys(corpus, "vec_id", tables, bits, dim, seed)
     val qk = lshKeys(queries, "vec_id", tables, bits, dim, seed)
       .select(col("id").as("q_id"), col("table"), col("key"),
         col("vec").as("qv"))
-    val candidates = ck
+    ck
       .join(broadcast(qk), Seq("table", "key"))
       .filter(col("q_id") =!= col("id"))
       // a pair colliding in several tables must score once, not T times
       .dropDuplicates("q_id", "id")
       .select(col("q_id"), col("id").as("neighbor_id"),
         col("qv"), col("vec").as("ev"))
-    topKPerQuery(candidates.withColumn("score", cosine(corpus)), k)
   }
 
   /** Recall gate for the LSH path — identical skeleton to [[ivfRecall]]:
@@ -560,7 +571,18 @@ object Similarity {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, cand: Int,
              m: Int = 4, ksub: Int = 16, iters: Int = 1,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64): DataFrame =
+    rerankExact(pqCandidates(queries, corpus, cand, m, ksub, iters, dim),
+      queries, corpus, k)
+
+  /** The PQ path's candidate set — the top-`cand` (q_id, neighbor_id)
+    * rows by ADC score: the frame the exact rerank fetches float
+    * vectors for (and whose fraction of the corpus the clustered gates
+    * assert).
+    */
+  private[ops] def pqCandidates(queries: DataFrame, corpus: DataFrame,
+                                cand: Int, m: Int, ksub: Int, iters: Int,
+                                dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val idx = trainPqIndex(corpus, m, ksub, iters, dim)
@@ -581,7 +603,7 @@ object Similarity {
       }
       .toDF("q_id", "neighbor_id", "ascore")
 
-    rerankExact(topCandidates(scored, cand), queries, corpus, k)
+    topCandidates(scored, cand)
   }
 
   /** IVF-PQ: the composed 100 TB index — the coarse IVF quantizer
@@ -813,5 +835,79 @@ object Similarity {
       .join(hits, Seq("q_id"), "left_outer")
       .select(col("q_id"),
         (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
+  }
+
+  /** Per-query candidate-fraction gate: the share of the corpus an
+    * index actually touched as candidates must stay under `maxFrac` —
+    * the efficiency half of an ANN operating point (the recall gates
+    * are the quality half). Asserted from the REAL candidate frame,
+    * never from parameters, so a bucketing regression that silently
+    * degrades to near-brute turns the row FALSE.
+    */
+  private def fractionGate(queries: DataFrame, corpus: DataFrame,
+                           maxFrac: Double, candidates: DataFrame): DataFrame = {
+    val counts = candidates
+      .groupBy(col("q_id"))
+      .agg(countDistinct(col("neighbor_id")).as("n_cand"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(counts, Seq("q_id"), "left_outer")
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_corpus"))))
+      .select(col("q_id"),
+        (coalesce(col("n_cand"), lit(0L)).cast("double") /
+          col("n_corpus") <= maxFrac).as("frac_ok"))
+  }
+
+  /** Deterministic clustered fixture corpus — the mixture-of-Gaussians
+    * regime the driver's near-uniform synthetic embeddings cannot
+    * exhibit (where sign-LSH needed ~40-80% of brute's pairs and PQ 6%,
+    * PLANS.md sweeps; a clustered corpus is the regime real embedding
+    * models produce). Each id joins cluster `vec_id % clusters`; the
+    * cluster direction is a ±1 vector from md5 parity (independent
+    * random signs → inter-cluster cosine ~N(0, 1/dim) ≈ 0 ± 0.125 at
+    * dim 64) plus a small integer-derived jitter (±0.25), so
+    * same-cluster cosine ≈ 0.98 and clusters are genuinely separable.
+    * Exact integer arithmetic + md5 → bit-identical on every run and
+    * engine; a fixture generator, not a scan-path op.
+    */
+  def clusteredCorpus(ids: DataFrame, clusters: Int = 32,
+                      dim: Int = 64): DataFrame =
+    ids.select(col("vec_id"),
+      expr(
+        s"""transform(sequence(0, ${dim - 1}), i -> CAST(
+           |  (CASE WHEN CAST(conv(substring(md5(concat(
+           |           CAST(vec_id % $clusters AS STRING), '_',
+           |           CAST(i AS STRING))), 1, 1), 16, 10) AS INT) % 2 = 1
+           |        THEN 1.0D ELSE -1.0D END)
+           |  + (CAST((vec_id * 2654435761L + i * 40503) % 997 AS DOUBLE)
+           |     - 498.0D) / 997.0D * 0.5D
+           |  AS FLOAT))""".stripMargin).as("embedding"))
+
+  /** LSH recall gate + candidate-fraction gate in one row set — the
+    * clustered-corpus operating point: full recall AND a small
+    * candidate fraction, both asserted from data.
+    */
+  def lshRecallWithFraction(queries: DataFrame, corpus: DataFrame, k: Int,
+                            floor: Int, maxFrac: Double,
+                            tables: Int, bits: Int, dim: Int = 64,
+                            seed: Long = 42L): DataFrame = {
+    val cands = lshCandidates(queries, corpus, tables, bits, dim, seed)
+    val approx = topKPerQuery(cands.withColumn("score", cosine(corpus)), k)
+    recallGate(queries, corpus, k, floor, approx)
+      .join(fractionGate(queries, corpus, maxFrac,
+        cands.select(col("q_id"), col("neighbor_id"))), Seq("q_id"))
+  }
+
+  /** PQ recall gate + candidate-fraction gate (see
+    * [[lshRecallWithFraction]]) — the fraction here is the rerank set
+    * `cand`/|corpus|, asserted from the actual candidate frame.
+    */
+  def pqRecallWithFraction(queries: DataFrame, corpus: DataFrame, k: Int,
+                           cand: Int, floor: Int, maxFrac: Double,
+                           m: Int = 8, ksub: Int = 16, iters: Int = 1,
+                           dim: Int = 64): DataFrame = {
+    val cands = pqCandidates(queries, corpus, cand, m, ksub, iters, dim)
+    recallGate(queries, corpus, k, floor,
+      rerankExact(cands, queries, corpus, k))
+      .join(fractionGate(queries, corpus, maxFrac, cands), Seq("q_id"))
   }
 }

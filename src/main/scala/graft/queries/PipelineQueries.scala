@@ -1227,6 +1227,50 @@ object PipelineQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
 
+    // Clustered-corpus LSH operating point — the regime PLANS.md's
+    // sweeps promise ("a clustered real corpus reaches the same recall
+    // with far fewer candidates", which the near-uniform driver
+    // embeddings cannot show): a deterministic 32-cluster ±1-direction
+    // fixture derived from the embeddings ids, where the gate demands
+    // FULL recall (floor = k) and a < 5% candidate fraction at once —
+    // both asserted from the real candidate frame, so either a recall
+    // regression or a bucketing collapse to near-brute turns a row red.
+    QueryDef(
+      "ann_lsh_clustered",
+      (s, d) => {
+        val emb = Similarity.clusteredCorpus(
+          Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+        Similarity.lshRecallWithFraction(emb.filter(col("vec_id") < 5), emb,
+            k = 5, floor = 5, maxFrac = 0.05, tables = 8, bits = 10)
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok, TRUE AS frac_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    // Clustered-corpus PQ operating point: same fixture, full recall
+    // through a rerank set of 4% of the corpus (vs the 6%+ the
+    // near-uniform corpus honestly needs at sf0.1, ann_pq_recall).
+    // cand scales WITH the corpus because within a cluster PQ codes
+    // collapse to the same codewords (ADC cannot rank inside a
+    // cluster — a structural property, measured: fixed cand=20 < the
+    // 62-member sf0.1 clusters loses true neighbors to tie-breaks), so
+    // the rerank set must cover the query's cluster; 4% ≥ the 1/32
+    // cluster mass with margin. Fraction still asserted from the
+    // actual candidate frame like the LSH twin.
+    QueryDef(
+      "ann_pq_clustered",
+      (s, d) => {
+        val emb = Similarity.clusteredCorpus(
+          Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+        val cand = math.max(5, math.ceil(0.04 * emb.count()).toInt)
+        Similarity.pqRecallWithFraction(emb.filter(col("vec_id") < 5), emb,
+            k = 5, cand = cand, floor = 5, maxFrac = 0.05,
+            m = 8, ksub = 16, iters = 1)
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok, TRUE AS frac_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
     // Embedding-cosine near-dup, recall-gated in-query against the
     // exact all-pairs twin on the bounded slice (the dedup analog of
     // ann_ivf_recall): bucket assignment is centroid-dependent, but

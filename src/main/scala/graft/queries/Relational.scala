@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables._
+import graft.ops.Sketches
 
 /** Relational operator inventory over the TPC-H-ish tables — covers every
   * §2.5 category from SURVEY.md: scan, filter/projection (parquet
@@ -600,29 +601,33 @@ object Relational {
              |ORDER BY column_name""".stripMargin)),
 
     // ── Count-Min frequency sketch, bound-gated: the second sketch
-    //    family beside q22's HLL — per-key frequency ESTIMATES from one
-    //    mergeable sketch pass (seeded, so deterministic), gated by the
-    //    CMS contract the oracle can check without recomputing the
-    //    sketch: est ≥ exact always, est ≤ exact + eps·N at the sketch's
-    //    confidence (eps=0.001 on this key cardinality holds
-    //    deterministically with seed 42, tri-SF). ───────────────────────
+    //    family beside q22's HLL — per-key frequency ESTIMATES from a
+    //    fully RELATIONAL CMS (graft.ops.Sketches: the d×w counter
+    //    table is one map-side-combined aggregation, the probe a
+    //    broadcast join + min-over-depth — no UDF, no driver sketch;
+    //    replaced the ev.stat.countMinSketch udf probe, the last
+    //    non-codegen call site, r8 VERDICT #8), gated by the CMS
+    //    contract the oracle can check without recomputing the sketch:
+    //    est ≥ exact always (structural), est ≤ exact + eps·N at the
+    //    sketch's confidence (eps=0.001 on this key cardinality holds
+    //    deterministically, tri-SF). ────────────────────────────────────
     QueryDef(
       "q27_cms_freq",
       (s, d) => {
         val ev = events(s, d)
-        val total = ev.count()
-        val cms = ev.stat.countMinSketch(col("event_type"),
-          eps = 0.001, confidence = 0.99, seed = 42)
-        // the UDF probes the driver-merged sketch over the AGGREGATED
-        // frame — |distinct keys| rows, not the corpus; no built-in
-        // expression exposes CountMinSketch.estimateCount
-        val estimate = udf((k: String) => cms.estimateCount(k))
+        val sketch = Sketches.countMinTable(ev, col("event_type"),
+          eps = 0.001, confidence = 0.99)
+        val est = Sketches.countMinEstimates(
+            ev.select(col("event_type")), col("event_type"), sketch,
+            eps = 0.001, confidence = 0.99)
+          .select(col("k").as("event_type"), col("est"))
         ev.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_exact"))
-          .withColumn("est", estimate(col("event_type")))
+          .join(est, Seq("event_type"))
+          .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_total"))))
           .select(col("event_type"), col("n_exact"),
             (col("est") >= col("n_exact") &&
-              col("est") <= col("n_exact") + lit(0.001 * total))
+              col("est") <= col("n_exact") + lit(0.001) * col("n_total"))
               .as("bound_ok"))
           .orderBy(col("event_type"))
       },

@@ -1563,6 +1563,50 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       (2, "a_a", "a_a", 1L)))
   }
 
+  behavior of "Sketches.countMin (relational frequency sketch)"
+
+  it must "never under-count, and hit exact counts at generous width" in {
+    val s = spark
+    import s.implicits._
+    // skewed corpus: "hot" x300, "warm" x50, singles — the shape CMS
+    // exists for
+    val rows = (Seq.fill(300)("hot") ++ Seq.fill(50)("warm") ++
+      (1 to 40).map(i => s"cold$i")).toDF("k")
+    val sketch = Sketches.countMinTable(rows, col("k"), 0.001, 0.99)
+    val est = Sketches.countMinEstimates(rows, col("k"), sketch, 0.001, 0.99)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      est(k) must be >= n // the one-sided CMS guarantee, structural
+      // w=2719 buckets vs 42 keys: collisions essentially impossible
+      est(k) must be(n)
+    }
+    // an unseen key estimates 0 (or a collision count, never negative)
+    val unseen = Sketches.countMinEstimates(
+      Seq("never-seen").toDF("k"), col("k"), sketch, 0.001, 0.99)
+      .collect().head.getLong(1)
+    unseen must be(0L)
+  }
+
+  it must "merge by counter addition: half-corpus sketches sum to the whole" in {
+    val s = spark
+    import s.implicits._
+    val all = (1 to 200).map(i => s"k${i % 7}")
+    val whole = Sketches.countMinTable(all.toDF("k"), col("k"), 0.01, 0.9)
+    // mergeability is the design property: counters from disjoint
+    // slices ADD to the full-corpus sketch (same (i, bucket) keying)
+    val (h1, h2) = all.splitAt(100)
+    val merged = Sketches.countMinTable(h1.toDF("k"), col("k"), 0.01, 0.9)
+      .unionByName(Sketches.countMinTable(h2.toDF("k"), col("k"), 0.01, 0.9))
+      .groupBy("i", "bucket").agg(sum("cnt").as("cnt"))
+    val wm = whole.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mm = merged.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    mm must be(wm)
+  }
+
   behavior of "TextAnalysis.bpeMergesBatched (vocab-scale merge induction)"
 
   it must "reproduce the sequential merge table exactly on a mixed corpus" in {
