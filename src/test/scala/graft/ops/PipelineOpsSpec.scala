@@ -461,6 +461,28 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     x must be(y)
   }
 
+  it must "decorrelate composed sample-then-split at the same user seed" in {
+    val s = spark
+    import s.implicits._
+    // the r8 advisory bias: with one shared uniform stream, every doc
+    // kept at weight w <= trainFrac was GUARANTEED 'train' (u < w <= 0.8
+    // implies u < 0.8), so val/test over-represented sample-dropped
+    // docs. With the salted split stream the conditional must match the
+    // unconditional fractions.
+    val docs = (1L to 10000L).map(i => (i, "d")).toDF("doc_id", "text")
+    val kept = Curation.weightedSample(docs, lit(0.5), seed = 42L)
+    val splits = Curation.assignSplits(kept, 0.8, 0.1, seed = 42L)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = splits.values.sum.toDouble
+    n.toLong must be(kept.count())
+    // binomial sd at n~5000 is ~0.006; a 3-sigma-ish band — under the
+    // old shared stream train/n was exactly 1.0 and val/test were 0
+    (splits("train") / n) must (be >= 0.77 and be <= 0.83)
+    (splits.getOrElse("val", 0L) / n) must (be >= 0.07 and be <= 0.13)
+    (splits.getOrElse("test", 0L) / n) must (be >= 0.07 and be <= 0.13)
+  }
+
   it must "stay in [0, 1) for ids past the raw-multiply overflow point" in {
     val s = spark
     import s.implicits._
