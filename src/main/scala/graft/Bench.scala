@@ -25,8 +25,9 @@ object Bench {
   /** Exoneration criterion for a flagged query's in-JVM recheck: the
     * flag claimed the query can no longer reach its proven capability
     * (`origMin`); any recheck rep landing back inside the guard band
-    * (≤ 2× AND within +1 s of that minimum — the same band `degrades`
-    * polices) refutes the claim, because a genuine in-process leak
+    * (≤ 2× OR within +1 s of that minimum, whichever is wider — the
+    * complement of `degrades`' ">2× AND >+1 s" flag) refutes the
+    * claim, because a genuine in-process leak
     * would still be loaded and keep every recheck rep slow. Failed
     * reps (−1) never exonerate.
     */

@@ -26,11 +26,18 @@ object GraftConfig {
     * positive multiple of subblock (DataPlane.chunk's `require`, the
     * reference's implicit layout contract).
     */
+  // a malformed conf value must name its key — a bare
+  // NumberFormatException("for input string: ...") tells the operator
+  // nothing about WHICH of the two size confs to fix
+  private def intConf(spark: SparkSession, key: String, dflt: Int): Int =
+    spark.conf.getOption(key).map { v =>
+      v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$key must be an integer, got '$v'"))
+    }.getOrElse(dflt)
+
   def geometry(spark: SparkSession): (Int, Int) = {
-    val sub = spark.conf.getOption(SubBlockSizeKey).map(_.trim.toInt)
-      .getOrElse(DataPlane.DefaultSubBlock)
-    val block = spark.conf.getOption(BlockSizeKey).map(_.trim.toInt)
-      .getOrElse(DataPlane.DefaultBlock)
+    val sub = intConf(spark, SubBlockSizeKey, DataPlane.DefaultSubBlock)
+    val block = intConf(spark, BlockSizeKey, DataPlane.DefaultBlock)
     require(sub > 0 && block > 0 && block % sub == 0,
       s"$BlockSizeKey ($block) must be a positive multiple of " +
         s"$SubBlockSizeKey ($sub)")

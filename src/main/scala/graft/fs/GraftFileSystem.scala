@@ -42,10 +42,51 @@ class GraftFileSystem extends FileSystem {
   // long-lived mount never accumulates an unbounded lazy plan
   private def setState(next: GraftFs): Unit = cell.set(next)
 
-  private def spark: SparkSession =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+  /** Serializes each verb's read-modify-write state transition.
+    * Hadoop's FileSystem cache hands EVERY thread in the JVM this one
+    * instance — under a drop-in mount (`fs.graftfs.impl` +
+    * `spark.read`/`df.write` on a `graftfs://` URI), local-mode write
+    * tasks and the output committer call create/mkdirs/rename
+    * concurrently, and two interleaved state.get → transform →
+    * setState sequences would silently lose one task's update.
+    * FsState synchronizes the individual get/set calls; this lock
+    * makes the whole transition atomic. Cross-JVM coordination stays
+    * the documented single-driver narrowing (SURVEY §1.3).
+    */
+  private val mutLock = new Object
+
+  private def spark: SparkSession = {
+    val s = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException(
         "GraftFileSystem needs an active SparkSession"))
+    // Under a drop-in mount every verb can arrive on an executor pool
+    // thread (a local-mode task reading `graftfs://` calls open/
+    // getFileStatus from inside the task). Spark 4 captures the
+    // THREAD-LOCAL active session when it plans an action
+    // (SparkPlan.session) and worker pool threads don't inherit it, so
+    // an engine action from such a thread NPEs unless the session is
+    // seated first. Idempotent on driver threads.
+    if (SparkSession.getActiveSession.isEmpty)
+      SparkSession.setActiveSession(s)
+    s
+  }
+
+  /** Bracket for any verb that executes engine actions from a
+    * possibly-foreign thread. Two thread-local obstacles stand between
+    * a local-mode task and a nested engine action: (1) worker pool
+    * threads don't inherit the active-session thread-local ([[spark]]
+    * seats it), and (2) Spark HIDES the seated session while a
+    * TaskContext is set — `getActiveSession` answers None inside a
+    * running task by design, so a nested plan would capture a null
+    * session and NPE at `SparkPlan.sparkContext`. The bracket unsets
+    * the TaskContext for the duration of the engine op and restores it
+    * in a finally, making the drop-in mount's byte paths runnable from
+    * read/write tasks (see SchemeMountSpec; nested jobs need a free
+    * core — the documented local-mode caveat).
+    */
+  private def engineOp[T](f: => T): T =
+    GraftFileSystem.withoutTaskContext { spark; f }
 
   /** SnackFS.initialize:51-72 — derive scheme://authority, seat cwd at
     * /user/<user>, bootstrap the keyspace (here: an empty catalog with a
@@ -93,18 +134,24 @@ class GraftFileSystem extends FileSystem {
     if (u.getPath == null || u.getPath.isEmpty) "/" else u.getPath
   }
 
+  // status paths must come back FULLY QUALIFIED (scheme + authority) —
+  // the FileSystem contract Spark's file index depends on: an
+  // unqualified "/csv/f" from listStatus would be re-resolved against
+  // the DEFAULT filesystem and a drop-in `spark.read` would silently
+  // look for the file on file:// instead of back through this mount
   private def statusRow(n: Inode): FileStatus =
     new FileStatus(n.length, n.isDir, 3, blockSize.toLong,
-      n.mtime.getTime, new Path(n.path))
+      n.mtime.getTime, makeQualified(new Path(n.path)))
 
   // ── A6: getFileStatus (FileStatusCommand; spec message verbatim) ──────
-  override def getFileStatus(path: Path): FileStatus =
+  override def getFileStatus(path: Path): FileStatus = engineOp {
     state.catalog.retrieve(abs(path))
       .map(statusRow)
       .getOrElse(throw new FileNotFoundException("No such file exists"))
+  }
 
   // ── A9: listStatus — dir lists children, file lists itself ────────────
-  override def listStatus(path: Path): Array[FileStatus] = {
+  override def listStatus(path: Path): Array[FileStatus] = engineOp {
     val p = abs(path)
     val node = state.catalog.retrieve(p)
       .getOrElse(throw new FileNotFoundException("No such file exists"))
@@ -117,11 +164,12 @@ class GraftFileSystem extends FileSystem {
   }
 
   // ── A5: mkdirs — ancestor AND-fold; exists-as-file → false ────────────
-  override def mkdirs(path: Path, permission: FsPermission): Boolean = {
-    val (cat2, ok) = state.catalog.mkdirs(abs(path))
-    setState(GraftFs(cat2, state.chunks))
-    ok
-  }
+  override def mkdirs(path: Path, permission: FsPermission): Boolean =
+    mutLock.synchronized { engineOp {
+      val (cat2, ok) = state.catalog.mkdirs(abs(path))
+      setState(GraftFs(cat2, state.chunks))
+      ok
+    } }
 
   // ── A3: create — the reference's streaming cadence (CreateFileCommand
   //    + FileSystemOutputStream.scala:55-143): parents made up front,
@@ -133,7 +181,7 @@ class GraftFileSystem extends FileSystem {
   override def create(path: Path, permission: FsPermission,
                       overwrite: Boolean, bufferSize: Int,
                       replication: Short, blkSize: Long,
-                      progress: Progressable): FSDataOutputStream = {
+                      progress: Progressable): FSDataOutputStream = mutLock.synchronized { engineOp {
     val p = abs(path)
     state.catalog.retrieve(p).foreach { existing =>
       if (existing.isDir) throw new IOException(s"$p is a directory")
@@ -156,7 +204,7 @@ class GraftFileSystem extends FileSystem {
       if (overwrite) state.chunks.filter(col("path") =!= p) else state.chunks
     setState(GraftFs(cat.store(node), chunks))
     new FSDataOutputStream(new SubBlockStream(p, parent), statistics, 0L)
-  }
+  } }
 
   private def inodeFor(p: String, parent: String, len: Long): Inode =
     Inode(p, parent, ctx.cwd.split("/").last, "graft", 420,
@@ -213,7 +261,7 @@ class GraftFileSystem extends FileSystem {
     // its (block_id, sub_id) cell; a previously flush()-persisted
     // partial copy of the same cell is filtered out first so the table
     // never holds two rows for one subblock
-    private def persistSubBlock(): Unit = {
+    private def persistSubBlock(): Unit = mutLock.synchronized { engineOp {
       val s = spark
       val idx = written / subBlockSize
       val sbPerBlock = blockSize / subBlockSize
@@ -237,7 +285,7 @@ class GraftFileSystem extends FileSystem {
             col("block_id") === blockId && col("sub_id") === subId))
         else state.chunks
       setState(GraftFs(state.catalog, base.unionByName(oneRow)))
-    }
+    } }
 
     private def endSubBlock(): Unit = {
       if (used == 0) return
@@ -251,9 +299,10 @@ class GraftFileSystem extends FileSystem {
       if (written % blockSize == 0) commitInode()
     }
 
-    private def commitInode(): Unit =
+    private def commitInode(): Unit = mutLock.synchronized { engineOp {
       setState(GraftFs(state.catalog.store(inodeFor(p, parent, written + used)),
         state.chunks))
+    } }
 
     /** Flush persists the buffered partial subblock so flushed bytes
       * are durable before close. DELIBERATE DIVERGENCE from the
@@ -292,7 +341,7 @@ class GraftFileSystem extends FileSystem {
   //    exactly one block resident — the reference's own read shape
   //    (FileSystemInputStream loads one BlockInputStream at a time,
   //    :60-76), so a file larger than driver heap still reads. ─────────
-  override def open(path: Path, bufferSize: Int): FSDataInputStream = {
+  override def open(path: Path, bufferSize: Int): FSDataInputStream = engineOp {
     val p = abs(path)
     val node = state.catalog.retrieve(p)
       .getOrElse(throw new IOException("No such file."))
@@ -326,7 +375,7 @@ class GraftFileSystem extends FileSystem {
     private var cachedId = -1L
     private var cached: Array[Byte] = Array.emptyByteArray
 
-    private def blockAt(id: Long, needUpTo: Long): Array[Byte] = {
+    private def blockAt(id: Long, needUpTo: Long): Array[Byte] = engineOp {
       if (id != cachedId) {
         val rows = DataPlane.reassembleBlocks(
             state.chunks.filter(col("path") === p && col("block_id") === id))
@@ -404,18 +453,20 @@ class GraftFileSystem extends FileSystem {
   }
 
   // ── A7: delete — cascades to the data plane (GraftFs) ─────────────────
-  override def delete(path: Path, recursive: Boolean): Boolean = {
-    val (next, ok) = state.delete(abs(path), recursive)
-    setState(next)
-    ok
-  }
+  override def delete(path: Path, recursive: Boolean): Boolean =
+    mutLock.synchronized { engineOp {
+      val (next, ok) = state.delete(abs(path), recursive)
+      setState(next)
+      ok
+    } }
 
   // ── A8: rename — one prefix-rewrite pass per plane ────────────────────
-  override def rename(src: Path, dst: Path): Boolean = {
-    val (next, ok) = state.rename(abs(src), abs(dst))
-    setState(next)
-    ok
-  }
+  override def rename(src: Path, dst: Path): Boolean =
+    mutLock.synchronized { engineOp {
+      val (next, ok) = state.rename(abs(src), abs(dst))
+      setState(next)
+      ok
+    } }
 
   // ── A4: append always throws — IOException, the reference's exact
   //    type (AppendFileCommand.scala:38-40), so client code catching
@@ -463,5 +514,33 @@ class GraftFileSystem extends FileSystem {
     // checkpoints instead of leaking one per compaction generation
     if (cell != null) cell.releasePins()
     super.close()
+  }
+}
+
+object GraftFileSystem {
+
+  // TaskContext.setTaskContext/unset are private[spark]; reflection
+  // keeps the bridge dependency-free. Resolved once per JVM.
+  private val tcModuleClass = Class.forName("org.apache.spark.TaskContext$")
+  private val tcModule = tcModuleClass.getField("MODULE$").get(null)
+  private val tcGet = tcModuleClass.getMethod("get")
+  private val tcUnset = tcModuleClass.getMethod("unset")
+  private val tcSet = tcModuleClass.getMethod("setTaskContext",
+    Class.forName("org.apache.spark.TaskContext"))
+
+  /** Run `f` with no TaskContext on the calling thread, restoring it in
+    * a finally. Spark's `getActiveSession` deliberately answers None
+    * inside a running task, so a mounted verb invoked from a local-mode
+    * task thread could never plan its nested engine action without
+    * this; with the context parked, the seated session becomes visible
+    * and the nested job schedules normally (pinned by SchemeMountSpec).
+    */
+  private[fs] def withoutTaskContext[T](f: => T): T = {
+    val tc = tcGet.invoke(tcModule)
+    if (tc == null) f
+    else {
+      tcUnset.invoke(tcModule)
+      try f finally tcSet.invoke(tcModule, tc)
+    }
   }
 }

@@ -36,9 +36,37 @@ object GraftShellMain {
       FsCatalog.inodeEncoder)), emptyChunks)
   }
 
-  def loadFs(spark: SparkSession, dir: String): GraftFs =
-    GraftFs(FsCatalog.load(spark, s"$dir/catalog"),
-      spark.read.parquet(s"$dir/chunks"))
+  /** Pointer file naming the current complete version subdirectory.
+    * State is persisted write-new-then-flip: saveFs writes BOTH planes
+    * into a fresh `v<stamp>/` dir and only then atomically moves a tmp
+    * pointer over `CURRENT` — so a crash anywhere mid-save leaves
+    * `CURRENT` naming the previous COMPLETE version, never a state dir
+    * with a catalog but no chunks (which would make every subsequent
+    * CLI invocation die on the missing chunks path).
+    */
+  private val CurrentPtr = "CURRENT"
+
+  /** The directory holding the current complete version's
+    * catalog/ + chunks/, or None when no complete state exists.
+    */
+  def currentStateDir(dir: String): Option[String] = {
+    import java.nio.file.{Files, Paths}
+    val ptr = Paths.get(dir, CurrentPtr)
+    val root =
+      if (Files.exists(ptr))
+        Some(Paths.get(dir, new String(Files.readAllBytes(ptr),
+          "UTF-8").trim))
+      else Some(Paths.get(dir)) // pre-pointer flat layout
+    root.filter(r => Files.exists(r.resolve("catalog")) &&
+      Files.exists(r.resolve("chunks"))).map(_.toString)
+  }
+
+  def loadFs(spark: SparkSession, dir: String): GraftFs = {
+    val root = currentStateDir(dir).getOrElse(sys.error(
+      s"no complete persisted state under $dir"))
+    GraftFs(FsCatalog.load(spark, s"$root/catalog"),
+      spark.read.parquet(s"$root/chunks"))
+  }
 
   /** Verbs that change filesystem state — only these re-persist it
     * (a read verb's plan still READS from the state parquet; writing
@@ -49,12 +77,39 @@ object GraftShellMain {
     "-mv", "-cp", "-rm", "-rmr", "-mkdir", "-touchz")
 
   def saveFs(fs: GraftFs, dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     // compact() flattens both planes to materialized LogicalRDD leaves,
-    // so the writes below never overwrite a path their own plan scans
-    // (the loaded state's chunks frame still points at dir/chunks)
+    // so the writes below never depend on the previous version's files
+    // (the loaded state's chunks frame still points at the old dir)
     val flat = fs.compact()
-    flat.catalog.save(s"$dir/catalog")
-    flat.chunks.write.mode("overwrite").parquet(s"$dir/chunks")
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val prev = currentStateDir(dir)
+    val version = s"v${System.nanoTime()}"
+    flat.catalog.save(s"$dir/$version/catalog")
+    flat.chunks.write.mode("overwrite").parquet(s"$dir/$version/chunks")
+    // flip the pointer atomically — the only visible commit point
+    val tmp = base.resolve(s".$CurrentPtr.tmp")
+    Files.write(tmp, version.getBytes("UTF-8"))
+    Files.move(tmp, base.resolve(CurrentPtr),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort prune of the superseded version (and the legacy flat
+    // layout's planes) — state stays one version deep on disk
+    prev.filterNot(_ == s"$dir/$version").foreach { old =>
+      val oldPath = Paths.get(old)
+      val doomed =
+        if (oldPath == base) Seq(oldPath.resolve("catalog"),
+          oldPath.resolve("chunks"))
+        else Seq(oldPath)
+      doomed.foreach { p =>
+        if (Files.exists(p)) {
+          val w = Files.walk(p)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.deleteIfExists(q))
+          finally w.close()
+        }
+      }
+    }
   }
 
   def main(argv: Array[String]): Unit = {
@@ -79,9 +134,11 @@ object GraftShellMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stateDir = sys.env.get("GRAFT_FS_STATE")
+    // currentStateDir requires BOTH planes present (catalog alone —
+    // e.g. a crash before the pointer flip under the legacy layout —
+    // falls back to empty rather than dying on the missing chunks)
     val initial = stateDir
-      .filter(d => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$d/catalog")))
+      .filter(d => currentStateDir(d).isDefined)
       .map(loadFs(spark, _))
       .getOrElse(emptyFs(spark))
     val shell = new GraftShell(initial,

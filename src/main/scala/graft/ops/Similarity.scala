@@ -867,7 +867,11 @@ object Similarity {
     * dim 64) plus a small integer-derived jitter (±0.25), so
     * same-cluster cosine ≈ 0.98 and clusters are genuinely separable.
     * Exact integer arithmetic + md5 → bit-identical on every run and
-    * engine; a fixture generator, not a scan-path op.
+    * engine; a fixture generator, not a scan-path op. The jitter
+    * mod-reduces vec_id BEFORE the Knuth multiply (the same
+    * overflow-safe ordering uniformHash uses), so the BIGINT product
+    * never overflows — equal results, but valid under ANSI mode at
+    * any id scale instead of only below ~3.5e9.
     */
   def clusteredCorpus(ids: DataFrame, clusters: Int = 32,
                       dim: Int = 64): DataFrame =
@@ -878,7 +882,7 @@ object Similarity {
            |           CAST(vec_id % $clusters AS STRING), '_',
            |           CAST(i AS STRING))), 1, 1), 16, 10) AS INT) % 2 = 1
            |        THEN 1.0D ELSE -1.0D END)
-           |  + (CAST((vec_id * 2654435761L + i * 40503) % 997 AS DOUBLE)
+           |  + (CAST(((vec_id % 997) * 2654435761L + i * 40503) % 997 AS DOUBLE)
            |     - 498.0D) / 997.0D * 0.5D
            |  AS FLOAT))""".stripMargin).as("embedding"))
 

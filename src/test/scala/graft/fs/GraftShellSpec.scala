@@ -303,6 +303,16 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it must "name the offending conf key on a non-numeric geometry value" in {
+    spark.conf.set(GraftConfig.BlockSizeKey, "eight")
+    try {
+      val e = the[IllegalArgumentException] thrownBy
+        GraftConfig.geometry(spark)
+      e.getMessage must include(GraftConfig.BlockSizeKey)
+      e.getMessage must include("eight")
+    } finally spark.conf.unset(GraftConfig.BlockSizeKey)
+  }
+
   it must "persist and reload CLI state through GraftShellMain's helpers" in {
     // consecutive bin/graftfs invocations share the filesystem through
     // GRAFT_FS_STATE (the Cassandra-persistence analog) — pin the
@@ -319,6 +329,70 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     val re = GraftShellMain.loadFs(spark, dir.toString)
     re.catalog.retrieve("/persisted").exists(_.isDir) must be(true)
     re.catalog.retrieve("/persisted/marker").exists(!_.isDir) must be(true)
+    val w = Files.walk(dir)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally w.close()
+  }
+
+  it must "survive a torn save: CURRENT only ever names a complete version" in {
+    // saveFs commits by atomically flipping the CURRENT pointer AFTER
+    // both planes land — simulate the crash windows and pin that load
+    // either sees the previous complete state or reports none, never
+    // dies on a catalog-without-chunks wreck
+    val dir = Files.createTempDirectory("graft-shell-torn")
+    val sh = new GraftShell(GraftShellMain.emptyFs(spark),
+      FsContext.initialize("graftfs://test"))
+    sh.run(Array("-touchz", "/committed")).code must be(0)
+    val snap = sh.fs
+    try GraftShellMain.saveFs(snap, dir.toString)
+    finally sh.releaseSnapshot(snap)
+    sh.close()
+    // crash window 1: a later save died after writing its catalog but
+    // before its chunks (and before the pointer flip)
+    val halfVersion = dir.resolve("v9999999999999999999")
+    Files.createDirectories(halfVersion.resolve("catalog"))
+    GraftShellMain.currentStateDir(dir.toString) must be(defined)
+    val re = GraftShellMain.loadFs(spark, dir.toString)
+    re.catalog.retrieve("/committed").isDefined must be(true)
+    // crash window 2: the legacy flat layout with catalog but no
+    // chunks must read as "no state" (empty-fs fallback), not throw
+    val flat = Files.createTempDirectory("graft-shell-flat")
+    Files.createDirectories(flat.resolve("catalog"))
+    GraftShellMain.currentStateDir(flat.toString) must be(empty)
+    Seq(dir, flat).foreach { d =>
+      val w = Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally w.close()
+    }
+  }
+
+  it must "keep persisted state one version deep after repeated saves" in {
+    val dir = Files.createTempDirectory("graft-shell-prune")
+    val sh = new GraftShell(GraftShellMain.emptyFs(spark),
+      FsContext.initialize("graftfs://test"))
+    sh.run(Array("-touchz", "/a")).code must be(0)
+    val s1 = sh.fs
+    try GraftShellMain.saveFs(s1, dir.toString)
+    finally sh.releaseSnapshot(s1)
+    sh.run(Array("-touchz", "/b")).code must be(0)
+    val s2 = sh.fs
+    try GraftShellMain.saveFs(s2, dir.toString)
+    finally sh.releaseSnapshot(s2)
+    sh.close()
+    val versions = {
+      val l = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v")).toSeq
+      } finally l.close()
+    }
+    versions.size must be(1) // superseded version pruned
+    val re = GraftShellMain.loadFs(spark, dir.toString)
+    re.catalog.retrieve("/a").isDefined must be(true)
+    re.catalog.retrieve("/b").isDefined must be(true)
     val w = Files.walk(dir)
     try w.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
@@ -346,5 +420,35 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     val bad = new ProcessBuilder(script.getAbsolutePath).start()
     bad.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) must be(true)
     bad.exitValue() must not be 0
+  }
+
+  it must "dispatch `hadoop fs` through the patched-hadoop twin script" in {
+    // the reference ships TWO scripts — snackfs AND a patched hadoop
+    // dispatcher (src/main/scripts/hadoop:23-50) whose only COMMAND is
+    // `fs`; its dual it-suite (FSShellSpec.scala:34-66) drives every
+    // verb as `./hadoop fs -<verb>`. Pin the same three behaviors over
+    // a real process boundary: fs dispatch, bare usage, unknown COMMAND
+    val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    val script = new java.io.File(repo, "bin/hadoop")
+    assume(script.canExecute, "bin/hadoop missing or not executable")
+    val pb = new ProcessBuilder(script.getAbsolutePath, "fs", "-help", "-ls")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) must be(true)
+    p.exitValue() must be(0)
+    out must include("-ls")
+    // bare invocation prints the reference's usage shape and exits 1
+    val bare = new ProcessBuilder(script.getAbsolutePath)
+    bare.redirectErrorStream(true)
+    val bp = bare.start()
+    val usage = new String(bp.getInputStream.readAllBytes(), "UTF-8")
+    bp.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) must be(true)
+    bp.exitValue() must be(1)
+    usage must include("where COMMAND is")
+    // only `fs` is a COMMAND (reference script:46-48 exits otherwise)
+    val unk = new ProcessBuilder(script.getAbsolutePath, "dfsadmin").start()
+    unk.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) must be(true)
+    unk.exitValue() must be(1)
   }
 }

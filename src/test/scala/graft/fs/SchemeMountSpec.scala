@@ -1,0 +1,100 @@
+package graft.fs
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.TestSpark
+
+/** Drop-in scheme resolution end-to-end — the reference's core mount
+  * claim: a STOCK Hadoop/Spark job reaches the engine unchanged once
+  * the scheme maps to the FileSystem impl (reference
+  * core-site.xml:29-32 sets `fs.snackfs.impl`; README.md:9 "without
+  * any change to your existing jobs"). Nothing here constructs or
+  * initializes `GraftFileSystem` directly: the spec registers
+  * `fs.graftfs.impl` in the session's hadoopConfiguration (the
+  * in-session analog of `--conf spark.hadoop.fs.graftfs.impl=…` /
+  * core-site.xml) and then drives plain `spark.read` / `df.write`
+  * against `graftfs://` URIs — scheme resolution, Hadoop's FileSystem
+  * cache, the FileOutputCommitter's mkdirs/rename/listStatus dance,
+  * and the record readers' open/seek all resolve to the engine on
+  * their own.
+  *
+  * Local-mode caveat (documented, not hidden): the facade's byte paths
+  * execute Spark jobs, so a task reading through the mount submits a
+  * NESTED job from an executor thread. That works in local mode while
+  * the outer job leaves at least one core free (the specs below keep
+  * outer parallelism below the master's core count); cluster-scale
+  * analytics belongs on the DSv2 connector (`graft.sources`), which
+  * plans one ordinary scan instead.
+  */
+class SchemeMountSpec extends AnyFlatSpec with Matchers {
+
+  private val spark = TestSpark.spark
+
+  /** Register the scheme exactly once for the shared session. */
+  private def mountConf(): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftFileSystem].getName)
+
+  behavior of "fs.graftfs.impl scheme mount"
+
+  it must "resolve graftfs:// through the Hadoop FileSystem registry" in {
+    mountConf()
+    val fs = FileSystem.get(new URI("graftfs://mountspec/"),
+      spark.sparkContext.hadoopConfiguration)
+    fs mustBe a[GraftFileSystem]
+    // the cache must hand back the SAME instance (scheme+authority
+    // keyed) — that sharing is what makes writes visible to readers
+    val again = FileSystem.get(new URI("graftfs://mountspec/"),
+      spark.sparkContext.hadoopConfiguration)
+    again must be theSameInstanceAs fs
+  }
+
+  it must "serve spark.read.csv from bytes written through the Hadoop API" in {
+    mountConf()
+    val fs = FileSystem.get(new URI("graftfs://mountspec/"),
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path("graftfs://mountspec/csv/part-0.csv"))
+    out.write("id,name\n1,ada\n2,bob\n".getBytes("UTF-8"))
+    out.close()
+    val df = spark.read.option("header", "true")
+      .csv("graftfs://mountspec/csv")
+    df.orderBy("id").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq must be(Seq(("1", "ada"), ("2", "bob")))
+  }
+
+  it must "run df.write.parquet's full committer protocol over graftfs://" in {
+    mountConf()
+    import spark.implicits._
+    // two partitions → two concurrent write tasks sharing the one
+    // cached FileSystem instance: exercises the facade's atomic verb
+    // transitions (create + the committer's mkdirs/rename), kept below
+    // local[4]'s core count so nested byte-path jobs can schedule
+    val df = (0L until 20L).map(i => (i, s"row_$i")).toDF("id", "tag")
+      .repartition(2)
+    df.write.mode("overwrite").parquet("graftfs://mountspec/out")
+    val fs = FileSystem.get(new URI("graftfs://mountspec/"),
+      spark.sparkContext.hadoopConfiguration)
+    // the committer's job-commit artifacts are real files in the engine
+    fs.exists(new Path("graftfs://mountspec/out/_SUCCESS")) must be(true)
+    // read back through the mount: parquet footer seek + positioned
+    // reads against the block-cached stream
+    val back = spark.read.parquet("graftfs://mountspec/out")
+    back.count() must be(20L)
+    import org.apache.spark.sql.functions.sum
+    back.agg(sum($"id")).head.getLong(0) must be(190L)
+    // overwrite-mode delete path: a second write replaces the dataset.
+    // repartition(1) is LOAD-BEARING, not cosmetic: without it this
+    // 5-element range writes with defaultParallelism(4) tasks — every
+    // local[4] core held by a write task — and the facade's nested
+    // engine jobs starve for a core (deadlock observed, thread-dump
+    // verified). The mount's documented local-mode constraint is outer
+    // parallelism strictly below the core count.
+    (0L until 5L).toDF("id").repartition(1).write.mode("overwrite")
+      .parquet("graftfs://mountspec/out")
+    spark.read.parquet("graftfs://mountspec/out").count() must be(5L)
+  }
+}
