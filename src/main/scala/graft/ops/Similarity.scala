@@ -275,6 +275,52 @@ object Similarity {
         (col("n_found") === col("n_bucketed")).as("precision_ok"))
   }
 
+  /** SemDeDup-style semantic deduplication — the keep/drop DECISION
+    * layer a curation pipeline actually applies, on top of the
+    * embedding near-dup machinery (Abbas et al. 2023, "SemDeDup":
+    * cluster the embedding space, dedup within clusters): candidate
+    * pairs come cluster-scoped from [[embeddingNearDups]] (IVF buckets
+    * bound the quadratic term; cap drops shout through LshGuard),
+    * survivors are exact-cosine verified, transitive duplicate GROUPS
+    * close under `Dedup.components` (pointer-jumping, O(log diameter)
+    * distributed rounds — components' min-label propagation makes each
+    * group's representative its lowest id), and every corpus row comes
+    * back as (vec_id, keep, rep_id) — keep = "I am my group's
+    * representative"; unpaired docs represent themselves. At 100 TB
+    * every stage is the bounded shape it was built from: no all-pairs,
+    * one corpus pass for centroids, pair generation per-bucket, and
+    * the component loop touches only PAIRED ids (a near-dup sliver of
+    * the corpus), never the full row set.
+    */
+  def semanticDedup(corpus: DataFrame, numCentroids: Int,
+                    threshold: Double, kmeansIters: Int = 1,
+                    nprobe: Int = 2, maxBucket: Int = 10000): DataFrame =
+    dedupDecisions(corpus,
+      embeddingNearDups(corpus, numCentroids, threshold, kmeansIters,
+        nprobe, maxBucket))
+
+  /** [[semanticDedup]] with EXACT all-pairs candidates over a bounded
+    * slice — the oracle-checkable twin (bucketed candidates are
+    * centroid-dependent; all-pairs + components is SQL-reproducible).
+    * Same decision semantics, quadratic candidate stage: callers bound
+    * the input, the scale path is [[semanticDedup]].
+    */
+  def semanticDedupExact(corpus: DataFrame, threshold: Double): DataFrame =
+    dedupDecisions(corpus, bruteNearDups(corpus, threshold))
+
+  private def dedupDecisions(corpus: DataFrame,
+                             pairs: DataFrame): DataFrame = {
+    val comps = graft.ops.Dedup.components(
+      pairs.select(col("id_a"), col("id_b")))
+    corpus.select(col("vec_id"))
+      .join(comps.select(col("doc_id").as("vec_id"), col("component")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("rep_id"))
+      .withColumn("keep", col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("keep"), col("rep_id"))
+  }
+
   /** Exact all-pairs near-dup baseline over a BOUNDED corpus slice —
     * the correctness-oracle twin of `embeddingNearDups`. Quadratic by
     * construction, so callers bound the input (a fixed id-range slice);

@@ -387,6 +387,57 @@ object TextAnalysis {
     found.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
   }
 
+  /** Tokenizer APPLICATION — encode documents with a LEARNED merge
+    * table, the pass a pretraining pipeline runs over the whole corpus
+    * once the vocabulary is induced (and the half that actually costs
+    * at 100 TB: training sees a sample, encoding sees everything).
+    * `merges` is the rank-ordered (lhs, rhs) table from [[bpeMerges]] /
+    * [[bpeMergesBatched]] — vocab-scale (tens of thousands of rows), so
+    * driver-resident by construction. Application is the training
+    * loop's OWN mechanism: the same bracket encoding and the same
+    * rank-ordered leftmost-non-overlapping literal `replace` chain,
+    * folded into scan-speed projections — zero shuffle, no UDF, and by
+    * construction the exact token stream training's working column
+    * held after those merges (spec-pinned). The working column
+    * materializes every `checkpointEvery` merges so the collapsed
+    * projection stays inside codegen limits at full vocabulary scale
+    * (the [[bpeMergesBatched]] lifecycle; superseded snapshots release
+    * inline, the final one travels with the returned plan and falls to
+    * the caller's PlanHygiene sweep).
+    *
+    * Returns (doc_id, n_tokens_base, n_tokens_bpe, bpe_tokens): the
+    * pre/post token counts — the compression ratio every tokenizer
+    * change gets judged by — plus the encoded symbol array.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                checkpointEvery: Int = 256): DataFrame = {
+    require(checkpointEvery >= 1, "need checkpointEvery >= 1")
+    var cur = docs.select(col("doc_id"),
+      size(tokens).cast("long").as("n_tokens_base"),
+      concat(lit("<"), array_join(tokens, "><"), lit(">")).as("s"))
+    var prevCkpt: Option[DataFrame] = None
+    val batches = merges.grouped(checkpointEvery).toSeq
+    batches.zipWithIndex.foreach { case (batch, i) =>
+      val applied = batch.foldLeft(col("s")) { case (c, (l, r)) =>
+        replace(c, lit(s"<$l><$r>"), lit(s"<${l}_$r>"))
+      }
+      cur = cur.withColumn("s", applied)
+      if (i < batches.size - 1) { // last batch folds into the result plan
+        val snap = cur.localCheckpoint()
+        prevCkpt.foreach(graft.PlanHygiene.releaseCheckpoint)
+        prevCkpt = Some(snap)
+        cur = snap
+      }
+    }
+    // prevCkpt (if any) backs the returned plan — NOT released here;
+    // the caller's PlanHygiene sweep reclaims it after materialization
+    cur.select(col("doc_id"), col("n_tokens_base"),
+      expr("regexp_extract_all(s, '[^<>]+', 0)").as("bpe_tokens"))
+      .withColumn("n_tokens_bpe", size(col("bpe_tokens")).cast("long"))
+      .select(col("doc_id"), col("n_tokens_base"), col("n_tokens_bpe"),
+        col("bpe_tokens"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the cheap cross-engine-stable dedup key (rolling-hash analog).
     */

@@ -355,6 +355,79 @@ object PipelineQueries {
              |SELECT CAST(3 AS INT), l, r, freq FROM m3
              |ORDER BY merge_rank""".stripMargin)),
 
+    // Tokenizer APPLICATION: train 3 merges, then ENCODE the whole
+    // corpus with the learned table (TextAnalysis.bpeEncode — the
+    // rank-ordered replace chain as one scan-speed projection) and
+    // report per-doc pre/post token counts. The oracle re-derives the
+    // same 3 merges with the sequential chained-CTE and counts tokens
+    // in s0 (base) vs s3 (encoded) — so the cross-engine check covers
+    // BOTH the induced table and its application to every document.
+    QueryDef(
+      "text_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = TextAnalysis.bpeMergesBatched(docs, nMerges = 3)
+          .orderBy(col("merge_rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeEncode(docs, merges)
+          .select(col("doc_id"), col("n_tokens_base"), col("n_tokens_bpe"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s0 AS (
+             |  SELECT doc_id,
+             |         '<' || array_to_string(regexp_extract_all(lower(text), '\w+'),
+             |                                '><') || '>' AS s
+             |  FROM documents),
+             |p1 AS (
+             |  SELECT u['l'] AS l, u['r'] AS r, CAST(COUNT(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest([{'l': t[i], 'r': t[i+1]}
+             |                       for i in range(1, len(t))]) AS u
+             |        FROM (SELECT regexp_extract_all(s, '[^<>]+') AS t FROM s0))
+             |  GROUP BY 1, 2),
+             |m1 AS (SELECT l, r, freq FROM p1 ORDER BY freq DESC, l, r LIMIT 1),
+             |s1 AS (
+             |  SELECT doc_id,
+             |         replace(s, '<' || (SELECT l FROM m1) || '><' ||
+             |                    (SELECT r FROM m1) || '>',
+             |                 '<' || (SELECT l FROM m1) || '_' ||
+             |                 (SELECT r FROM m1) || '>') AS s
+             |  FROM s0),
+             |p2 AS (
+             |  SELECT u['l'] AS l, u['r'] AS r, CAST(COUNT(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest([{'l': t[i], 'r': t[i+1]}
+             |                       for i in range(1, len(t))]) AS u
+             |        FROM (SELECT regexp_extract_all(s, '[^<>]+') AS t FROM s1))
+             |  GROUP BY 1, 2),
+             |m2 AS (SELECT l, r, freq FROM p2 ORDER BY freq DESC, l, r LIMIT 1),
+             |s2 AS (
+             |  SELECT doc_id,
+             |         replace(s, '<' || (SELECT l FROM m2) || '><' ||
+             |                    (SELECT r FROM m2) || '>',
+             |                 '<' || (SELECT l FROM m2) || '_' ||
+             |                 (SELECT r FROM m2) || '>') AS s
+             |  FROM s1),
+             |p3 AS (
+             |  SELECT u['l'] AS l, u['r'] AS r, CAST(COUNT(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest([{'l': t[i], 'r': t[i+1]}
+             |                       for i in range(1, len(t))]) AS u
+             |        FROM (SELECT regexp_extract_all(s, '[^<>]+') AS t FROM s2))
+             |  GROUP BY 1, 2),
+             |m3 AS (SELECT l, r, freq FROM p3 ORDER BY freq DESC, l, r LIMIT 1),
+             |s3 AS (
+             |  SELECT doc_id,
+             |         replace(s, '<' || (SELECT l FROM m3) || '><' ||
+             |                    (SELECT r FROM m3) || '>',
+             |                 '<' || (SELECT l FROM m3) || '_' ||
+             |                 (SELECT r FROM m3) || '>') AS s
+             |  FROM s2)
+             |SELECT s0.doc_id,
+             |       CAST(LEN(regexp_extract_all(s0.s, '[^<>]+')) AS BIGINT)
+             |         AS n_tokens_base,
+             |       CAST(LEN(regexp_extract_all(s3.s, '[^<>]+')) AS BIGINT)
+             |         AS n_tokens_bpe
+             |FROM s0 JOIN s3 ON s0.doc_id = s3.doc_id
+             |ORDER BY s0.doc_id""".stripMargin)),
+
     // Per-doc top-3 characteristic terms by TF-IDF (linear idf: score =
     // tf·N/df — exact integers through ONE IEEE division, so ranking and
     // value are bit-identical in both engines; ln damping would hinge
@@ -1311,6 +1384,44 @@ object PipelineQueries {
              |WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
              |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SemDeDup-style semantic dedup DECISIONS (keep/rep per doc) over
+    // the bounded slice, exact-candidate twin (semanticDedupExact) so
+    // the whole decision layer — pairs, transitive closure, lowest-id
+    // representative election, unpaired-doc self-representation — is
+    // value-checked end-to-end: the oracle recomputes all-pairs cosine
+    // at the same gap-protected τ (see dedup_embedding_exact), closes
+    // components with a recursive CTE (the dedup_components pattern),
+    // and left-joins every slice doc back in. The unbounded scale path
+    // is Similarity.semanticDedup (IVF-bucketed candidates, capped +
+    // shouted), whose pair recall is separately gated by
+    // dedup_embedding_recall over the identical pair machinery.
+    QueryDef(
+      "dedup_semantic",
+      (s, d) =>
+        graft.ops.Similarity.semanticDedupExact(
+            Tables.embeddings(s, d).filter(col("vec_id") < 500),
+            threshold = 0.45)
+          .orderBy(col("vec_id")),
+      Some("""WITH RECURSIVE sl AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+             |p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM sl a, sl b WHERE a.vec_id < b.vec_id
+             |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+             |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+             |SELECT sl.vec_id,
+             |       COALESCE(comp.component, sl.vec_id) = sl.vec_id AS keep,
+             |       COALESCE(comp.component, sl.vec_id) AS rep_id
+             |FROM sl LEFT JOIN comp ON comp.id = sl.vec_id
+             |ORDER BY sl.vec_id""".stripMargin)),
 
     // BPE-ish token counting (whitespace + subword-boundary regex), both
     // reproducible in RE2 and Java regex (ASCII classes only).

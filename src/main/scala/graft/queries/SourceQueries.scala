@@ -66,6 +66,46 @@ object SourceQueries {
       Some("""SELECT '/pt/' || p_brand AS parent_path, COUNT(*) AS n,
              |       CAST(SUM(p_size) AS BIGINT) AS total_len
              |FROM part WHERE p_brand LIKE 'Brand#2%'
-             |GROUP BY p_brand ORDER BY parent_path""".stripMargin))
+             |GROUP BY p_brand ORDER BY parent_path""".stripMargin)),
+
+    // ── drop-in scheme mount, as a correctness row: register
+    //    fs.graftfs.impl (the reference's core-site.xml:29-32 claim),
+    //    write the nation table as CSV THROUGH the Hadoop facade over a
+    //    graftfs:// URI, then answer the aggregate with a stock
+    //    spark.read.csv against the same URI — scheme resolution, the
+    //    FileSystem cache, qualified-path listing, and the record
+    //    reader's open all on the query's hot path. The driver-side
+    //    collect is the 25-row nation dim (bounded fixture prep, not
+    //    the measured scan); the read side nests one engine job per
+    //    block fetch, far below the core count ─────────────────────────
+    QueryDef(
+      "fs_mount_read",
+      (s, d) => {
+        val hconf = s.sparkContext.hadoopConfiguration
+        hconf.set("fs.graftfs.impl",
+          classOf[graft.fs.GraftFileSystem].getName)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI("graftfs://bench/"), hconf)
+        val lines = graft.Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long"),
+            col("n_regionkey").cast("long"))
+          .collect()
+          .map(r => s"${r.getLong(0)},${r.getLong(1)}")
+          .sorted
+        val out = fs.create( // default create overwrites: rep-safe
+          new org.apache.hadoop.fs.Path("graftfs://bench/nation/n.csv"))
+        out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        out.close()
+        s.read
+          .schema("n_nationkey LONG, n_regionkey LONG")
+          .csv("graftfs://bench/nation")
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+             |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1824,4 +1824,100 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     rows.length must be(0) // the only shared run lived in the dropped bucket
     dropped must be >= 1L
   }
+
+  behavior of "TextAnalysis.bpeEncode (tokenizer application)"
+
+  it must "reproduce training's working column for the learned merges" in {
+    // encoding with the induced table must yield exactly the token
+    // stream the trainer's working column held after those merges —
+    // the contract that lets a pipeline train once and encode anywhere
+    val corpus = docsDf(Seq(
+      1L -> "the cat sat on the mat the cat sat",
+      2L -> "a b a b a b c d c d",
+      3L -> "the dog sat on the log"))
+    val merges = TextAnalysis.bpeMergesBatched(corpus, nMerges = 4)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextAnalysis.bpeEncode(corpus, merges)
+      .orderBy(col("doc_id")).collect()
+    // doc 2: merges include (a,b) then (a_b,a_b) etc — instead of
+    // hand-deriving, replay the replace chain on the raw strings
+    def replay(text: String): Seq[String] = {
+      val toks = "\\w+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
+      var st = "<" + toks.mkString("><") + ">"
+      merges.foreach { case (l, r) => st = st.replace(s"<$l><$r>", s"<${l}_$r>") }
+      "[^<>]+".r.findAllIn(st).toSeq
+    }
+    val texts = Map(
+      1L -> "the cat sat on the mat the cat sat",
+      2L -> "a b a b a b c d c d",
+      3L -> "the dog sat on the log")
+    enc.foreach { row =>
+      val id = row.getLong(0)
+      val expected = replay(texts(id))
+      row.getLong(1) must be(texts(id).split(" ").length.toLong) // base
+      row.getLong(2) must be(expected.length.toLong)
+      row.getSeq[String](3) must be(expected)
+    }
+  }
+
+  it must "encode identically whether merges fold into one batch or many" in {
+    // the checkpointEvery lifecycle (materialize between batches) must
+    // be invisible to the result at any batch size
+    val corpus = docsDf(Seq(
+      1L -> "p q p q p q r s r s",
+      2L -> "p q r s p q r s"))
+    val merges = TextAnalysis.bpeMergesBatched(corpus, nMerges = 3)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val one = TextAnalysis.bpeEncode(corpus, merges, checkpointEvery = 256)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getSeq[String](3)))
+    val many = TextAnalysis.bpeEncode(corpus, merges, checkpointEvery = 1)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getSeq[String](3)))
+    many.toSeq must be(one.toSeq)
+  }
+
+  behavior of "Similarity.semanticDedup (SemDeDup decision layer)"
+
+  it must "elect lowest-id representatives across transitive dup groups" in {
+    // group A: 0-1-2 chain-similar (0~1, 1~2 — 0 and 2 only transitively)
+    // group B: 10-11; singletons 20, 21 keep themselves
+    val a0 = Seq(1f, 0f, 0f, 0f)
+    val a1 = Seq(0.9f, 0.45f, 0f, 0f) // cos(a0,a1) ~ .895, cos(a1,a2) ~ .89
+    val a2 = Seq(0.6f, 0.8f, 0f, 0f)  // cos(a0,a2) = .6 — below threshold
+    val b0 = Seq(0f, 0f, 1f, 0f)
+    val b1 = Seq(0f, 0f, 0.95f, 0.3f)
+    val s0 = Seq(0f, 0f, 0f, 1f)
+    val s1 = Seq(0.5f, -0.5f, 0.5f, -0.5f)
+    val vecs = embDf(Seq(0L -> a0, 1L -> a1, 2L -> a2,
+      10L -> b0, 11L -> b1, 20L -> s0, 21L -> s1))
+    val got = Similarity.semanticDedupExact(vecs, threshold = 0.8)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    got.toSeq must be(Seq(
+      (0L, true, 0L), (1L, false, 0L), (2L, false, 0L),
+      (10L, true, 10L), (11L, false, 10L),
+      (20L, true, 20L), (21L, true, 21L)))
+  }
+
+  it must "make the same decisions through the IVF-bucketed scale path" in {
+    // well-separated clusters: the bucketed candidate stage must
+    // recover every within-group pair, so decisions match the exact
+    // twin — the property the clustered fixture gates assert at scale
+    val g1 = (0L to 3L).map(i => i -> Seq(1f, 0.01f * i, 0f, 0f))
+    val g2 = (10L to 12L).map(i => i -> Seq(0f, 0f, 1f, 0.01f * (i - 10)))
+    val lone = Seq(30L -> Seq(0.7f, -0.7f, 0.1f, 0f))
+    val vecs = embDf(g1 ++ g2 ++ lone)
+    val exact = Similarity.semanticDedupExact(vecs, threshold = 0.9)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val bucketed = Similarity.semanticDedup(vecs, numCentroids = 3,
+        threshold = 0.9, nprobe = 2)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    bucketed.toSeq must be(exact.toSeq)
+    exact.count(_._2) must be(3) // one rep per group + the singleton
+  }
 }
