@@ -635,6 +635,44 @@ object Relational {
              |       TRUE AS bound_ok
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ── Approximate quantiles: the THIRD sketch family beside HLL (q22)
+    //    and Count-Min (q27) — Spark's approx_percentile is the
+    //    mergeable rank sketch every executor can partial-aggregate
+    //    (the 100 TB path; exact percentiles q23 need a per-group
+    //    sort). Gated by the sketch's own contract, checkable without
+    //    recomputing it: the returned value's EXACT rank must sit
+    //    within n/accuracy (+1 for discreteness) of the target rank.
+    //    The exact ranks come from ONE conditional-aggregation pass
+    //    (the 4 approx values are a collected scalar row, broadcast by
+    //    construction), never a sort. ──────────────────────────────────
+    QueryDef(
+      "q28_approx_quantiles",
+      (s, d) => {
+        val acc = 1000
+        val pcts = Seq(0.1, 0.5, 0.9, 0.99)
+        val li = lineitem(s, d)
+          .select(col("l_extendedprice").cast("double").as("v"))
+        val head = li.agg(
+          expr(s"approx_percentile(v, array(${pcts.mkString(",")}), $acc)")
+            .as("ap"),
+          count(lit(1)).as("n")).head()
+        val ap = head.getSeq[Double](0)
+        val n = head.getLong(1)
+        val tol = n.toDouble / acc + 1
+        val rankCols = pcts.indices.map(i =>
+          sum(when(col("v") <= ap(i), 1L).otherwise(0L)).as(s"r$i"))
+        val ranks = li.agg(rankCols.head, rankCols.tail: _*).head()
+        import s.implicits._
+        pcts.indices.map { i =>
+          (pcts(i), n,
+            math.abs(ranks.getLong(i) - pcts(i) * n) <= tol)
+        }.toDF("pct", "n_total", "bound_ok").orderBy(col("pct"))
+      },
+      Some("""SELECT pct, (SELECT COUNT(*) FROM lineitem) AS n_total,
+             |       TRUE AS bound_ok
+             |FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(pct)
+             |ORDER BY pct""".stripMargin)),
+
     // ── Explicit GROUPING SETS: the third grouping-analytics surface
     //    beside rollup (q13) and cube (q20) — arbitrary set lists the
     //    other two can't express (here: by-type, by-day, grand total,
