@@ -86,22 +86,36 @@ object SourceQueries {
           classOf[graft.fs.GraftFileSystem].getName)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI("graftfs://bench/"), hconf)
-        val lines = graft.Tables.nation(s, d)
-          .select(col("n_nationkey").cast("long"),
-            col("n_regionkey").cast("long"))
-          .collect()
-          .map(r => s"${r.getLong(0)},${r.getLong(1)}")
-          .sorted
-        val out = fs.create( // default create overwrites: rep-safe
-          new org.apache.hadoop.fs.Path("graftfs://bench/nation/n.csv"))
-        out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-        out.close()
-        s.read
-          .schema("n_nationkey LONG, n_regionkey LONG")
-          .csv("graftfs://bench/nation")
-          .groupBy(col("n_regionkey"))
-          .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
-          .orderBy(col("n_regionkey"))
+        try {
+          val lines = graft.Tables.nation(s, d)
+            .select(col("n_nationkey").cast("long"),
+              col("n_regionkey").cast("long"))
+            .collect()
+            .map(r => s"${r.getLong(0)},${r.getLong(1)}")
+            .sorted
+          val out = fs.create( // default create overwrites: rep-safe
+            new org.apache.hadoop.fs.Path("graftfs://bench/nation/n.csv"))
+          out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+          out.close()
+          s.read
+            .schema("n_nationkey LONG, n_regionkey LONG")
+            .csv("graftfs://bench/nation")
+            .groupBy(col("n_regionkey"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_nationkey")).as("key_sum"))
+            .orderBy(col("n_regionkey"))
+            // materialize BEFORE the mount closes: the lazy plan's task
+            // would otherwise re-resolve the scheme through Hadoop's
+            // cache and find a FRESH empty instance
+            .localCheckpoint(true)
+        } finally {
+          // close() evicts the instance from Hadoop's FileSystem cache,
+          // so each rep gets a fresh empty mount — the bench-rep analog
+          // of fs_save_load's materialize-then-cleanup lifecycle, and
+          // the reason the harness's sweepPersisted can never collide
+          // with a mount compaction checkpoint (PlanHygiene scaladoc)
+          fs.close()
+        }
       },
       Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
              |       COUNT(*) AS n,
