@@ -825,6 +825,34 @@ object Relational {
               |SELECT doc_id, n_tokens, ROUND(w, 6) AS w, ROUND(u, 6) AS u
               |FROM s WHERE u < w ORDER BY doc_id""".stripMargin)),
 
+    // ── Streaming quality gate, EXECUTED (ninth streaming channel):
+    //    Curation.qualityFilter runs verbatim on the document stream —
+    //    a stateless per-row projection + filter, so the ingest-time
+    //    keep set is identical to the batch gate's whatever the
+    //    micro-batch boundaries; filter-at-ingest never materializes
+    //    rejected rows. Shares pipeline_quality_filter's exact oracle. ──
+    QueryDef(
+      "stream_quality_filter",
+      (s, d) =>
+        graft.streaming.EventsStream.qualityFilterAvailableNow(s, d)
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, LENGTH(text) AS n_chars,
+             |         regexp_extract_all(lower(text), '\w+') AS toks,
+             |         LEN(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_words,
+             |         ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+             |         ROUND(CAST(LEN(list_filter(toks,
+             |               w -> w IN ('the','a','of','and','to','in','is','it')))
+             |               AS DOUBLE) / LEN(toks), 6) AS stopword_ratio
+             |  FROM t)
+             |SELECT doc_id, n_words, punct_ratio, stopword_ratio FROM q
+             |WHERE n_words >= 5 AND punct_ratio < 0.1
+             |  AND stopword_ratio >= 0.02
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── Native session_window, EXECUTED (seventh streaming channel):
     //    Spark's built-in session aggregation under the same gap and
     //    watermark as the custom flatMapGroupsWithState channel, so

@@ -393,6 +393,21 @@ object EventsStream {
           round(col("w"), 6).as("w"), round(col("u"), 6).as("u"))
     }
 
+  /** Streaming quality gate — `Curation.qualityFilter` applied verbatim
+    * to the document STREAM: a pure per-row projection + filter, so the
+    * ingest-time keep set is IDENTICAL to the batch gate's whatever the
+    * micro-batch boundaries. Filter-at-ingest is the production shape —
+    * rejected rows never land, so downstream storage and every later
+    * pass shrink by the gate's selectivity. Same rules, same oracle as
+    * pipeline_quality_filter.
+    */
+  def qualityFilterAvailableNow(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    drainAvailableNow(spark, s"$sfDir/documents.parquet",
+      "graft_stream_quality")(
+      spark.readStream.schema(documentsSchema).parquet(_))(
+      graft.ops.Curation.qualityFilter(_))
+
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
     * for a training-data pipeline: emit each content hash's FIRST
     * arrival only. `dropDuplicatesWithinWatermark` bounds the dedup
