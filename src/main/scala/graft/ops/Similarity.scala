@@ -539,9 +539,21 @@ object Similarity {
     * seeding/iteration policy be measured independently of the search).
     */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
-                  centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val bucketed = assignBuckets(corpus, centroids)
+                  centroids: DataFrame, nprobe: Int, k: Int): DataFrame =
+    ivfTopKIndexed(queries, assignBuckets(corpus, centroids), centroids,
+      nprobe, k)
 
+  /** IVF search over a PREBUILT (vec_id, embedding, bucket) index — the
+    * production read path: the index table is whatever `assignBuckets`
+    * produced, whether computed this session, loaded from parquet
+    * ([[loadIvfIndex]]), or a persisted history UNION an incrementally
+    * assigned new batch (assignment is per-row deterministic given the
+    * centroids, so ingest-without-retrain gives bit-identical search
+    * results to a full rebuild with the same centroids — driver-gated
+    * by ann_incremental).
+    */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame,
+                     centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
     // query-side probing reuses the zero-shuffle row-local selection
     val queryBuckets = probeAssignments(
         queries.select(col("vec_id"), col("embedding")), centroids, nprobe)
@@ -551,14 +563,37 @@ object Similarity {
     // map-side graft_topk — the per-query nprobe/K corpus slice is
     // reduced to ≤ k heap entries per partition before any exchange
     topKPerQuery(
-      bucketed
+      index
         .join(broadcast(queryBuckets), "bucket")
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           col("qv"), col("embedding").as("ev"))
-        .withColumn("score", cosine(corpus)),
+        .withColumn("score", cosine(index)),
       k)
   }
+
+  /** Persist an IVF index as plain parquet: `dir/centroids` (K rows)
+    * and `dir/buckets` — the (vec_id, embedding, bucket) table,
+    * PARTITIONED BY bucket so a probed search prunes non-probed
+    * buckets at the FILE level (partition pruning on the bucket join
+    * key). The ANN sibling of the MinHash band-row index
+    * (incrementalMinhashWithIndex): build once, search and ingest
+    * forever without re-reading or re-clustering the corpus.
+    */
+  def saveIvfIndex(corpus: DataFrame, centroids: DataFrame,
+                   dir: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assignBuckets(corpus, centroids)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/buckets")
+  }
+
+  /** Load a [[saveIvfIndex]] layout → (centroids, index) frames. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/buckets")
+        .select(col("vec_id"), col("embedding"), col("bucket")))
 
   /** Product-quantization codebooks: the embedding splits into `m`
     * contiguous `dim/m`-wide subspaces, and each subspace trains its own

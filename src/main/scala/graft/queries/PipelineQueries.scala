@@ -19,6 +19,34 @@ import graft.ops.{Curation, Decontaminate, Dedup, Multimodal, Similarity, TextAn
   */
 object PipelineQueries {
 
+  /** Per-query exact-set-equality gate between two search results: a
+    * (q_id, identical_ok) row per query where identical_ok demands the
+    * two (q_id, neighbor_id) sets coincide AND carry exactly `k` rows —
+    * a missing query or a short result reads as red, never as
+    * vacuously equal.
+    */
+  private def searchEqualityGate(queries: org.apache.spark.sql.DataFrame,
+                                 a: org.apache.spark.sql.DataFrame,
+                                 b: org.apache.spark.sql.DataFrame,
+                                 k: Int): org.apache.spark.sql.DataFrame = {
+    val ka = a.select(col("q_id"), col("neighbor_id"))
+      .withColumn("in_a", lit(1))
+    val kb = b.select(col("q_id"), col("neighbor_id"))
+      .withColumn("in_b", lit(1))
+    val perQ = ka.join(kb, Seq("q_id", "neighbor_id"), "full_outer")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("in_a").isNull || col("in_b").isNull, 1)
+          .otherwise(0)).as("n_mismatch"),
+        count(lit(1)).as("n"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(perQ, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        (coalesce(col("n_mismatch"), lit(1)) === 0 &&
+          coalesce(col("n"), lit(0)) === k).as("identical_ok"))
+      .orderBy(col("q_id"))
+  }
+
   /** The pipeline_line_dedup injection, shared with the spec that pins
     * the strip path actually firing (per-source header on every doc,
     * footer on even docs, unique per-doc ref line).
@@ -1199,6 +1227,65 @@ object PipelineQueries {
           .orderBy(col("q_id"))
       },
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    // Persisted ANN index round-trip: train centroids, save the IVF
+    // layout (centroids + bucket-PARTITIONED corpus parquet — probed
+    // searches prune non-probed buckets at the file level), load it
+    // back, and assert the loaded search returns the IDENTICAL
+    // (q_id, neighbor_id) set as the in-memory path — the ANN sibling
+    // of dedup_index_roundtrip: build once, search forever, nothing
+    // re-clusters the corpus. Same cleanup lifecycle.
+    QueryDef(
+      "ann_index_roundtrip",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+        val cents = Similarity.kmeansCentroids(emb, 16, 3)
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+        try {
+          Similarity.saveIvfIndex(emb, cents, dir.toString)
+          val (lc, lidx) = Similarity.loadIvfIndex(s, dir.toString)
+          searchEqualityGate(qs,
+            Similarity.ivfTopKWith(qs, emb, cents, nprobe = 4, k = 5),
+            Similarity.ivfTopKIndexed(qs, lidx, lc, nprobe = 4, k = 5),
+            k = 5)
+            .localCheckpoint(true) // materialize before the dir dies
+        } finally {
+          val w = java.nio.file.Files.walk(dir)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally w.close()
+        }
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS identical_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    // Incremental ANN ingest: centroids train on HISTORY only, the new
+    // batch is assigned with ONE pass over itself (zero over history),
+    // and searching history ∪ assigned-increment must return the
+    // IDENTICAL results as a full re-assignment with the same frozen
+    // centroids — the property that lets a 100 TB index absorb a daily
+    // crawl without touching the corpus. Assignment is per-row
+    // deterministic given centroids, so this gate pins exact equality,
+    // not recall.
+    QueryDef(
+      "ann_incremental",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+        val hist = emb.filter(col("vec_id") % 10 =!= 0)
+        val inc = emb.filter(col("vec_id") % 10 === 0)
+        val cents = Similarity.kmeansCentroids(hist, 16, 3)
+        val merged = Similarity.assignBuckets(hist, cents)
+          .unionByName(Similarity.assignBuckets(inc, cents))
+        searchEqualityGate(qs,
+          Similarity.ivfTopKIndexed(qs, merged, cents, nprobe = 4, k = 5),
+          Similarity.ivfTopKIndexed(qs,
+            Similarity.assignBuckets(emb, cents), cents, nprobe = 4, k = 5),
+          k = 5)
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS identical_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
 
     // LSH-bucketed ANN scale path (sign-LSH over deterministic

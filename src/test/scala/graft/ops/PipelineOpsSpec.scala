@@ -1879,6 +1879,59 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     many.toSeq must be(one.toSeq)
   }
 
+  behavior of "Similarity IVF index persistence + incremental ingest"
+
+  it must "round-trip the index through the bucket-partitioned layout" in {
+    val vecs = embDf((0L until 24L).map(i =>
+      i -> Seq((i % 3).toFloat + 1f, (i % 5).toFloat, 1f, 0.5f)))
+    val qs = vecs.filter(col("vec_id") < 2)
+    val cents = Similarity.kmeansCentroids(vecs, 3, 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec")
+    try {
+      Similarity.saveIvfIndex(vecs, cents, dir.toString)
+      // the on-disk layout IS the pruning story: one dir per bucket
+      val parts = {
+        val l = java.nio.file.Files.list(dir.resolve("buckets"))
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("bucket=")).toSeq
+        } finally l.close()
+      }
+      parts.nonEmpty must be(true)
+      val (lc, lidx) = Similarity.loadIvfIndex(spark, dir.toString)
+      val direct = Similarity.ivfTopKWith(qs, vecs, cents, nprobe = 2, k = 3)
+        .select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val loaded = Similarity.ivfTopKIndexed(qs, lidx, lc, nprobe = 2, k = 3)
+        .select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      loaded.toSeq must be(direct.toSeq)
+    } finally {
+      val w = java.nio.file.Files.walk(dir)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(pp => java.nio.file.Files.deleteIfExists(pp))
+      finally w.close()
+    }
+  }
+
+  it must "ingest a new batch without retraining and search identically" in {
+    val vecs = embDf((0L until 30L).map(i =>
+      i -> Seq((i % 4).toFloat + 1f, (i % 7).toFloat, 1f, 0f)))
+    val hist = vecs.filter(col("vec_id") % 10 =!= 0)
+    val inc = vecs.filter(col("vec_id") % 10 === 0)
+    val qs = vecs.filter(col("vec_id") < 2)
+    val cents = Similarity.kmeansCentroids(hist, 3, 1) // history-only train
+    val merged = Similarity.assignBuckets(hist, cents)
+      .unionByName(Similarity.assignBuckets(inc, cents))
+    val full = Similarity.assignBuckets(vecs, cents)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKIndexed(qs, idx, cents, nprobe = 2, k = 4)
+        .select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    run(merged) must be(run(full))
+  }
+
   behavior of "Similarity.semanticDedup (SemDeDup decision layer)"
 
   it must "elect lowest-id representatives across transitive dup groups" in {
