@@ -375,8 +375,11 @@ class GraftFileSystem extends FileSystem {
     private var cachedId = -1L
     private var cached: Array[Byte] = Array.emptyByteArray
 
-    private def blockAt(id: Long, needUpTo: Long): Array[Byte] = engineOp {
-      if (id != cachedId) {
+    private def blockAt(id: Long, needUpTo: Long): Array[Byte] = {
+      // engineOp brackets ONLY the block-miss fetch: read() calls this
+      // per BYTE, and a cache hit must stay a plain field read — not a
+      // reflection round-trip through the TaskContext bridge
+      if (id != cachedId) engineOp {
         val rows = DataPlane.reassembleBlocks(
             state.chunks.filter(col("path") === p && col("block_id") === id))
           .select(col("data")).collect()
@@ -487,15 +490,17 @@ class GraftFileSystem extends FileSystem {
     if (start < 0 || len < 0)
       throw new IllegalArgumentException("Invalid start or len parameter")
     val p = abs(file.getPath)
-    state.catalog.blockLocations(p, start, len)
-      .filter(col("path") === p)
-      .collect()
-      .map { r =>
-        val hosts = r.getAs[String]("replicas").split(",")
-        new BlockLocation(
-          hosts.map(h => s"$h:9160"), hosts,
-          r.getAs[Long]("offset"), r.getAs[Long]("length"))
-      }
+    engineOp {
+      state.catalog.blockLocations(p, start, len)
+        .filter(col("path") === p)
+        .collect()
+        .map { r =>
+          val hosts = r.getAs[String]("replicas").split(",")
+          new BlockLocation(
+            hosts.map(h => s"$h:9160"), hosts,
+            r.getAs[Long]("offset"), r.getAs[Long]("length"))
+        }
+    }
   }
 
   /** Current snapshot, for tests and interop with the query layer —
