@@ -70,10 +70,7 @@ object PipelineDemo {
     val exported = spark.read
       .schema("doc_id LONG, lang STRING, text STRING")
       .json(exportDir.toString).count()
-    val w = java.nio.file.Files.walk(exportDir)
-    try w.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally w.close()
+    graft.PlanHygiene.deleteRecursively(exportDir)
 
     println(f"""
       |stage                 rows

@@ -14,6 +14,20 @@ import org.apache.spark.sql.Dataset
   */
 object PlanHygiene {
 
+  /** Recursively delete a directory tree, deepest-first — THE shared
+    * cleanup idiom for every temp snapshot/landing/checkpoint/state dir
+    * this engine materializes (the walk stream is closed in a finally;
+    * reverse order deletes children before parents). One definition so
+    * a future hardening (symlink handling, retry) lands once.
+    */
+  def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      val w = java.nio.file.Files.walk(dir)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
+
   /** Release a localCheckpoint'd frame's cached blocks. Best-effort: an
     * unexpected plan shape just leaves the blocks to the context's
     * cleaner. After release the frame can no longer be recomputed —

@@ -375,6 +375,14 @@ class GraftFileSystem extends FileSystem {
     private var cachedId = -1L
     private var cached: Array[Byte] = Array.emptyByteArray
 
+    // ALL public entry points below synchronize on the stream: Hadoop's
+    // PositionedReadable contract allows CONCURRENT preads on one open
+    // stream (vectored IO does exactly that), and the one-block cache
+    // (cached/cachedId) plus pos are shared state — an unsynchronized
+    // interleaving could copy block B's bytes at block A's offsets into
+    // a caller's buffer. One block cache per stream stays the memory
+    // contract; concurrent preads serialize (correctness first — a
+    // parallel-read client opens multiple streams).
     private def blockAt(id: Long, needUpTo: Long): Array[Byte] = {
       // engineOp brackets ONLY the block-miss fetch: read() calls this
       // per BYTE, and a cache hit must stay a plain field read — not a
@@ -394,7 +402,7 @@ class GraftFileSystem extends FileSystem {
       cached
     }
 
-    override def read(): Int =
+    override def read(): Int = synchronized {
       if (pos >= fileLen) -1
       else {
         val inBlock = (pos % blockSize).toInt
@@ -402,10 +410,11 @@ class GraftFileSystem extends FileSystem {
         pos += 1
         b
       }
+    }
 
     // serve up to the current block's end; callers (readFully, IOUtils)
     // loop — matching InputStream's may-return-fewer contract
-    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = synchronized {
       if (len == 0) return 0
       if (pos >= fileLen) return -1
       val inBlock = (pos % blockSize).toInt
@@ -420,16 +429,16 @@ class GraftFileSystem extends FileSystem {
       n
     }
 
-    override def seek(target: Long): Unit = {
+    override def seek(target: Long): Unit = synchronized {
       if (target < 0 || target > fileLen)
         throw new IOException(s"seek past end: $target")
       pos = target
     }
-    override def getPos: Long = pos
+    override def getPos: Long = synchronized(pos)
     override def seekToNewSource(targetPos: Long): Boolean = false
 
     override def read(position: Long, buffer: Array[Byte], offset: Int,
-                      length: Int): Int = {
+                      length: Int): Int = synchronized {
       if (length == 0) return 0 // zero-byte read is a no-op even at EOF
       if (position >= fileLen) return -1
       var copied = 0

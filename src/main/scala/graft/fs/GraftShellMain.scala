@@ -93,22 +93,24 @@ object GraftShellMain {
     Files.write(tmp, version.getBytes("UTF-8"))
     Files.move(tmp, base.resolve(CurrentPtr),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort prune of the superseded version (and the legacy flat
-    // layout's planes) — state stays one version deep on disk
-    prev.filterNot(_ == s"$dir/$version").foreach { old =>
-      val oldPath = Paths.get(old)
-      val doomed =
-        if (oldPath == base) Seq(oldPath.resolve("catalog"),
-          oldPath.resolve("chunks"))
-        else Seq(oldPath)
-      doomed.foreach { p =>
-        if (Files.exists(p)) {
-          val w = Files.walk(p)
-          try w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => Files.deleteIfExists(q))
-          finally w.close()
-        }
-      }
+    // best-effort prune: EVERY v* dir except the one CURRENT now names
+    // (not just the immediately-previous version — a save that crashed
+    // after writing its planes but before the pointer flip leaves an
+    // orphan dir no pointer ever names, and repeated torn saves must
+    // not grow the state dir unboundedly) plus the legacy flat layout's
+    // planes when superseded
+    val keep = Paths.get(dir, version)
+    val l = Files.list(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v") &&
+          Files.isDirectory(p) && p != keep)
+        .foreach(graft.PlanHygiene.deleteRecursively)
+    } finally l.close()
+    prev.map(Paths.get(_)).filter(_ == base).foreach { flat =>
+      graft.PlanHygiene.deleteRecursively(flat.resolve("catalog"))
+      graft.PlanHygiene.deleteRecursively(flat.resolve("chunks"))
     }
   }
 

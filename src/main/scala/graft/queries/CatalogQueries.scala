@@ -54,10 +54,7 @@ object CatalogQueries {
         val out = graft.catalog.FsCatalog.load(s, dir.toString)
           .listStatusRecursive("/pt/Brand#13")
           .localCheckpoint(true)
-        val w = java.nio.file.Files.walk(dir)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
+        graft.PlanHygiene.deleteRecursively(dir)
         out
       },
       Some(s"""SELECT '/pt/Brand#13/part_' || p_partkey AS path, FALSE AS is_dir,

@@ -500,10 +500,7 @@ object PipelineQueries {
           .json(dir.toString)
           .orderBy(col("doc_id"))
           .localCheckpoint(true)
-        val w = java.nio.file.Files.walk(dir)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
+        graft.PlanHygiene.deleteRecursively(dir)
         back
       },
       Some("SELECT doc_id, lang, text FROM documents ORDER BY doc_id")),
@@ -537,10 +534,7 @@ object PipelineQueries {
           .withColumn("n_partitions", lit(nPartDirs))
           .orderBy(col("lang"))
           .localCheckpoint(true)
-        val w = java.nio.file.Files.walk(dir)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
+        graft.PlanHygiene.deleteRecursively(dir)
         back
       },
       Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -773,10 +767,7 @@ object PipelineQueries {
             round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
           .localCheckpoint(true)
-        val w = java.nio.file.Files.walk(dir)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
+        graft.PlanHygiene.deleteRecursively(dir)
         out
       },
       Some("""WITH sh AS (
@@ -1252,10 +1243,7 @@ object PipelineQueries {
             k = 5)
             .localCheckpoint(true) // materialize before the dir dies
         } finally {
-          val w = java.nio.file.Files.walk(dir)
-          try w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally w.close()
+          graft.PlanHygiene.deleteRecursively(dir)
         }
       },
       Some("""SELECT vec_id AS q_id, TRUE AS identical_ok

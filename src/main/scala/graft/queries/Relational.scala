@@ -659,13 +659,21 @@ object Relational {
         val ap = head.getSeq[Double](0)
         val n = head.getLong(1)
         val tol = n.toDouble / acc + 1
-        val rankCols = pcts.indices.map(i =>
-          sum(when(col("v") <= ap(i), 1L).otherwise(0L)).as(s"r$i"))
+        // a duplicated value occupies the rank INTERVAL
+        // (count(v < a), count(v <= a)]; the sketch's contract is that
+        // SOME rank of the returned value is near p·n, so the gate
+        // asserts interval-intersection — a max-rank-only check would
+        // flag a correct result whenever the probed percentile lands
+        // on a value duplicated more than tol times
+        val rankCols = pcts.indices.flatMap(i => Seq(
+          sum(when(col("v") < ap(i), 1L).otherwise(0L)).as(s"lo$i"),
+          sum(when(col("v") <= ap(i), 1L).otherwise(0L)).as(s"hi$i")))
         val ranks = li.agg(rankCols.head, rankCols.tail: _*).head()
         import s.implicits._
         pcts.indices.map { i =>
-          (pcts(i), n,
-            math.abs(ranks.getLong(i) - pcts(i) * n) <= tol)
+          val (lo, hi) = (ranks.getLong(2 * i), ranks.getLong(2 * i + 1))
+          val target = pcts(i) * n
+          (pcts(i), n, lo <= target + tol && hi >= target - tol)
         }.toDF("pct", "n_total", "bound_ok").orderBy(col("pct"))
       },
       Some("""SELECT pct, (SELECT COUNT(*) FROM lineitem) AS n_total,

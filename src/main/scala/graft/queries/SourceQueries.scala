@@ -31,10 +31,7 @@ object SourceQueries {
         .load(dir.toString)
       q(mounted).localCheckpoint(true)
     } finally {
-      val w = java.nio.file.Files.walk(dir)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally w.close()
+      graft.PlanHygiene.deleteRecursively(dir)
     }
   }
 

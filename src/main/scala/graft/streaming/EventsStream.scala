@@ -190,23 +190,18 @@ object EventsStream {
     * serves every subsequent drain; a JVM shutdown hook removes the
     * bounded set (one per source table). "Immutable" is VERIFIED, not
     * assumed: each call fingerprints the source's file listing
-    * (name → size) and re-stages on mismatch, so files that arrive in
+    * (name → (size, mtime)) and re-stages on mismatch, so files that arrive in
     * a source dir after first staging are drained, not silently
     * dropped.
     */
   private final case class Staged(dir: String,
-                                  fingerprint: Map[String, Long])
+                                  fingerprint: Map[String, (Long, Long)])
 
   private val stagedLandings =
     new java.util.concurrent.ConcurrentHashMap[String, Staged]()
 
   private def deleteRecursively(dir: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(dir)) {
-      val w = java.nio.file.Files.walk(dir)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally w.close()
-    }
+    graft.PlanHygiene.deleteRecursively(dir)
 
   /** The source's parquet files as (name → size) — the staleness check
     * that keeps the staged-once cache honest: a source dir that gained
@@ -231,8 +226,10 @@ object EventsStream {
     stagedLandings.compute(srcParquet, (src, prev) => {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val toStage = sourceFiles(src)
-      val fp = toStage
-        .map(p => p.getFileName.toString -> Files.size(p)).toMap
+      // (size, mtime) per name: a same-size in-place rewrite must still
+      // re-stage — "immutable" is verified, not assumed
+      val fp = toStage.map(p => p.getFileName.toString ->
+        (Files.size(p), Files.getLastModifiedTime(p).toMillis)).toMap
       if (prev != null && prev.fingerprint == fp) prev
       else {
         val landing =
@@ -348,15 +345,20 @@ object EventsStream {
     * stream start — per-drain rebuilds paid the two benchmark
     * shuffles plus a driver collect on every bench rep for an index
     * that never changes (the r9 driver bench charged that rebuild to
-    * every rep of stream_decontaminate). Keyed by the context's
-    * identity so a restarted session never probes a dead broadcast.
+    * every rep of stream_decontaminate). Keyed by applicationId so a
+    * restarted session never probes a dead broadcast.
     */
   private val decontamIndexes = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String),
+    (String, String),
     org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
 
   def decontaminateAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = (System.identityHashCode(spark.sparkContext), sfDir)
+    // applicationId embeds the context's start time, so a RESTARTED
+    // context can never collide with a dead entry and probe a destroyed
+    // broadcast (an identity-hash key could be reused after GC); stale
+    // entries are a bounded leak — one slim map row per (app, sfDir),
+    // the dead broadcast's blocks died with its context
+    val key = (spark.sparkContext.applicationId, sfDir)
     val bc = decontamIndexes.computeIfAbsent(key, _ =>
       spark.sparkContext.broadcast(graft.ops.Decontaminate.streamIndex(
         graft.Tables.documents(spark, sfDir)

@@ -376,6 +376,10 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     val s1 = sh.fs
     try GraftShellMain.saveFs(s1, dir.toString)
     finally sh.releaseSnapshot(s1)
+    // plant a torn-save orphan (planes written, pointer never flipped):
+    // the NEXT successful save must sweep it too, not just the version
+    // CURRENT names — repeated torn saves must not grow the dir
+    Files.createDirectories(dir.resolve("v0000000000000000001/catalog"))
     sh.run(Array("-touchz", "/b")).code must be(0)
     val s2 = sh.fs
     try GraftShellMain.saveFs(s2, dir.toString)
