@@ -382,6 +382,99 @@ object Multimodal {
       .toDF("path", "cell", "r_sum", "g_sum", "b_sum")
   }
 
+  /** Deterministic STRUCTURED image — the aHash fixture generator: a
+    * seed-keyed linear gradient pattern (per-pixel gray level
+    * `(x·a + y·b + phase) mod 160 + shift`, channels equal) rendered
+    * through the REAL ImageIO encode path. Same seed + same dims +
+    * different `shift` is a uniform re-exposure (no clipping while
+    * shift ≤ 95) — provably aHash-identical; different seeds give
+    * different gradient directions/phases, i.e. different scenes.
+    * Unlike [[syntheticImage]]'s hash noise (whose 8×8 cell means sit
+    * at mid-gray everywhere), the gradient gives every cell a distinct
+    * mean, which is what makes the hash discriminative.
+    */
+  def patternedImage(seed: Long, width: Int, height: Int,
+                     shift: Int): Array[Byte] = {
+    require(shift >= 0 && shift <= 95, "shift must stay clip-free")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val a = 1 + (seed % 7).toInt
+    val b = 2 + (seed % 5).toInt
+    val phase = (seed % 160).toInt
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = ((x * a + y * b + phase) % 160) + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL perceptual average-hash (aHash) over the decode path — the
+    * image dedup key: decode (ImageIO), partition into an 8×8 grid,
+    * and set bit (row, col) when the cell's mean luminance exceeds the
+    * image's mean. Every comparison is EXACT integer arithmetic — the
+    * cell-vs-global mean test cross-multiplies sums and pixel counts
+    * (cellSum·totalPx > totalSum·cellPx) instead of dividing, so no
+    * rounding is involved and the hash is bit-reproducible anywhere.
+    * The payoff is a PROVABLE invariance: a uniform brightness shift
+    * adds the same per-pixel constant to both sides of the
+    * cross-product (cellSum + c·cellPx vs totalSum + c·totalPx), so a
+    * re-exposed copy of an image hashes IDENTICALLY while distinct
+    * scenes differ — exact-groupBy dedup on the hash finds re-exposed
+    * duplicates that byte-level sha/md5 can never connect. Bounds:
+    * luminance sums ≤ 765·w·h, cross-products stay far inside Long.
+    * One output row per decodable payload: (path, ahash).
+    */
+  def aHash(binaries: DataFrame): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = Array.ofDim[Long](64)
+          val counts = Array.ofDim[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val cell = (y * 8 / h) * 8 + (x * 8 / w)
+              val v = img.getRGB(x, y) & 0xFFFFFF
+              val lum = ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)
+              sums(cell) += lum
+              counts(cell) += 1
+              total += lum
+              x += 1
+            }
+            y += 1
+          }
+          val totalPx = w.toLong * h
+          var hash = 0L
+          var c = 0
+          while (c < 64) {
+            if (sums(c) * totalPx > total * counts(c)) hash |= (1L << c)
+            c += 1
+          }
+          Iterator.single((p, hash))
+        }
+      })
+      .toDF("path", "ahash")
+  }
+
   /** Feature extraction: binary → Array[Float] embedding (stub: hash-
     * derived unit-ish vector) — the output feeds the Similarity ops
     * directly, so multimodal payloads join the ANN/near-dup machinery

@@ -1899,6 +1899,43 @@ object PipelineQueries {
              |       CAST(1 AS INT) AS n_frames
              |FROM documents WHERE doc_id < 100 ORDER BY path""".stripMargin)),
 
+    // REAL perceptual-hash image dedup: 30 structured scenes render
+    // through ImageIO, each with a RE-EXPOSED twin (+60 uniform
+    // brightness, id+1000); aHash's exact cross-multiplied mean test is
+    // provably invariant under the shift, so exact-groupBy dedup on the
+    // hash must connect each scene to its twin AND nothing else — the
+    // image dedup byte-level sha/md5 can never do (the twins share no
+    // bytes). At scale the self-join is a groupBy(ahash) pair
+    // generation, the exact-dedup shape; distinct scenes landing in one
+    // bucket would surface as extra rows and a red hash.
+    QueryDef(
+      "mm_phash_dedup",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter(col("doc_id") < 30)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = 24 + (id % 13).toInt * 3
+            val h = 20 + (id % 11).toInt * 3
+            Iterator(
+              ("/img/" + id, Multimodal.patternedImage(id, w, h, 0)),
+              ("/img/" + (1000 + id),
+                Multimodal.patternedImage(id, w, h, 60)))
+          })
+          .toDF("path", "data")
+        val hashed = Multimodal.aHash(imgs)
+          .select(expr("CAST(substring(path, 6) AS BIGINT)").as("img_id"),
+            col("ahash"))
+        hashed.as("a").join(hashed.as("b"),
+            col("a.ahash") === col("b.ahash") &&
+              col("a.img_id") < col("b.img_id"))
+          .select(col("a.img_id").as("id_a"), col("b.img_id").as("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000 AS id_b
+             |FROM documents WHERE doc_id < 30
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // REAL audio metadata: doc-derived canonical PCM WAV payloads →
     // RIFF chunk-walk decode. WAV is uncompressed, so EVERY emitted
     // column — including n_bytes (44 + samples·ch·2) and the integer

@@ -1218,6 +1218,33 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     rows("/bad") must be("bin")
   }
 
+  behavior of "Multimodal.aHash (perceptual image dedup key)"
+
+  it must "hash a re-exposed copy identically and distinct scenes apart" in {
+    val s = spark
+    import s.implicits._
+    val base = Multimodal.patternedImage(3L, 40, 32, shift = 0)
+    val bright = Multimodal.patternedImage(3L, 40, 32, shift = 80)
+    val other = Multimodal.patternedImage(4L, 40, 32, shift = 0)
+    // the twins share NO bytes — byte-level dedup is structurally blind
+    java.util.Arrays.equals(base, bright) must be(false)
+    val out = Multimodal.aHash(Seq(
+        ("/a", base), ("/b", bright), ("/c", other)).toDF("path", "data"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out("/a") must be(out("/b")) // exact invariance, not approximate
+    out("/a") must not be out("/c")
+  }
+
+  it must "drop non-decodable payloads like featureGrid does" in {
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.aHash(Seq(
+        ("/ok", Multimodal.patternedImage(1L, 16, 16, 0)),
+        ("/junk", Array[Byte](1, 2, 3, 4))).toDF("path", "data"))
+      .collect()
+    out.map(_.getString(0)).toSeq must be(Seq("/ok"))
+  }
+
   behavior of "Multimodal.ImageIoDecoder (real codec path)"
 
   it must "header-decode true dimensions for JDK-encoded PNG and GIF" in {
