@@ -53,7 +53,34 @@ class GraftFileSystem extends FileSystem {
     * makes the whole transition atomic. Cross-JVM coordination stays
     * the documented single-driver narrowing (SURVEY §1.3).
     */
-  private val mutLock = new Object
+  private val mutLock = new java.util.concurrent.locks.ReentrantLock()
+
+  /** Mutation-lock acquisition timeout (ms), settable via the Hadoop
+    * conf key `graft.mount.lock.timeout.ms`. */
+  private def lockTimeoutMs: Long =
+    Option(getConf).map(_.getLong("graft.mount.lock.timeout.ms", 120000L))
+      .getOrElse(120000L)
+
+  /** Acquire the mutation lock with a TIMEOUT instead of blocking
+    * forever: the mount's one true failure mode in local mode is core
+    * starvation — N outer tasks fill every slot, one holds this lock
+    * while its nested engine job waits for a core the lock-blocked
+    * tasks can never free (thread-dump-verified, PLANS.md r10). A
+    * metadata verb that cannot take the lock inside the timeout is in
+    * that deadlock (or something equally pathological), and a LOUD
+    * IOException naming the fix beats an infinite hang.
+    */
+  private def withMutLock[T](f: => T): T = {
+    if (!mutLock.tryLock(lockTimeoutMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new IOException(
+        s"graftfs mount: mutation lock not acquired within ${lockTimeoutMs} ms" +
+          " — likely core starvation (every local core held by a task" +
+          " blocked on this lock while the holder's nested engine job" +
+          " waits for a slot). Lower the job's parallelism below the" +
+          " core count, or use the DSv2 connector for analytics.")
+    try f finally mutLock.unlock()
+  }
 
   private def spark: SparkSession = {
     val s = SparkSession.getActiveSession
@@ -165,7 +192,7 @@ class GraftFileSystem extends FileSystem {
 
   // ── A5: mkdirs — ancestor AND-fold; exists-as-file → false ────────────
   override def mkdirs(path: Path, permission: FsPermission): Boolean =
-    mutLock.synchronized { engineOp {
+    withMutLock { engineOp {
       val (cat2, ok) = state.catalog.mkdirs(abs(path))
       setState(GraftFs(cat2, state.chunks))
       ok
@@ -181,7 +208,7 @@ class GraftFileSystem extends FileSystem {
   override def create(path: Path, permission: FsPermission,
                       overwrite: Boolean, bufferSize: Int,
                       replication: Short, blkSize: Long,
-                      progress: Progressable): FSDataOutputStream = mutLock.synchronized { engineOp {
+                      progress: Progressable): FSDataOutputStream = withMutLock { engineOp {
     val p = abs(path)
     state.catalog.retrieve(p).foreach { existing =>
       if (existing.isDir) throw new IOException(s"$p is a directory")
@@ -261,7 +288,7 @@ class GraftFileSystem extends FileSystem {
     // its (block_id, sub_id) cell; a previously flush()-persisted
     // partial copy of the same cell is filtered out first so the table
     // never holds two rows for one subblock
-    private def persistSubBlock(): Unit = mutLock.synchronized { engineOp {
+    private def persistSubBlock(): Unit = withMutLock { engineOp {
       val s = spark
       val idx = written / subBlockSize
       val sbPerBlock = blockSize / subBlockSize
@@ -299,7 +326,7 @@ class GraftFileSystem extends FileSystem {
       if (written % blockSize == 0) commitInode()
     }
 
-    private def commitInode(): Unit = mutLock.synchronized { engineOp {
+    private def commitInode(): Unit = withMutLock { engineOp {
       setState(GraftFs(state.catalog.store(inodeFor(p, parent, written + used)),
         state.chunks))
     } }
@@ -466,7 +493,7 @@ class GraftFileSystem extends FileSystem {
 
   // ── A7: delete — cascades to the data plane (GraftFs) ─────────────────
   override def delete(path: Path, recursive: Boolean): Boolean =
-    mutLock.synchronized { engineOp {
+    withMutLock { engineOp {
       val (next, ok) = state.delete(abs(path), recursive)
       setState(next)
       ok
@@ -474,7 +501,7 @@ class GraftFileSystem extends FileSystem {
 
   // ── A8: rename — one prefix-rewrite pass per plane ────────────────────
   override def rename(src: Path, dst: Path): Boolean =
-    mutLock.synchronized { engineOp {
+    withMutLock { engineOp {
       val (next, ok) = state.rename(abs(src), abs(dst))
       setState(next)
       ok

@@ -30,6 +30,36 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
 
   behavior of "GraftFileSystem (SnackFS.scala:51-153 facade)"
 
+  it must "fail loudly instead of hanging when the mutation lock starves" in {
+    // the mount's one true local-mode failure is core starvation (a
+    // lock-holder's nested engine job waiting for a slot the blocked
+    // verbs hold — PLANS.md r10); the lock timeout converts that
+    // infinite hang into a bounded IOException naming the fix
+    TestSpark.spark
+    val fs = new GraftFileSystem
+    val conf = new Configuration(false)
+    conf.setLong("graft.mount.lock.timeout.ms", 200L)
+    fs.initialize(URI.create("graftfs://locktest"), conf)
+    val f = fs.getClass.getDeclaredField("mutLock")
+    f.setAccessible(true)
+    val lock = f.get(fs).asInstanceOf[java.util.concurrent.locks.ReentrantLock]
+    lock.lock() // simulate the starved holder from the test thread
+    try {
+      @volatile var caught: Throwable = null
+      val t = new Thread(() =>
+        try fs.mkdirs(new Path("/starved"))
+        catch { case e: Throwable => caught = e })
+      t.start(); t.join(10000)
+      t.isAlive must be(false)
+      caught mustBe a[java.io.IOException]
+      caught.getMessage must include("mutation lock")
+    } finally lock.unlock()
+    // a freed lock recovers the verb immediately
+    fs.mkdirs(new Path("/after")) must be(true)
+  }
+
+
+
   it must "add a directory" in {
     val fs = newFs()
     fs.mkdirs(new Path("/mytestdir")) must be(true)
