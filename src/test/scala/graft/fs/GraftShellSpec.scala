@@ -426,6 +426,39 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     bad.exitValue() must not be 0
   }
 
+  it must "share filesystem state across real CLI invocations via GRAFT_FS_STATE" in {
+    // consecutive bin/graftfs PROCESSES are the reference's consecutive
+    // shell runs against one Cassandra keyspace: a mutating verb in one
+    // JVM must be visible to a read verb in the next. This is the only
+    // test of GraftShellMain.main's state wiring (load gate → verb →
+    // versioned atomic re-save) over the true process boundary.
+    val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    val script = new java.io.File(repo, "bin/graftfs")
+    assume(script.canExecute, "bin/graftfs missing or not executable")
+    val state = Files.createTempDirectory("graft-cli-state")
+    def run(args: String*): (Int, String) = {
+      val pb = new ProcessBuilder((script.getAbsolutePath +: args): _*)
+      pb.environment().put("GRAFT_FS_STATE", state.toString)
+      pb.environment().put("GRAFT_MASTER", "local[2]")
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) must be(true)
+      (p.exitValue(), out)
+    }
+    run("-mkdir", "/persisted")._1 must be(0)
+    val (code, out) = run("-ls", "/")
+    code must be(0)
+    out must include("/persisted")
+    // the persisted layout is the versioned atomic one: a CURRENT
+    // pointer naming a complete version dir
+    Files.exists(state.resolve("CURRENT")) must be(true)
+    val w = Files.walk(state)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally w.close()
+  }
+
   it must "dispatch `hadoop fs` through the patched-hadoop twin script" in {
     // the reference ships TWO scripts — snackfs AND a patched hadoop
     // dispatcher (src/main/scripts/hadoop:23-50) whose only COMMAND is
