@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Curation, Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Decontaminate, Dedup, LshGuard, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators as driver queries. Everything
   * with an ANSI-SQL-expressible answer carries a DuckDB oracle —
@@ -1905,9 +1905,12 @@ object PipelineQueries {
     // provably invariant under the shift, so exact-groupBy dedup on the
     // hash must connect each scene to its twin AND nothing else — the
     // image dedup byte-level sha/md5 can never do (the twins share no
-    // bytes). At scale the self-join is a groupBy(ahash) pair
-    // generation, the exact-dedup shape; distinct scenes landing in one
-    // bucket would surface as extra rows and a red hash.
+    // bytes). Pair generation is the capped groupBy(ahash) bucket
+    // shape every dedup here uses (one shuffle of slim (hash, id)
+    // rows, per-bucket fan-out bounded and drop-accounted — a viral
+    // meme reposted a million times is ONE hot hash bucket); distinct
+    // scenes landing in one bucket would surface as extra rows and a
+    // red hash.
     QueryDef(
       "mm_phash_dedup",
       (s, d) => {
@@ -1926,10 +1929,10 @@ object PipelineQueries {
         val hashed = Multimodal.aHash(imgs)
           .select(expr("CAST(substring(path, 6) AS BIGINT)").as("img_id"),
             col("ahash"))
-        hashed.as("a").join(hashed.as("b"),
-            col("a.ahash") === col("b.ahash") &&
-              col("a.img_id") < col("b.img_id"))
-          .select(col("a.img_id").as("id_a"), col("b.img_id").as("id_b"))
+        LshGuard.pairsFromIdBuckets(
+            hashed.groupBy(col("ahash"))
+              .agg(sort_array(collect_list(col("img_id"))).as("ids")),
+            cap = 1000, kind = "phash")
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""SELECT doc_id AS id_a, doc_id + 1000 AS id_b
