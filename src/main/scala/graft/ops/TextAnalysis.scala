@@ -438,6 +438,60 @@ object TextAnalysis {
         col("bpe_tokens"))
   }
 
+  /** Top-k TERM SEARCH — keyword retrieval over the corpus, ranked by
+    * the tf·idf sum Σ_t tf(d,t)/df(t) in EXACT integer arithmetic: the
+    * fractions cross-multiply onto the common denominator Π_j df(j)
+    * (document-independent, so ranking is preserved), giving
+    * score_num = Σ_t tf(d,t) · Π_{j≠t} df(j) — pure Long products, no
+    * IEEE division anywhere, so the ranking AND the emitted score are
+    * bit-identical on any engine/partitioning (a float idf sum would
+    * hinge on accumulation order). Bounds: tf ≤ doc tokens, df ≤ N —
+    * for any realistic query arity the products sit far inside Long;
+    * the require below guards the 2^63 edge explicitly.
+    *
+    * Shape at 100 TB: tokens explode → filter to the query's terms
+    * BEFORE any aggregation (the scan's selectivity is the query's
+    * corpus frequency), one (doc, term) count, the ≤|terms| df rows
+    * collect to the driver to build the weight CASE expression, one
+    * map-side-combined Long sum per doc, TakeOrderedAndProject for the
+    * top-k — never a full-corpus sort. Ties break (score desc, doc_id).
+    */
+  def termSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "terms must be non-empty and distinct")
+    val tf = docs.select(col("doc_id"), explode(tokens).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfMap = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = terms.filter(dfMap.contains)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (present.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("doc_id", "n_terms_hit", "score_num")
+    val weights = present.map { t =>
+      val others = present.filterNot(_ == t).map(dfMap)
+      val w = others.foldLeft(1L) { (acc, d) =>
+        require(acc <= Long.MaxValue / math.max(d, 1L),
+          "df product overflows Long — reduce query arity")
+        acc * d
+      }
+      t -> w
+    }
+    val wgt = weights.tail.foldLeft(
+      when(col("w") === weights.head._1, lit(weights.head._2))) {
+      case (c, (t, v)) => c.when(col("w") === t, lit(v))
+    }.otherwise(lit(0L))
+    tf.withColumn("wgt", wgt)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("tf") * col("wgt")).as("score_num"))
+      .orderBy(col("score_num").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the cheap cross-engine-stable dedup key (rolling-hash analog).
     */

@@ -456,6 +456,34 @@ object PipelineQueries {
              |FROM s0 JOIN s3 ON s0.doc_id = s3.doc_id
              |ORDER BY s0.doc_id""".stripMargin)),
 
+    // Top-k keyword retrieval: rank the corpus for a 3-term query by
+    // the tf·idf sum in EXACT integer arithmetic — Σ tf/df
+    // cross-multiplies onto the common denominator Π df (document-
+    // independent), so score_num = Σ tf·Π_{other} df is pure Long
+    // products and both the ranking and the emitted score hash-check
+    // (a float idf sum would hinge on accumulation order). 'dup' is
+    // the corpus's rare term (df ~25 at sf0.01 vs ~390), so idf
+    // weighting visibly reorders the hits. Oracle: same integer
+    // algebra, Π df recovered per term via exact integer division.
+    QueryDef(
+      "text_search_topk",
+      (s, d) => TextAnalysis.termSearch(Tables.documents(s, d),
+        Seq("dup", "vector", "join"), k = 10),
+      Some("""WITH wd AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM wd WHERE w IN ('dup', 'vector', 'join')
+             |       GROUP BY 1, 2),
+             |dfs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(PRODUCT(df) AS BIGINT) AS prod FROM dfs),
+             |sc AS (
+             |  SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             |         SUM(tf.tf * ((SELECT prod FROM tot) // dfs.df)) AS s
+             |  FROM tf JOIN dfs USING (w) GROUP BY 1)
+             |SELECT doc_id, n_terms_hit, CAST(s AS BIGINT) AS score_num
+             |FROM sc ORDER BY score_num DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Per-doc top-3 characteristic terms by TF-IDF (linear idf: score =
     // tf·N/df — exact integers through ONE IEEE division, so ranking and
     // value are bit-identical in both engines; ln damping would hinge

@@ -1218,6 +1218,34 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     rows("/bad") must be("bin")
   }
 
+  behavior of "TextAnalysis.termSearch (exact-integer retrieval)"
+
+  it must "rank rare-term hits above frequent-term hits via the df weights" in {
+    // df: rare=1 (doc 2), common=3 (docs 1,3,4) → cross-multiplied
+    // weights: rare gets Π_other = 3, common gets 1. A SINGLE rare hit
+    // (doc 2: 1·3 = 3) outranks a DOUBLE common hit (doc 1: 2·1 = 2) —
+    // the idf dominance the exact integer ranking must reproduce;
+    // docs 3 and 4 tie at 1 and order by doc_id.
+    val corpus = docsDf(Seq(
+      1L -> "common common filler words here",
+      2L -> "rare appears once only",
+      3L -> "common and more filler",
+      4L -> "common filler"))
+    val got = TextAnalysis.termSearch(corpus, Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.toSeq must be(Seq((2L, 1L, 3L), (1L, 1L, 2L), (3L, 1L, 1L),
+      (4L, 1L, 1L)))
+  }
+
+  it must "ignore absent query terms and return empty when none match" in {
+    val corpus = docsDf(Seq(1L -> "alpha beta", 2L -> "beta gamma"))
+    // 'zzz' absent: weights build from the present terms only
+    val got = TextAnalysis.termSearch(corpus, Seq("beta", "zzz"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    got.toSeq must be(Seq((1L, 1L), (2L, 1L)))
+    TextAnalysis.termSearch(corpus, Seq("zzz"), k = 5).count() must be(0L)
+  }
+
   behavior of "Multimodal.aHash (perceptual image dedup key)"
 
   it must "hash a re-exposed copy identically and distinct scenes apart" in {
