@@ -71,8 +71,20 @@ class GraftFileSystem extends FileSystem {
     * IOException naming the fix beats an infinite hang.
     */
   private def withMutLock[T](f: => T): T = {
-    if (!mutLock.tryLock(lockTimeoutMs,
-        java.util.concurrent.TimeUnit.MILLISECONDS))
+    // an interrupt while waiting (Spark killing a task mid-verb) must
+    // surface through the FileSystem contract's IOException channel —
+    // a raw InterruptedException would skip IOException handlers and
+    // lose the interrupt flag
+    val acquired =
+      try mutLock.tryLock(lockTimeoutMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new java.io.InterruptedIOException(
+            "graftfs mount: interrupted while waiting for the mutation lock")
+      }
+    if (!acquired)
       throw new IOException(
         s"graftfs mount: mutation lock not acquired within ${lockTimeoutMs} ms" +
           " — likely core starvation (every local core held by a task" +

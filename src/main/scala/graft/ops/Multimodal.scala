@@ -311,9 +311,7 @@ object Multimodal {
       .select(col("path"), col("data"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (p, bytes) =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+        val img = decodeOrNull(bytes)
         if (img == null) {
           // stub fallback — same deterministic projection as resize()
           val out = Array.tabulate(targetW * targetH) { i =>
@@ -338,6 +336,17 @@ object Multimodal {
       .toDF("path", "resized", "format")
   }
 
+  /** Decode-or-null: the ONE image-decode guard every pixel-path op
+    * shares. Catches ALL non-fatal throwables, not just IOException —
+    * the JDK decoders throw RuntimeExceptions (ArrayIndexOutOfBounds,
+    * NegativeArraySize) on truncated/hostile payloads that merely
+    * LOOK like a recognized format, and a corpus-scale job must drop
+    * such a row, never die on it.
+    */
+  private def decodeOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   /** REAL feature extraction: decode (ImageIO) → per-cell channel sums
     * over a `grid`×`grid` partition of the image — one output row per
     * (path, cell) with exact integer r/g/b sums. Integer sums (not
@@ -354,9 +363,7 @@ object Multimodal {
       .select(col("path"), col("data"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, bytes) =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+        val img = decodeOrNull(bytes)
         if (img == null) Iterator.empty
         else {
           val w = img.getWidth; val h = img.getHeight
@@ -439,9 +446,7 @@ object Multimodal {
       .select(col("path"), col("data"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, bytes) =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+        val img = decodeOrNull(bytes)
         if (img == null) Iterator.empty
         else {
           val w = img.getWidth; val h = img.getHeight

@@ -459,23 +459,42 @@ object TextAnalysis {
   def termSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "terms must be non-empty and distinct")
+    // ONE corpus scan: the (doc, term) counts materialize eagerly and
+    // serve BOTH the df collect below and the returned score plan (the
+    // checkpoint travels with the result and falls to the caller's
+    // PlanHygiene sweep, the bpeEncode lifecycle) — without it the
+    // returned plan would re-tokenize the corpus a second time
     val tf = docs.select(col("doc_id"), explode(tokens).as("w"))
       .filter(col("w").isin(terms: _*))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
-    val dfMap = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .localCheckpoint(true)
+    // df AND the max tf in one driver fetch — max tf feeds the
+    // overflow guard below
+    val stats = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("maxTf"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val dfMap = stats.view.mapValues(_._1).toMap
     val present = terms.filter(dfMap.contains)
     val spark = docs.sparkSession
     import spark.implicits._
     if (present.isEmpty)
       return Seq.empty[(Long, Long, Long)]
         .toDF("doc_id", "n_terms_hit", "score_num")
+    val maxTf = math.max(1L, present.map(stats(_)._2).max)
+    val arity = present.size.toLong
     val weights = present.map { t =>
       val others = present.filterNot(_ == t).map(dfMap)
+      // guard the WHOLE score, not just the df product: every per-term
+      // contribution is ≤ maxTf·w and at most `arity` of them sum, so
+      // w ≤ Long.Max/(maxTf·arity) keeps the final Long sum exact —
+      // Spark's non-ANSI arithmetic would wrap silently, rank the top
+      // hit LAST, and diverge from the oracle's HUGEINT sum
       val w = others.foldLeft(1L) { (acc, d) =>
-        require(acc <= Long.MaxValue / math.max(d, 1L),
-          "df product overflows Long — reduce query arity")
+        require(acc <= Long.MaxValue / math.max(d, 1L) / maxTf / arity,
+          s"score bound overflows Long (df product × maxTf $maxTf × " +
+            s"arity $arity) — reduce query arity")
         acc * d
       }
       t -> w

@@ -436,27 +436,33 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     val script = new java.io.File(repo, "bin/graftfs")
     assume(script.canExecute, "bin/graftfs missing or not executable")
     val state = Files.createTempDirectory("graft-cli-state")
-    def run(args: String*): (Int, String) = {
-      val pb = new ProcessBuilder((script.getAbsolutePath +: args): _*)
-      pb.environment().put("GRAFT_FS_STATE", state.toString)
-      pb.environment().put("GRAFT_MASTER", "local[2]")
-      pb.redirectErrorStream(true)
-      val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) must be(true)
-      (p.exitValue(), out)
-    }
-    run("-mkdir", "/persisted")._1 must be(0)
-    val (code, out) = run("-ls", "/")
-    code must be(0)
-    out must include("/persisted")
-    // the persisted layout is the versioned atomic one: a CURRENT
-    // pointer naming a complete version dir
-    Files.exists(state.resolve("CURRENT")) must be(true)
-    val w = Files.walk(state)
-    try w.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-    finally w.close()
+    try {
+      def run(args: String*): (Int, String) = {
+        // output goes to a FILE, read only after the BOUNDED waitFor: a
+        // wedged child that never closes stdout must fail the 180 s
+        // bound loudly, not hang the suite in readAllBytes
+        val outFile = Files.createTempFile("graft-cli-out", ".txt")
+        val pb = new ProcessBuilder((script.getAbsolutePath +: args): _*)
+        pb.environment().put("GRAFT_FS_STATE", state.toString)
+        pb.environment().put("GRAFT_MASTER", "local[2]")
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(outFile.toFile)
+        val p = pb.start()
+        val done = p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) p.destroyForcibly()
+        done must be(true)
+        val out = new String(Files.readAllBytes(outFile), "UTF-8")
+        Files.deleteIfExists(outFile)
+        (p.exitValue(), out)
+      }
+      run("-mkdir", "/persisted")._1 must be(0)
+      val (code, out) = run("-ls", "/")
+      code must be(0)
+      out must include("/persisted")
+      // the persisted layout is the versioned atomic one: a CURRENT
+      // pointer naming a complete version dir
+      Files.exists(state.resolve("CURRENT")) must be(true)
+    } finally graft.PlanHygiene.deleteRecursively(state)
   }
 
   it must "dispatch `hadoop fs` through the patched-hadoop twin script" in {
