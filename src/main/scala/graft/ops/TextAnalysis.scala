@@ -511,6 +511,61 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BATCH top-k term search — [[termSearch]] for a QUERIES TABLE
+    * (query_id, terms array), the production fan-out shape: a driver-
+    * built CASE expression serves one query, a million concurrent
+    * queries need the weights RELATIONAL. Same exact integer algebra,
+    * computed in-plan: per query, the df product folds with a Long
+    * `aggregate` HOF over the collected df list (product is
+    * commutative, so collect_list's nondeterministic order cannot
+    * change it), each term's weight recovers as product DIV df —
+    * exact integer division by construction — and per-(query, doc)
+    * scores are Long sums of tf·weight. Ranking runs through the
+    * bounded `graft_topk` heap aggregate (the ANN pattern): the
+    * exchange carries ≤ partitions × |queries| fixed-width heaps,
+    * never the scored corpus. Ties (score desc, doc_id asc) — the
+    * heap's (value desc, id asc) order with doc_id as the id.
+    *
+    * The term-side join key is the term string; query terms are a
+    * QUERY-CARDINALITY table (broadcast-small in the single-session
+    * shape, hash-joinable at fan-out scale). Caller contract: score
+    * headroom below 2^53 — the heap orders in DOUBLE, which is exact
+    * to 2^53 (realistic df/tf/arity sit far inside it; the
+    * single-query path's explicit guard documents the algebra).
+    */
+  def termSearchMany(docs: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val qterms = queries.select(col("query_id"),
+      explode(col("terms")).as("w")).distinct()
+    val allTerms = qterms.select(col("w")).distinct()
+    val tf = docs.select(col("doc_id"), explode(tokens).as("w"))
+      .join(allTerms, "w") // filter to the union of query vocabularies
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // one corpus scan serves df AND scoring
+    val dfs = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val weights = qterms.join(dfs, "w") // absent terms drop, as in termSearch
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("w"), col("df"))).as("tds"))
+      .select(col("query_id"),
+        expr("aggregate(tds, 1L, (acc, x) -> acc * x.df)").as("prod"),
+        explode(col("tds")).as("td"))
+      .select(col("query_id"), col("td.w").as("w"),
+        expr("prod DIV td.df").as("wgt"))
+    tf.join(weights, "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("tf") * col("wgt")).as("score_num"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(CAST(score_num AS DOUBLE), doc_id, $k)")
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "hit")))
+      .select(col("query_id"), (col("i") + 1).as("rank_in_query"),
+        col("hit.id").as("doc_id"),
+        col("hit.score").cast("long").as("score_num"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the cheap cross-engine-stable dedup key (rolling-hash analog).
     */

@@ -484,6 +484,48 @@ object PipelineQueries {
              |SELECT doc_id, n_terms_hit, CAST(s AS BIGINT) AS score_num
              |FROM sc ORDER BY score_num DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // BATCH top-k retrieval: three queries ranked in ONE pass with the
+    // weights computed relationally (Long-HOF df product per query,
+    // exact integer DIV per term) and ranking through the bounded
+    // graft_topk heaps — the million-concurrent-queries fan-out shape
+    // (a driver-built CASE per query cannot scale past a handful).
+    // Oracle: identical algebra per query in DuckDB, ROW_NUMBER as the
+    // rank twin of the heap's (score desc, doc_id) order.
+    QueryDef(
+      "text_search_batch",
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq(
+          (1, Seq("dup", "vector")),
+          (2, Seq("join", "data")),
+          (3, Seq("dup", "join", "vector"))).toDF("query_id", "terms")
+        TextAnalysis.termSearchMany(Tables.documents(s, d), qs, k = 5)
+          .orderBy(col("query_id"), col("rank_in_query"))
+      },
+      Some("""WITH qs(query_id, w) AS (
+             |  VALUES (1,'dup'),(1,'vector'),(2,'join'),(2,'data'),
+             |         (3,'dup'),(3,'join'),(3,'vector')),
+             |wd AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+             |       FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM wd
+             |       WHERE w IN (SELECT DISTINCT w FROM qs) GROUP BY 1, 2),
+             |dfs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |qw AS (SELECT qs.query_id, qs.w,
+             |              (SELECT CAST(PRODUCT(d2.df) AS BIGINT)
+             |               FROM qs q2 JOIN dfs d2 ON d2.w = q2.w
+             |               WHERE q2.query_id = qs.query_id) // dfs.df AS wgt
+             |       FROM qs JOIN dfs ON dfs.w = qs.w),
+             |sc AS (SELECT qw.query_id, tf.doc_id,
+             |              CAST(SUM(tf.tf * qw.wgt) AS BIGINT) AS s
+             |       FROM tf JOIN qw ON qw.w = tf.w GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, s,
+             |             ROW_NUMBER() OVER (PARTITION BY query_id
+             |                                ORDER BY s DESC, doc_id) AS rk
+             |      FROM sc)
+             |SELECT query_id, CAST(rk AS INT) AS rank_in_query, doc_id,
+             |       s AS score_num
+             |FROM r WHERE rk <= 5 ORDER BY query_id, rank_in_query""".stripMargin)),
+
     // Per-doc top-3 characteristic terms by TF-IDF (linear idf: score =
     // tf·N/df — exact integers through ONE IEEE division, so ranking and
     // value are bit-identical in both engines; ln damping would hinge

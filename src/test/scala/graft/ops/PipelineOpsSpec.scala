@@ -1246,6 +1246,31 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     TextAnalysis.termSearch(corpus, Seq("zzz"), k = 5).count() must be(0L)
   }
 
+  it must "agree with the single-query path for every query in a batch" in {
+    val corpus = docsDf(Seq(
+      1L -> "alpha alpha beta gamma",
+      2L -> "beta beta beta delta",
+      3L -> "alpha delta delta",
+      4L -> "gamma gamma beta alpha"))
+    val s = spark
+    import s.implicits._
+    val qs = Seq(
+      (1, Seq("alpha", "beta")),
+      (2, Seq("delta", "gamma")),
+      (3, Seq("alpha", "beta", "delta"))).toDF("query_id", "terms")
+    val batch = TextAnalysis.termSearchMany(corpus, qs, k = 3)
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq).toMap
+    Seq(1 -> Seq("alpha", "beta"), 2 -> Seq("delta", "gamma"),
+        3 -> Seq("alpha", "beta", "delta")).foreach { case (qid, terms) =>
+      val single = TextAnalysis.termSearch(corpus, terms, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      batch(qid) must be(single)
+    }
+  }
+
   behavior of "Multimodal.aHash (perceptual image dedup key)"
 
   it must "hash a re-exposed copy identically and distinct scenes apart" in {
