@@ -78,6 +78,52 @@ object Round10Properties extends Properties("Round10Ops") {
       got == expected
     }
 
+  // ── semanticDedupExact: decisions equal a union-find reference ──────
+  private val genVecs: Gen[Seq[(Long, Seq[Float])]] = for {
+    n <- Gen.choose(2, 8)
+    vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-3, 3).map(_.toFloat)))
+  } yield vs.zipWithIndex.collect {
+    // zero vectors have undefined cosine — the generator skips them
+    // (the op itself never divides by zero on real embeddings)
+    case (v, i) if v.exists(_ != 0f) => (i.toLong, v)
+  }
+
+  property("semanticDedupExact equals a driver-side union-find reference") =
+    Prop.forAllNoShrink(genVecs) { rows =>
+      rows.size < 2 || {
+        val s = spark
+        import s.implicits._
+        val got = Similarity.semanticDedupExact(
+            rows.toDF("vec_id", "embedding"), threshold = 0.8)
+          .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        // reference: all-pairs cosine in Scala + union-find, min-id rep
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+          val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+          val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+          dot / (na * nb)
+        }
+        val parent = scala.collection.mutable.Map(
+          rows.map(r => r._1 -> r._1): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x
+          else { val r = find(parent(x)); parent(x) = r; r }
+        for {
+          (ia, va) <- rows; (ib, vb) <- rows
+          if ia < ib && cos(va, vb) >= 0.8
+        } {
+          val (ra, rb) = (find(ia), find(ib))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = rows.map(_._1).sorted.map { id =>
+          val rep = find(id)
+          (id, id == rep, rep)
+        }
+        got == expected
+      }
+    }
+
   // ── bpeEncode: always the manual replay of its own merge table ──────
   private val genBpeCorpus: Gen[Seq[(Long, String)]] = for {
     n <- Gen.choose(1, 5)
