@@ -36,6 +36,46 @@ object Bench {
     ok.nonEmpty && ok.min <= math.max(2 * origMin, origMin + 1.0)
   }
 
+  /** Cross-ROUND regression classification (the guard the in-run
+    * rep-slope check cannot provide): a query's min-of-reps this run
+    * vs the min recorded in the committed BENCH_DETAIL.json of the
+    * previous round. Two level shifts sailed through flagless before
+    * this existed — stream_decontaminate r8→r9 (1.1→4.5 s) and
+    * pipeline_train_set r9→r10 (1.45→2.40 s) — because `degrades`
+    * only watches growth WITHIN a run. Thresholds are calibrated on
+    * the measured r9→r10 cross-round distribution: of 56 common
+    * queries every ratio except the genuine shift was ≤ 1.21×, so
+    * `shifted` fires at >1.5× (with a +0.3 s absolute floor so a
+    * 0.10→0.16 s fast-query blip stays out) and `regressed` at >2×
+    * (+0.5 s floor). Returns the strongest class that fires.
+    */
+  def crossRoundFlag(baseMin: Double, curMin: Double): Option[String] =
+    if (baseMin <= 0 || curMin < 0) None
+    else if (curMin > 2 * baseMin && curMin > baseMin + 0.5) Some("regressed")
+    else if (curMin > 1.5 * baseMin && curMin > baseMin + 0.3) Some("shifted")
+    else None
+
+  /** Per-query mins from a committed BENCH_DETAIL.json (the previous
+    * round's full-suite record). Any parse failure returns empty — the
+    * guard silently disarming would be worse, so main() reports the
+    * baseline count on the summary line (`baseline_n`); a zero there
+    * is the loud signal that the comparison did not happen.
+    */
+  def readBaselineMins(path: String): Map[String, Double] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File(path))
+      val qs = root.path("queries")
+      val it = qs.fieldNames()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val n = it.next()
+        val m = qs.path(n).path("min")
+        if (m.isNumber) b += n -> m.asDouble()
+      }
+      b.result()
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -124,10 +164,21 @@ object Bench {
     // 3.0→3.1→9.1 on the driver box while five isolated runs held a
     // 2.0–2.5 s floor — the 9.1 was weather, and the old flag could
     // not say so.
+    // Cross-round guard (see crossRoundFlag): baseline mins come from
+    // the COMMITTED previous-round detail file, read BEFORE this run
+    // overwrites it. Queries new this round have no baseline and are
+    // skipped; baseline_n on the summary line says how many compared.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "/root/repo/BENCH_DETAIL.json")
+    val baseline = readBaselineMins(baselinePath)
+    val crossFlagged: Map[String, String] = results.flatMap { case (n, ts) =>
+      baseline.get(n).flatMap(b => crossRoundFlag(b, ts.min)).map(n -> _)
+    }.toMap
     val recheckReps = sys.env.get("SPARK_GRAFT_RECHECK")
       .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(3)
     val queryFns = SparkEntry.queries
-    val rechecks: Map[String, Seq[Double]] = flagged.map { n =>
+    val toRecheck = (flagged ++ crossFlagged.keys).distinct
+    val rechecks: Map[String, Seq[Double]] = toRecheck.map { n =>
       val ts = (1 to recheckReps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -147,13 +198,46 @@ object Bench {
         results.toMap.apply(n).map(r3).mkString(" -> ") +
         s" — recheck ${rechecks(n).map(r3).mkString(" -> ")} → $verdict")
     }
+    // Cross-round confirm-or-exonerate: the flag claims the query can
+    // no longer reach last round's capability, so the strongest
+    // refutation is reaching it — the final class is recomputed from
+    // the best min across suite reps AND recheck reps. A host blip
+    // that inflated every suite rep drops back during recheck and the
+    // flag dissolves (shift_exonerated); a true code-level shift keeps
+    // every recheck rep high and the class stands (a regressed flag
+    // whose recheck lands between 1.5× and 2× downgrades to shifted —
+    // the evidence now only supports the weaker claim).
+    val crossFinal: Map[String, Option[String]] = crossFlagged.map {
+      case (n, _) =>
+        val suiteMin = results.toMap.apply(n).min
+        val ok = rechecks.getOrElse(n, Nil).filter(_ >= 0)
+        val effMin = (suiteMin +: ok).filter(_ >= 0) match {
+          case Nil => suiteMin
+          case xs  => xs.min
+        }
+        n -> crossRoundFlag(baseline(n), effMin)
+    }
+    val regressed = crossFinal.collect { case (n, Some("regressed")) => n }
+      .toSeq.sorted
+    val shifted = crossFinal.collect { case (n, Some("shifted")) => n }
+      .toSeq.sorted
+    val shiftExonerated = crossFinal.collect { case (n, None) => n }
+      .toSeq.sorted
+    crossFlagged.toSeq.sortBy(_._1).foreach { case (n, initial) =>
+      val fin = crossFinal(n).getOrElse("exonerated")
+      System.err.println(s"[bench][WARN] $n vs baseline " +
+        s"${r3(baseline(n))}: min ${r3(results.toMap.apply(n).min)} " +
+        s"($initial) — recheck " +
+        rechecks.getOrElse(n, Nil).map(r3).mkString(" -> ") + s" → $fin")
+    }
+    def list(key: String, xs: Seq[String]): String =
+      if (xs.isEmpty) ""
+      else xs.map("\"" + _ + "\"").mkString(s""","$key":[""", ",", "]")
     val degradedJson =
-      (if (degraded.isEmpty) ""
-       else degraded.map("\"" + _ + "\"")
-         .mkString(""","degraded":[""", ",", "]")) +
-        (if (exonerated.isEmpty) ""
-         else exonerated.map("\"" + _ + "\"")
-           .mkString(""","exonerated":[""", ",", "]"))
+      list("degraded", degraded) + list("exonerated", exonerated) +
+        list("regressed", regressed) + list("shifted", shifted) +
+        list("shift_exonerated", shiftExonerated) +
+        s""","baseline_n":${results.count(r => baseline.contains(r._1))}"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
         s""""queries":$qs,"queries_channel":"min_of_reps"$extra$degradedJson,""" +
@@ -186,9 +270,13 @@ object Bench {
         .map(r => ",\"recheck\":" + r.mkString("[", ",", "]") +
           ",\"confirmed\":" + degraded.contains(k))
         .getOrElse("")
+      val cross = baseline.get(k).map { b =>
+        ",\"base_min\":" + b + crossFinal.get(k).map(c =>
+          ",\"cross\":\"" + c.getOrElse("exonerated") + "\"").getOrElse("")
+      }.getOrElse("")
       "\"" + k + "\":{\"reps\":" + ts.mkString("[", ",", "]") +
         ",\"first\":" + ts.head + ",\"min\":" + ts.min +
-        ",\"degrades\":" + degrades(ts) + recheck + "}"
+        ",\"degrades\":" + degrades(ts) + recheck + cross + "}"
     }.mkString(
       s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMin,""" +
         s""""unit":"sec","reps":$reps,"sf":"$sfDir","queries":{""",

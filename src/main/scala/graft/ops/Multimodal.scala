@@ -436,7 +436,8 @@ object Multimodal {
     * re-exposed copy of an image hashes IDENTICALLY while distinct
     * scenes differ — exact-groupBy dedup on the hash finds re-exposed
     * duplicates that byte-level sha/md5 can never connect. Bounds:
-    * luminance sums ≤ 765·w·h, cross-products stay far inside Long.
+    * luminance sums ≤ 765·w·h, so Long cross-products are exact below
+    * ~1.1e8 px; larger decodes switch to exact BigInt comparison.
     * One output row per decodable payload: (path, ahash).
     */
   def aHash(binaries: DataFrame): DataFrame = {
@@ -468,10 +469,22 @@ object Multimodal {
             y += 1
           }
           val totalPx = w.toLong * h
+          // cross-products reach 765·P² (P = w·h): exact in Long only
+          // below ~1.1e8 px. Real corpora carry 100-200 MP photos, and
+          // a wrapped product silently flips hash bits — corrupting
+          // dedup groups with no error. Above the bound the 64
+          // comparisons drop to exact BigInt (negligible next to the
+          // 100M-pixel decode that preceded them); below it the Long
+          // fast path is untouched.
+          val exactBig = totalPx > 100000000L
           var hash = 0L
           var c = 0
           while (c < 64) {
-            if (sums(c) * totalPx > total * counts(c)) hash |= (1L << c)
+            val gt =
+              if (exactBig)
+                BigInt(sums(c)) * totalPx > BigInt(total) * counts(c)
+              else sums(c) * totalPx > total * counts(c)
+            if (gt) hash |= (1L << c)
             c += 1
           }
           Iterator.single((p, hash))
@@ -480,21 +493,76 @@ object Multimodal {
       .toDF("path", "ahash")
   }
 
-  /** Feature extraction: binary → Array[Float] embedding (stub: hash-
-    * derived unit-ish vector) — the output feeds the Similarity ops
-    * directly, so multimodal payloads join the ANN/near-dup machinery
-    * with no schema friction.
+  /** REAL feature extraction: binary → Array[Float] embedding over the
+    * actual decode path ([[featureGrid]]'s per-cell channel sums, fused
+    * into one kernel so the corpus is decoded ONCE — no long-format
+    * intermediate, no pivot shuffle). Component `cell·3 + ch` is the
+    * MEAN-CENTERED exact-integer cross-product
+    * `chSum(cell)·totalPx − chTotal·cellPx(cell)` cast to Float —
+    * centering buys two properties a raw-sum embedding lacks:
+    * (1) uniform re-exposure invariance, PROVABLY: a per-pixel +c adds
+    * `c·cellPx·totalPx` to both products, so a brightness-shifted copy
+    * embeds IDENTICALLY (the aHash argument, vector-valued) and ANN
+    * recovers re-exposed duplicates at cosine exactly 1; (2) the
+    * all-ones "average brightness" direction — which dominates raw
+    * sums and crushes every image pair to cosine ≈ 1 — is projected
+    * out, so cosine measures scene structure. The schema (path,
+    * embedding Array[Float]) drops straight into the Similarity ops:
+    * multimodal payloads join the ANN/near-dup machinery with no
+    * friction. Exactness bound: products reach 255·P² (P = w·h), so
+    * the kernel require()s P ≤ 150e6 pixels (Long wraps at ~1.9e8) —
+    * a loud failure on absurd decodes, never silent garbage.
+    * Non-decodable payloads are dropped (no pixel statistics to
+    * embed); [[decodeMeta]] + its stub fallback is the total-function
+    * metadata path for mixed corpora.
     */
-  def featureExtract(binaries: DataFrame, dim: Int = 64): DataFrame = {
+  def featureExtract(binaries: DataFrame, grid: Int = 4): DataFrame = {
     val spark = binaries.sparkSession
     import spark.implicits._
+    val cells = grid * grid
     binaries
       .select(col("path"), col("data"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.map { case (p, bytes) =>
-        // STUB: deterministic pseudo-embedding seeded by payload hash
-        val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes).toLong)
-        (p, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        val img = decodeOrNull(bytes)
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val totalPx = w.toLong * h
+          require(totalPx <= 150000000L,
+            s"featureExtract: $p decodes to $totalPx px — exact integer " +
+              "centering wraps Long above 150e6 px; downsample first")
+          val sums = Array.ofDim[Long](cells * 3)
+          val cnt = Array.ofDim[Long](cells)
+          val chTot = Array.ofDim[Long](3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val cell = (y * grid / h) * grid + (x * grid / w)
+              val v = img.getRGB(x, y) & 0xFFFFFF
+              val r = (v >> 16) & 255; val g = (v >> 8) & 255; val b = v & 255
+              sums(cell * 3) += r; sums(cell * 3 + 1) += g
+              sums(cell * 3 + 2) += b
+              chTot(0) += r; chTot(1) += g; chTot(2) += b
+              cnt(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val emb = Array.ofDim[Float](cells * 3)
+          var c = 0
+          while (c < cells) {
+            var ch = 0
+            while (ch < 3) {
+              emb(c * 3 + ch) =
+                (sums(c * 3 + ch) * totalPx - chTot(ch) * cnt(c)).toFloat
+              ch += 1
+            }
+            c += 1
+          }
+          Iterator.single((p, emb))
+        }
       })
       .toDF("path", "embedding")
   }

@@ -2108,6 +2108,47 @@ object PipelineQueries {
              |       CAST(SUM((v >> 16) & 255) AS BIGINT) AS r_sum,
              |       CAST(SUM((v >> 8) & 255) AS BIGINT) AS g_sum,
              |       CAST(SUM(v & 255) AS BIGINT) AS b_sum
-             |FROM px GROUP BY 1, 2 ORDER BY path, cell""".stripMargin))
+             |FROM px GROUP BY 1, 2 ORDER BY path, cell""".stripMargin)),
+
+    // Binary → REAL features → ANN, end to end: 30 structured scenes
+    // (PNG via ImageIO) each with a +40 re-exposed twin; featureExtract
+    // embeds both through the real decode (mean-centered exact-integer
+    // grid features), and brute cosine top-1 from each twin over the
+    // ORIGINALS must recover its own scene. The invariance is provable,
+    // not statistical: centering cancels a uniform shift exactly
+    // (Multimodal.featureExtract scaladoc), so the twin's embedding is
+    // bit-identical to its original's and its cosine is exactly the
+    // attainable maximum — while distinct scenes (30 distinct gradient
+    // directions/phases/dims) sit far below it. Closes the last stub:
+    // real images in, ANN neighbors out, same bounded-heap search path
+    // (broadcast queries, one corpus pass, graft_topk) the embedding
+    // table uses.
+    QueryDef(
+      "mm_feature_ann",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter(col("doc_id") < 30)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = 24 + (id % 13).toInt * 3
+            val h = 20 + (id % 11).toInt * 3
+            Iterator(
+              ("/img/" + id, Multimodal.patternedImage(id, w, h, 0)),
+              ("/img/" + (1000 + id),
+                Multimodal.patternedImage(id, w, h, 40)))
+          })
+          .toDF("path", "data")
+        val emb = Multimodal.featureExtract(imgs, grid = 4)
+          .select(expr("CAST(substring(path, 6) AS BIGINT)").as("vec_id"),
+            col("embedding"))
+        Similarity.bruteTopK(
+            emb.filter(col("vec_id") >= 1000),
+            emb.filter(col("vec_id") < 1000), k = 1)
+          .select(col("q_id"), col("neighbor_id"))
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT doc_id + 1000 AS q_id, doc_id AS neighbor_id
+             |FROM documents WHERE doc_id < 30
+             |ORDER BY q_id""".stripMargin))
   )
 }

@@ -77,4 +77,59 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     Bench.exonerates(2.0, Seq(-1.0, -1.0)) must be(false)
     Bench.exonerates(2.0, Seq.empty) must be(false)
   }
+
+  behavior of "Bench.crossRoundFlag (round-over-round level-shift guard)"
+
+  it must "flag the two historical escapes that motivated it" in {
+    // pipeline_train_set r9→r10: 1.45 → 2.40 s min, rep-stable,
+    // channel code untouched — a level shift, not in-run growth
+    Bench.crossRoundFlag(1.455, 2.399) must be(Some("shifted"))
+    // stream_decontaminate r8→r9: 1.10 → 4.54 s — a full regression
+    Bench.crossRoundFlag(1.10, 4.54) must be(Some("regressed"))
+  }
+
+  it must "stay silent across the measured r9→r10 drift band" in {
+    // every non-shift common query moved ≤1.21×; the widest movers:
+    Bench.crossRoundFlag(1.086, 1.309) must be(None) // dedup_substring
+    Bench.crossRoundFlag(0.804, 0.916) must be(None) // q24_profile
+    // improvements never flag
+    Bench.crossRoundFlag(4.536, 0.466) must be(None)
+  }
+
+  it must "hold fast queries to the absolute floors, not just ratios" in {
+    // 2.5× of a 0.1 s query is noise (+0.15 s), not a regression
+    Bench.crossRoundFlag(0.10, 0.25) must be(None)
+    // +0.3 s floor for shifted, +0.5 s for regressed
+    Bench.crossRoundFlag(0.10, 0.39) must be(None)
+    Bench.crossRoundFlag(0.10, 0.45) must be(Some("shifted"))
+    Bench.crossRoundFlag(0.10, 0.70) must be(Some("regressed"))
+  }
+
+  it must "ignore failed runs and missing baselines" in {
+    Bench.crossRoundFlag(0.0, 5.0) must be(None)
+    Bench.crossRoundFlag(-1.0, 5.0) must be(None)
+    Bench.crossRoundFlag(2.0, -1.0) must be(None)
+  }
+
+  behavior of "Bench.readBaselineMins (committed BENCH_DETAIL parse)"
+
+  it must "read per-query mins from a detail file and skip junk" in {
+    val f = java.io.File.createTempFile("bench_detail", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      ("""{"metric":"total","value_min":3.0,"queries":{""" +
+        """"q_a":{"reps":[1.2,1.0],"first":1.2,"min":1.0},""" +
+        """"q_b":{"min":0.5,"degrades":false},""" +
+        """"q_junk":{"reps":[1.0]}}}""").getBytes("UTF-8"))
+    val m = Bench.readBaselineMins(f.getAbsolutePath)
+    m must be(Map("q_a" -> 1.0, "q_b" -> 0.5))
+  }
+
+  it must "return empty (never throw) on a missing or corrupt file" in {
+    Bench.readBaselineMins("/nonexistent/path.json") must be(Map.empty)
+    val f = java.io.File.createTempFile("bench_corrupt", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, "not json{{{".getBytes("UTF-8"))
+    Bench.readBaselineMins(f.getAbsolutePath) must be(Map.empty)
+  }
 }

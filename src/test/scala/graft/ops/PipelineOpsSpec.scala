@@ -1403,7 +1403,7 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     frames(2).getAs[Array[Byte]]("frame") must be(payload.slice(800, 900))
   }
 
-  it must "resize deterministically to a bounded output and extract stable features" in {
+  it must "resize deterministically to a bounded output" in {
     val s = spark
     import s.implicits._
     val bin = Seq(("/img/1", "some-image-bytes".getBytes)).toDF("path", "data")
@@ -1411,14 +1411,66 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     val r2 = Multimodal.resize(bin, 32, 32).collect()(0)
     r1.getAs[Long]("n_bytes") must be(32L * 32)
     r1.getAs[Array[Byte]]("resized") must be(r2.getAs[Array[Byte]]("resized"))
+  }
 
-    val f1 = Multimodal.featureExtract(bin, dim = 16).collect()(0)
-      .getSeq[Float](1)
-    val f2 = Multimodal.featureExtract(bin, dim = 16).collect()(0)
-      .getSeq[Float](1)
-    f1.length must be(16)
-    f1 must be(f2)
-    all(f1.map(math.abs(_))) must be <= 1.0f
+  it must "extract REAL centered grid features: exact values, exposure invariance, undecodable drop" in {
+    val s = spark
+    import s.implicits._
+    val seed = 123L
+    val (w, h) = (14, 10)
+    val base = Multimodal.patternedImage(seed, w, h, shift = 0)
+    val bright = Multimodal.patternedImage(seed, w, h, shift = 60)
+    val bin = Seq(("/i/a", base), ("/i/b", bright),
+      ("/i/junk", "not an image".getBytes)).toDF("path", "data")
+    val out = Multimodal.featureExtract(bin, grid = 2).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    // undecodable payloads carry no pixel statistics → dropped
+    out.keySet must be(Set("/i/a", "/i/b"))
+    out("/i/a").length must be(2 * 2 * 3)
+    // PROVABLE invariance: mean-centering cancels a uniform +60
+    // re-exposure exactly — the embeddings are bit-identical, so the
+    // ANN layer sees re-exposed copies at cosine exactly 1
+    out("/i/a") must be(out("/i/b"))
+    // exact values: recompute chSum·P − chTot·cnt from the gradient
+    // formula (patternedImage: gray v = (x·a + y·b + phase) mod 160,
+    // channels equal) — PNG is lossless, so decode returns these pixels
+    val a = 1 + (seed % 7).toInt; val b = 2 + (seed % 5).toInt
+    val phase = (seed % 160).toInt
+    val sums = Array.ofDim[Long](4); val cnt = Array.ofDim[Long](4)
+    var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val cell = (y * 2 / h) * 2 + (x * 2 / w)
+      val v = ((x * a + y * b + phase) % 160).toLong
+      sums(cell) += v; cnt(cell) += 1; tot += v
+    }
+    val p = w.toLong * h
+    val expect = (0 until 4).flatMap(c =>
+      Seq.fill(3)((sums(c) * p - tot * cnt(c)).toFloat))
+    out("/i/a").toSeq must be(expect)
+    // the centered vector is not degenerate (distinct cell means)
+    out("/i/a").exists(_ != 0f) must be(true)
+  }
+
+  it must "embed distinct scenes apart while twins coincide (the mm_feature_ann claim)" in {
+    val s = spark
+    import s.implicits._
+    def cos(u: Seq[Float], v: Seq[Float]): Double = {
+      val d = u.zip(v).map { case (a, b) => a.toDouble * b }.sum
+      d / (math.sqrt(u.map(x => x.toDouble * x).sum) *
+        math.sqrt(v.map(x => x.toDouble * x).sum))
+    }
+    val imgs = (0L until 6L).flatMap { id =>
+      val w = 24 + (id % 13).toInt * 3; val h = 20 + (id % 11).toInt * 3
+      Seq(("/img/" + id, Multimodal.patternedImage(id, w, h, 0)),
+        ("/img/" + (1000 + id), Multimodal.patternedImage(id, w, h, 40)))
+    }.toDF("path", "data")
+    val e = Multimodal.featureExtract(imgs, grid = 4).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    for (id <- 0L until 6L) {
+      cos(e("/img/" + (1000 + id)), e("/img/" + id)) must be(1.0 +- 1e-9)
+      for (other <- 0L until 6L if other != id)
+        cos(e("/img/" + (1000 + id)), e("/img/" + other)) must be < 0.999
+    }
   }
 
   behavior of "Dedup.stripBoilerplateLines (line-level boilerplate)"
