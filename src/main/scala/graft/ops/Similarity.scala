@@ -704,7 +704,22 @@ object Similarity {
   def ivfpqTopK(queries: DataFrame, corpus: DataFrame, k: Int, cand: Int,
                 numCentroids: Int = 16, nprobe: Int = 4,
                 coarseIters: Int = 1, m: Int = 4, ksub: Int = 16,
-                iters: Int = 1, dim: Int = 64): DataFrame = {
+                iters: Int = 1, dim: Int = 64): DataFrame =
+    rerankExact(
+      topCandidates(ivfpqScored(queries, corpus, numCentroids, nprobe,
+        coarseIters, m, ksub, iters, dim), cand),
+      queries, corpus, k)
+
+  /** The composed index's PROBED-and-ADC-scored pair frame — every
+    * (query, corpus vector) the coarse quantizer let through: its
+    * per-query row count over |corpus| IS the coarse scan fraction
+    * (~nprobe/K by mass), which the clustered gate asserts from this
+    * real frame rather than from parameters.
+    */
+  private[ops] def ivfpqScored(queries: DataFrame, corpus: DataFrame,
+                               numCentroids: Int, nprobe: Int,
+                               coarseIters: Int, m: Int, ksub: Int,
+                               iters: Int, dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val idx = trainPqIndex(corpus, m, ksub, iters, dim)
@@ -761,8 +776,7 @@ object Similarity {
         }
       }
       .toDF("q_id", "neighbor_id", "ascore")
-
-    rerankExact(topCandidates(scored, cand), queries, corpus, k)
+    scored
   }
 
   /** Driver-held PQ codebook index, closure-broadcast into kernels:
@@ -926,7 +940,8 @@ object Similarity {
     * degrades to near-brute turns the row FALSE.
     */
   private def fractionGate(queries: DataFrame, corpus: DataFrame,
-                           maxFrac: Double, candidates: DataFrame): DataFrame = {
+                           maxFrac: Double, candidates: DataFrame,
+                           outCol: String = "frac_ok"): DataFrame = {
     val counts = candidates
       .groupBy(col("q_id"))
       .agg(countDistinct(col("neighbor_id")).as("n_cand"))
@@ -935,7 +950,7 @@ object Similarity {
       .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_corpus"))))
       .select(col("q_id"),
         (coalesce(col("n_cand"), lit(0L)).cast("double") /
-          col("n_corpus") <= maxFrac).as("frac_ok"))
+          col("n_corpus") <= maxFrac).as(outCol))
   }
 
   /** Deterministic clustered fixture corpus — the mixture-of-Gaussians
@@ -994,5 +1009,39 @@ object Similarity {
     recallGate(queries, corpus, k, floor,
       rerankExact(cands, queries, corpus, k))
       .join(fractionGate(queries, corpus, maxFrac, cands), Seq("q_id"))
+  }
+
+  /** The COMPOSED index's clustered-corpus operating point — the one
+    * you'd deploy at 100 TB — with its multiplied pruning asserted
+    * from the real frames, not from parameters: per query,
+    * (1) recall_ok — ≥ `floor` of the true top-k survive the composed
+    * coarse-probe → ADC → rerank path; (2) coarse_frac_ok — the rows
+    * the coarse quantizer actually let into the ADC scan are ≤
+    * `maxCoarseFrac` of the corpus (~nprobe/K by bucket mass — and
+    * that scan touches m-byte codes, not vectors); (3) cand_frac_ok —
+    * the exact float rerank fetches ≤ `maxCandFrac` of the corpus.
+    * The product of the two fractions (× the 32× code narrowing) is
+    * the composed index's whole efficiency claim; a regression in
+    * EITHER stage — a coarse quantizer collapsing to one mega-bucket,
+    * a candidate cap silently widening — turns its own column FALSE
+    * instead of hiding inside a still-green recall.
+    */
+  def ivfpqRecallWithFraction(queries: DataFrame, corpus: DataFrame,
+                              k: Int, cand: Int, floor: Int,
+                              maxCoarseFrac: Double, maxCandFrac: Double,
+                              numCentroids: Int = 16, nprobe: Int = 4,
+                              coarseIters: Int = 1, m: Int = 8,
+                              ksub: Int = 16, iters: Int = 1,
+                              dim: Int = 64): DataFrame = {
+    val scored = ivfpqScored(queries, corpus, numCentroids, nprobe,
+      coarseIters, m, ksub, iters, dim)
+    val cands = topCandidates(scored, cand)
+    recallGate(queries, corpus, k, floor,
+      rerankExact(cands, queries, corpus, k))
+      .join(fractionGate(queries, corpus, maxCoarseFrac,
+        scored.select(col("q_id"), col("neighbor_id")),
+        outCol = "coarse_frac_ok"), Seq("q_id"))
+      .join(fractionGate(queries, corpus, maxCandFrac, cands,
+        outCol = "cand_frac_ok"), Seq("q_id"))
   }
 }

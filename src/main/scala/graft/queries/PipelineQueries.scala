@@ -1489,6 +1489,33 @@ object PipelineQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok, TRUE AS frac_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
 
+    // The COMPOSED IVF-PQ index on the clustered fixture — the index
+    // you'd actually deploy at 100 TB — with its MULTIPLIED pruning
+    // asserted from the real frames (Similarity.ivfpqRecallWithFraction
+    // scaladoc): full recall through coarse-probe → ADC → rerank, the
+    // coarse quantizer's admitted scan ≤ 20% of the corpus (nprobe
+    // 2/16 by mass; measured tri-SF 0.06–0.125 per query, PLANS.md
+    // round-11 — and that scan reads 8-byte codes, not 256-byte
+    // vectors), and the float rerank ≤ 5% (cand = 4%, ≥ the 1/32
+    // cluster mass with margin). Either stage regressing to
+    // near-brute turns its own column FALSE.
+    QueryDef(
+      "ann_ivfpq_clustered",
+      (s, d) => {
+        val emb = Similarity.clusteredCorpus(
+          Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+        val cand = math.max(5, math.ceil(0.04 * emb.count()).toInt)
+        Similarity.ivfpqRecallWithFraction(emb.filter(col("vec_id") < 5),
+            emb, k = 5, cand = cand, floor = 5,
+            maxCoarseFrac = 0.2, maxCandFrac = 0.05,
+            numCentroids = 16, nprobe = 2, coarseIters = 3,
+            m = 8, ksub = 16, iters = 1)
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok,
+             |       TRUE AS coarse_frac_ok, TRUE AS cand_frac_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
     // Embedding-cosine near-dup, recall-gated in-query against the
     // exact all-pairs twin on the bounded slice (the dedup analog of
     // ann_ivf_recall): bucket assignment is centroid-dependent, but
