@@ -2047,6 +2047,71 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it must "file-prune non-probed buckets via dynamic partition pruning (the 100 TB layout claim)" in {
+    // The persisted-index pruning story (PLANS.md r10) rested on a
+    // manual plan read; this pins it as a regression-proof property:
+    // a probed search over the bucket-partitioned layout must carry a
+    // DynamicPruningExpression on the buckets scan AND actually read
+    // fewer partition directories than the index has on disk.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++
+          other.subqueries.flatMap(scans)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dpp")
+    try {
+      // well-separated clusters so K=6 training spreads vectors over
+      // several buckets (axis-aligned groups of 30). The corpus goes
+      // THROUGH parquet: DPP's selective-predicate test needs a real
+      // Filter over a scan on the probing side — a LocalRelation
+      // fixture constant-folds the filter away and no pruning subquery
+      // is ever planned (exactly what this spec exists to catch).
+      embDf((0L until 180L).map { i =>
+        val g = (i % 6).toInt
+        i -> Seq.tabulate(4)(d =>
+          (if (d == g % 4) 10f else 0f) + (i % 7).toFloat * 0.1f)
+      }).write.parquet(dir.resolve("corpus").toString)
+      val vecs = spark.read.parquet(dir.resolve("corpus").toString)
+      val qs = vecs.filter(col("vec_id") < 2)
+      val cents = Similarity.kmeansCentroids(vecs, 6, 2)
+      Similarity.saveIvfIndex(vecs, cents, dir.toString)
+      val partDirs = {
+        val l = java.nio.file.Files.list(dir.resolve("buckets"))
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.getFileName.toString)
+            .count(_.startsWith("bucket="))
+        } finally l.close()
+      }
+      partDirs must be >= 3 // the fixture must genuinely spread
+      val (lc, lidx) = Similarity.loadIvfIndex(spark, dir.toString)
+      val res = Similarity.ivfTopKIndexed(qs, lidx, lc, nprobe = 1, k = 3)
+      res.collect() // execute so AQE finalizes and scan metrics fill
+      val bucketScans = scans(res.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(
+          _.toString.contains("buckets")))
+      bucketScans.nonEmpty must be(true)
+      val scan = bucketScans.head
+      // the plan property: partition filters carry a DPP expression
+      scan.partitionFilters.mkString.toLowerCase must include("dynamicpruning")
+      // the runtime property: fewer partition dirs read than exist
+      val read = scan.metrics.get("numPartitions").map(_.value)
+      read.isDefined must be(true)
+      read.get must be < partDirs.toLong
+      read.get must be >= 1L
+    } finally {
+      val w = java.nio.file.Files.walk(dir)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(pp => java.nio.file.Files.deleteIfExists(pp))
+      finally w.close()
+    }
+  }
+
   it must "ingest a new batch without retraining and search identically" in {
     val vecs = embDf((0L until 30L).map(i =>
       i -> Seq((i % 4).toFloat + 1f, (i % 7).toFloat, 1f, 0f)))
