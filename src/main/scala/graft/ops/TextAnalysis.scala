@@ -301,8 +301,13 @@ object TextAnalysis {
     * that fails the gate; the next scan re-counts with all applied
     * merges visible. Every round selects at least its top pair, so
     * rounds ≤ nMerges always, and ≈ nMerges/batchM when the corpus
-    * has many independent frequent pairs (the realistic regime at
-    * vocab scale). Carries the same documented '_'-collision caveat
+    * has many independent frequent pairs. MEASURED at vocab scale
+    * (512 merges, batchM=64, sf0.01 documents — PLANS.md round-11):
+    * natural-ish text does NOT live in that regime — hub tokens make
+    * the top pairs conflict, and the gate admits ~2.4 merges/scan
+    * (212 rounds), a real but bounded win over sequential's 512; the
+    * vocab-scale spec pins that band. Carries the same documented
+    * '_'-collision caveat
     * as [[bpeMerges]]: a corpus token textually equal to a merged
     * symbol name is indistinguishable from it.
     *
@@ -319,7 +324,18 @@ object TextAnalysis {
     * lineage and codegen size stay bounded at any merge count.
     */
   def bpeMergesBatched(docs: DataFrame, nMerges: Int, batchM: Int = 64,
-                       checkpointEvery: Int = 8): DataFrame = {
+                       checkpointEvery: Int = 8): DataFrame =
+    bpeMergesBatchedWithRounds(docs, nMerges, batchM, checkpointEvery)._1
+
+  /** [[bpeMergesBatched]] plus the executed round count — the
+    * observable the vocab-scale bound spec pins (rounds ≈
+    * nMerges/batchM when the corpus has many independent frequent
+    * pairs; conflict fallbacks add rounds, and the claim is that they
+    * add FEW, which only a measurement can check).
+    */
+  private[ops] def bpeMergesBatchedWithRounds(
+      docs: DataFrame, nMerges: Int, batchM: Int = 64,
+      checkpointEvery: Int = 8): (DataFrame, Int) = {
     require(nMerges >= 0 && batchM >= 1 && checkpointEvery >= 1,
       "need nMerges >= 0, batchM >= 1, checkpointEvery >= 1")
     val spark = docs.sparkSession
@@ -384,7 +400,7 @@ object TextAnalysis {
     }
     prevCkpt.foreach(graft.PlanHygiene.releaseCheckpoint)
     import spark.implicits._
-    found.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+    (found.toSeq.toDF("merge_rank", "lhs", "rhs", "freq"), rounds)
   }
 
   /** Tokenizer APPLICATION — encode documents with a LEARNED merge

@@ -1810,6 +1810,38 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       (2, "a_a", "a_a", 1L)))
   }
 
+  it must "pin the measured vocab-scale round count (512 merges, sf0.01)" in {
+    // The r9/r10 carryover ask: test the rounds ≈ nMerges/batchM claim
+    // in the REAL regime (512 merges, batchM=64, the sf0.01 documents
+    // table) instead of nMerges ≤ 10 where it is trivially true. The
+    // measurement REFUTED the optimistic claim: natural-ish text's top
+    // pairs share hub tokens (the/of/and analogs), so the
+    // sequential-equivalence gate — which must stop a round once a
+    // skipped conflicted pair's frequency dominates the remaining
+    // candidates — admits ~2.4 merges per scan, not 64 (measured: 212
+    // rounds / 512 merges, PLANS.md round-11). The gate is as tight as
+    // pair counts allow (a merge only ever DECREASES a conflicted
+    // pair's count or spawns dominated pairs), so this is the honest
+    // operating point; the spec pins it so a silent degradation toward
+    // fully-sequential (512 rounds) OR an exactness-breaking "speedup"
+    // past the information floor both fail loudly.
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    val (df, rounds) = TextAnalysis.bpeMergesBatchedWithRounds(
+      corpus, nMerges = 512, batchM = 64, checkpointEvery = 8)
+    val merges = df.orderBy(col("merge_rank")).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"512 merges in $rounds rounds, $secs%.1f s wall (local[4])")
+    merges.length must be(512)
+    rounds must be >= 8    // the nMerges/batchM information floor
+    rounds must be <= 256  // ≥ 2 merges/scan: the batching must retain
+                           // a real advantage over sequential's 512
+    // the learned table is a real vocabulary, not degenerate repeats
+    merges.map(r => (r.getString(1), r.getString(2))).distinct.length must
+      be(512)
+  }
+
   behavior of "TextAnalysis.vocabZipf (count-of-counts)"
 
   it must "count distinct terms per document frequency" in {
