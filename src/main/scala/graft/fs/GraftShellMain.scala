@@ -136,13 +136,35 @@ object GraftShellMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stateDir = sys.env.get("GRAFT_FS_STATE")
-    // currentStateDir requires BOTH planes present (catalog alone —
-    // e.g. a crash before the pointer flip under the legacy layout —
-    // falls back to empty rather than dying on the missing chunks)
-    val initial = stateDir
-      .filter(d => currentStateDir(d).isDefined)
-      .map(loadFs(spark, _))
-      .getOrElse(emptyFs(spark))
+    // Three distinguishable states, two of them safe:
+    //  * complete persisted state → load it;
+    //  * NO pointer (fresh dir, or the legacy flat layout's torn save
+    //    — catalog alone with no chunks) → start empty: nothing
+    //    committed has ever been visible here;
+    //  * a CURRENT pointer naming a MISSING/incomplete version dir →
+    //    die LOUDLY. A pointer only ever appears after a committed
+    //    save, so this state means committed data vanished (disk
+    //    damage, manual deletion, or two concurrent CLIs pruning each
+    //    other's versions — single-driver use is the documented
+    //    contract, scaladoc above). Falling back to empty here would
+    //    let the next mutating verb re-save and PERMANENTLY discard
+    //    the committed filesystem with no error anywhere.
+    val initial = stateDir match {
+      case Some(d) if currentStateDir(d).isDefined => loadFs(spark, d)
+      case Some(d) if java.nio.file.Files.exists(
+            java.nio.file.Paths.get(d, CurrentPtr)) =>
+        System.err.println(
+          s"graftfs: state pointer $d/$CurrentPtr names a version " +
+            "directory that is missing or incomplete — committed state " +
+            "is damaged (concurrent CLI invocations? manual deletion?). " +
+            "Refusing to start from an empty filesystem; restore the " +
+            s"version directory or remove $d/$CurrentPtr to explicitly " +
+            "reset.")
+        spark.stop()
+        sys.exit(254)
+        throw new IllegalStateException("unreachable")
+      case _ => emptyFs(spark)
+    }
     val shell = new GraftShell(initial,
       FsContext.initialize("graftfs://graft",
         Option(System.getProperty("user.name")).getOrElse("graft")))

@@ -544,10 +544,14 @@ object TextAnalysis {
     *
     * The term-side join key is the term string; query terms are a
     * QUERY-CARDINALITY table (broadcast-small in the single-session
-    * shape, hash-joinable at fan-out scale). Caller contract: score
-    * headroom below 2^53 — the heap orders in DOUBLE, which is exact
-    * to 2^53 (realistic df/tf/arity sit far inside it; the
-    * single-query path's explicit guard documents the algebra).
+    * shape, hash-joinable at fan-out scale). The df-product fold
+    * carries termSearch's whole-score overflow guard IN-PLAN (each
+    * step requires acc ≤ Long.Max/(df·maxTf·arity), else raise_error
+    * — see the inline comment), so a wrapped product can never reach
+    * the scorer. Remaining documented caveat: the heap orders in
+    * DOUBLE (exact to 2^53) — scores in (2^53, 2^63) are
+    * guard-passing but could tie-break by rounded value; realistic
+    * df/tf/arity sit far inside 2^53.
     */
   def termSearchMany(docs: DataFrame, queries: DataFrame,
                      k: Int): DataFrame = {
@@ -560,12 +564,31 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true) // one corpus scan serves df AND scoring
-    val dfs = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dfs = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("maxTf"))
+    // the SAME whole-score guard as termSearch's driver-side require,
+    // computed in-plan per query: every per-term contribution is ≤
+    // maxTf·w and at most `arity` of them sum, so each df fold step
+    // must keep acc ≤ Long.Max/(df·maxTf·arity) — otherwise the Long
+    // product wraps SILENTLY under Spark's non-ANSI arithmetic and
+    // the ranking is garbage with no error. At the advertised corpus
+    // scale (df ~1e7-1e9) a 3-term query's raw product already
+    // exceeds 2^63; the guard turns that into a loud raise_error
+    // naming the fix instead of a wrong answer.
     val weights = qterms.join(dfs, "w") // absent terms drop, as in termSearch
       .groupBy(col("query_id"))
-      .agg(collect_list(struct(col("w"), col("df"))).as("tds"))
+      .agg(collect_list(struct(col("w"), col("df"))).as("tds"),
+        greatest(max(col("maxTf")), lit(1L)).as("qMaxTf"),
+        greatest(count(lit(1)), lit(1L)).as("arity"))
       .select(col("query_id"),
-        expr("aggregate(tds, 1L, (acc, x) -> acc * x.df)").as("prod"),
+        expr("""aggregate(tds, 1L, (acc, x) ->
+            IF(acc <= 9223372036854775807L DIV greatest(x.df, 1L)
+                 DIV qMaxTf DIV arity,
+               acc * x.df,
+               CAST(raise_error(concat(
+                 'termSearchMany: score bound overflows Long (df product',
+                 ' x maxTf ', qMaxTf, ' x arity ', arity,
+                 ') - reduce query arity')) AS BIGINT)))""").as("prod"),
         explode(col("tds")).as("td"))
       .select(col("query_id"), col("td.w").as("w"),
         expr("prod DIV td.df").as("wgt"))

@@ -190,9 +190,11 @@ object EventsStream {
     * serves every subsequent drain; a JVM shutdown hook removes the
     * bounded set (one per source table). "Immutable" is VERIFIED, not
     * assumed: each call fingerprints the source's file listing
-    * (name → (size, mtime)) and re-stages on mismatch, so files that arrive in
-    * a source dir after first staging are drained, not silently
-    * dropped.
+    * (name → (size, content CRC32C)) and re-stages on mismatch, so
+    * files that arrive in — or are rewritten in-place in — a source
+    * dir after first staging are drained, not silently dropped
+    * (mtime-based fingerprints leave a same-size-rewrite hole on
+    * coarse-mtime filesystems).
     */
   private final case class Staged(dir: String,
                                   fingerprint: Map[String, (Long, Long)])
@@ -222,14 +224,23 @@ object EventsStream {
     } else Seq(srcPath)
   }
 
-  private def stageLanding(srcParquet: String): String =
+  private[streaming] def stageLanding(srcParquet: String): String =
     stagedLandings.compute(srcParquet, (src, prev) => {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val toStage = sourceFiles(src)
-      // (size, mtime) per name: a same-size in-place rewrite must still
-      // re-stage — "immutable" is verified, not assumed
-      val fp = toStage.map(p => p.getFileName.toString ->
-        (Files.size(p), Files.getLastModifiedTime(p).toMillis)).toMap
+      // (size, CRC32C) per name: a same-size in-place rewrite must
+      // still re-stage — "immutable" is verified, not assumed. The
+      // first cut fingerprinted (size, mtime-millis), which leaves a
+      // hole on coarse-mtime filesystems (a same-size rewrite inside
+      // the granularity window serves the stale staged copy — the
+      // exact failure the fingerprint exists to close); content CRC
+      // closes it outright, and costs one extra read of files this
+      // path copies byte-for-byte anyway.
+      val fp = toStage.map { p =>
+        val crc = new java.util.zip.CRC32C()
+        crc.update(Files.readAllBytes(p))
+        p.getFileName.toString -> (Files.size(p), crc.getValue)
+      }.toMap
       if (prev != null && prev.fingerprint == fp) prev
       else {
         val landing =

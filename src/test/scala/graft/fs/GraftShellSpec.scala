@@ -465,6 +465,47 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     } finally graft.PlanHygiene.deleteRecursively(state)
   }
 
+  it must "die loudly (not silently reset) when CURRENT names a missing version" in {
+    // a CURRENT pointer only ever appears after a committed save, so
+    // CURRENT-without-its-version-dir means committed state vanished
+    // (disk damage / concurrent CLIs / manual deletion). Pre-fix the
+    // gate fell back to an EMPTY filesystem and the next mutating verb
+    // re-saved — permanently discarding the committed state with no
+    // error; now the process must refuse with a distinct exit code and
+    // leave the damaged state dir untouched for repair.
+    val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    val script = new java.io.File(repo, "bin/graftfs")
+    assume(script.canExecute, "bin/graftfs missing or not executable")
+    val state = Files.createTempDirectory("graft-cli-damaged")
+    try {
+      Files.write(state.resolve("CURRENT"), "v123".getBytes("UTF-8"))
+      val outFile = Files.createTempFile("graft-cli-out", ".txt")
+      val pb = new ProcessBuilder(script.getAbsolutePath, "-mkdir", "/x")
+      pb.environment().put("GRAFT_FS_STATE", state.toString)
+      pb.environment().put("GRAFT_MASTER", "local[2]")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(outFile.toFile)
+      val p = pb.start()
+      val done = p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) p.destroyForcibly()
+      done must be(true)
+      val out = new String(Files.readAllBytes(outFile), "UTF-8")
+      Files.deleteIfExists(outFile)
+      p.exitValue() must be(254)
+      out must include("missing or incomplete")
+      // nothing was re-saved over the damage: the pointer still names
+      // the vanished version and no new v* dir appeared
+      new String(Files.readAllBytes(state.resolve("CURRENT")), "UTF-8")
+        .trim must be("v123")
+      val l = Files.list(state)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .count(_.startsWith("v")) must be(0)
+      } finally l.close()
+    } finally graft.PlanHygiene.deleteRecursively(state)
+  }
+
   it must "dispatch `hadoop fs` through the patched-hadoop twin script" in {
     // the reference ships TWO scripts — snackfs AND a patched hadoop
     // dispatcher (src/main/scripts/hadoop:23-50) whose only COMMAND is

@@ -1271,6 +1271,32 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it must "fail LOUDLY when a query's score bound overflows Long (never wrap silently)" in {
+    // 100 docs × 10 shared terms: df = 100 each, so the weight fold
+    // reaches 100^9 = 1e18 with a per-step bound of
+    // Long.Max/100/1/10 ≈ 9.2e15 — at advertised corpus scale
+    // (df ~1e7+) a 3-term query hits the same wall. Pre-guard this
+    // wrapped silently and ranked garbage; now the plan itself raises.
+    val terms = (0 until 10).map(i => s"t$i")
+    val corpus = docsDf((0L until 100L).map(i => i -> terms.mkString(" ")))
+    val s = spark
+    import s.implicits._
+    val qs = Seq((1, terms)).toDF("query_id", "terms")
+    val e = intercept[Exception] {
+      TextAnalysis.termSearchMany(corpus, qs, k = 3).collect()
+    }
+    // the error must surface the guard's message through Spark's
+    // execution wrapping, naming the fix
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    messages(e).mkString must include("reduce query arity")
+    // a same-corpus in-bounds query still answers (the guard is
+    // per-query, not a table-level veto)
+    val ok = Seq((1, Seq("t0", "t1"))).toDF("query_id", "terms")
+    TextAnalysis.termSearchMany(corpus, ok, k = 3).count() must be(3L)
+  }
+
   behavior of "Multimodal.aHash (perceptual image dedup key)"
 
   it must "hash a re-exposed copy identically and distinct scenes apart" in {

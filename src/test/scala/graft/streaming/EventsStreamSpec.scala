@@ -343,6 +343,33 @@ class EventsStreamSpec extends AnyFlatSpec with Matchers {
 
   behavior of "readEvents (file source entry point)"
 
+  it must "re-stage on a same-size in-place rewrite (content fingerprint, not mtime)" in {
+    // the staged-landing cache's staleness check must catch a rewrite
+    // that preserves file size AND lands within a coarse filesystem's
+    // mtime granularity window — the case a (size, mtime) fingerprint
+    // provably misses; the content-CRC fingerprint closes it
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft-restage-src")
+    try {
+      val f = src.resolve("part-0.parquet")
+      val mtime = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+      Files.write(f, "AAAA".getBytes("UTF-8"))
+      Files.setLastModifiedTime(f, mtime)
+      val staged1 = EventsStream.stageLanding(src.toString)
+      new String(Files.readAllBytes(
+        Paths.get(staged1, "part-0.parquet")), "UTF-8") must be("AAAA")
+      // same size, same mtime — only the bytes change
+      Files.write(f, "BBBB".getBytes("UTF-8"))
+      Files.setLastModifiedTime(f, mtime)
+      val staged2 = EventsStream.stageLanding(src.toString)
+      new String(Files.readAllBytes(
+        Paths.get(staged2, "part-0.parquet")), "UTF-8") must be("BBBB")
+      // an untouched source keeps serving the cached staging (the
+      // whole point of the cache) — same dir, no recopy churn
+      EventsStream.stageLanding(src.toString) must be(staged2)
+    } finally graft.PlanHygiene.deleteRecursively(src)
+  }
+
   it must "start on an EMPTY landing directory via the declared-schema fallback" in {
     // files arriving later is the normal state for a file stream's
     // entry point; the ts-type sniff (an eager batch read) must not
