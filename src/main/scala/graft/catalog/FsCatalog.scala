@@ -64,32 +64,52 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       .collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
       .toMap
-    // mkdir(level): exists-as-file → false (and does NOT overwrite);
-    // exists-as-dir → true; missing → create → true. Result = AND of all
-    // levels — no short-circuit (MakeDirectoryCommand.scala:74).
+    val (next, ok, _) = mkdirsWith(levels, existing, user)
+    (next, ok)
+  }
+
+  /** The mkdirs fold with the existence map supplied by the caller —
+    * the ACTION-FREE split the mounted facade's task-side path uses
+    * (its driver-resident inode cache answers existence without a
+    * collect); [[mkdirs]] is the same logic behind a catalog lookup.
+    * mkdir(level): exists-as-file → false (and does NOT overwrite);
+    * exists-as-dir → true; missing → create → true. Result = AND of
+    * all levels — no short-circuit (MakeDirectoryCommand.scala:74).
+    * Returns the new catalog, the verdict, and the created inodes (the
+    * caller's cache must learn exactly what the frame learned).
+    */
+  private[graft] def mkdirsWith(levels: Seq[String],
+                                existing: Map[String, Boolean],
+                                user: String)
+      : (FsCatalog, Boolean, Seq[Inode]) = {
     val ok = levels.forall(l => existing.getOrElse(l, true))
     val missing = levels.filterNot(existing.contains).map(dirInode(_, user))
     val next =
       if (missing.isEmpty) this
       else FsCatalog(inodes.unionByName(spark.createDataset(missing)))
-    (next, ok)
+    (next, ok, missing)
   }
+
+  /** Action-free single-path removal (file, or dir known childless). */
+  private[graft] def removePath(path: String): FsCatalog =
+    FsCatalog(inodes.filter(col("path") =!= path))
+
+  /** Action-free subtree removal (recursive delete's frame half). */
+  private[graft] def removeSubtree(path: String): FsCatalog =
+    FsCatalog(inodes.filter(
+      col("path") =!= path && !col("path").startsWith(prefixOf(path))))
 
   // ── A7: delete — anti-join removal with the reference's error matrix ──
   def delete(path: String, recursive: Boolean): (FsCatalog, Boolean) =
     retrieve(path) match {
       case None => (this, false)
-      case Some(node) if node.isFile =>
-        (FsCatalog(inodes.filter(col("path") =!= path)), true)
+      case Some(node) if node.isFile => (removePath(path), true)
       case Some(_) =>
         val hasChildren =
           inodes.filter(col("parentPath") === path).limit(1).count() > 0
-        if (!hasChildren)
-          (FsCatalog(inodes.filter(col("path") =!= path)), true)
+        if (!hasChildren) (removePath(path), true)
         else if (!recursive) throw new IOException("Directory is not empty")
-        else
-          (FsCatalog(inodes.filter(
-            col("path") =!= path && !col("path").startsWith(prefixOf(path)))), true)
+        else (removeSubtree(path), true)
     }
 
   // ── A8: rename — subtree prefix rewrite as ONE distributed transform ──
@@ -108,6 +128,14 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       if (parentNode.isFile)
         throw new IOException("A file exists with parent of destination.")
     }
+    (renameFrames(src, dst), true)
+  }
+
+  /** The rename prefix rewrite with preconditions already settled by
+    * the caller — the action-free half [[rename]] shares with the
+    * mounted facade's cache-checked path.
+    */
+  private[graft] def renameFrames(src: String, dst: String): FsCatalog = {
     val inSubtree = col("path") === src || col("path").startsWith(prefixOf(src))
     val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
     // filter-rewrite ∪ passthrough: only subtree rows are projected; the
@@ -119,7 +147,7 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       .withColumn("path", newPath)
       .withColumn("parentPath", parentOf(col("path")))
       .as[Inode]
-    (FsCatalog(inodes.filter(!inSubtree).unionByName(moved)), true)
+    FsCatalog(inodes.filter(!inSubtree).unionByName(moved))
   }
 
   // ── A9/D1: listStatus — shallow children (ListCommand.scala:33-60) ────

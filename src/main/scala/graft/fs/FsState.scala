@@ -97,11 +97,77 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     */
   def pinCount: Int = synchronized(pinned.size)
 
-  def set(next: GraftFs): Unit = synchronized {
+  def set(next: GraftFs): Unit = set(next, allowCompact = true)
+
+  /** `allowCompact = false` records the mutation but DEFERS a due
+    * compaction: compaction runs an eager localCheckpoint (a Spark
+    * action), and the mounted facade's task-side write path must never
+    * run an action while every local core is held by write tasks — the
+    * core-starvation deadlock (PLANS.md r10). Deferred compactions run
+    * at the next allow-compact set, or when the facade explicitly
+    * calls [[compactIfDue]] from a driver thread. Plan depth in the
+    * deferral window is bounded by the write job itself (one union per
+    * subblock + one store per block), not unbounded.
+    */
+  def set(next: GraftFs, allowCompact: Boolean): Unit = synchronized {
     current = next
     sinceCompact += 1
+    if (allowCompact && sinceCompact >= interval) compactNow()
+  }
+
+  /** Run a deferred compaction if one is due (driver threads only —
+    * see the `allowCompact` contract).
+    */
+  def compactIfDue(): Unit = synchronized {
     if (sinceCompact >= interval) compactNow()
   }
+
+  /** Opportunistic compaction that NEVER blocks mutators while the
+    * checkpoint action runs — the only compaction shape the mounted
+    * facade may use. Why both other shapes deadlock under a stock
+    * committer job: (a) inline compaction inside a verb runs a Spark
+    * action on whatever thread called the verb, and the committer
+    * calls verbs from AQE stage-execution threads
+    * (`ResultQueryStageExecution`), where a nested action wedges the
+    * stage's own event loop (observed: abortJob → delete → compact →
+    * localCheckpoint, spec JVM hung); (b) a synchronized background
+    * compaction holds this monitor for the action's duration, so
+    * write TASKS block on setState while holding every local core and
+    * the checkpoint job starves. So: snapshot under the monitor
+    * (instant), checkpoint OUTSIDE it (mutators proceed freely), then
+    * swap ONLY if no mutation intervened — otherwise release the
+    * stale checkpoint and report false (the caller's loop retries
+    * after the burst; under sustained writes the plan simply grows
+    * until the first quiet moment, bounded by the job's own length).
+    */
+  def compactOpportunistic(): Boolean = {
+    val snapshot = synchronized {
+      if (sinceCompact < interval) return false
+      current
+    }
+    val compacted = snapshot.compact() // Spark action — NO lock held
+    synchronized {
+      if (current eq snapshot) {
+        lastCheckpointed.foreach(prev => retired ::= prev)
+        lastCheckpointed = Some(compacted)
+        current = compacted
+        sinceCompact = 0
+        interval = math.min(interval * 2, FsState.MaxCompactEvery)
+        sweepRetired()
+        true
+      } else {
+        PlanHygiene.releaseCheckpoint(compacted.catalog.inodes)
+        PlanHygiene.releaseCheckpoint(compacted.chunks)
+        false
+      }
+    }
+  }
+
+  /** True when enough mutations accumulated that a compaction is due
+    * (the facade's compactor thread polls this before paying the
+    * snapshot dance).
+    */
+  def compactionDue: Boolean = synchronized(sinceCompact >= interval)
 
   /** Force a compaction boundary (also runs automatically). */
   def compactNow(): Unit = synchronized {

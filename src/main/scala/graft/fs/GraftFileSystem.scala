@@ -39,8 +39,175 @@ class GraftFileSystem extends FileSystem {
 
   private def state: GraftFs = cell.get
   // every mutation routes through the compacting state cell, so a
-  // long-lived mount never accumulates an unbounded lazy plan
-  private def setState(next: GraftFs): Unit = cell.set(next)
+  // long-lived mount never accumulates an unbounded lazy plan — but a
+  // due compaction (an eager localCheckpoint = a Spark ACTION) must
+  // NEVER run inline in a verb: verbs arrive on write-task threads
+  // (core starvation if all slots are held — PLANS.md r10) AND on AQE
+  // stage-execution threads (the committer's job commit/abort runs
+  // there; a nested action wedges the stage's own event loop —
+  // observed r11, thread-dump in PLANS.md). All facade compactions
+  // run on the dedicated [[compactor]] thread via the non-blocking
+  // snapshot-compact-swap (FsState.compactOpportunistic).
+  private def setState(next: GraftFs): Unit =
+    cell.set(next, allowCompact = false)
+
+  /** Dedicated compaction thread — the only place a facade-owned
+    * Spark action may originate (see setState). Polls cheaply; the
+    * opportunistic swap never blocks verbs.
+    */
+  private var compactor: Thread = _
+
+  private def startCompactor(): Unit = {
+    compactor = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          if (cell.compactionDue) {
+            try cell.compactOpportunistic()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          Thread.sleep(250)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graftfs-compactor")
+    compactor.setDaemon(true)
+    compactor.start()
+  }
+
+  /** Driver-JVM mirror of the catalog plane — ONE entry per inode,
+    * kept exactly in step with the catalog frames under [[mutLock]].
+    * This is what makes the mount's whole METADATA surface (existence
+    * checks, status, listings, the committer's mkdirs/rename dance)
+    * action-free: a write task consults and updates this map in pure
+    * memory while the DataFrame planes accumulate the SAME transitions
+    * lazily, so no Spark job ever has to schedule inside a task slot —
+    * the NameNode shape (metadata answers from memory, data scans run
+    * distributed), and the fix that lets a stock committer job write
+    * at FULL parallelism on local[N] instead of deadlocking on core
+    * starvation. Consistency is pinned by spec: after any verb mix,
+    * the cache equals the collected catalog row for row. The catalog
+    * frames stay authoritative for analytics (DSv2, shell, du/count)
+    * and for persistence; the cache is rebuilt from them at
+    * initialize.
+    */
+  private val inodeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Inode]()
+
+  private def cached(p: String): Option[Inode] = Option(inodeCache.get(p))
+
+  /** Chunk rows written since the last fold, kept OUT of the plan.
+    *
+    * The first action-free write path threaded one filter+union plan
+    * node per persisted subblock plus one store per inode commit; a
+    * stock 8-task committer job accumulated a plan whose EAGER Dataset
+    * analysis went superlinear (thread-dump: 61 s inside
+    * ResolveReferences on a write task, 79 s of BooleanSimplification
+    * over the chained NOT-conjunctions in the compactor) and the job
+    * wedged on the 120 s lock timeout. So mutations no longer grow
+    * the plan at all on the hot path: appended rows buffer here and
+    * fold into the base plan as ONE union per [[FoldBytes]] (or at a
+    * read/pin boundary), and the CATALOG plane is not threaded through
+    * mutations anywhere — it derives from [[inodeCache]] on demand
+    * (see refreshedState), a depth-1 createDataset. Structural chunk
+    * ops (overwrite, delete, rename) rewrite this buffer in memory
+    * and add one filter to the base — committer-frequency, not
+    * per-subblock. Memory contract: ≤ [[FoldBytes]] of pending
+    * payload plus one subblock per open stream.
+    */
+  private val pendingChunks = scala.collection.mutable.ArrayBuffer.empty[Row]
+  private var pendingBytes = 0L
+  private val FoldBytes = 64L << 20
+
+  /** Paths whose rows have been FOLDED into the base plan. A
+    * structural op (overwrite, delete, rename) only spends a plan node
+    * when it touches one of these; a path still entirely in the
+    * pending buffer rewrites in pure memory — which is the COMMON
+    * case, because the committer renames files written moments ago.
+    * This is what keeps the base plan's growth O(folds + base-touching
+    * ops), not O(renames): both per-rename frame shapes are
+    * exponential under eager analysis (GraftFs.renameChunksOnly
+    * scaladoc) and wedged a stock 8-task write before this existed.
+    */
+  private val basePaths = scala.collection.mutable.HashSet.empty[String]
+
+  private def baseHasSubtree(p: String): Boolean = {
+    val pre = subtreePrefix(p)
+    basePaths.contains(p) || basePaths.exists(_.startsWith(pre))
+  }
+
+  private val chunkRowSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("block_id", IntegerType),
+    StructField("sub_id", IntegerType),
+    StructField("block_offset", LongType),
+    StructField("offset", LongType),
+    StructField("data", BinaryType),
+    StructField("length", LongType)))
+
+  /** Fold pending rows into the base plan (caller holds [[mutLock]]).
+    * Lazy — one createDataFrame + one union, never an action.
+    */
+  private def foldPending(): Unit =
+    if (pendingChunks.nonEmpty) {
+      val rows = new java.util.ArrayList[Row](pendingChunks.size)
+      pendingChunks.foreach { r => rows.add(r); basePaths += r.getString(0) }
+      val df = spark.createDataFrame(rows, chunkRowSchema)
+      setState(GraftFs(state.catalog, state.chunks.unionByName(df)))
+      pendingChunks.clear()
+      pendingBytes = 0L
+    }
+
+  /** Drop pending rows matching `pred`, keeping the byte count true. */
+  private def dropPending(pred: Row => Boolean): Unit = {
+    var i = 0
+    while (i < pendingChunks.length) {
+      if (pred(pendingChunks(i))) {
+        pendingBytes -= pendingChunks(i).getLong(6)
+        pendingChunks.remove(i)
+      } else i += 1
+    }
+  }
+
+  private def rowInSubtree(r: Row, path: String): Boolean =
+    r.getString(0) == path || r.getString(0).startsWith(subtreePrefix(path))
+
+  private def cacheChildren(p: String): Seq[Inode] = {
+    val out = Seq.newBuilder[Inode]
+    inodeCache.values.forEach(n => if (n.parentPath == p) out += n)
+    out.result()
+  }
+
+  private def cacheHasChildren(p: String): Boolean = {
+    val it = inodeCache.values.iterator()
+    while (it.hasNext) if (it.next().parentPath == p) return true
+    false
+  }
+
+  private def subtreePrefix(p: String): String =
+    if (p == "/") "/" else p + "/"
+
+  private def cacheRemoveSubtree(p: String): Unit = {
+    val pre = subtreePrefix(p)
+    val it = inodeCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k == p || k.startsWith(pre)) it.remove()
+    }
+  }
+
+  private def cacheRename(src: String, dst: String): Unit = {
+    val pre = subtreePrefix(src)
+    val moved = Seq.newBuilder[Inode]
+    val it = inodeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey == src || e.getKey.startsWith(pre)) {
+        val np = dst + e.getKey.substring(src.length)
+        moved += e.getValue.copy(path = np, parentPath = PathOps.parent(np))
+        it.remove()
+      }
+    }
+    moved.result().foreach(n => inodeCache.put(n.path, n))
+  }
 
   /** Serializes each verb's read-modify-write state transition.
     * Hadoop's FileSystem cache hands EVERY thread in the JVM this one
@@ -152,7 +319,22 @@ class GraftFileSystem extends FileSystem {
         StructType(Seq(StructField("path", StringType),
           StructField("data", BinaryType)))),
       subBlockSize, blockSize)
-    cell = new FsState(GraftFs(FsCatalog(s.createDataset(Seq(root))), emptyChunks))
+    // compactEvery 8, not the default 64: facade sets are RARE now
+    // (one per fold or base-touching structural op, never per
+    // subblock/inode), and the base-touching rename doubles the tree
+    // — 8 sets bounds the worst pre-compaction plan at ~2^8 nodes
+    cell = new FsState(GraftFs(FsCatalog(s.createDataset(Seq(root))),
+      emptyChunks), compactEvery = 8)
+    inodeCache.clear()
+    inodeCache.put(root.path, root)
+    startCompactor()
+  }
+
+  /** The metadata cache, for consistency specs. */
+  private[fs] def metadataSnapshot: Map[String, Inode] = {
+    val b = Map.newBuilder[String, Inode]
+    inodeCache.forEach((k, v) => b += k -> v)
+    b.result()
   }
 
   override def getUri: URI = ctx.uri
@@ -183,32 +365,42 @@ class GraftFileSystem extends FileSystem {
       n.mtime.getTime, makeQualified(new Path(n.path)))
 
   // ── A6: getFileStatus (FileStatusCommand; spec message verbatim) ──────
-  override def getFileStatus(path: Path): FileStatus = engineOp {
-    state.catalog.retrieve(abs(path))
+  //    Answered from the metadata cache — ACTION-FREE, callable from
+  //    any task thread without a nested job (the committer calls this
+  //    constantly during task commit).
+  override def getFileStatus(path: Path): FileStatus =
+    cached(abs(path))
       .map(statusRow)
       .getOrElse(throw new FileNotFoundException("No such file exists"))
-  }
 
-  // ── A9: listStatus — dir lists children, file lists itself ────────────
-  override def listStatus(path: Path): Array[FileStatus] = engineOp {
+  // ── A9: listStatus — dir lists children, file lists itself (cache) ────
+  override def listStatus(path: Path): Array[FileStatus] = {
     val p = abs(path)
-    val node = state.catalog.retrieve(p)
+    val node = cached(p)
       .getOrElse(throw new FileNotFoundException("No such file exists"))
     if (node.isFile) Array(statusRow(node))
-    else state.catalog.inodes
-      .filter(col("parentPath") === p)
-      .collect()
-      .sortBy(_.path)
-      .map(statusRow)
+    else cacheChildren(p).sortBy(_.path).map(statusRow).toArray
   }
 
-  // ── A5: mkdirs — ancestor AND-fold; exists-as-file → false ────────────
+  // ── A5: mkdirs — ancestor AND-fold; exists-as-file → false. The
+  //    existence map comes from the cache; the frame half is the SAME
+  //    fold (FsCatalog.mkdirsWith) minus its collect — action-free. ─────
   override def mkdirs(path: Path, permission: FsPermission): Boolean =
-    withMutLock { engineOp {
-      val (cat2, ok) = state.catalog.mkdirs(abs(path))
-      setState(GraftFs(cat2, state.chunks))
-      ok
-    } }
+    withMutLock { cachedMkdirs(abs(path)) }
+
+  /** The mkdirs ancestor AND-fold against the cache alone (the catalog
+    * frame derives from the cache, so there is no frame half to build
+    * here — FsCatalog.mkdirsWith documents the shared semantics:
+    * exists-as-file → false without overwrite, missing → create, no
+    * short-circuit). Caller holds [[mutLock]].
+    */
+  private def cachedMkdirs(p: String): Boolean = {
+    val levels = PathOps.ancestors(p)
+    val ok = levels.forall(l => cached(l).forall(_.isDir))
+    levels.filter(l => cached(l).isEmpty)
+      .foreach(l => inodeCache.put(l, FsCatalog.dirInode(l, "graft")))
+    ok
+  }
 
   // ── A3: create — the reference's streaming cadence (CreateFileCommand
   //    + FileSystemOutputStream.scala:55-143): parents made up front,
@@ -220,9 +412,12 @@ class GraftFileSystem extends FileSystem {
   override def create(path: Path, permission: FsPermission,
                       overwrite: Boolean, bufferSize: Int,
                       replication: Short, blkSize: Long,
-                      progress: Progressable): FSDataOutputStream = withMutLock { engineOp {
+                      progress: Progressable): FSDataOutputStream = withMutLock {
+    // the whole create transition is cache-checked and frame-lazy:
+    // NO Spark action runs on this (possibly task) thread
     val p = abs(path)
-    state.catalog.retrieve(p).foreach { existing =>
+    val prior = cached(p)
+    prior.foreach { existing =>
       if (existing.isDir) throw new IOException(s"$p is a directory")
       if (!overwrite) throw new IOException(s"File exists: $p")
     }
@@ -230,20 +425,21 @@ class GraftFileSystem extends FileSystem {
     // and honor its verdict: a file on the ancestor chain means the
     // parent cannot be a directory (Hadoop throws here too)
     val parent = PathOps.parent(p)
-    var cat = state.catalog
-    if (parent != null) {
-      val (cat2, ok) = cat.mkdirs(parent)
-      if (!ok) throw new IOException(s"Parent path is not a directory: $parent")
-      cat = cat2
-    }
+    if (parent != null && !cachedMkdirs(parent))
+      throw new IOException(s"Parent path is not a directory: $parent")
     // store the empty inode NOW (CreateFileCommand.scala:79-83) and drop
     // any prior payload once — overwrite is settled before the first byte
-    val node = inodeFor(p, parent, 0L)
-    val chunks =
-      if (overwrite) state.chunks.filter(col("path") =!= p) else state.chunks
-    setState(GraftFs(cat.store(node), chunks))
+    inodeCache.put(p, inodeFor(p, parent, 0L))
+    // overwrite drops prior payload: pending rows in memory; one base
+    // filter ONLY if this path ever folded (basePaths)
+    if (overwrite && prior.isDefined) {
+      dropPending(_.getString(0) == p)
+      if (basePaths.remove(p))
+        setState(GraftFs(state.catalog,
+          state.chunks.filter(col("path") =!= p)))
+    }
     new FSDataOutputStream(new SubBlockStream(p, parent), statistics, 0L)
-  } }
+  }
 
   private def inodeFor(p: String, parent: String, len: Long): Inode =
     Inode(p, parent, ctx.cwd.split("/").last, "graft", 420,
@@ -300,31 +496,31 @@ class GraftFileSystem extends FileSystem {
     // its (block_id, sub_id) cell; a previously flush()-persisted
     // partial copy of the same cell is filtered out first so the table
     // never holds two rows for one subblock
-    private def persistSubBlock(): Unit = withMutLock { engineOp {
-      val s = spark
+    // the hot path allocates NO plan nodes: the row lands in the
+    // pending buffer (folded as one union per FoldBytes); a
+    // flush()-persisted partial copy of the same cell is replaced in
+    // the buffer — only if a fold landed it in the base first does
+    // one filter enter the plan
+    private def persistSubBlock(): Unit = withMutLock {
       val idx = written / subBlockSize
       val sbPerBlock = blockSize / subBlockSize
       val blockId = (idx / sbPerBlock).toInt
       val subId = (idx % sbPerBlock).toInt
-      val row = Row(p, blockId, subId,
+      if (partialFlushed) {
+        val before = pendingChunks.length
+        dropPending(r => r.getString(0) == p &&
+          r.getInt(1) == blockId && r.getInt(2) == subId)
+        if (pendingChunks.length == before)
+          setState(GraftFs(state.catalog,
+            state.chunks.filter(!(col("path") === p &&
+              col("block_id") === blockId && col("sub_id") === subId))))
+      }
+      pendingChunks += Row(p, blockId, subId,
         blockId.toLong * blockSize, subId.toLong * subBlockSize,
         java.util.Arrays.copyOf(buf, used), used.toLong)
-      val oneRow = s.createDataFrame(java.util.Arrays.asList(row),
-        StructType(Seq(
-          StructField("path", StringType),
-          StructField("block_id", IntegerType),
-          StructField("sub_id", IntegerType),
-          StructField("block_offset", LongType),
-          StructField("offset", LongType),
-          StructField("data", BinaryType),
-          StructField("length", LongType))))
-      val base =
-        if (partialFlushed)
-          state.chunks.filter(!(col("path") === p &&
-            col("block_id") === blockId && col("sub_id") === subId))
-        else state.chunks
-      setState(GraftFs(state.catalog, base.unionByName(oneRow)))
-    } }
+      pendingBytes += used
+      if (pendingBytes >= FoldBytes) foldPending()
+    }
 
     private def endSubBlock(): Unit = {
       if (used == 0) return
@@ -338,10 +534,11 @@ class GraftFileSystem extends FileSystem {
       if (written % blockSize == 0) commitInode()
     }
 
-    private def commitInode(): Unit = withMutLock { engineOp {
-      setState(GraftFs(state.catalog.store(inodeFor(p, parent, written + used)),
-        state.chunks))
-    } }
+    // metadata is the cache (the catalog frame derives from it), so an
+    // inode commit is a pure map write — no plan growth, no action
+    private def commitInode(): Unit = withMutLock {
+      inodeCache.put(p, inodeFor(p, parent, written + used))
+    }
 
     /** Flush persists the buffered partial subblock so flushed bytes
       * are durable before close. DELIBERATE DIVERGENCE from the
@@ -380,9 +577,12 @@ class GraftFileSystem extends FileSystem {
   //    exactly one block resident — the reference's own read shape
   //    (FileSystemInputStream loads one BlockInputStream at a time,
   //    :60-76), so a file larger than driver heap still reads. ─────────
-  override def open(path: Path, bufferSize: Int): FSDataInputStream = engineOp {
+  override def open(path: Path, bufferSize: Int): FSDataInputStream = {
+    // metadata from the cache (action-free); only the PAYLOAD fetches
+    // inside BlockCachedStream still run engine actions — the mount's
+    // remaining local-mode read caveat (see the class scaladoc)
     val p = abs(path)
-    val node = state.catalog.retrieve(p)
+    val node = cached(p)
       .getOrElse(throw new IOException("No such file."))
     if (node.isDir) throw new IOException(s"Path $path is a directory.")
     new FSDataInputStream(new BlockCachedStream(p, node.length))
@@ -423,16 +623,47 @@ class GraftFileSystem extends FileSystem {
     // contract; concurrent preads serialize (correctness first — a
     // parallel-read client opens multiple streams).
     private def blockAt(id: Long, needUpTo: Long): Array[Byte] = {
-      // engineOp brackets ONLY the block-miss fetch: read() calls this
-      // per BYTE, and a cache hit must stay a plain field read — not a
-      // reflection round-trip through the TaskContext bridge
-      if (id != cachedId) engineOp {
-        val rows = DataPlane.reassembleBlocks(
-            state.chunks.filter(col("path") === p && col("block_id") === id))
-          .select(col("data")).collect()
-        cached = if (rows.isEmpty) Array.emptyByteArray
-          else rows(0).getAs[Array[Byte]](0)
-        cachedId = id
+      // engineOp brackets ONLY a BASE-plan block-miss fetch: read()
+      // calls this per byte, and a cache hit must stay a plain field
+      // read — not a reflection round-trip through the TaskContext
+      // bridge. The miss path splits on where the bytes live:
+      //  - path never folded to base → assemble from the pending
+      //    buffer in PURE MEMORY. This is what lets a stock job READ
+      //    BACK what it just wrote at full outer parallelism: parquet
+      //    footer/page reads arrive on scan-task threads (schema
+      //    inference runs footer reads as a distributed job — observed
+      //    r11, 4 footer tasks on local[4] each starving a nested
+      //    collect), and fresh data must not need a nested job.
+      //  - path folded → the payload is in the lazy base plan; fold
+      //    any still-pending rows so the scan sees everything, then
+      //    one pruned engine collect. Reading FOLDED (> FoldBytes)
+      //    data from inside a core-saturating outer job remains the
+      //    mount's documented local-mode caveat.
+      if (id != cachedId) {
+        val (memRows, inBase) = withMutLock {
+          val rs = pendingChunks.filter(r =>
+            r.getString(0) == p && r.getInt(1) == id.toInt)
+          (rs.sortBy(_.getLong(4)).map(_.getAs[Array[Byte]](5)).toArray,
+            baseHasSubtree(p))
+        }
+        if (!inBase) {
+          val total = memRows.iterator.map(_.length).sum
+          val out = new Array[Byte](total)
+          var at = 0
+          memRows.foreach { d =>
+            System.arraycopy(d, 0, out, at, d.length); at += d.length
+          }
+          cached = out
+          cachedId = id
+        } else engineOp {
+          withMutLock(foldPending())
+          val rows = DataPlane.reassembleBlocks(
+              state.chunks.filter(col("path") === p && col("block_id") === id))
+            .select(col("data")).collect()
+          cached = if (rows.isEmpty) Array.emptyByteArray
+            else rows(0).getAs[Array[Byte]](0)
+          cachedId = id
+        }
       }
       if (cached.length < needUpTo)
         throw new IOException(
@@ -503,21 +734,85 @@ class GraftFileSystem extends FileSystem {
       readFully(position, buffer, 0, buffer.length)
   }
 
-  // ── A7: delete — cascades to the data plane (GraftFs) ─────────────────
+  // ── A7: delete — cascades to the data plane; the error matrix is
+  //    settled against the cache, the cascade applies the SAME frame
+  //    predicates (GraftFs.delete*Frames) lazily — action-free. ─────────
   override def delete(path: Path, recursive: Boolean): Boolean =
-    withMutLock { engineOp {
-      val (next, ok) = state.delete(abs(path), recursive)
-      setState(next)
-      ok
-    } }
+    withMutLock {
+      val p = abs(path)
+      def dropChunksOf(): Unit = {
+        dropPending(rowInSubtree(_, p))
+        if (baseHasSubtree(p)) {
+          val pre = subtreePrefix(p)
+          basePaths.filterInPlace(k => k != p && !k.startsWith(pre))
+          setState(GraftFs(state.catalog, state.chunks.filter(
+            !(col("path") === p || col("path").startsWith(pre)))))
+        }
+      }
+      cached(p) match {
+        case None => false
+        case Some(node) if node.isFile =>
+          inodeCache.remove(p)
+          dropChunksOf()
+          true
+        case Some(_) if !cacheHasChildren(p) =>
+          inodeCache.remove(p)
+          dropChunksOf()
+          true
+        case Some(_) if !recursive =>
+          throw new IOException("Directory is not empty")
+        case Some(_) =>
+          cacheRemoveSubtree(p)
+          dropChunksOf()
+          true
+      }
+    }
 
-  // ── A8: rename — one prefix-rewrite pass per plane ────────────────────
+  // ── A8: rename — one prefix-rewrite pass per plane; preconditions
+  //    from the cache, frames lazy (the committer's commit dance runs
+  //    this from task threads) — action-free. ───────────────────────────
   override def rename(src: Path, dst: Path): Boolean =
-    withMutLock { engineOp {
-      val (next, ok) = state.rename(abs(src), abs(dst))
-      setState(next)
-      ok
-    } }
+    withMutLock {
+      val s = abs(src)
+      val d = abs(dst)
+      if (s == d) true
+      else {
+        if (cached(s).isEmpty)
+          throw new IOException(s"No such file or directory.$s")
+        if (cached(d).isDefined)
+          throw new IOException("Destination already exists")
+        val dstParent = PathOps.parent(d)
+        if (dstParent != null) {
+          val parentNode = cached(dstParent).getOrElse(throw new IOException(
+            s"Destination $dstParent directory does not exist."))
+          if (parentNode.isFile)
+            throw new IOException("A file exists with parent of destination.")
+        }
+        cacheRename(s, d)
+        // pending rows move in memory — the committer's common case
+        // (it renames files written moments ago); the base pays the
+        // frame rewrite only when folded rows are actually under src
+        val pre = subtreePrefix(s)
+        var i = 0
+        while (i < pendingChunks.length) {
+          val r = pendingChunks(i)
+          if (r.getString(0) == s || r.getString(0).startsWith(pre)) {
+            pendingChunks(i) = Row(d + r.getString(0).substring(s.length),
+              r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+              r.get(5), r.getLong(6))
+          }
+          i += 1
+        }
+        if (baseHasSubtree(s)) {
+          val moved = basePaths.toSeq
+            .filter(k => k == s || k.startsWith(pre))
+          basePaths --= moved
+          basePaths ++= moved.map(k => d + k.substring(s.length))
+          setState(state.renameChunksOnly(s, d))
+        }
+        true
+      }
+    }
 
   // ── A4: append always throws — IOException, the reference's exact
   //    type (AppendFileCommand.scala:38-40), so client code catching
@@ -538,17 +833,22 @@ class GraftFileSystem extends FileSystem {
     if (start < 0 || len < 0)
       throw new IllegalArgumentException("Invalid start or len parameter")
     val p = abs(file.getPath)
-    engineOp {
-      state.catalog.blockLocations(p, start, len)
-        .filter(col("path") === p)
-        .collect()
-        .map { r =>
-          val hosts = r.getAs[String]("replicas").split(",")
-          new BlockLocation(
-            hosts.map(h => s"$h:9160"), hosts,
-            r.getAs[Long]("offset"), r.getAs[Long]("length"))
-        }
-    }
+    // the cache-resident inode carries the full block map, so the
+    // SAME projection the catalog op runs (prune blocks ending before
+    // `start`, ascii-of-first-id-char ring owner, three replica
+    // hosts — FsCatalog.blockLocations) computes in pure memory;
+    // action-free for scheduler calls that arrive inside tasks. The
+    // distributed twin stays oracle-green (fs_block_locations,
+    // fs_dsv2_scan).
+    cached(p).toArray.flatMap(n => Option(n.blocks).getOrElse(Seq.empty)
+      .filter(b => b.offset + b.length >= start)
+      .map { b =>
+        val owner = b.id.charAt(0).toInt % 3
+        val hosts = Array(s"node-$owner", s"node-${(owner + 1) % 3}",
+          s"node-${(owner + 2) % 3}")
+        new BlockLocation(hosts.map(h => s"$h:9160"), hosts,
+          b.offset, b.length)
+      })
   }
 
   /** Current snapshot, for tests and interop with the query layer —
@@ -557,12 +857,31 @@ class GraftFileSystem extends FileSystem {
     * queryable. Release with `releaseSnapshot` when done, or let
     * `close()` drop every pin with the mount.
     */
-  def graftFs: GraftFs = cell.pinCurrent()
+  def graftFs: GraftFs = withMutLock {
+    foldPending()
+    refreshCatalog()
+    cell.pinCurrent()
+  }
+
+  /** Rebuild the catalog frame from the authoritative inode cache — a
+    * depth-1 createDataset, the derive-on-demand half of the
+    * cache-is-the-catalog design (see [[pendingChunks]]). Caller holds
+    * [[mutLock]].
+    */
+  private def refreshCatalog(): Unit = {
+    val s = spark
+    import s.implicits._
+    val values = Seq.newBuilder[Inode]
+    inodeCache.values.forEach(values += _)
+    setState(GraftFs(FsCatalog(s.createDataset(values.result())),
+      state.chunks))
+  }
 
   /** Release one `graftFs` escape (see FsState.unpin). */
   def releaseSnapshot(snapshot: GraftFs): Unit = cell.unpin(snapshot)
 
   override def close(): Unit = {
+    if (compactor != null) compactor.interrupt()
     // the mount's escaped snapshots die with it — free their retained
     // checkpoints instead of leaking one per compaction generation
     if (cell != null) cell.releasePins()
@@ -596,4 +915,5 @@ object GraftFileSystem {
       try f finally tcSet.invoke(tcModule, tc)
     }
   }
+
 }

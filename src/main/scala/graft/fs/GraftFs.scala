@@ -42,6 +42,25 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame) {
     else (GraftFs(cat2, chunks.filter(!inSubtree(path))), true)
   }
 
+  /** CHUNK-plane-only rename for the mounted facade, whose catalog
+    * derives from its driver-resident inode cache (the cache moved the
+    * metadata already; only payload rows need the frame rewrite). The
+    * facade calls this ONLY when the renamed subtree actually has rows
+    * folded into the base plan — its pending-buffer rows move in pure
+    * memory — so the filter-rewrite ∪ passthrough's 2× tree growth is
+    * paid O(once) per session, not per committer rename. (Both cheap
+    * alternatives measured fatal at committer frequency, r11: this
+    * shape per rename doubles the tree — 2^16 nodes wedged analysis
+    * for minutes — and a when() projection is worse still: it
+    * references `path` 4×, and CollapseProject substitutes the whole
+    * previous CaseWhen into every reference — 4^16, OOM.)
+    */
+  private[fs] def renameChunksOnly(src: String, dst: String): GraftFs = {
+    val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
+    val moved = chunks.filter(inSubtree(src)).withColumn("path", newPath)
+    GraftFs(catalog, chunks.filter(!inSubtree(src)).unionByName(moved))
+  }
+
   /** D8 over a glob, cascading to the data plane: the removed path set
     * (catalog-before ∖ catalog-after — metadata-scale) anti-joins the
     * chunk table, so every matched file's payload rows vanish with its
@@ -62,7 +81,7 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame) {
     * every failed precondition — its Boolean is always true).
     */
   def rename(src: String, dst: String): (GraftFs, Boolean) = {
-    val (cat2, _) = catalog.rename(src, dst)
+    val (cat2, _) = catalog.rename(src, dst) // preconditions throw here
     val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
     // filter-rewrite ∪ passthrough, NOT a whole-table when() projection:
     // only subtree rows' payload bytes flow through the rewrite; the

@@ -117,6 +117,47 @@ object SourceQueries {
       Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
              |       COUNT(*) AS n,
              |       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
-             |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── full-parallelism committer write, as a correctness row: a stock
+    //    df.write.parquet at 2× the core count THROUGH the mounted
+    //    facade (every task create/rename/getFileStatus answered by the
+    //    driver-JVM inode cache, frame transitions lazy — the r11
+    //    action-free write path), then a stock spark.read.parquet over
+    //    the same graftfs:// URI answers the aggregate. The read-back
+    //    of never-folded data is also action-free (served from the
+    //    pending buffer), so neither side can core-starve — the claim
+    //    this row pins is exactly the one the r10 mount could not make:
+    //    outer parallelism ≥ cores, no repartition(1) escape hatch ─────
+    QueryDef(
+      "fs_mount_parallel",
+      (s, d) => {
+        val hconf = s.sparkContext.hadoopConfiguration
+        hconf.set("fs.graftfs.impl",
+          classOf[graft.fs.GraftFileSystem].getName)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI("graftfs://benchpar/"), hconf)
+        try {
+          val par = math.max(s.sparkContext.defaultParallelism * 2, 8)
+          graft.Tables.supplier(s, d)
+            .select(col("s_suppkey").cast("long").as("s_suppkey"),
+              col("s_nationkey").cast("long").as("s_nationkey"))
+            .repartition(par)
+            .write.mode("overwrite")
+            .parquet("graftfs://benchpar/supplier")
+          s.read.parquet("graftfs://benchpar/supplier")
+            .groupBy(col("s_nationkey"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("s_suppkey")).as("key_sum"))
+            .orderBy(col("s_nationkey"))
+            .localCheckpoint(true) // materialize before the mount closes
+        } finally {
+          fs.close() // evict from Hadoop's cache: each rep starts empty
+        }
+      },
+      Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+             |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

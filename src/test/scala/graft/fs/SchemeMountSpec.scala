@@ -86,15 +86,73 @@ class SchemeMountSpec extends AnyFlatSpec with Matchers {
     back.count() must be(20L)
     import org.apache.spark.sql.functions.sum
     back.agg(sum($"id")).head.getLong(0) must be(190L)
-    // overwrite-mode delete path: a second write replaces the dataset.
-    // repartition(1) is LOAD-BEARING, not cosmetic: without it this
-    // 5-element range writes with defaultParallelism(4) tasks — every
-    // local[4] core held by a write task — and the facade's nested
-    // engine jobs starve for a core (deadlock observed, thread-dump
-    // verified). The mount's documented local-mode constraint is outer
-    // parallelism strictly below the core count.
+    // overwrite-mode delete path: a second write replaces the dataset
     (0L until 5L).toDF("id").repartition(1).write.mode("overwrite")
       .parquet("graftfs://mountspec/out")
     spark.read.parquet("graftfs://mountspec/out").count() must be(5L)
+  }
+
+  it must "write at FULL outer parallelism (8 tasks on local[4]) without starving" in {
+    mountConf()
+    import spark.implicits._
+    // The r10 impossibility: 8 write tasks saturate local[4]'s slots,
+    // and any verb that needed a nested engine action (create's
+    // existence collect, the committer's mkdirs/rename/getFileStatus)
+    // could never schedule one — thread-dump-verified deadlock, spec
+    // pinned at repartition(1-2). The r11 fix makes the ENTIRE write
+    // path action-free: metadata answers from the facade's
+    // driver-JVM inode cache, frame transitions stay lazy, and due
+    // compactions defer to driver threads — so a stock committer job
+    // at 2× the core count must now complete. (Reads still fetch
+    // payload blocks via nested jobs; read-back below relies on
+    // Spark's small-file coalescing planning fewer scan tasks than
+    // cores — the documented remaining read-side caveat.)
+    val df = (0L until 64L).map(i => (i, s"tag_$i")).toDF("id", "tag")
+      .repartition(8)
+    df.write.mode("overwrite").parquet("graftfs://mountspec/wide")
+    val fs = FileSystem.get(new URI("graftfs://mountspec/"),
+      spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path("graftfs://mountspec/wide/_SUCCESS")) must be(true)
+    // all 8 task outputs committed (rename-per-task through the cache)
+    fs.listStatus(new Path("graftfs://mountspec/wide"))
+      .count(_.getPath.getName.startsWith("part-")) must be(8)
+    val back = spark.read.parquet("graftfs://mountspec/wide")
+    back.count() must be(64L)
+    import org.apache.spark.sql.functions.sum
+    back.agg(sum($"id")).head.getLong(0) must be(2016L)
+  }
+
+  it must "keep the metadata cache exactly in step with the catalog frames" in {
+    mountConf()
+    val fs = FileSystem.get(new URI("graftfs://mountspec/"),
+        spark.sparkContext.hadoopConfiguration)
+      .asInstanceOf[GraftFileSystem]
+    // a verb mix that exercises every cache transition: mkdirs chain,
+    // create (+parents), overwrite, rename of a subtree, recursive
+    // delete, childless-dir delete
+    fs.mkdirs(new Path("graftfs://mountspec/sync/a/b"))
+    val o1 = fs.create(new Path("graftfs://mountspec/sync/a/b/f1"))
+    o1.write("hello".getBytes("UTF-8")); o1.close()
+    val o2 = fs.create(new Path("graftfs://mountspec/sync/a/f2"))
+    o2.write("world!".getBytes("UTF-8")); o2.close()
+    fs.rename(new Path("graftfs://mountspec/sync/a"),
+      new Path("graftfs://mountspec/sync/z"))
+    fs.mkdirs(new Path("graftfs://mountspec/sync/empty"))
+    fs.delete(new Path("graftfs://mountspec/sync/empty"), false)
+    fs.delete(new Path("graftfs://mountspec/sync/z/b"), true)
+    // the dual representation must agree row for row — path set AND
+    // the full inode contents (length folds, parentPath rewrites)
+    val snap = fs.graftFs
+    try {
+      val fromFrames = snap.catalog.inodes.collect()
+        .map(n => n.path -> n).toMap
+      val cache = fs.metadataSnapshot
+      cache.keySet must be(fromFrames.keySet)
+      cache.foreach { case (p, n) =>
+        val f = fromFrames(p)
+        (n.parentPath, n.isDir, n.length) must be(
+          (f.parentPath, f.isDir, f.length))
+      }
+    } finally fs.releaseSnapshot(snap)
   }
 }
