@@ -86,8 +86,11 @@ class GraftFileSystem extends FileSystem {
     * starvation. Consistency is pinned by spec: after any verb mix,
     * the cache equals the collected catalog row for row. The catalog
     * frames stay authoritative for analytics (DSv2, shell, du/count)
-    * and for persistence; the cache is rebuilt from them at
-    * initialize.
+    * and for persistence; a mount starts empty (root only) at
+    * initialize and the cache is seeded the same way — the facade's
+    * lifecycle is mount-scoped, like the reference's in-memory client
+    * view (persistence across mounts is the CLI/FsCatalog.save
+    * surface, not the facade's).
     */
   private val inodeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Inode]()
@@ -115,7 +118,10 @@ class GraftFileSystem extends FileSystem {
     */
   private val pendingChunks = scala.collection.mutable.ArrayBuffer.empty[Row]
   private var pendingBytes = 0L
-  private val FoldBytes = 64L << 20
+  // conf-overridable (graft.mount.fold.bytes) so specs can force the
+  // fold machinery — base-plan reads, post-fold rename/delete/
+  // overwrite — at test-sized payloads; production default 64 MB
+  private var FoldBytes = 64L << 20
 
   /** Paths whose rows have been FOLDED into the base plan. A
     * structural op (overwrite, delete, rename) only spends a plan node
@@ -311,6 +317,8 @@ class GraftFileSystem extends FileSystem {
     blockSize = conf.getInt("graft.block.size", sparkBlock)
     require(subBlockSize > 0 && blockSize % subBlockSize == 0,
       "graft.block.size must be a positive multiple of graft.subblock.size")
+    FoldBytes = conf.getLong("graft.mount.fold.bytes", 64L << 20)
+    require(FoldBytes > 0, "graft.mount.fold.bytes must be positive")
     val s = spark
     import s.implicits._
     val root = FsCatalog.dirInode("/", ctx.cwd.split("/").last)

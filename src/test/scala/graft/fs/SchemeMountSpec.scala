@@ -122,6 +122,82 @@ class SchemeMountSpec extends AnyFlatSpec with Matchers {
     back.agg(sum($"id")).head.getLong(0) must be(2016L)
   }
 
+  it must "fold pending rows into the base plan and keep every verb correct after the fold" in {
+    // Production folds at 64 MB — far above spec-sized payloads, so
+    // without this override the fold machinery (base-plan reads,
+    // post-fold rename/delete/overwrite, mid-stream folds) would ship
+    // untested: small writes live and die in the pending buffer. Tiny
+    // geometry + a 1 KB fold threshold force every fold transition at
+    // test size. Keys are scoped to THIS mount: set, instantiate (a
+    // fresh authority bypasses Hadoop's cache), restore.
+    mountConf()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.subblock.size", 512)
+    hconf.setInt("graft.block.size", 1024)
+    hconf.setLong("graft.mount.fold.bytes", 1024)
+    val fs =
+      try FileSystem.get(new URI("graftfs://foldspec/"),
+        hconf).asInstanceOf[GraftFileSystem]
+      finally {
+        hconf.unset("graft.subblock.size")
+        hconf.unset("graft.block.size")
+        hconf.unset("graft.mount.fold.bytes")
+      }
+    val rnd = new scala.util.Random(11)
+    def payload(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    def writeFile(p: String, bytes: Array[Byte]): Unit = {
+      val out = fs.create(new Path(p))
+      out.write(bytes); out.close()
+    }
+    def readFile(p: String, n: Int): Array[Byte] = {
+      val in = fs.open(new Path(p))
+      val buf = new Array[Byte](n)
+      try { in.readFully(0L, buf); buf } finally in.close()
+    }
+    // 3 KB file = 6 subblocks over 3 blocks; the fold fires MID-STREAM
+    // (after every other 512-byte subblock), so this file's rows land
+    // in the base plan across several folds — reading it back merges
+    // base rows with any still-pending tail through the fold-at-read
+    // boundary in blockAt's engine path
+    val a = payload(3072)
+    writeFile("graftfs://foldspec/d/a.bin", a)
+    readFile("graftfs://foldspec/d/a.bin", 3072) must be(a)
+    // rename AFTER the fold: payload rows are in the base, so this is
+    // the renameChunksOnly frame rewrite + basePaths bookkeeping —
+    // bytes must follow the path
+    val b = payload(2048)
+    writeFile("graftfs://foldspec/d/b.bin", b)
+    fs.rename(new Path("graftfs://foldspec/d"),
+      new Path("graftfs://foldspec/moved")) must be(true)
+    readFile("graftfs://foldspec/moved/a.bin", 3072) must be(a)
+    readFile("graftfs://foldspec/moved/b.bin", 2048) must be(b)
+    intercept[java.io.FileNotFoundException] {
+      fs.getFileStatus(new Path("graftfs://foldspec/d/a.bin"))
+    }
+    // overwrite AFTER the fold: create(overwrite=true) must drop the
+    // folded payload via the base filter — the new (shorter) content
+    // comes back, never a stale-suffix splice
+    val a2 = payload(1536)
+    writeFile("graftfs://foldspec/moved/a.bin", a2)
+    readFile("graftfs://foldspec/moved/a.bin", 1536) must be(a2)
+    fs.getFileStatus(new Path("graftfs://foldspec/moved/a.bin"))
+      .getLen must be(1536L)
+    // delete AFTER the fold: folded rows leave the base; the sibling's
+    // payload is untouched
+    fs.delete(new Path("graftfs://foldspec/moved/b.bin"), false) must be(true)
+    fs.exists(new Path("graftfs://foldspec/moved/b.bin")) must be(false)
+    readFile("graftfs://foldspec/moved/a.bin", 1536) must be(a2)
+    // cache/frame agreement must survive the fold transitions too
+    val snap = fs.graftFs
+    try {
+      snap.catalog.inodes.collect().map(_.path).toSet must be(
+        fs.metadataSnapshot.keySet)
+    } finally fs.releaseSnapshot(snap)
+    fs.close()
+  }
+
   it must "keep the metadata cache exactly in step with the catalog frames" in {
     mountConf()
     val fs = FileSystem.get(new URI("graftfs://mountspec/"),
