@@ -60,11 +60,21 @@ object Bench {
     * guard silently disarming would be worse, so main() reports the
     * baseline count on the summary line (`baseline_n`); a zero there
     * is the loud signal that the comparison did not happen.
+    *
+    * The baseline's recorded `sf` must MATCH this run's: every local
+    * run (any SF) rewrites the detail file, and an sf0.01 smoke's mins
+    * compared against an sf0.1 run mass-flag ~4× "regressions" that
+    * are pure scale (observed r11: a smoke clobbered the record and
+    * the next full run emitted 1 regressed + 11 shifted, all false).
+    * A mismatch disarms the guard loudly (baseline_n = 0) rather than
+    * flag noise.
     */
-  def readBaselineMins(path: String): Map[String, Double] =
+  def readBaselineMins(path: String, sfDir: String): Map[String, Double] =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(new java.io.File(path))
+      val baseSf = root.path("sf").asText("")
+      if (baseSf.nonEmpty && baseSf != sfDir) return Map.empty
       val qs = root.path("queries")
       val it = qs.fieldNames()
       val b = Map.newBuilder[String, Double]
@@ -170,7 +180,7 @@ object Bench {
     // skipped; baseline_n on the summary line says how many compared.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "/root/repo/BENCH_DETAIL.json")
-    val baseline = readBaselineMins(baselinePath)
+    val baseline = readBaselineMins(baselinePath, sfDir)
     val crossFlagged: Map[String, String] = results.flatMap { case (n, ts) =>
       baseline.get(n).flatMap(b => crossRoundFlag(b, ts.min)).map(n -> _)
     }.toMap

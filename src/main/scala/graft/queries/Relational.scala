@@ -387,6 +387,24 @@ object Relational {
     //    so the emitted pair set is batch-predictable row for row and
     //    shares pipeline_decontaminate's EXACT oracle (same %10 split,
     //    same n/minShared). ─────────────────────────────────────────────
+    // ── Streaming SEMANTIC decontamination, EXECUTED (tenth streaming
+    //    channel): arriving embedding vectors stream through an exact
+    //    stream-static cosine screen against the held-out corpus slice
+    //    (%5 split) — only arrivals with no corpus neighbor at cosine
+    //    ≥ 0.45 pass. Stateless vs a static corpus → batch-identical
+    //    kept set; the oracle is the full NOT EXISTS all-pairs check. ──
+    QueryDef(
+      "stream_semantic_gate",
+      (s, d) =>
+        graft.streaming.EventsStream.semanticGateAvailableNow(s, d)
+          .orderBy(col("vec_id")),
+      Some("""SELECT a.vec_id, CAST(a.label AS INT) AS label
+             |FROM embeddings a
+             |WHERE a.vec_id % 5 = 0 AND NOT EXISTS (
+             |  SELECT 1 FROM embeddings c WHERE c.vec_id % 5 <> 0
+             |    AND list_cosine_similarity(a.embedding, c.embedding) >= 0.45)
+             |ORDER BY a.vec_id""".stripMargin)),
+
     QueryDef(
       "stream_decontaminate",
       (s, d) =>

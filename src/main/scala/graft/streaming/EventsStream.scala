@@ -513,6 +513,90 @@ object EventsStream {
                                 sfDir: String): DataFrame =
     statelessIngest(spark, sfDir).quality
 
+  /** embeddings-table file-stream schema (vec_id, Array[Float], label —
+    * matches TESTDATA.md / the parquet footer).
+    */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val semanticGates = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
+  /** Streaming SEMANTIC decontamination — the embedding-space twin of
+    * the shingle gate: arriving vectors stream through an exact
+    * stream-static cosine screen against the held-out corpus slice
+    * (vec_id < 400), and only arrivals with NO corpus neighbor at
+    * cosine ≥ τ pass — "drop anything semantically too close to the
+    * eval set at ingest", the SemDeDup decision applied at the door
+    * instead of in a later batch pass. Per micro-batch the ARRIVALS
+    * broadcast (a micro-batch is small by construction) and the corpus
+    * side never shuffles — one corpus scan per batch with the
+    * codegen'd graft_cosine kernel, the same plan family as
+    * Similarity.scoreAll, so the 100 TB story is the brute baseline's;
+    * the probed path swaps the scan for the persisted IVF index's
+    * bucket join (Similarity.ivfTopKIndexed) when approximate recall
+    * is acceptable — this channel keeps the EXACT screen because its
+    * oracle is exact. Stateless per-row vs a static corpus → the kept
+    * set is batch-identical whatever the micro-batch boundaries.
+    * Drained once per (applicationId, sfDir), the statelessIngest
+    * precedent.
+    */
+  def semanticGateAvailableNow(spark: SparkSession,
+                               sfDir: String): DataFrame =
+    semanticGates.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir), _ => {
+        graft.functions.GraftFunctions.register(spark)
+        val landing = stageLanding(s"$sfDir/embeddings.parquet")
+        val corpus = graft.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ev"))
+        val buffer =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        val outSchema = StructType(Seq(
+          StructField("vec_id", LongType), StructField("label", IntegerType)))
+        val ckpt = tempCheckpointDir()
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          var q: org.apache.spark.sql.streaming.StreamingQuery = null
+          try {
+            q = spark.readStream.schema(embeddingsSchema).parquet(landing)
+              .writeStream
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                val arrivals = batch.filter(col("vec_id") % 5 === 0)
+                // corpus scan side NEVER shuffles: hits = distinct
+                // arrival ids with any corpus neighbor ≥ τ, folded
+                // map-side before the tiny exchange
+                val hits = corpus
+                  .crossJoin(broadcast(arrivals
+                    .select(col("vec_id").as("q_id"),
+                      col("embedding").as("qv"))))
+                  .filter(expr("graft_cosine(qv, ev)") >= 0.45)
+                  .select(col("q_id").as("vec_id")).distinct()
+                buffer ++= arrivals
+                  .join(hits, Seq("vec_id"), "left_anti")
+                  .select(col("vec_id"), col("label"))
+                  .collect()
+                ()
+              }
+              .start()
+            q.awaitTermination()
+          } finally {
+            if (q != null && q.isActive) q.stop()
+          }
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          unloadStateStores()
+          deleteRecursively(ckpt)
+        }
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(buffer.asJava, outSchema)
+      })
+
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
     * for a training-data pipeline: emit each content hash's FIRST
     * arrival only. `dropDuplicatesWithinWatermark` bounds the dedup

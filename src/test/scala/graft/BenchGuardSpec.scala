@@ -117,19 +117,42 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     val f = java.io.File.createTempFile("bench_detail", ".json")
     f.deleteOnExit()
     java.nio.file.Files.write(f.toPath,
-      ("""{"metric":"total","value_min":3.0,"queries":{""" +
+      ("""{"metric":"total","value_min":3.0,"sf":"/data/sf0.1","queries":{""" +
         """"q_a":{"reps":[1.2,1.0],"first":1.2,"min":1.0},""" +
         """"q_b":{"min":0.5,"degrades":false},""" +
         """"q_junk":{"reps":[1.0]}}}""").getBytes("UTF-8"))
-    val m = Bench.readBaselineMins(f.getAbsolutePath)
+    val m = Bench.readBaselineMins(f.getAbsolutePath, "/data/sf0.1")
     m must be(Map("q_a" -> 1.0, "q_b" -> 0.5))
+    // a legacy record with no sf field still compares (trust the caller)
+    val g = java.io.File.createTempFile("bench_nosf", ".json")
+    g.deleteOnExit()
+    java.nio.file.Files.write(g.toPath,
+      """{"queries":{"q_a":{"min":1.0}}}""".getBytes("UTF-8"))
+    Bench.readBaselineMins(g.getAbsolutePath, "/data/sf0.1") must be(
+      Map("q_a" -> 1.0))
+  }
+
+  it must "disarm on a scale-factor mismatch instead of flagging noise" in {
+    // an sf0.01 smoke run rewrites the detail file; a later sf0.1 run
+    // comparing against those mins would mass-flag ~4x scale deltas as
+    // regressions (observed r11: 1 regressed + 11 shifted, all false).
+    // The guard must return empty — baseline_n 0 is the loud disarm.
+    val f = java.io.File.createTempFile("bench_sf_mismatch", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      ("""{"sf":"/data/sf0.01","queries":""" +
+        """{"q_a":{"min":0.3}}}""").getBytes("UTF-8"))
+    Bench.readBaselineMins(f.getAbsolutePath, "/data/sf0.1") must be(
+      Map.empty)
   }
 
   it must "return empty (never throw) on a missing or corrupt file" in {
-    Bench.readBaselineMins("/nonexistent/path.json") must be(Map.empty)
+    Bench.readBaselineMins("/nonexistent/path.json",
+      "/data/sf0.1") must be(Map.empty)
     val f = java.io.File.createTempFile("bench_corrupt", ".json")
     f.deleteOnExit()
     java.nio.file.Files.write(f.toPath, "not json{{{".getBytes("UTF-8"))
-    Bench.readBaselineMins(f.getAbsolutePath) must be(Map.empty)
+    Bench.readBaselineMins(f.getAbsolutePath,
+      "/data/sf0.1") must be(Map.empty)
   }
 }
