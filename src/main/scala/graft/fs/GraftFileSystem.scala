@@ -95,6 +95,27 @@ class GraftFileSystem extends FileSystem {
   private val inodeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Inode]()
 
+  /** Driver-memory posture of the cache — the NameNode trade, made
+    * LOUD like every other cap in this engine (LshGuard precedent): an
+    * inode row is a few hundred bytes (path + block metas), so 10 M
+    * files ≈ low-GB driver heap — metadata-scale, the same class of
+    * object a NameNode holds, and fine for the mount's job (stock
+    * committer-protocol writes + fresh-data reads). A workload growing
+    * past `graft.mount.max.inodes` (default 10 M) gets ONE stderr
+    * shout per mount naming the knob and the DSv2 connector as the
+    * analytics-scale alternative — never a silent OOM march.
+    */
+  private var maxInodes = 10_000_000L
+  private val inodeCapShouted = new java.util.concurrent.atomic.AtomicBoolean
+
+  private def noteInodeGrowth(): Unit =
+    if (inodeCache.size() > maxInodes &&
+        inodeCapShouted.compareAndSet(false, true))
+      System.err.println(
+        s"graftfs: mount at ${ctx.uri} exceeds graft.mount.max.inodes " +
+          s"($maxInodes) — driver-heap metadata growing unbounded; raise " +
+          "the cap or move analytics to the graft.sources DSv2 connector")
+
   private def cached(p: String): Option[Inode] = Option(inodeCache.get(p))
 
   /** Chunk rows written since the last fold, kept OUT of the plan.
@@ -319,6 +340,8 @@ class GraftFileSystem extends FileSystem {
       "graft.block.size must be a positive multiple of graft.subblock.size")
     FoldBytes = conf.getLong("graft.mount.fold.bytes", 64L << 20)
     require(FoldBytes > 0, "graft.mount.fold.bytes must be positive")
+    maxInodes = conf.getLong("graft.mount.max.inodes", 10_000_000L)
+    require(maxInodes > 0, "graft.mount.max.inodes must be positive")
     val s = spark
     import s.implicits._
     val root = FsCatalog.dirInode("/", ctx.cwd.split("/").last)
@@ -407,6 +430,7 @@ class GraftFileSystem extends FileSystem {
     val ok = levels.forall(l => cached(l).forall(_.isDir))
     levels.filter(l => cached(l).isEmpty)
       .foreach(l => inodeCache.put(l, FsCatalog.dirInode(l, "graft")))
+    noteInodeGrowth()
     ok
   }
 
@@ -438,6 +462,7 @@ class GraftFileSystem extends FileSystem {
     // store the empty inode NOW (CreateFileCommand.scala:79-83) and drop
     // any prior payload once — overwrite is settled before the first byte
     inodeCache.put(p, inodeFor(p, parent, 0L))
+    noteInodeGrowth()
     // overwrite drops prior payload: pending rows in memory; one base
     // filter ONLY if this path ever folded (basePaths)
     if (overwrite && prior.isDefined) {

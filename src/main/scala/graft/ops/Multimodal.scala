@@ -181,6 +181,113 @@ object Multimodal {
     }
   }
 
+  /** One per-window feature row of [[audioFeatures]] — every field an
+    * EXACT integer, so a SQL oracle reproduces the whole frame
+    * bit-for-bit from the synthetic fixture's sample formula (floats
+    * would make RMS order-dependent; sum-of-squares is RMS's exact
+    * sufficient statistic, and mean-abs/peak/ZCR are integers
+    * natively).
+    */
+  final case class AudioWindow(
+      path: String,
+      channel: Int,
+      window_id: Int,
+      n_samples: Int,
+      sum_sq: Long,
+      sum_abs: Long,
+      peak: Int,
+      zero_crossings: Int)
+
+  /** REAL audio feature extraction over PCM16 WAV payloads: the walk
+    * that [[decodeWav]] does for metadata, continued into the `data`
+    * chunk — per channel (samples interleave frame-wise) and per fixed
+    * window of `windowSamples`, exact-integer DSP: energy (Σv²), mean
+    * amplitude numerator (Σ|v|), peak |v|, and zero crossings ((v<0)
+    * xor (prev<0) between channel-consecutive samples; the pair
+    * spanning a window boundary is charged to the LATER window). These
+    * are the silence/clipping/activity gates an audio curation
+    * pipeline actually filters on, and the windowing is the framing a
+    * real feature chain (MFCC/fbank) starts from — the transform
+    * kernel would slot into this loop; the Spark-side shape would not
+    * change. mapPartitions is justified exactly like [[aHash]]'s: a
+    * byte-level container walk + a tight short loop is a codec kernel,
+    * not an expression; payloads never shuffle (features split at the
+    * scan), and per-row state is one accumulator row per open window
+    * per channel. Σv² ≤ 32768²·W — W ≤ 2^44 before Long risk; the
+    * require keeps callers far inside. Non-RIFF / non-PCM16 /
+    * truncated payloads emit no rows (the metadata twin [[audioMeta]]
+    * is where malformed inputs surface as zeroed rows).
+    */
+  def audioFeatures(binaries: DataFrame, windowSamples: Int = 256): DataFrame = {
+    require(windowSamples > 0 && windowSamples <= (1 << 20),
+      s"windowSamples must be in (0, 2^20], got $windowSamples")
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        audioFeatureRows(p, bytes, windowSamples)
+      })
+      .toDF()
+  }
+
+  private[graft] def audioFeatureRows(path: String, payload: Array[Byte],
+                                      w: Int): Seq[AudioWindow] = {
+    val meta = decodeWav(path, payload)
+    if (meta.format != "wav" || meta.bits_per_sample != 16 ||
+        meta.channels <= 0 || meta.n_samples == 0L) return Seq.empty
+    // re-walk to the data chunk's offset (decodeWav returns sizes only)
+    def le32(o: Int): Long =
+      (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+        ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    def tag(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var off = 12L
+    var dataOff = -1L; var dataLen = 0L
+    while (off + 8 <= payload.length && dataOff < 0) {
+      val id = tag(off.toInt); val len = le32(off.toInt + 4)
+      if (id == "data" && off + 8 + len <= payload.length) {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8L + len + (len & 1L)
+    }
+    if (dataOff < 0) return Seq.empty
+    val ch = meta.channels
+    val nTotal = (dataLen / 2L).toInt // interleaved 16-bit samples
+    // one open accumulator per channel; windows are channel-sequential,
+    // so each flushes exactly when its channel's next window opens
+    final class Acc(val c: Int, val wid: Int) {
+      var n = 0; var sq = 0L; var abs = 0L; var peak = 0; var zc = 0
+    }
+    val open = new Array[Acc](ch)
+    val prev = new Array[Int](ch)
+    val hasPrev = new Array[Boolean](ch)
+    val out = Seq.newBuilder[AudioWindow]
+    def flush(a: Acc): Unit =
+      out += AudioWindow(path, a.c, a.wid, a.n, a.sq, a.abs, a.peak, a.zc)
+    var i = 0
+    while (i < nTotal) {
+      val o = (dataOff + 2L * i).toInt
+      val v = ((payload(o) & 0xFF) | (payload(o + 1) << 8)).toShort.toInt
+      val c = i % ch
+      val wid = (i / ch) / w
+      var a = open(c)
+      if (a == null || a.wid != wid) {
+        if (a != null) flush(a)
+        a = new Acc(c, wid); open(c) = a
+      }
+      val av = math.abs(v)
+      a.n += 1; a.sq += v.toLong * v; a.abs += av
+      if (av > a.peak) a.peak = av
+      if (hasPrev(c) && ((v < 0) != (prev(c) < 0))) a.zc += 1
+      prev(c) = v; hasPrev(c) = true
+      i += 1
+    }
+    open.foreach(a => if (a != null) flush(a))
+    out.result()
+  }
+
   /** Batched partition-wise audio metadata — same mapInPandas shape as
     * [[decodeMeta]]: one pass, payloads never shuffle.
     */

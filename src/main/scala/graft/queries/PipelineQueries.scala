@@ -2072,6 +2072,55 @@ object PipelineQueries {
              |       CAST((n * 1000) // rate AS BIGINT) AS duration_ms
              |FROM p ORDER BY path""".stripMargin)),
 
+    // ── REAL audio DSP, value-checked to the last bit: synthesize PCM16
+    //    WAVs whose sample values follow a closed-form integer formula
+    //    (syntheticWav writes short((seed·31 + i) & 0xFFFF) at
+    //    interleaved index i), run the real container-walk + windowed
+    //    feature kernel (energy Σv², Σ|v|, peak, zero crossings — all
+    //    exact integers), and have DuckDB RE-DERIVE every sample from
+    //    the same formula and recompute every window aggregate. Mono
+    //    and stereo interleave both covered (channel = i % ch). ─────────
+    QueryDef(
+      "mm_audio_features",
+      (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            ("/audio/" + id, Multimodal.syntheticWav(
+              id, channels = 1 + (id % 2).toInt, sampleRate = 16000,
+              nSamples = 300 + id % 200))
+          })
+          .toDF("path", "data")
+        Multimodal.audioFeatures(payloads, windowSamples = 256)
+          .orderBy(col("path"), col("channel"), col("window_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 1 + doc_id % 2 AS ch, 300 + doc_id % 200 AS n
+             |  FROM documents WHERE doc_id < 40),
+             |s AS (
+             |  SELECT doc_id, i % ch AS channel, (i // ch) // 256 AS window_id,
+             |         i // ch AS j,
+             |         CASE WHEN ((doc_id * 31 + i) & 65535) >= 32768
+             |              THEN ((doc_id * 31 + i) & 65535) - 65536
+             |              ELSE (doc_id * 31 + i) & 65535 END AS v
+             |  FROM p, LATERAL (SELECT unnest(range(0, n * ch)) AS i) g),
+             |x AS (
+             |  SELECT doc_id, channel, window_id, v,
+             |         lag(v) OVER (PARTITION BY doc_id, channel ORDER BY j) AS pv
+             |  FROM s)
+             |SELECT '/audio/' || doc_id AS path,
+             |       CAST(channel AS INT) AS channel,
+             |       CAST(window_id AS INT) AS window_id,
+             |       CAST(COUNT(*) AS INT) AS n_samples,
+             |       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+             |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+             |       CAST(MAX(ABS(v)) AS INT) AS peak,
+             |       CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+             |                     THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+             |FROM x GROUP BY 1, 2, 3
+             |ORDER BY path, channel, window_id""".stripMargin)),
+
     // Real codec FULL loop: encode at doc-derived dims → decode →
     // nearest-neighbor rescale to a fixed 24×18 → re-encode PNG →
     // decode AGAIN. The oracle pins the invariant a real resize must

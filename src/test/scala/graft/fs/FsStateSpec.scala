@@ -157,4 +157,34 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     new String(DataPlane.cat(cell.get.chunks, "/u7").collect()(0)
       .getAs[Array[Byte]]("data")) must be("unpin-7")
   }
+
+  it must "defer compaction under allowCompact=false and run it opportunistically" in {
+    val cell = new FsState(emptyFs(), compactEvery = 3)
+    // the mounted facade's write path: mutations record but never
+    // compact inline (a verb thread must not run a Spark action)
+    (1 to 5).foreach { i =>
+      val fs = cell.get
+      cell.set(GraftFs(
+        fs.catalog.touchz(s"/d$i"),
+        fs.chunks.unionByName(oneFile(s"/d$i", s"defer-$i"))),
+        allowCompact = false)
+    }
+    // past the interval with no compaction: due, plan still deep
+    cell.compactionDue must be(true)
+    cell.get.chunks.queryExecution.analyzed.collectLeaves()
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) must be(0)
+    // the compactor thread's shape: snapshot-compact-swap succeeds when
+    // no mutation intervened, flattens the plan, resets the debt
+    cell.compactOpportunistic() must be(true)
+    cell.compactionDue must be(false)
+    cell.get.chunks.queryExecution.analyzed.collectLeaves()
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) must be(1)
+    // content identical through the swap
+    (1 to 5).foreach { i =>
+      new String(DataPlane.cat(cell.get.chunks, s"/d$i").collect()(0)
+        .getAs[Array[Byte]]("data")) must be(s"defer-$i")
+    }
+    // not due → no-op, no checkpoint spent
+    cell.compactOpportunistic() must be(false)
+  }
 }

@@ -1218,6 +1218,50 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     rows("/bad") must be("bin")
   }
 
+  behavior of "Multimodal.audioFeatures (windowed exact-integer DSP)"
+
+  it must "compute per-window energy, amplitude, peak and ZCR against a hand model" in {
+    // stereo: interleaved samples split channel = i % 2; a scalar model
+    // over the same formula checks every aggregate exactly
+    val wav = Multimodal.syntheticWav(5L, channels = 2, sampleRate = 8000,
+      nSamples = 700L) // 700 per channel → windows of 256,256,188
+    val rows = Multimodal.audioFeatureRows("/a", wav, w = 256)
+      .sortBy(r => (r.channel, r.window_id))
+    rows.map(r => (r.channel, r.window_id, r.n_samples)) must be(Seq(
+      (0, 0, 256), (0, 1, 256), (0, 2, 188),
+      (1, 0, 256), (1, 1, 256), (1, 2, 188)))
+    def sample(i: Long): Int = (((5L * 31 + i) & 0xFFFF).toShort).toInt
+    for (c <- 0 to 1; wid <- 0 to 2) {
+      val js = (0L until 700L).filter(j => j / 256 == wid)
+      val vs = js.map(j => sample(j * 2 + c))
+      val got = rows.find(r => r.channel == c && r.window_id == wid).get
+      got.sum_sq must be(vs.map(v => v.toLong * v).sum)
+      got.sum_abs must be(vs.map(v => math.abs(v).toLong).sum)
+      got.peak must be(vs.map(math.abs).max)
+      // ZCR pairs with the PREVIOUS channel sample — the pair spanning
+      // a window boundary charges to the LATER window
+      val zc = js.count(j => j > 0 &&
+        ((sample(j * 2 + c) < 0) != (sample((j - 1) * 2 + c) < 0)))
+      got.zero_crossings must be(zc)
+    }
+  }
+
+  it must "skip malformed and non-PCM16 payloads instead of failing" in {
+    Multimodal.audioFeatureRows("/x", "junk".getBytes, 256) must be(Seq.empty)
+    val adpcm = Multimodal.syntheticWav(1L, 1, 8000, 4L)
+    adpcm(34) = 4; adpcm(35) = 0 // 4-bit: not PCM16
+    Multimodal.audioFeatureRows("/y", adpcm, 256) must be(Seq.empty)
+    val truncated = Multimodal.syntheticWav(1L, 1, 8000, 100L).take(60)
+    Multimodal.audioFeatureRows("/z", truncated, 256) must be(Seq.empty)
+    // the distributed path flows past bad rows
+    val s = spark
+    import s.implicits._
+    Multimodal.audioFeatures(Seq(
+        ("/ok", Multimodal.syntheticWav(2L, 1, 8000, 10L)),
+        ("/bad", Array[Byte](9, 9, 9))).toDF("path", "data"), 256)
+      .collect().map(_.getString(0)).distinct must be(Array("/ok"))
+  }
+
   behavior of "TextAnalysis.termSearch (exact-integer retrieval)"
 
   it must "rank rare-term hits above frequent-term hits via the df weights" in {
