@@ -613,6 +613,47 @@ object PipelineQueries {
              |         AS n_partitions
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Z-order (Morton) layout key — multi-dimensional clustering for
+    // the write path: interleave a length bucket with a language code
+    // so a range-partitioned/partitionBy layout carries tight file
+    // envelopes in BOTH dimensions (single-column sort scatters the
+    // second). The key is pure unrolled integer arithmetic (codegen'd,
+    // no UDF); DuckDB recomputes all 16 interleave terms bit for bit.
+    // The layout's actual directory-pruning property (a predicate on
+    // EITHER dimension reads a strict subset of partitions via
+    // zCellsFor's curve decomposition) is pinned by spec with real
+    // scan metrics — a hash oracle can't see file layout.
+    QueryDef(
+      "pipeline_zorder_key",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("a", expr(
+            "least(CAST(n_chars DIV 64 AS INT), 255)"))
+          .withColumn("b", expr(
+            "CAST((ascii(substring(lang, 1, 1)) * 31 + " +
+              "ascii(substring(lang, 2, 1))) % 256 AS INT)"))
+          .select(col("doc_id"),
+            graft.ops.Curation.zOrderKey(col("a"), col("b"), bits = 8)
+              .as("zkey"))
+          .orderBy(col("doc_id")),
+      Some("""WITH k AS (
+             |  SELECT doc_id,
+             |         LEAST(CAST(n_chars // 64 AS INT), 255) AS a,
+             |         CAST((ascii(substring(lang, 1, 1)) * 31 +
+             |               ascii(substring(lang, 2, 1))) % 256 AS INT) AS b
+             |  FROM documents)
+             |SELECT doc_id, CAST(
+             |  (((a >> 0) & 1) << 0) + (((b >> 0) & 1) << 1) +
+             |  (((a >> 1) & 1) << 2) + (((b >> 1) & 1) << 3) +
+             |  (((a >> 2) & 1) << 4) + (((b >> 2) & 1) << 5) +
+             |  (((a >> 3) & 1) << 6) + (((b >> 3) & 1) << 7) +
+             |  (((a >> 4) & 1) << 8) + (((b >> 4) & 1) << 9) +
+             |  (((a >> 5) & 1) << 10) + (((b >> 5) & 1) << 11) +
+             |  (((a >> 6) & 1) << 12) + (((b >> 6) & 1) << 13) +
+             |  (((a >> 7) & 1) << 14) + (((b >> 7) & 1) << 15)
+             |  AS BIGINT) AS zkey
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
     // Vocabulary Zipf profile: distinct-term count per document
     // frequency — feeds min-df cutoffs and vocabulary sizing; all
     // integer counts, so the whole curve hash-checks.

@@ -2149,6 +2149,99 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "Curation.zOrderKey / zOrderLayout (multi-dimensional layout)"
+
+  it must "interleave exactly per the Morton model and reject out-of-range dims" in {
+    val s = spark
+    import s.implicits._
+    def model(a: Int, b: Int, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1).toLong << (2 * i)) |
+          (((b >> i) & 1).toLong << (2 * i + 1))
+      }
+    val grid = for (a <- 0 until 16; b <- 0 until 16) yield (a, b)
+    val got = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Curation.zOrderKey(col("a"), col("b"), bits = 4).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (a, b) => got((a, b)) must be(model(a, b, 4)) }
+    // the curve property that makes the layout work: z-contiguous
+    // buckets are small boxes — every TOP-bits bucket of the 4-bit
+    // curve holds exactly one 4x4 (a, b) cell
+    grid.groupBy { case (a, b) => model(a >> 2, b >> 2, 2) }
+      .foreach { case (_, cells) =>
+        cells.map(_._1).max - cells.map(_._1).min must be <= 3
+        cells.map(_._2).max - cells.map(_._2).min must be <= 3
+      }
+    // silent wrap would interleave garbage: out-of-range must raise
+    intercept[Exception] {
+      Seq((300, 1)).toDF("a", "b")
+        .select(Curation.zOrderKey(col("a"), col("b"), bits = 8)).collect()
+    }
+  }
+
+  it must "prune partition directories for predicates on EITHER dimension" in {
+    // The claim a hash oracle cannot see: after zOrderLayout +
+    // partitionBy(z_bucket), a range predicate on a alone AND one on b
+    // alone each read a strict subset of directories (4 of 16), with
+    // identical results to the unpruned filter. A single-column sort
+    // layout can only do this for its own column.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
+    try {
+      // independent uniform dims (coprime multiplier decorrelates)
+      val df = (0L until 4096L).map(i =>
+          (i, (i % 256).toInt, ((i * 131) % 256).toInt))
+        .toDF("id", "a", "b")
+      Curation.zOrderLayout(df, col("a"), col("b"), bits = 8,
+          bucketBits = 2)
+        .write.mode("overwrite") // createTempDirectory pre-creates it
+        .partitionBy("z_bucket").parquet(dir.toString)
+      val partDirs = {
+        val l = java.nio.file.Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.getFileName.toString)
+            .count(_.startsWith("z_bucket="))
+        } finally l.close()
+      }
+      partDirs must be(16)
+      val back = s.read.parquet(dir.toString)
+      def pruned(cells: Seq[Long], exact: org.apache.spark.sql.Column,
+                 expectDirs: Long, expectRows: Long): Unit = {
+        val q = back.filter(col("z_bucket").isin(cells: _*) && exact)
+        q.collect().length.toLong must be(expectRows)
+        val scan = scans(q.queryExecution.executedPlan).head
+        scan.metrics.get("numPartitions").map(_.value) must be(
+          Some(expectDirs))
+      }
+      // a-slab: a in [0, 63] → top-2 bits 0 → 4 of 16 cells
+      pruned(Curation.zCellsFor(0, 63, 0, 255), col("a") <= 63,
+        expectDirs = 4, expectRows = 4096L / 4)
+      // b-slab, symmetric: the second dimension prunes too
+      pruned(Curation.zCellsFor(0, 255, 192, 255), col("b") >= 192,
+        expectDirs = 4, expectRows = 4096L / 4)
+      // a 2-D box: one cell of the grid (rows: b is a bijection of a
+      // within each 256-block — 11 of the 64 a-values land in the
+      // b-slab, × 16 blocks)
+      pruned(Curation.zCellsFor(0, 63, 64, 127),
+        col("a") <= 63 && col("b").between(64, 127),
+        expectDirs = 1, expectRows = 176L)
+    } finally {
+      graft.PlanHygiene.deleteRecursively(dir)
+    }
+  }
+
   it must "file-prune non-probed buckets via dynamic partition pruning (the 100 TB layout claim)" in {
     // The persisted-index pruning story (PLANS.md r10) rested on a
     // manual plan read; this pins it as a regression-proof property:
