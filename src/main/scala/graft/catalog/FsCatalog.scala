@@ -383,6 +383,31 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       .sortWithinPartitions(col("path"))
       .write.mode("overwrite").parquet(dir)
 
+  /** Snapshot diff — which paths were added, deleted, or changed
+    * length between THIS catalog version and `next` (the incremental-
+    * pipeline primitive: "process only what changed since the last
+    * corpus snapshot", composing with save/load's persisted versions).
+    * ONE distributed full-outer join on path — metadata-scale, no
+    * payload moves — with lengths from the same nested HOF fold every
+    * status op uses ([[FsCatalog.inodeLen]]); unchanged paths drop
+    * out in-plan, so the output is change-set-sized, not
+    * catalog-sized. old_len/new_len are null on the absent side
+    * (added/deleted respectively).
+    */
+  def diff(next: FsCatalog): DataFrame = {
+    val a = inodes.select(col("path"),
+      FsCatalog.inodeLen.as("old_len"))
+    val b = next.inodes.select(col("path"),
+      FsCatalog.inodeLen.as("new_len"))
+    a.join(b, Seq("path"), "full_outer")
+      .withColumn("change",
+        when(col("old_len").isNull, "added")
+          .when(col("new_len").isNull, "deleted")
+          .when(col("old_len") =!= col("new_len"), "modified"))
+      .filter(col("change").isNotNull)
+      .select(col("path"), col("change"), col("old_len"), col("new_len"))
+  }
+
   // ── A4: append must throw (AppendFileCommand.scala:38-40 — the
   //    reference throws IOException, so callers catching IOException
   //    around append see the same type) ──────────────────────────────────

@@ -62,6 +62,64 @@ object CatalogQueries {
               |       'graft' AS "user", CAST(420 AS INTEGER) AS permission
               |FROM part WHERE p_brand = 'Brand#13' ORDER BY path""".stripMargin)),
 
+    // ── Snapshot diff — the incremental-pipeline primitive: one
+    //    full-outer path join between two catalog versions classifies
+    //    every added / deleted / modified path with old/new lengths
+    //    (unchanged paths drop in-plan, so output is change-set-sized).
+    //    The mutation mix covers all three classes through supported
+    //    verbs only: recursive delete, subtree rename (old paths
+    //    deleted + new paths added), and a B3 store upsert growing one
+    //    deterministic file. Null side-lengths coalesce to −1 for the
+    //    cross-engine compare. ─────────────────────────────────────────
+    QueryDef(
+      "fs_snapshot_diff",
+      (s, d) => {
+        val v1 = CatalogBuilder.fromPart(s, d)
+        val (v2a, _) = v1.delete("/pt/Brand#13", recursive = true)
+        val (v2b, _) = v2a.rename("/pt/Brand#23", "/pt/archived")
+        // deterministic modified row: the string-min Brand#21 file
+        // grows 100 bytes (one bounded driver fetch — fixture prep)
+        val modPath = v2b.inodes
+          .filter(col("parentPath") === "/pt/Brand#21")
+          .agg(min(col("path"))).head.getString(0)
+        val node = v2b.retrieve(modPath).get
+        val v2 = v2b.store(node.copy(blocks =
+          node.blocks.map(b => b.copy(length = b.length + 100L))))
+        v1.diff(v2)
+          .select(col("path"), col("change"),
+            coalesce(col("old_len"), lit(-1L)).as("old_len"),
+            coalesce(col("new_len"), lit(-1L)).as("new_len"))
+          .orderBy(col("path"))
+      },
+      Some("""WITH b13 AS (
+             |  SELECT '/pt/Brand#13/part_' || p_partkey AS path,
+             |         CAST(p_size AS BIGINT) AS len
+             |  FROM part WHERE p_brand = 'Brand#13'),
+             |b23 AS (
+             |  SELECT p_partkey, CAST(p_size AS BIGINT) AS len
+             |  FROM part WHERE p_brand = 'Brand#23'),
+             |m AS (
+             |  SELECT MIN('/pt/Brand#21/part_' || p_partkey) AS path
+             |  FROM part WHERE p_brand = 'Brand#21'),
+             |msz AS (
+             |  SELECT CAST(p_size AS BIGINT) AS len FROM part
+             |  WHERE '/pt/Brand#21/part_' || p_partkey = (SELECT path FROM m))
+             |SELECT path, 'deleted' AS change, len AS old_len,
+             |       CAST(-1 AS BIGINT) AS new_len FROM b13
+             |UNION ALL SELECT '/pt/Brand#13', 'deleted',
+             |       CAST(0 AS BIGINT), CAST(-1 AS BIGINT)
+             |UNION ALL SELECT '/pt/Brand#23/part_' || p_partkey, 'deleted',
+             |       len, CAST(-1 AS BIGINT) FROM b23
+             |UNION ALL SELECT '/pt/Brand#23', 'deleted',
+             |       CAST(0 AS BIGINT), CAST(-1 AS BIGINT)
+             |UNION ALL SELECT '/pt/archived/part_' || p_partkey, 'added',
+             |       CAST(-1 AS BIGINT), len FROM b23
+             |UNION ALL SELECT '/pt/archived', 'added',
+             |       CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+             |UNION ALL SELECT (SELECT path FROM m), 'modified',
+             |       (SELECT len FROM msz), (SELECT len FROM msz) + 100
+             |ORDER BY path""".stripMargin)),
+
     // ── D3: du — per-child subtree totals (nested-array HOF + groupBy) ──
     QueryDef(
       "fs_du",

@@ -465,6 +465,42 @@ object PipelineQueries {
     // the corpus's rare term (df ~25 at sf0.01 vs ~390), so idf
     // weighting visibly reorders the hits. Oracle: same integer
     // algebra, Π df recovered per term via exact integer division.
+    // Okapi BM25 — the standard lexical scorer next to the exact-
+    // integer tf·idf channel: same one-scan tf machinery, corpus
+    // constants folded as literals, per-doc sum through DECIMAL(28,12)
+    // then round(5) so the cross-engine float comparison is stable.
+    // Emits ALL matching docs (the bounded top-k plan is
+    // text_search_topk's claim); the oracle recomputes idf, the
+    // length-normalized tf part, and the decimal-summed score.
+    QueryDef(
+      "text_bm25",
+      (s, d) => TextAnalysis.bm25(Tables.documents(s, d),
+          Seq("dup", "vector", "join"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |         len(regexp_extract_all(lower(text), '\w+')) AS dl,
+             |         unnest(regexp_extract_all(lower(text), '\w+')) AS w
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, CAST(dl AS DOUBLE) AS dl, w,
+             |         CAST(COUNT(*) AS DOUBLE) AS tf
+             |  FROM tok WHERE w IN ('dup', 'vector', 'join')
+             |  GROUP BY 1, 2, 3),
+             |c AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |         AVG(CAST(len(regexp_extract_all(lower(text), '\w+'))
+             |             AS DOUBLE)) AS avgdl
+             |  FROM documents),
+             |d AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+             |SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             |       ROUND(CAST(SUM(CAST(
+             |         ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * (1.2 + 1)
+             |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl))
+             |         AS DECIMAL(28, 8))) AS DOUBLE), 5) AS bm25
+             |FROM tf CROSS JOIN c JOIN d ON d.w = tf.w
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)),
+
     QueryDef(
       "text_search_topk",
       (s, d) => TextAnalysis.termSearch(Tables.documents(s, d),

@@ -304,4 +304,28 @@ class FsCatalogSpec extends AnyFlatSpec with Matchers {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     rows must be(Map("/a/f1" -> 10L, "/a/sub" -> 30L))
   }
+
+  behavior of "diff (snapshot change set)"
+
+  it must "classify added, deleted and modified paths and drop the unchanged" in {
+    val v1 = tree
+    // identical versions diff to the empty change set
+    v1.diff(v1).count() must be(0L)
+    val (v2a, _) = v1.delete("/a/sub", recursive = true)
+    val v2b = v2a.touchz("/a/new")
+    val grown = v2b.retrieve("/a/f1").get
+    val v2 = v2b.store(grown.copy(blocks =
+      grown.blocks.map(b => b.copy(length = b.length + 7L))))
+    val got = v1.diff(v2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    got must be(Map(
+      "/a/sub" -> (("deleted", Some(0L), None)),
+      "/a/sub/f3" -> (("deleted", Some(30L), None)),
+      "/a/new" -> (("added", None, Some(0L))),
+      // fromEntries splits the 10B file into blocks; +7 on each of
+      // its blocks — the diff sees the total move 10 → 10 + 7·n
+      "/a/f1" -> (("modified", Some(10L),
+        Some(10L + 7L * grown.blocks.size)))))
+  }
 }

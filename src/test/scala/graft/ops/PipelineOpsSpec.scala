@@ -1290,6 +1290,32 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     TextAnalysis.termSearch(corpus, Seq("zzz"), k = 5).count() must be(0L)
   }
 
+  behavior of "TextAnalysis.bm25 (Okapi scoring semantics)"
+
+  it must "rank by idf dominance and length normalization" in {
+    val corpus = docsDf(Seq(
+      1L -> "rare alpha beta gamma delta epsilon zeta eta theta iota",
+      2L -> "common alpha", // short doc, one common hit
+      3L -> "common beta gamma delta epsilon zeta eta theta iota kappa",
+      4L -> "common common delta epsilon zeta eta theta iota kappa mu",
+      5L -> "filler words only nothing here matches anything at all now"))
+    val got = TextAnalysis.bm25(corpus, Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.keySet must be(Set(1L, 2L, 3L, 4L))
+    // idf dominance: the unique term's single hit outscores any
+    // common-term doc (df 1 of 5 vs 3 of 5)
+    got(1L) must be > got.filter(_._1 != 1L).values.max
+    // length normalization: the same single common hit scores higher
+    // in the 2-token doc than in the 10-token doc
+    got(2L) must be > got(3L)
+    // tf saturation: the double hit beats the single hit in equal-
+    // length docs, but by less than 2x (the k1 saturation contract)
+    got(4L) must be > got(3L)
+    got(4L) must be < got(3L) * 2
+    // absent query terms drop; all-absent queries return empty
+    TextAnalysis.bm25(corpus, Seq("zzz")).count() must be(0L)
+  }
+
   it must "agree with the single-query path for every query in a batch" in {
     val corpus = docsDf(Seq(
       1L -> "alpha alpha beta gamma",
