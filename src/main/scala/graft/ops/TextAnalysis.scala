@@ -605,6 +605,52 @@ object TextAnalysis {
         col("hit.score").cast("long").as("score_num"))
   }
 
+  /** BATCH BM25 — [[bm25]] for a QUERIES TABLE (query_id, terms
+    * array), the production fan-out shape next to [[termSearchMany]]:
+    * ONE corpus scan produces the (doc, term, dl) counts for the union
+    * of query vocabularies; per-term df and idf compute RELATIONALLY
+    * (the df table is vocabulary-sized and broadcasts, so the scoring
+    * probe never shuffles the corpus side); corpus constants (N,
+    * avgdl) fold as literals. The idf here evaluates in-plan via the
+    * codegen'd natural log — the same java.lang.Math.log the single-
+    * query path calls on the driver, so both paths score identically —
+    * and the per-(query, doc) sum routes through the same
+    * DECIMAL(28,8) quantization (see [[bm25]]'s scale rationale) so
+    * the cross-engine oracle compares stably. Emits ALL matching
+    * (query, doc) pairs; compose graft_topk for the bounded-heap
+    * ranking shape (text_search_batch pins that plan).
+    */
+  def bm25Many(docs: DataFrame, queries: DataFrame,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val qterms = queries.select(col("query_id"),
+      explode(col("terms")).as("w")).distinct()
+    val allTerms = qterms.select(col("w")).distinct()
+    val tf = docs
+      .select(col("doc_id"), size(tokens).cast("double").as("dl"),
+        explode(tokens).as("w"))
+      .join(allTerms, "w")
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true) // one corpus scan serves df AND scoring
+    val corpusStats = docs.agg(count(lit(1)).cast("double"),
+      avg(size(tokens).cast("double"))).head()
+    val n = corpusStats.getDouble(0)
+    val avgdl = corpusStats.getDouble(1)
+    val dfs = tf.groupBy(col("w"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1d) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(qterms, "w").join(broadcast(dfs), "w")
+      .withColumn("part",
+        idf * col("tf") * lit(k1 + 1d) /
+          (col("tf") + lit(k1) * (lit(1d - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("part").cast(org.apache.spark.sql.types
+          .DecimalType(28, 8))).cast("double"), 5).as("bm25"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the cheap cross-engine-stable dedup key (rolling-hash analog).
     */

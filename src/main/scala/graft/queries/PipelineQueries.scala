@@ -527,6 +527,48 @@ object PipelineQueries {
     // (a driver-built CASE per query cannot scale past a handful).
     // Oracle: identical algebra per query in DuckDB, ROW_NUMBER as the
     // rank twin of the heap's (score desc, doc_id) order.
+    // Batch BM25 — the fan-out twin of text_bm25: relational idf (the
+    // in-plan natural log against broadcast df), one corpus scan for
+    // the union vocabulary, same DECIMAL(28,8) summing discipline.
+    QueryDef(
+      "text_bm25_batch",
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq(
+          (1, Seq("dup", "vector")),
+          (2, Seq("join", "data")),
+          (3, Seq("dup", "join", "vector"))).toDF("query_id", "terms")
+        TextAnalysis.bm25Many(Tables.documents(s, d), qs)
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some("""WITH qs(query_id, w) AS (
+             |  VALUES (1,'dup'),(1,'vector'),(2,'join'),(2,'data'),
+             |         (3,'dup'),(3,'join'),(3,'vector')),
+             |tok AS (
+             |  SELECT doc_id,
+             |         len(regexp_extract_all(lower(text), '\w+')) AS dl,
+             |         unnest(regexp_extract_all(lower(text), '\w+')) AS w
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, CAST(dl AS DOUBLE) AS dl, w,
+             |         CAST(COUNT(*) AS DOUBLE) AS tf
+             |  FROM tok WHERE w IN (SELECT DISTINCT w FROM qs)
+             |  GROUP BY 1, 2, 3),
+             |c AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |         AVG(CAST(len(regexp_extract_all(lower(text), '\w+'))
+             |             AS DOUBLE)) AS avgdl
+             |  FROM documents),
+             |d AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+             |SELECT qs.query_id, tf.doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             |       ROUND(CAST(SUM(CAST(
+             |         ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * (1.2 + 1)
+             |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl))
+             |         AS DECIMAL(28, 8))) AS DOUBLE), 5) AS bm25
+             |FROM tf JOIN qs USING (w) CROSS JOIN c JOIN d ON d.w = tf.w
+             |GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin)),
+
     QueryDef(
       "text_search_batch",
       (s, d) => {

@@ -1316,6 +1316,30 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     TextAnalysis.bm25(corpus, Seq("zzz")).count() must be(0L)
   }
 
+  it must "score identically through the batch path for every query" in {
+    val corpus = docsDf(Seq(
+      1L -> "alpha alpha beta gamma common",
+      2L -> "beta beta beta delta common words here",
+      3L -> "alpha delta delta",
+      4L -> "gamma gamma beta alpha and some filler to change length"))
+    val s = spark
+    import s.implicits._
+    val qdefs = Seq(1 -> Seq("alpha", "beta"), 2 -> Seq("delta", "gamma"),
+      3 -> Seq("alpha", "beta", "delta"))
+    val batch = TextAnalysis.bm25Many(corpus, qdefs.toDF("query_id", "terms"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq)
+      .toMap
+    qdefs.foreach { case (qid, terms) =>
+      val single = TextAnalysis.bm25(corpus, terms).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      batch(qid) must be(single)
+    }
+  }
+
   it must "agree with the single-query path for every query in a batch" in {
     val corpus = docsDf(Seq(
       1L -> "alpha alpha beta gamma",
