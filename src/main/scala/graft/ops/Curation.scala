@@ -377,6 +377,51 @@ object Curation {
       .drop("_cum")
   }
 
+  /** Cross-split near-dup leakage — the measurement half of
+    * leakage-aware splitting: given near-dup `pairs` (id_a, id_b) and
+    * a per-doc `splits` frame (doc_id, split), every pair whose two
+    * sides landed in DIFFERENT splits is train/eval contamination —
+    * the classic bug where a test document's near-duplicate sits in
+    * the training set and the eval number is fiction. Two broadcast-
+    * able joins against the pair sliver (pairs are near-dup-scale,
+    * not corpus-scale); output is leakage-sized.
+    */
+  def crossSplitPairs(pairs: DataFrame, splits: DataFrame): DataFrame =
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+
+  /** Leakage-free splits — the FIX: assign whole near-dup components
+    * to one split by drawing the uniform from the component
+    * REPRESENTATIVE's id instead of the document's own (components
+    * close transitively via Dedup.components' pointer-jumping;
+    * unpaired docs represent themselves, so their assignment is
+    * byte-identical to [[assignSplits]] at the same seed/fracs). By
+    * construction no near-dup pair can cross a split boundary —
+    * [[crossSplitPairs]] over the result is empty, the property the
+    * spec pins. The component pass touches only PAIRED ids (the
+    * near-dup sliver), never the corpus.
+    */
+  def groupedSplits(docs: DataFrame, pairs: DataFrame, trainFrac: Double,
+                    valFrac: Double, seed: Long = 42L): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      "need trainFrac > 0, valFrac >= 0, trainFrac + valFrac < 1")
+    val comp = graft.ops.Dedup.components(pairs)
+      .select(col("doc_id"), col("component"))
+    val withRep = docs.join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
+      .drop("component")
+    val u = uniformHash(col("rep_id"), seed ^ SplitSeedSalt)
+    withRep.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+
   /** Z-order (Morton) interleave of two bounded dimension keys — the
     * multi-dimensional LAYOUT clustering a 100 TB table needs when
     * queries filter on two independent columns. A single-column sort

@@ -1819,6 +1819,102 @@ object PipelineQueries {
              |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
              |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
 
+    // Cross-split near-dup leakage — the eval-contamination measure: a
+    // naive per-doc split (pipeline_split's exact assignment) crossed
+    // with the exact n-gram Jaccard pairs (dedup_ngram_jaccard's exact
+    // pair set); every emitted pair is a test/val doc whose near-dup
+    // sits in another split. Oracle recomputes both sides in SQL.
+    QueryDef(
+      "pipeline_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.ngramJaccardPairs(docs, shingleN = 3,
+            threshold = 0.35)
+          .select(col("id_a"), col("id_b"))
+        val splits = Curation.assignSplits(docs.select(col("doc_id")),
+          trainFrac = 0.8, valFrac = 0.1)
+        Curation.crossSplitPairs(pairs, splits)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id,
+              |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              |                        for i in range(1, len(t)-1)]) AS s
+              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+              |        FROM documents)),
+              |p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+              |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              |        >= 0.35),
+              |sp AS (
+              |  SELECT doc_id,
+              |         CASE WHEN $splitUSql < 0.8 THEN 'train'
+              |              WHEN $splitUSql < 0.9 THEN 'val'
+              |              ELSE 'test' END AS split
+              |  FROM documents)
+              |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+              |FROM p JOIN sp sa ON sa.doc_id = p.id_a
+              |       JOIN sp sb ON sb.doc_id = p.id_b
+              |WHERE sa.split <> sb.split
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // The FIX for the leakage above: whole near-dup components draw
+    // their split from the component representative's id, so no pair
+    // can cross a boundary (crossSplitPairs over this assignment is
+    // empty — spec-pinned); unpaired docs assign byte-identically to
+    // pipeline_split. Oracle: recursive-CTE transitive closure over
+    // the same exact pair set, then the Lehmer draw on the rep.
+    QueryDef(
+      "pipeline_split_grouped",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.ngramJaccardPairs(docs, shingleN = 3,
+            threshold = 0.35)
+          .select(col("id_a"), col("id_b"))
+        Curation.groupedSplits(docs.select(col("doc_id")), pairs,
+            trainFrac = 0.8, valFrac = 0.1)
+          .select(col("doc_id"), col("rep_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             |        >= 0.35),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+             |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+             |rep AS (
+             |  SELECT d.doc_id,
+             |         COALESCE(comp.component, d.doc_id) AS rep_id
+             |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+             |u AS (
+             |  SELECT doc_id, rep_id,
+             |         CAST((xor(((rep_id + 1936747587) % 2147483647),
+             |                   ((rep_id + 1936747587) % 2147483647) >> 15)
+             |               * 2654435761) % 2147483647 AS DOUBLE)
+             |           / 2147483647 AS uu
+             |  FROM rep)
+             |SELECT doc_id, rep_id,
+             |       CASE WHEN uu < 0.8 THEN 'train'
+             |            WHEN uu < 0.9 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM u ORDER BY doc_id""".stripMargin)),
+
     // Content-defined chunking, cross-doc shared-chunk report: chunk
     // boundaries wherever the 4-token window's md5 lands in 1/16 of
     // its range (content-defined, so shared runs realign after any

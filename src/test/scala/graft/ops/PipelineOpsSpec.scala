@@ -461,6 +461,43 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     x must be(y)
   }
 
+  it must "eliminate cross-split leakage by splitting on component representatives" in {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a chain 1-2-3 (transitive), a pair 10-11, and pairs the fixed
+    // seed's draws demonstrably split (1→train, 4→val, 13→test under
+    // seed 42 ^ SplitSeedSalt — computed from the Lehmer stream)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (4L, 13L))
+      .toDF("id_a", "id_b")
+    // the naive per-doc split leaks: 4 and 13 land in different splits
+    val naive = Curation.assignSplits(docs, 0.8, 0.1)
+      .select(col("doc_id"), col("split"))
+    Curation.crossSplitPairs(pairs, naive).count() must be >= 1L
+    // the grouped split is leakage-free BY CONSTRUCTION
+    val grouped = Curation.groupedSplits(docs, pairs, 0.8, 0.1)
+    Curation.crossSplitPairs(pairs,
+      grouped.select(col("doc_id"), col("split"))).count() must be(0L)
+    // every component shares its representative's split
+    val byId = grouped.select(col("doc_id"), col("rep_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    byId(1L)._1 must be(1L); byId(2L)._1 must be(1L); byId(3L)._1 must be(1L)
+    byId(2L)._2 must be(byId(1L)._2); byId(3L)._2 must be(byId(1L)._2)
+    byId(11L)._2 must be(byId(10L)._2)
+    byId(13L)._2 must be(byId(4L)._2)
+    // unpaired docs assign byte-identically to the naive split
+    val naiveMap = naive.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairedIds = Set(1L, 2L, 3L, 10L, 11L, 4L, 13L)
+    byId.foreach { case (id, (rep, split)) =>
+      if (!pairedIds.contains(id)) {
+        rep must be(id)
+        split must be(naiveMap(id))
+      }
+    }
+  }
+
   it must "decorrelate composed sample-then-split at the same user seed" in {
     val s = spark
     import s.implicits._
