@@ -104,10 +104,9 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     * action), and the mounted facade's task-side write path must never
     * run an action while every local core is held by write tasks — the
     * core-starvation deadlock (PLANS.md r10). Deferred compactions run
-    * at the next allow-compact set, or when the facade explicitly
-    * calls [[compactIfDue]] from a driver thread. Plan depth in the
-    * deferral window is bounded by the write job itself (one union per
-    * subblock + one store per block), not unbounded.
+    * on the facade's compactor thread via [[prepareCompaction]] /
+    * [[trySwap]]. Plan depth in the deferral window is bounded by the
+    * fold cadence (one union per FoldBytes), not unbounded.
     */
   def set(next: GraftFs, allowCompact: Boolean): Unit = synchronized {
     current = next
@@ -115,37 +114,45 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     if (allowCompact && sinceCompact >= interval) compactNow()
   }
 
-  /** Run a deferred compaction if one is due (driver threads only —
-    * see the `allowCompact` contract).
+  /** Phase 1 of opportunistic compaction: snapshot under the monitor
+    * (instant), checkpoint OUTSIDE it so mutators proceed freely while
+    * the Spark action runs. Returns (snapshot, compacted) for
+    * [[trySwap]], or None when no compaction is due. Why neither
+    * simpler shape works under a stock committer job: (a) inline
+    * compaction inside a verb runs a Spark action on whatever thread
+    * called the verb, and the committer calls verbs from AQE
+    * stage-execution threads, where a nested action wedges the stage's
+    * own event loop (observed r11, spec JVM hung); (b) a synchronized
+    * background compaction holds this monitor for the action's
+    * duration, so write tasks block on setState while holding every
+    * local core and the checkpoint job starves.
     */
-  def compactIfDue(): Unit = synchronized {
-    if (sinceCompact >= interval) compactNow()
-  }
-
-  /** Opportunistic compaction that NEVER blocks mutators while the
-    * checkpoint action runs — the only compaction shape the mounted
-    * facade may use. Why both other shapes deadlock under a stock
-    * committer job: (a) inline compaction inside a verb runs a Spark
-    * action on whatever thread called the verb, and the committer
-    * calls verbs from AQE stage-execution threads
-    * (`ResultQueryStageExecution`), where a nested action wedges the
-    * stage's own event loop (observed: abortJob → delete → compact →
-    * localCheckpoint, spec JVM hung); (b) a synchronized background
-    * compaction holds this monitor for the action's duration, so
-    * write TASKS block on setState while holding every local core and
-    * the checkpoint job starves. So: snapshot under the monitor
-    * (instant), checkpoint OUTSIDE it (mutators proceed freely), then
-    * swap ONLY if no mutation intervened — otherwise release the
-    * stale checkpoint and report false (the caller's loop retries
-    * after the burst; under sustained writes the plan simply grows
-    * until the first quiet moment, bounded by the job's own length).
-    */
-  def compactOpportunistic(): Boolean = {
+  def prepareCompaction(): Option[(GraftFs, GraftFs)] = {
     val snapshot = synchronized {
-      if (sinceCompact < interval) return false
+      if (sinceCompact < interval) return None
       current
     }
-    val compacted = snapshot.compact() // Spark action — NO lock held
+    Some((snapshot, snapshot.compact())) // Spark action — NO lock held
+  }
+
+  /** Phase 2: install `compacted` ONLY if no mutation intervened since
+    * the snapshot; otherwise release the stale checkpoint and report
+    * false (the compactor's loop retries after the burst — under
+    * sustained writes the plan simply grows until the first quiet
+    * moment, bounded by the fold cadence).
+    *
+    * CALLER CONTRACT: hold the same lock that serializes your verbs'
+    * read-modify-write transitions while calling this. The `current eq
+    * snapshot` check alone cannot see a verb that has READ the
+    * snapshot but not yet SET its successor — a swap in that window
+    * would retire (and sweep) the checkpoint generation the verb's
+    * about-to-install plan is still rooted in, and the verb's set
+    * would then discard the compaction and resurrect a plan whose
+    * backing blocks were just freed. The facade calls this under its
+    * mutation lock; [[compactOpportunistic]] composes both phases for
+    * single-mutator callers (specs).
+    */
+  def trySwap(snapshot: GraftFs, compacted: GraftFs): Boolean =
     synchronized {
       if (current eq snapshot) {
         lastCheckpointed.foreach(prev => retired ::= prev)
@@ -156,12 +163,28 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
         sweepRetired()
         true
       } else {
-        PlanHygiene.releaseCheckpoint(compacted.catalog.inodes)
-        PlanHygiene.releaseCheckpoint(compacted.chunks)
+        releasePrepared(compacted)
         false
       }
     }
+
+  /** Free a prepared-but-never-installed compaction (trySwap threw or
+    * was never reached — e.g. the caller's lock timed out).
+    */
+  def releasePrepared(compacted: GraftFs): Unit = {
+    PlanHygiene.releaseCheckpoint(compacted.catalog.inodes)
+    PlanHygiene.releaseCheckpoint(compacted.chunks)
   }
+
+  /** Both phases composed — valid ONLY for single-mutator callers
+    * (specs, single-threaded tools) where no verb can be mid-
+    * read-modify-write during the swap; see [[trySwap]]'s contract.
+    */
+  def compactOpportunistic(): Boolean =
+    prepareCompaction() match {
+      case None => false
+      case Some((snapshot, compacted)) => trySwap(snapshot, compacted)
+    }
 
   /** True when enough mutations accumulated that a compaction is due
     * (the facade's compactor thread polls this before paying the

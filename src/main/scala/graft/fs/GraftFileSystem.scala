@@ -62,8 +62,22 @@ class GraftFileSystem extends FileSystem {
       try {
         while (!Thread.currentThread().isInterrupted) {
           if (cell.compactionDue) {
-            try cell.compactOpportunistic()
-            catch { case scala.util.control.NonFatal(_) => () }
+            // two-phase: the checkpoint action runs lock-free, but the
+            // SWAP takes mutLock — FsState's `current eq snapshot`
+            // check alone cannot see a verb between its state read and
+            // its setState, and swapping in that window would sweep
+            // the checkpoint generation the verb's successor plan is
+            // rooted in (trySwap scaladoc). Verb lock holds are pure
+            // memory now, so the compactor waits microseconds.
+            try {
+              cell.prepareCompaction().foreach { case (snap, compacted) =>
+                try { withMutLock(cell.trySwap(snap, compacted)); () }
+                catch {
+                  case scala.util.control.NonFatal(_) =>
+                    cell.releasePrepared(compacted)
+                }
+              }
+            } catch { case scala.util.control.NonFatal(_) => () }
           }
           Thread.sleep(250)
         }
@@ -398,14 +412,21 @@ class GraftFileSystem extends FileSystem {
   // ── A6: getFileStatus (FileStatusCommand; spec message verbatim) ──────
   //    Answered from the metadata cache — ACTION-FREE, callable from
   //    any task thread without a nested job (the committer calls this
-  //    constantly during task commit).
-  override def getFileStatus(path: Path): FileStatus =
+  //    constantly during task commit). Reads take mutLock too: rename/
+  //    recursive-delete rewrite the cache entry by entry, and a
+  //    lock-free reader could catch a mid-rename state where a live
+  //    file exists at NEITHER path (spurious FileNotFound under the
+  //    committer's concurrent task commits). Every lock hold is pure
+  //    memory, so readers wait microseconds.
+  override def getFileStatus(path: Path): FileStatus = withMutLock {
     cached(abs(path))
       .map(statusRow)
       .getOrElse(throw new FileNotFoundException("No such file exists"))
+  }
 
-  // ── A9: listStatus — dir lists children, file lists itself (cache) ────
-  override def listStatus(path: Path): Array[FileStatus] = {
+  // ── A9: listStatus — dir lists children, file lists itself (cache;
+  //    locked against mid-rename partial states, see getFileStatus) ─────
+  override def listStatus(path: Path): Array[FileStatus] = withMutLock {
     val p = abs(path)
     val node = cached(p)
       .getOrElse(throw new FileNotFoundException("No such file exists"))
@@ -423,14 +444,23 @@ class GraftFileSystem extends FileSystem {
     * frame derives from the cache, so there is no frame half to build
     * here — FsCatalog.mkdirsWith documents the shared semantics:
     * exists-as-file → false without overwrite, missing → create, no
-    * short-circuit). Caller holds [[mutLock]].
+    * short-circuit). `createOnFailure = true` is the A5 verb's
+    * reference semantics (missing levels are created even when the
+    * fold answers false — MakeDirectoryCommand.scala:74); create()
+    * passes false so a FAILED create leaves no trace in the cache
+    * (the replaced frame-based code discarded its partial catalog on
+    * throw; a cache that kept the phantom dirs would corrupt state on
+    * a reported failure). Caller holds [[mutLock]].
     */
-  private def cachedMkdirs(p: String): Boolean = {
+  private def cachedMkdirs(p: String,
+                           createOnFailure: Boolean = true): Boolean = {
     val levels = PathOps.ancestors(p)
     val ok = levels.forall(l => cached(l).forall(_.isDir))
-    levels.filter(l => cached(l).isEmpty)
-      .foreach(l => inodeCache.put(l, FsCatalog.dirInode(l, "graft")))
-    noteInodeGrowth()
+    if (ok || createOnFailure) {
+      levels.filter(l => cached(l).isEmpty)
+        .foreach(l => inodeCache.put(l, FsCatalog.dirInode(l, "graft")))
+      noteInodeGrowth()
+    }
     ok
   }
 
@@ -457,7 +487,7 @@ class GraftFileSystem extends FileSystem {
     // and honor its verdict: a file on the ancestor chain means the
     // parent cannot be a directory (Hadoop throws here too)
     val parent = PathOps.parent(p)
-    if (parent != null && !cachedMkdirs(parent))
+    if (parent != null && !cachedMkdirs(parent, createOnFailure = false))
       throw new IOException(s"Parent path is not a directory: $parent")
     // store the empty inode NOW (CreateFileCommand.scala:79-83) and drop
     // any prior payload once — overwrite is settled before the first byte
@@ -611,11 +641,12 @@ class GraftFileSystem extends FileSystem {
   //    (FileSystemInputStream loads one BlockInputStream at a time,
   //    :60-76), so a file larger than driver heap still reads. ─────────
   override def open(path: Path, bufferSize: Int): FSDataInputStream = {
-    // metadata from the cache (action-free); only the PAYLOAD fetches
+    // metadata from the cache (action-free, locked against mid-rename
+    // partial states — see getFileStatus); only the PAYLOAD fetches
     // inside BlockCachedStream still run engine actions — the mount's
     // remaining local-mode read caveat (see the class scaladoc)
     val p = abs(path)
-    val node = cached(p)
+    val node = withMutLock(cached(p))
       .getOrElse(throw new IOException("No such file."))
     if (node.isDir) throw new IOException(s"Path $path is a directory.")
     new FSDataInputStream(new BlockCachedStream(p, node.length))
@@ -873,7 +904,7 @@ class GraftFileSystem extends FileSystem {
     // action-free for scheduler calls that arrive inside tasks. The
     // distributed twin stays oracle-green (fs_block_locations,
     // fs_dsv2_scan).
-    cached(p).toArray.flatMap(n => Option(n.blocks).getOrElse(Seq.empty)
+    withMutLock(cached(p)).toArray.flatMap(n => Option(n.blocks).getOrElse(Seq.empty)
       .filter(b => b.offset + b.length >= start)
       .map { b =>
         val owner = b.id.charAt(0).toInt % 3

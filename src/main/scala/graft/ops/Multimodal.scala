@@ -617,8 +617,11 @@ object Multimodal {
     * embedding Array[Float]) drops straight into the Similarity ops:
     * multimodal payloads join the ANN/near-dup machinery with no
     * friction. Exactness bound: products reach 255·P² (P = w·h), so
-    * the kernel require()s P ≤ 150e6 pixels (Long wraps at ~1.9e8) —
-    * a loud failure on absurd decodes, never silent garbage.
+    * Long arithmetic is exact to ~1.9e8 px; above 150e6 px the
+    * centering switches to exact BigInt (the [[aHash]] pattern —
+    * real corpora carry 100–200 MP photos, and one big image must
+    * embed correctly, not fail the whole corpus job; the BigInt cost
+    * is negligible next to the decode).
     * Non-decodable payloads are dropped (no pixel statistics to
     * embed); [[decodeMeta]] + its stub fallback is the total-function
     * metadata path for mixed corpora.
@@ -636,9 +639,6 @@ object Multimodal {
         else {
           val w = img.getWidth; val h = img.getHeight
           val totalPx = w.toLong * h
-          require(totalPx <= 150000000L,
-            s"featureExtract: $p decodes to $totalPx px — exact integer " +
-              "centering wraps Long above 150e6 px; downsample first")
           val sums = Array.ofDim[Long](cells * 3)
           val cnt = Array.ofDim[Long](cells)
           val chTot = Array.ofDim[Long](3)
@@ -658,12 +658,19 @@ object Multimodal {
             y += 1
           }
           val emb = Array.ofDim[Float](cells * 3)
+          // Long cross-products are exact below 150e6 px (255·P² under
+          // 2^63); huge decodes switch to BigInt, same values
+          val exactLong = totalPx <= 150000000L
           var c = 0
           while (c < cells) {
             var ch = 0
             while (ch < 3) {
               emb(c * 3 + ch) =
-                (sums(c * 3 + ch) * totalPx - chTot(ch) * cnt(c)).toFloat
+                if (exactLong)
+                  (sums(c * 3 + ch) * totalPx - chTot(ch) * cnt(c)).toFloat
+                else
+                  (BigInt(sums(c * 3 + ch)) * totalPx -
+                    BigInt(chTot(ch)) * cnt(c)).toFloat
               ch += 1
             }
             c += 1

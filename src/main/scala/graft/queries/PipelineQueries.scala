@@ -467,7 +467,7 @@ object PipelineQueries {
     // algebra, Π df recovered per term via exact integer division.
     // Okapi BM25 — the standard lexical scorer next to the exact-
     // integer tf·idf channel: same one-scan tf machinery, corpus
-    // constants folded as literals, per-doc sum through DECIMAL(28,12)
+    // constants folded as literals, per-doc sum through DECIMAL(28,8)
     // then round(5) so the cross-engine float comparison is stable.
     // Emits ALL matching docs (the bounded top-k plan is
     // text_search_topk's claim); the oracle recomputes idf, the

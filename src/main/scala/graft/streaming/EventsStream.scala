@@ -254,8 +254,19 @@ object EventsStream {
       // closes it outright, and costs one extra read of files this
       // path copies byte-for-byte anyway.
       val fp = toStage.map { p =>
+        // streamed CRC: readAllBytes would allocate the whole file on
+        // the heap per fingerprint check (and hard-fails at 2 GB) —
+        // a fixed 64 KB buffer computes the identical value
         val crc = new java.util.zip.CRC32C()
-        crc.update(Files.readAllBytes(p))
+        val in = Files.newInputStream(p)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) crc.update(buf, 0, n)
+            n = in.read(buf)
+          }
+        } finally in.close()
         p.getFileName.toString -> (Files.size(p), crc.getValue)
       }.toMap
       if (prev != null && prev.fingerprint == fp) prev
@@ -666,13 +677,25 @@ object EventsStream {
     // materialized result, so later calls read it instead of paying a
     // byte-identical re-drain
     unseenDrains.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir), _ =>
-        runAvailableNow(spark, sfDir, "graft_stream_unseen") { ev =>
-          unseenOnly(
-            ev.filter(col("event_id") % 10 === 0),
-            graft.Tables.events(spark, sfDir)
-              .filter(col("event_id") % 10 =!= 0))
-        })
+      (spark.sparkContext.applicationId, sfDir), _ => {
+        val drained = runAvailableNow(spark, sfDir, "graft_stream_unseen") {
+          ev =>
+            unseenOnly(
+              ev.filter(col("event_id") % 10 === 0),
+              graft.Tables.events(spark, sfDir)
+                .filter(col("event_id") % 10 =!= 0))
+        }
+        // detach from the shared memory-sink NAME before caching: the
+        // drain returns a lazy by-name binding to the temp view, and a
+        // later drain for a DIFFERENT sfDir in this app re-registers
+        // the same queryName — the cached frame would then silently
+        // serve the other sfDir's rows. Memory-sink rows are already
+        // driver-resident, so the statelessIngest buffer pattern costs
+        // nothing extra.
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(drained.collect().toSeq.asJava,
+          drained.schema)
+      })
 
   final case class SessionUpdate(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,

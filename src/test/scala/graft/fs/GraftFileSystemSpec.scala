@@ -83,6 +83,26 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
     fs.mkdirs(new Path("/home/Downloads/someTest")) must be(false)
   }
 
+  it must "leave no phantom directories when create fails on a file ancestor" in {
+    val fs = newFs()
+    val out = fs.create(new Path("/blocker"))
+    out.write("x".getBytes); out.close()
+    // /blocker is a FILE: creating under it must throw AND must not
+    // persist the would-be intermediate dirs in the metadata cache —
+    // a failed create that left /blocker/mid behind would corrupt
+    // state on a reported failure (r11 review finding)
+    intercept[java.io.IOException] {
+      fs.create(new Path("/blocker/mid/leaf"))
+    }
+    fs.exists(new Path("/blocker/mid")) must be(false)
+    fs.exists(new Path("/blocker/mid/leaf")) must be(false)
+    // the A5 verb keeps the reference's no-short-circuit semantics:
+    // mkdirs over the same chain answers false but DOES create the
+    // missing levels (MakeDirectoryCommand.scala:74)
+    fs.mkdirs(new Path("/blocker/mid2")) must be(false)
+    fs.exists(new Path("/blocker/mid2")) must be(true)
+  }
+
   it must "allow to read from a file, across block boundaries" in {
     val fs = newFs()
     val out = fs.create(new Path("/home/Downloads/random"))
