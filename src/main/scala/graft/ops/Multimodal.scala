@@ -232,6 +232,34 @@ object Multimodal {
       .toDF()
   }
 
+  /** Audio curation DECISION layer over [[audioFeatures]] — the
+    * keep/drop verdict a pipeline actually applies (the semanticDedup
+    * pattern: machinery below, decision on top): per file, fold the
+    * window stats to whole-file peak / total energy / sample count and
+    * classify — `silent` (peak below `silentPeak`: no usable signal),
+    * `clipped` (peak at or above `clipPeak`: driven into the rails;
+    * 16-bit full scale is 32767), else `active`; keep = active. All
+    * inputs and thresholds are exact integers, so the whole frame
+    * cross-engine hash-checks. One windowed pass + one file-keyed
+    * aggregation — payloads never shuffle, only fixed-width stats do.
+    */
+  def audioGate(binaries: DataFrame, windowSamples: Int = 256,
+                silentPeak: Int = 512, clipPeak: Int = 32700): DataFrame = {
+    require(silentPeak >= 0 && clipPeak > silentPeak,
+      s"need 0 <= silentPeak < clipPeak, got $silentPeak/$clipPeak")
+    audioFeatures(binaries, windowSamples)
+      .groupBy(col("path"))
+      .agg(max(col("peak")).as("peak"),
+        sum(col("sum_sq")).as("sum_sq"),
+        sum(col("n_samples")).cast("long").as("n_samples"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("verdict",
+        when(col("peak") < silentPeak, "silent")
+          .when(col("peak") >= clipPeak, "clipped")
+          .otherwise("active"))
+      .withColumn("keep", col("verdict") === "active")
+  }
+
   private[graft] def audioFeatureRows(path: String, payload: Array[Byte],
                                       w: Int): Seq[AudioWindow] = {
     val meta = decodeWav(path, payload)
@@ -308,7 +336,12 @@ object Multimodal {
     * PNG fixtures cannot: compressor-dependent).
     */
   def syntheticWav(seed: Long, channels: Int, sampleRate: Int,
-                   nSamples: Long): Array[Byte] = {
+                   nSamples: Long, shiftBits: Int = 0): Array[Byte] = {
+    // shiftBits scales amplitude down by 2^shiftBits (arithmetic shift
+    // of the signed sample — the oracle replicates it as floor
+    // division by 2^k): 0 keeps full-scale noise, 6 a quiet track,
+    // 12+ near-silence. Exists so amplitude-classifying ops (the
+    // audio gate) get a fixture with every class represented.
     val dataLen = (nSamples * channels * 2).toInt
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -323,7 +356,8 @@ object Multimodal {
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < dataLen / 2) {
-      buf.putShort(((seed * 31 + i) & 0xFFFF).toShort)
+      buf.putShort(
+        ((((seed * 31 + i) & 0xFFFF).toShort.toInt) >> shiftBits).toShort)
       i += 1
     }
     buf.array()

@@ -2287,6 +2287,65 @@ object PipelineQueries {
              |       CAST((n * 1000) // rate AS BIGINT) AS duration_ms
              |FROM p ORDER BY path""".stripMargin)),
 
+    // ── Audio curation DECISION layer: whole-file silent/clipped/active
+    //    verdicts folded from the exact-integer window stats. The
+    //    fixture engineers all three classes deterministically —
+    //    clipped docs START their sample walk just below +32768 (seed
+    //    = (32550 + id)·31⁻¹ mod 2^16, so seed·31 + i crosses the
+    //    positive rail), quiet docs shift amplitude down 6/12 bits at
+    //    write time — and the oracle re-derives every sample,
+    //    arithmetic shift as floor division. ──────────────────────────
+    QueryDef(
+      "mm_audio_gate",
+      (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d).filter(col("doc_id") < 60)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val seed =
+              if (id % 3 == 0) ((32550L + id) * 31711L) % 65536L
+              else id * 100003L + 7L
+            val shift = if (id % 3 == 0) 0 else if (id % 3 == 1) 6 else 12
+            ("/audio/" + id, Multimodal.syntheticWav(
+              seed, channels = 1, sampleRate = 16000,
+              nSamples = 200 + id % 100, shiftBits = shift))
+          })
+          .toDF("path", "data")
+        Multimodal.audioGate(payloads, windowSamples = 256,
+            silentPeak = 64, clipPeak = 32700)
+          .orderBy(col("path"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 200 + doc_id % 100 AS n,
+             |         CASE doc_id % 3
+             |              WHEN 0 THEN ((32550 + doc_id) * 31711) % 65536
+             |              ELSE doc_id * 100003 + 7 END AS seed,
+             |         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 64
+             |              ELSE 4096 END AS divk
+             |  FROM documents WHERE doc_id < 60),
+             |x AS (
+             |  -- arithmetic shift = FLOOR division; DuckDB's // operator
+             |  -- truncates toward zero, which differs on negatives
+             |  SELECT doc_id, n,
+             |         CAST(FLOOR((CASE WHEN ((seed * 31 + i) & 65535) >= 32768
+             |               THEN ((seed * 31 + i) & 65535) - 65536
+             |               ELSE (seed * 31 + i) & 65535 END) / (1.0 * divk))
+             |           AS BIGINT) AS v
+             |  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) g),
+             |a AS (
+             |  SELECT doc_id, CAST(MAX(ABS(v)) AS INT) AS peak,
+             |         CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+             |         CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |         CAST(CEIL(MAX(n) / 256.0) AS BIGINT) AS n_windows
+             |  FROM x GROUP BY 1)
+             |SELECT '/audio/' || doc_id AS path, peak, sum_sq, n_samples,
+             |       n_windows,
+             |       CASE WHEN peak < 64 THEN 'silent'
+             |            WHEN peak >= 32700 THEN 'clipped'
+             |            ELSE 'active' END AS verdict,
+             |       (peak >= 64 AND peak < 32700) AS keep
+             |FROM a ORDER BY path""".stripMargin)),
+
     // ── REAL audio DSP, value-checked to the last bit: synthesize PCM16
     //    WAVs whose sample values follow a closed-form integer formula
     //    (syntheticWav writes short((seed·31 + i) & 0xFFFF) at
