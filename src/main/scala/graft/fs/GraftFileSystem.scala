@@ -719,14 +719,25 @@ class GraftFileSystem extends FileSystem {
           }
           cached = out
           cachedId = id
-        } else engineOp {
-          withMutLock(foldPending())
-          val rows = DataPlane.reassembleBlocks(
-              state.chunks.filter(col("path") === p && col("block_id") === id))
-            .select(col("data")).collect()
-          cached = if (rows.isEmpty) Array.emptyByteArray
-            else rows(0).getAs[Array[Byte]](0)
-          cachedId = id
+        } else {
+          // PIN the snapshot for the collect's duration: the plan read
+          // here is rooted in the current checkpoint generation, and
+          // the compactor's trySwap (which runs under mutLock but NOT
+          // for the whole collect) retires-and-sweeps that generation
+          // on success — a swap landing mid-collect would free the
+          // blocks this job is reading (checkpoint-block-not-found).
+          // trySwap's contract covers verb read-modify-write; in-flight
+          // READERS protect themselves with the pin, which sweepRetired
+          // honors.
+          val snap = withMutLock { foldPending(); cell.pinCurrent() }
+          try engineOp {
+            val rows = DataPlane.reassembleBlocks(
+                snap.chunks.filter(col("path") === p && col("block_id") === id))
+              .select(col("data")).collect()
+            cached = if (rows.isEmpty) Array.emptyByteArray
+              else rows(0).getAs[Array[Byte]](0)
+            cachedId = id
+          } finally cell.unpin(snap)
         }
       }
       if (cached.length < needUpTo)

@@ -81,6 +81,10 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame) {
     * every failed precondition — its Boolean is always true).
     */
   def rename(src: String, dst: String): (GraftFs, Boolean) = {
+    // self-rename is a no-op success on EVERY surface (FsCatalog.rename
+    // and the mounted facade agree) — also skips the identity chunk
+    // rewrite the general path would otherwise add to the plan
+    if (src == dst) return (this, true)
     val (cat2, _) = catalog.rename(src, dst) // preconditions throw here
     val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
     // filter-rewrite ∪ passthrough, NOT a whole-table when() projection:

@@ -636,7 +636,10 @@ object TextAnalysis {
     val corpusStats = docs.agg(count(lit(1)).cast("double"),
       avg(size(tokens).cast("double"))).head()
     val n = corpusStats.getDouble(0)
-    val avgdl = corpusStats.getDouble(1)
+    // avg(dl) is NULL over an empty corpus; any finite stand-in is
+    // correct because tf is empty too — the plan then emits the empty
+    // result frame instead of NPE-ing on the null aggregate
+    val avgdl = if (corpusStats.isNullAt(1)) 1d else corpusStats.getDouble(1)
     val dfs = tf.groupBy(col("w"))
       .agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1d) +
@@ -694,65 +697,30 @@ object TextAnalysis {
   /** Okapi BM25 scoring of every matching document against a query —
     * THE standard lexical-retrieval scorer, next to [[termSearch]]'s
     * exact-integer tf·idf: idf(t) = ln(1 + (N − df + ½)/(df + ½)),
-    * tf-part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). One corpus
-    * scan produces the (doc, term) counts AND per-doc lengths; corpus
-    * constants (N, avgdl, per-term df — ≤ |terms| + 1 rows) collect to
-    * the driver and fold into the score as literals, so the scoring
-    * pass is a codegen'd projection + one aggregation keyed by doc —
-    * no join with a stats table, nothing shuffles but the (doc, term)
-    * slivers that matched the query. Emits ALL matching docs (callers
-    * compose `.orderBy(desc).limit(k)` or the graft_topk heap for the
-    * bounded fan-out shape — text_search_topk pins that plan); scores
-    * round to 5 decimals so the cross-engine oracle compares stably
-    * (ln/division are libm-identical to ~1 ulp; the rounding absorbs
-    * it — the repo's weightedSample round(6) precedent).
+    * tf-part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). Thin
+    * wrapper over [[bm25Many]] (a 1-row queries table) so ONE formula
+    * serves the single- and batch-query channels: one corpus scan,
+    * vocabulary-sized broadcast df table, nothing shuffles but the
+    * (doc, term) slivers that matched the query. Emits ALL matching
+    * docs (callers compose `.orderBy(desc).limit(k)` or the graft_topk
+    * heap for the bounded fan-out shape — text_search_topk pins that
+    * plan); scores round to 5 decimals so the cross-engine oracle
+    * compares stably (ln/division are libm-identical to ~1 ulp; the
+    * rounding absorbs it — the weightedSample round(6) precedent).
     */
   def bm25(docs: DataFrame, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "terms must be non-empty and distinct")
-    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
-    // one scan: per-doc query-term counts plus the doc's FULL length
-    val tf = docs
-      .select(col("doc_id"), size(tokens).cast("double").as("dl"),
-        explode(tokens).as("w"))
-      .filter(col("w").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("w"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(true) // serves the df collect AND the score plan
-    val corpusStats = docs.agg(count(lit(1)).cast("double"),
-      avg(size(tokens).cast("double"))).head()
-    val n = corpusStats.getDouble(0)
-    val avgdl = corpusStats.getDouble(1)
-    val dfMap = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val present = terms.filter(dfMap.contains)
+    // ONE scoring formula serves both surfaces: the single query rides
+    // [[bm25Many]] as a 1-row queries table (idf evaluates through the
+    // same codegen'd ln, the per-(doc) sum through the same
+    // DECIMAL(28,8) quantization — see bm25Many's scale rationale), so
+    // the two channels can never drift apart formula-wise. The 1-row
+    // broadcast side costs nothing next to the corpus scan.
     val spark = docs.sparkSession
     import spark.implicits._
-    if (present.isEmpty)
-      return Seq.empty[(Long, Long, Double)]
-        .toDF("doc_id", "n_terms_hit", "bm25")
-    val idf = present.tail.foldLeft(
-      when(col("w") === present.head,
-        lit(math.log(1d + (n - dfMap(present.head) + 0.5) /
-          (dfMap(present.head) + 0.5))))) { (c, t) =>
-      c.when(col("w") === t,
-        lit(math.log(1d + (n - dfMap(t) + 0.5) / (dfMap(t) + 0.5))))
-    }.otherwise(lit(0d))
-    tf.withColumn("part",
-        idf * col("tf") * lit(k1 + 1d) /
-          (col("tf") + lit(k1) * (lit(1d - b) + lit(b) * col("dl") / avgdl)))
-      .groupBy(col("doc_id"))
-      // the per-doc sum routes through DECIMAL(28,8) — the repo's
-      // determinism rule for hash-compared double aggregates, with the
-      // scale chosen for CROSS-ENGINE stability: parts carry ~1-ulp
-      // (~1e-15 abs) libm noise, so a 1e-8 quantum puts the rounding
-      // boundary ~1e7 noise-widths away (collision risk ~2e-7/cell);
-      // a 1e-12 quantum would collide ~1e-4/cell — expected failures
-      // at sf0.1's cell count. After quantization the sum is an exact
-      // decimal in both engines and accumulation order cannot move it
-      .agg(count(lit(1)).as("n_terms_hit"),
-        round(sum(col("part").cast(org.apache.spark.sql.types
-          .DecimalType(28, 8))).cast("double"), 5).as("bm25"))
+    bm25Many(docs, Seq((0L, terms)).toDF("query_id", "terms"), k1, b)
+      .drop("query_id")
   }
 }

@@ -197,7 +197,16 @@ object EventsStream {
     * coarse-mtime filesystems).
     */
   private final case class Staged(dir: String,
-                                  fingerprint: Map[String, (Long, Long)])
+                                  fingerprint: Map[String, (Long, Long)]) {
+    /** Stable token for this fingerprint — the cache key that keeps
+      * drain memos honest (see [[stageLandingWithToken]]). */
+    lazy val token: String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val joined = fingerprint.toSeq.sortBy(_._1)
+        .map { case (n, (sz, crc)) => s"$n:$sz:$crc" }.mkString("|")
+      md.digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+  }
 
   private val stagedLandings =
     new java.util.concurrent.ConcurrentHashMap[String, Staged]()
@@ -242,7 +251,19 @@ object EventsStream {
   }
 
   private[streaming] def stageLanding(srcParquet: String): String =
-    stagedLandings.compute(srcParquet, (src, prev) => {
+    stageLandingWithToken(srcParquet)._1
+
+  /** Stage (or re-verify) the landing AND hand back the fingerprint
+    * token of the staged content. Memoized drains key on this token:
+    * a memo keyed only on (applicationId, sfDir) would serve its first
+    * drain forever, so the very re-staging check this method performs
+    * would never be consulted again — files added to or rewritten in
+    * the source dir after the first drain would be silently served
+    * stale, the exact hole the CRC fingerprint exists to close.
+    */
+  private[streaming] def stageLandingWithToken(
+      srcParquet: String): (String, String) = {
+    val staged = stagedLandings.compute(srcParquet, (src, prev) => {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val toStage = sourceFiles(src)
       // (size, CRC32C) per name: a same-size in-place rewrite must
@@ -290,7 +311,24 @@ object EventsStream {
           StandardCopyOption.REPLACE_EXISTING))
         Staged(landing.toString, fp)
       }
-    }).dir
+    })
+    (staged.dir, staged.token)
+  }
+
+  /** Token-checked memo for once-per-source drains: serve the cached
+    * value only while the source's staged fingerprint is unchanged;
+    * a re-staged source replaces the entry (so the map stays one live
+    * entry per (app, sfDir) — superseded results are garbage, not a
+    * growing leak).
+    */
+  private final class Memo[T](val token: String, val value: T)
+
+  private def memoized[K, T](
+      map: java.util.concurrent.ConcurrentHashMap[K, Memo[T]],
+      key: K, token: String)(build: => T): T =
+    map.compute(key, (_, prev) =>
+      if (prev != null && prev.token == token) prev
+      else new Memo(token, build)).value
 
   /** Best-effort unload of every loaded state-store provider. Each
     * drain runs against a FRESH checkpoint, so its stateful operators
@@ -389,7 +427,7 @@ object EventsStream {
     */
   private val decontamIndexes = new java.util.concurrent.ConcurrentHashMap[
     (String, String),
-    org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
+    Memo[org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]]()
 
   private def decontamIndex(spark: SparkSession, sfDir: String)
       : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] = {
@@ -397,9 +435,13 @@ object EventsStream {
     // context can never collide with a dead entry and probe a destroyed
     // broadcast (an identity-hash key could be reused after GC); stale
     // entries are a bounded leak — one slim map row per (app, sfDir),
-    // the dead broadcast's blocks died with its context
+    // the dead broadcast's blocks died with its context. Token-checked
+    // like every drain memo: a rewritten documents table rebuilds the
+    // index instead of probing a stale broadcast (the replaced
+    // broadcast is a bounded leak of the same class).
     val key = (spark.sparkContext.applicationId, sfDir)
-    decontamIndexes.computeIfAbsent(key, _ =>
+    val token = stageLandingWithToken(s"$sfDir/documents.parquet")._2
+    memoized(decontamIndexes, key, token)(
       spark.sparkContext.broadcast(graft.ops.Decontaminate.streamIndex(
         graft.Tables.documents(spark, sfDir)
           .filter(col("doc_id") % 10 === 0),
@@ -415,7 +457,7 @@ object EventsStream {
                                         decontam: DataFrame)
 
   private val statelessDrains = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), StatelessOut]()
+    (String, String), Memo[StatelessOut]]()
 
   /** ONE ingest stream serves every stateless document channel — the
     * production topology: a pipeline does not run three separate
@@ -437,11 +479,12 @@ object EventsStream {
     * contract, not a new collect site.
     */
   private def statelessIngest(spark: SparkSession,
-                              sfDir: String): StatelessOut =
-    statelessDrains.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir), _ => {
+                              sfDir: String): StatelessOut = {
+    val (landing, token) =
+      stageLandingWithToken(s"$sfDir/documents.parquet")
+    memoized(statelessDrains,
+      (spark.sparkContext.applicationId, sfDir), token) {
         val bc = decontamIndex(spark, sfDir)
-        val landing = stageLanding(s"$sfDir/documents.parquet")
         def qualityT(df: DataFrame): DataFrame =
           graft.ops.Curation.qualityFilter(df)
         def wsampleT(df: DataFrame): DataFrame =
@@ -496,7 +539,8 @@ object EventsStream {
         def toDf(n: String): DataFrame =
           spark.createDataFrame(buffers(n).asJava, schemas(n))
         StatelessOut(toDf("quality"), toDf("wsample"), toDf("decontam"))
-      })
+      }
+  }
 
   /** Streaming weighted sampling — `Curation.weightedSample` applied
     * verbatim to a document STREAM: the op is a stateless per-row
@@ -533,7 +577,7 @@ object EventsStream {
     StructField("label", IntegerType)))
 
   private val semanticGates = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), DataFrame]()
+    (String, String), Memo[DataFrame]]()
 
   /** Streaming SEMANTIC decontamination — the embedding-space twin of
     * the shingle gate: arriving vectors stream through an exact
@@ -555,11 +599,12 @@ object EventsStream {
     * precedent.
     */
   def semanticGateAvailableNow(spark: SparkSession,
-                               sfDir: String): DataFrame =
-    semanticGates.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir), _ => {
+                               sfDir: String): DataFrame = {
+    val (landing, token) =
+      stageLandingWithToken(s"$sfDir/embeddings.parquet")
+    memoized(semanticGates,
+      (spark.sparkContext.applicationId, sfDir), token) {
         graft.functions.GraftFunctions.register(spark)
-        val landing = stageLanding(s"$sfDir/embeddings.parquet")
         val corpus = graft.Tables.embeddings(spark, sfDir)
           .filter(col("vec_id") % 5 =!= 0)
           .select(col("vec_id").as("c_id"), col("embedding").as("ev"))
@@ -606,7 +651,8 @@ object EventsStream {
         }
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(buffer.asJava, outSchema)
-      })
+      }
+  }
 
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
     * for a training-data pipeline: emit each content hash's FIRST
@@ -666,18 +712,20 @@ object EventsStream {
     * join outcomes are exercised — the gate can't go green on a no-op.
     */
   private val unseenDrains = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), DataFrame]()
+    (String, String), Memo[DataFrame]]()
 
-  def unseenAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+  def unseenAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     // stateless like the documents-side trio (no state store at all —
     // each micro-batch hash-joins the static side), so the same
     // once-per-(app, sfDir) drain contract applies: the production
     // events ingest runs ONE anti-join stream, not one per consumer;
     // the memory-sink table the drain leaves in the session IS the
     // materialized result, so later calls read it instead of paying a
-    // byte-identical re-drain
-    unseenDrains.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir), _ => {
+    // byte-identical re-drain. Token-checked so a rewritten events
+    // source re-drains instead of serving the stale materialization.
+    val token = stageLandingWithToken(s"$sfDir/events.parquet")._2
+    memoized(unseenDrains,
+      (spark.sparkContext.applicationId, sfDir), token) {
         val drained = runAvailableNow(spark, sfDir, "graft_stream_unseen") {
           ev =>
             unseenOnly(
@@ -695,7 +743,8 @@ object EventsStream {
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(drained.collect().toSeq.asJava,
           drained.schema)
-      })
+      }
+  }
 
   final case class SessionUpdate(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,

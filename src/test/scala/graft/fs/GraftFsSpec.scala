@@ -62,6 +62,19 @@ class GraftFsSpec extends AnyFlatSpec with Matchers {
     fs2.chunkSummary("/d/").collect()(0).getAs[Long]("n_chunks") must be(0L)
   }
 
+  it must "treat self-rename as a no-op success — agreeing with the facade" in {
+    // the mounted facade answers true for rename(p, p); the frame path
+    // must agree (r11 ADVICE flagged a suspected divergence here), and
+    // the no-op must not disturb bytes or add an identity rewrite
+    val (fs, a, _) = fixture()
+    val (fs2, ok) = fs.rename("/d/a", "/d/a")
+    ok must be(true)
+    fs2.cat("/d/a").collect()(0).getAs[Array[Byte]]("data") must be(a)
+    val (cat2, catOk) = fs.catalog.rename("/d", "/d")
+    catOk must be(true)
+    (cat2 eq fs.catalog) must be(true)
+  }
+
   it must "error on cat of a directory like the reference shell" in {
     val (fs, _, _) = fixture()
     val e = the[java.io.IOException] thrownBy fs.cat("/d")

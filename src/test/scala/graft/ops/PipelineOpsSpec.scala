@@ -1353,6 +1353,17 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     TextAnalysis.bm25(corpus, Seq("zzz")).count() must be(0L)
   }
 
+  it must "return the empty frame on an empty corpus (null avgdl)" in {
+    // avg(dl) aggregates to NULL over zero docs — must come back as the
+    // empty result frame, not an NPE on the null corpus stat (r11 ADVICE)
+    val s = spark
+    import s.implicits._
+    val empty = docsDf(Seq.empty)
+    TextAnalysis.bm25(empty, Seq("alpha")).count() must be(0L)
+    TextAnalysis.bm25Many(empty,
+      Seq(1 -> Seq("alpha")).toDF("query_id", "terms")).count() must be(0L)
+  }
+
   it must "score identically through the batch path for every query" in {
     val corpus = docsDf(Seq(
       1L -> "alpha alpha beta gamma common",
