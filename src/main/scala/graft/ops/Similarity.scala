@@ -720,23 +720,30 @@ object Similarity {
                                numCentroids: Int, nprobe: Int,
                                coarseIters: Int, m: Int, ksub: Int,
                                iters: Int, dim: Int): DataFrame = {
+    val idx = trainPqIndex(corpus, m, ksub, iters, dim)
+    val coarse = kmeansCentroids(corpus, numCentroids, coarseIters)
+    adcScoreIndexed(queries, encodeIvfPq(corpus, coarse, idx), coarse,
+      idx, nprobe)
+  }
+
+  /** ONE index-build pass over `corpus`: coarse bucket (argmax cosine
+    * over the K centroids, ties to the lower id like probeAssignments)
+    * + PQ codes + reconstruction norm per row — the (vec_id, bucket,
+    * codes, rnorm) table every IVF-PQ surface (in-session search,
+    * persisted layout, incremental ingest) shares. Per-row
+    * deterministic given (coarse, idx), which is what makes
+    * ingest-without-retrain bit-identical to a full re-encode.
+    */
+  private def encodeIvfPq(corpus: DataFrame, coarse: DataFrame,
+                          idx: PqIndex): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val idx = trainPqIndex(corpus, m, ksub, iters, dim)
-    val qLut = pqLuts(queries, idx)
-    val lutById = qLut.map(t => t._1 -> (t._2, t._3)).toMap
-
-    val coarse = kmeansCentroids(corpus, numCentroids, coarseIters)
     val coarseArr = coarse.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val coarseNorm = coarseArr.map { case (_, cv) =>
       math.sqrt(cv.map(x => x.toDouble * x).sum)
     }
-
-    // ONE pass builds the whole index row: coarse bucket (argmax cosine
-    // over K centroids, ties to the lower id like probeAssignments) +
-    // PQ codes + reconstruction norm
-    val indexed = corpus.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
@@ -757,14 +764,24 @@ object Similarity {
         }
       }
       .toDF("vec_id", "bucket", "codes", "rnorm")
+  }
 
-    // query-side probing: the same zero-shuffle row-local selection as
-    // IVF; the probed (q, vector) pairs are nprobe/K of the corpus and
-    // carry only the slim index columns into the ADC kernel
+  /** ADC scoring of a prebuilt codes table: query-side probing (the
+    * same zero-shuffle row-local selection as IVF), probed pairs join
+    * the SLIM (bucket, codes, rnorm) index — nprobe/K of the corpus by
+    * mass, m bytes per vector instead of dim floats — and score in a
+    * kernel against the closure-broadcast codebooks.
+    */
+  private def adcScoreIndexed(queries: DataFrame, codes: DataFrame,
+                              coarse: DataFrame, idx: PqIndex,
+                              nprobe: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val lutById = pqLuts(queries, idx).map(t => t._1 -> (t._2, t._3)).toMap
     val queryBuckets = probeAssignments(
         queries.select(col("vec_id"), col("embedding")), coarse, nprobe)
       .select(col("vec_id").as("q_id"), col("bucket"))
-    val scored = indexed
+    codes
       .join(broadcast(queryBuckets), "bucket")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("codes"), col("rnorm"))
@@ -776,8 +793,83 @@ object Similarity {
         }
       }
       .toDF("q_id", "neighbor_id", "ascore")
-    scored
   }
+
+  /** Encode a batch against CALLER-SUPPLIED coarse centroids and PQ
+    * codebooks — the incremental-ingest primitive: a daily crawl is
+    * encoded with ONE pass over itself (zero over history) and unioned
+    * onto the persisted codes table; per-row determinism makes the
+    * merged index bit-identical to re-encoding everything (gated by
+    * ann_ivfpq_incremental, the `assignBuckets` precedent one level
+    * up the quantization ladder).
+    */
+  def ivfpqEncodeWith(batch: DataFrame, coarse: DataFrame,
+                      codebooks: DataFrame): DataFrame =
+    encodeIvfPq(batch, coarse, pqIndexOf(codebooks))
+
+  /** IVF-PQ search with caller-supplied coarse centroids + codebooks —
+    * train once, search many (the `ivfTopKWith` analog for the
+    * composed index). Encodes the corpus in-session; for the persisted
+    * layout use [[ivfpqTopKIndexed]] over [[loadIvfPqIndex]].
+    */
+  def ivfpqTopKWith(queries: DataFrame, corpus: DataFrame,
+                    coarse: DataFrame, codebooks: DataFrame,
+                    nprobe: Int, k: Int, cand: Int): DataFrame = {
+    val idx = pqIndexOf(codebooks)
+    rerankExact(
+      topCandidates(adcScoreIndexed(queries,
+        encodeIvfPq(corpus, coarse, idx), coarse, idx, nprobe), cand),
+      queries, corpus, k)
+  }
+
+  /** IVF-PQ search over a PREBUILT (vec_id, bucket, codes, rnorm)
+    * codes table — the production read path for the persisted index:
+    * probed buckets prune the bucket-partitioned parquet at the FILE
+    * level (dynamic partition pruning, same plan shape the IVF DPP
+    * spec pins), the ADC scan touches only m-byte codes, and the exact
+    * float rerank fetches `cand` vectors from `corpus` (the only place
+    * float embeddings are read). `corpus` is whatever vector source
+    * the ids resolve against — at 100 TB that read is a broadcast-side
+    * BHJ over ≤ |queries|·cand ids, never a corpus scan.
+    */
+  def ivfpqTopKIndexed(queries: DataFrame, codes: DataFrame,
+                       coarse: DataFrame, codebooks: DataFrame,
+                       corpus: DataFrame, nprobe: Int, k: Int,
+                       cand: Int): DataFrame = {
+    val idx = pqIndexOf(codebooks)
+    rerankExact(
+      topCandidates(adcScoreIndexed(queries, codes, coarse, idx, nprobe),
+        cand),
+      queries, corpus, k)
+  }
+
+  /** Persist the composed IVF-PQ index — the deployment artifact at
+    * 100 TB: `dir/centroids` (K coarse rows), `dir/codebooks` (m·ksub
+    * sub-centroids), and `dir/codes` — the (vec_id, codes, rnorm)
+    * table PARTITIONED BY bucket, so a probed search prunes non-probed
+    * buckets at the file level exactly like [[saveIvfIndex]]'s layout,
+    * while each file holds m-byte codes instead of float vectors (the
+    * dim·32/(m·log₂ksub)-fold shrink that makes the scan affordable).
+    * Build once, then search ([[ivfpqTopKIndexed]]) and ingest
+    * ([[ivfpqEncodeWith]] + append) forever without re-training or
+    * re-reading the corpus.
+    */
+  def saveIvfPqIndex(corpus: DataFrame, coarse: DataFrame,
+                     codebooks: DataFrame, dir: String): Unit = {
+    coarse.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    ivfpqEncodeWith(corpus, coarse, codebooks)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Load a [[saveIvfPqIndex]] layout → (coarse, codebooks, codes). */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), col("codes"), col("rnorm"), col("bucket")))
 
   /** Driver-held PQ codebook index, closure-broadcast into kernels:
     * cb(s)(c)(d) centroids with precomputed norms. Serializable by
@@ -825,8 +917,24 @@ object Similarity {
   }
 
   private def trainPqIndex(corpus: DataFrame, m: Int, ksub: Int,
-                           iters: Int, dim: Int): PqIndex = {
-    val cbRows = pqCodebooks(corpus, m, ksub, iters, dim).collect()
+                           iters: Int, dim: Int): PqIndex =
+    pqIndexOf(pqCodebooks(corpus, m, ksub, iters, dim))
+
+  /** Driver-side codebook assembly from a (subspace, c_id, cv) frame —
+    * freshly trained ([[pqCodebooks]]) or loaded from a persisted
+    * layout ([[loadIvfPqIndex]]); m/ksub/dsub are recovered from the
+    * frame itself so the loaded index needs no side-channel params.
+    * The collect is m·ksub rows by construction.
+    */
+  private def pqIndexOf(codebooks: DataFrame): PqIndex = {
+    val cbRows = codebooks
+      .select(col("subspace"), col("c_id"), col("cv")).collect()
+    require(cbRows.nonEmpty, "empty PQ codebooks frame")
+    val m = cbRows.iterator.map(_.getInt(0)).max + 1
+    require(cbRows.length % m == 0,
+      s"ragged PQ codebooks: ${cbRows.length} rows over $m subspaces")
+    val ksub = cbRows.length / m
+    val dsub = cbRows.head.getSeq[Float](2).length
     val cb = Array.ofDim[Array[Float]](m, ksub)
     cbRows.foreach { r =>
       val cid = r.getLong(1)
@@ -845,7 +953,7 @@ object Similarity {
         "subspace): corpus vec_ids must include 0..ksub-1 for first-K " +
         "seeding — re-id the corpus")
     val cbNorm = cb.map(_.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)))
-    new PqIndex(cb, cbNorm, m, ksub, dim / m)
+    new PqIndex(cb, cbNorm, m, ksub, dsub)
   }
 
   /** Queries are broadcast-small by contract (as in every path here):
@@ -1026,6 +1134,19 @@ object Similarity {
     * a candidate cap silently widening — turns its own column FALSE
     * instead of hiding inside a still-green recall.
     */
+  /** Recall gate for a search through a PREBUILT IVF-PQ index
+    * ([[loadIvfPqIndex]]) — lets the bench measure SEARCH cost as its
+    * own claim, separate from the per-rep train+build the composed
+    * channels pay; same deterministic contract as every gate here.
+    */
+  def ivfpqRecallIndexed(queries: DataFrame, codes: DataFrame,
+                         coarse: DataFrame, codebooks: DataFrame,
+                         corpus: DataFrame, nprobe: Int, k: Int,
+                         cand: Int, floor: Int): DataFrame =
+    recallGate(queries, corpus, k, floor,
+      ivfpqTopKIndexed(queries, codes, coarse, codebooks, corpus,
+        nprobe, k, cand))
+
   def ivfpqRecallWithFraction(queries: DataFrame, corpus: DataFrame,
                               k: Int, cand: Int, floor: Int,
                               maxCoarseFrac: Double, maxCandFrac: Double,

@@ -47,6 +47,38 @@ object PipelineQueries {
       .orderBy(col("q_id"))
   }
 
+  /** Build-once memo for the persisted IVF-PQ index the search-only
+    * channel reads (ann_ivfpq_search_indexed): a production pipeline
+    * builds the index once and searches it many times, so the search
+    * channel must not re-pay training per rep — that cost is
+    * ann_ivfpq_clustered's claim. Keyed on (applicationId, sfDir) like
+    * the streaming drain memos; training is deterministic (same params
+    * as the build channel), so WHICH rep built the dir cannot matter.
+    * The temp dirs die with the JVM's shutdown hook.
+    */
+  private val ivfpqIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def ivfpqIndexDir(s: org.apache.spark.sql.SparkSession,
+                            sfDir: String,
+                            corpus: org.apache.spark.sql.DataFrame)
+      : String =
+    ivfpqIndexDirs.computeIfAbsent(
+      (s.sparkContext.applicationId, sfDir), _ => {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft-ivfpq-memo")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.PlanHygiene.deleteRecursively(dir)))
+        // EXACTLY ann_ivfpq_clustered's operating point, so the
+        // tri-SF recall measurement transfers to the loaded search
+        Similarity.saveIvfPqIndex(corpus,
+          Similarity.kmeansCentroids(corpus, 16, 3),
+          Similarity.pqCodebooks(corpus, m = 8, ksub = 16, iters = 1,
+            dim = 64),
+          dir.toString)
+        dir.toString
+      })
+
   /** The pipeline_line_dedup injection, shared with the spec that pins
     * the strip path actually firing (per-source header on every doc,
     * footer on even docs, unique per-doc ref line).
@@ -1633,6 +1665,100 @@ object PipelineQueries {
       },
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok,
              |       TRUE AS coarse_frac_ok, TRUE AS cand_frac_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    // Persisted IVF-PQ index round-trip — the deployment artifact at
+    // 100 TB persists and reloads without drift: train coarse +
+    // codebooks ONCE, search in-memory, save the composed layout
+    // (centroids + codebooks + bucket-PARTITIONED m-byte codes — the
+    // probed search file-prunes non-probed buckets AND reads 8-byte
+    // codes instead of 256-byte vectors), load it back, and the loaded
+    // search must return the IDENTICAL (q_id, neighbor_id) set.
+    // Encode/probe/ADC are per-row deterministic given (coarse,
+    // codebooks), so this pins exact equality, not recall — the
+    // ann_index_roundtrip contract one quantization level up.
+    QueryDef(
+      "ann_ivfpq_index_roundtrip",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+        val coarse = Similarity.kmeansCentroids(emb, 16, 3)
+        val cbs = Similarity.pqCodebooks(emb, m = 8, ksub = 16,
+          iters = 1, dim = 64)
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rt")
+        try {
+          Similarity.saveIvfPqIndex(emb, coarse, cbs, dir.toString)
+          val (lc, lcb, lcodes) = Similarity.loadIvfPqIndex(s, dir.toString)
+          searchEqualityGate(qs,
+            Similarity.ivfpqTopKWith(qs, emb, coarse, cbs,
+              nprobe = 6, k = 5, cand = 50),
+            Similarity.ivfpqTopKIndexed(qs, lcodes, lc, lcb, emb,
+              nprobe = 6, k = 5, cand = 50),
+            k = 5)
+            .localCheckpoint(true) // materialize before the dir dies
+        } finally {
+          graft.PlanHygiene.deleteRecursively(dir)
+        }
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS identical_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    // Incremental IVF-PQ ingest: coarse centroids AND codebooks train
+    // on HISTORY only, the new batch is encoded with ONE pass over
+    // itself (ivfpqEncodeWith — zero passes over history), and
+    // searching history ∪ encoded-increment must return IDENTICAL
+    // results to a full re-encode with the same frozen quantizers —
+    // the property that lets the persisted codes table absorb a daily
+    // crawl as an APPEND (new bucket=… files in the same partitioned
+    // layout) without re-training or re-reading 100 TB. ksub=8 keeps
+    // the first-K codebook seeds (vec_ids 0..7) inside every history
+    // slice of the %10 split.
+    QueryDef(
+      "ann_ivfpq_incremental",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+        val hist = emb.filter(col("vec_id") % 10 =!= 9)
+        val inc = emb.filter(col("vec_id") % 10 === 9)
+        val coarse = Similarity.kmeansCentroids(hist, 16, 3)
+        val cbs = Similarity.pqCodebooks(hist, m = 8, ksub = 8,
+          iters = 1, dim = 64)
+        val merged = Similarity.ivfpqEncodeWith(hist, coarse, cbs)
+          .unionByName(Similarity.ivfpqEncodeWith(inc, coarse, cbs))
+        val full = Similarity.ivfpqEncodeWith(emb, coarse, cbs)
+        searchEqualityGate(qs,
+          Similarity.ivfpqTopKIndexed(qs, merged, coarse, cbs, emb,
+            nprobe = 6, k = 5, cand = 50),
+          Similarity.ivfpqTopKIndexed(qs, full, coarse, cbs, emb,
+            nprobe = 6, k = 5, cand = 50),
+          k = 5)
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS identical_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    // SEARCH through the persisted IVF-PQ index as its own measured
+    // claim: ann_ivfpq_clustered pays per-rep coarse + codebook
+    // training (it measures index BUILD); this twin searches a
+    // build-once memoized on-disk index (the production read path —
+    // the r11 verdict's split-the-claim directive), so its bench time
+    // is probe + pruned ADC scan + rerank + the brute recall baseline.
+    // Same clustered fixture and operating point as the build channel
+    // (identical deterministic training → identical index → the
+    // tri-SF floor=5 measurement carries over verbatim).
+    QueryDef(
+      "ann_ivfpq_search_indexed",
+      (s, d) => {
+        val emb = Similarity.clusteredCorpus(
+          Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+        val cand = math.max(5, math.ceil(0.04 * emb.count()).toInt)
+        val dir = ivfpqIndexDir(s, d, emb)
+        val (lc, lcb, lcodes) = Similarity.loadIvfPqIndex(s, dir)
+        Similarity.ivfpqRecallIndexed(emb.filter(col("vec_id") < 5),
+            lcodes, lc, lcb, emb, nprobe = 2, k = 5, cand = cand,
+            floor = 5)
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
 
     // Embedding-cosine near-dup, recall-gated in-query against the

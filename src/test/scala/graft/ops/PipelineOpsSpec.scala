@@ -2422,6 +2422,110 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     run(merged) must be(run(full))
   }
 
+  it must "round-trip the persisted IVF-PQ index and search identically" in {
+    // clustered fixture so coarse training genuinely spreads buckets;
+    // vec_ids 0..ksub-1 present for first-K codebook seeding
+    val vecs = embDf((0L until 48L).map { i =>
+      val g = (i % 4).toInt
+      i -> Seq.tabulate(4)(d => (if (d == g) 8f else 0f) + (i % 5) * 0.1f)
+    })
+    val qs = vecs.filter(col("vec_id") < 2)
+    val coarse = Similarity.kmeansCentroids(vecs, 4, 2)
+    val cbs = Similarity.pqCodebooks(vecs, m = 2, ksub = 4, iters = 1,
+      dim = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+    try {
+      Similarity.saveIvfPqIndex(vecs, coarse, cbs, dir.toString)
+      val (lc, lcb, lcodes) = Similarity.loadIvfPqIndex(spark, dir.toString)
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("q_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val inMem = keyed(Similarity.ivfpqTopKWith(qs, vecs, coarse, cbs,
+        nprobe = 2, k = 3, cand = 10))
+      val loaded = keyed(Similarity.ivfpqTopKIndexed(qs, lcodes, lc, lcb,
+        vecs, nprobe = 2, k = 3, cand = 10))
+      loaded must be(inMem)
+      inMem.size must be(2 * 3)
+    } finally graft.PlanHygiene.deleteRecursively(dir)
+  }
+
+  it must "ingest an IVF-PQ batch without retraining, bit-identical to a full re-encode" in {
+    val vecs = embDf((0L until 40L).map(i =>
+      i -> Seq((i % 4).toFloat + 1f, (i % 7).toFloat, 1f, (i % 3).toFloat)))
+    val hist = vecs.filter(col("vec_id") % 10 =!= 9) // keeps seeds 0..3
+    val inc = vecs.filter(col("vec_id") % 10 === 9)
+    val coarse = Similarity.kmeansCentroids(hist, 3, 1) // history-only
+    val cbs = Similarity.pqCodebooks(hist, m = 2, ksub = 4, iters = 1,
+      dim = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("bucket"), col("codes"), col("rnorm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq,
+          r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val merged = rows(Similarity.ivfpqEncodeWith(hist, coarse, cbs)
+      .unionByName(Similarity.ivfpqEncodeWith(inc, coarse, cbs)))
+    val full = rows(Similarity.ivfpqEncodeWith(vecs, coarse, cbs))
+    merged must be(full) // bit-identical, not just same neighbors
+    merged.size must be(40)
+  }
+
+  it must "file-prune non-probed buckets in the persisted IVF-PQ codes layout" in {
+    // the PQ twin of the IVF DPP spec: the probed search over the
+    // bucket-partitioned CODES table must carry a DynamicPruning
+    // expression and read fewer partition dirs than exist on disk —
+    // the multiplied claim (file pruning × m-byte codes) needs the
+    // file-pruning half proven on THIS layout, not inherited from IVF
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-dpp")
+    try {
+      // corpus goes THROUGH parquet: DPP needs a real Filter over a
+      // scan on the probing side (a LocalRelation constant-folds away)
+      embDf((0L until 180L).map { i =>
+        val g = (i % 6).toInt
+        i -> Seq.tabulate(4)(d =>
+          (if (d == g % 4) 10f else 0f) + (i % 7).toFloat * 0.1f)
+      }).write.parquet(dir.resolve("corpus").toString)
+      val vecs = spark.read.parquet(dir.resolve("corpus").toString)
+      val qs = vecs.filter(col("vec_id") < 2)
+      val coarse = Similarity.kmeansCentroids(vecs, 6, 2)
+      val cbs = Similarity.pqCodebooks(vecs, m = 2, ksub = 4, iters = 1,
+        dim = 4)
+      Similarity.saveIvfPqIndex(vecs, coarse, cbs, dir.toString)
+      val partDirs = {
+        val l = java.nio.file.Files.list(dir.resolve("codes"))
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.getFileName.toString)
+            .count(_.startsWith("bucket="))
+        } finally l.close()
+      }
+      partDirs must be >= 3 // the fixture must genuinely spread
+      val (lc, lcb, lcodes) = Similarity.loadIvfPqIndex(spark, dir.toString)
+      val res = Similarity.ivfpqTopKIndexed(qs, lcodes, lc, lcb, vecs,
+        nprobe = 1, k = 3, cand = 10)
+      res.collect() // execute so AQE finalizes and scan metrics fill
+      val codeScans = scans(res.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(
+          _.toString.contains("codes")))
+      codeScans.nonEmpty must be(true)
+      val scan = codeScans.head
+      scan.partitionFilters.mkString.toLowerCase must include("dynamicpruning")
+      val read = scan.metrics.get("numPartitions").map(_.value)
+      read.isDefined must be(true)
+      read.get must be < partDirs.toLong
+      read.get must be >= 1L
+    } finally graft.PlanHygiene.deleteRecursively(dir)
+  }
+
   behavior of "Similarity.semanticDedup (SemDeDup decision layer)"
 
   it must "elect lowest-id representatives across transitive dup groups" in {
