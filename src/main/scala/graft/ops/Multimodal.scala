@@ -389,8 +389,10 @@ object Multimodal {
     * flatMap shape a video pipeline needs. The frame EXTRACTION is the
     * honest part (every `stride`-th `frameSize`-byte window, pure
     * byte-level windowing, fully declarative: posexplode over the
-    * window index sequence + substring, all codegen'd); a real codec
-    * would replace the window with a decoded frame. Payloads split at
+    * window index sequence + substring, all codegen'd); for containers
+    * the JDK can actually decode, [[videoFrames]] replaces the byte
+    * window with REAL composed frames — this byte-window form remains
+    * the total-function path for codec-less formats. Payloads split at
     * the scan — only frame-sized slices ever shuffle.
     */
   def frameSample(binaries: DataFrame, frameSize: Int = 1024,
@@ -713,5 +715,227 @@ object Multimodal {
         }
       })
       .toDF("path", "embedding")
+  }
+
+  // ── Video: real multi-frame decode ─────────────────────────────────
+
+  /** REAL multi-frame video decode via the stock JDK — the last
+    * modality off the stub path. `javax.imageio`'s GIF reader decodes
+    * every frame of an animated GIF; frames are COMPOSED onto a
+    * logical-screen canvas the way a player renders them (per-frame
+    * left/top offsets from the ImageDescriptor, disposal from the
+    * GraphicControlExtension: `restoreToBackgroundColor` clears the
+    * frame rect, `restoreToPrevious` rolls the canvas back), so a
+    * delta-encoded GIF — where frame N is a small dirty rectangle —
+    * still yields N FULL frames, which is what every downstream frame
+    * op expects. Output is one row per (path, frame): the composed
+    * frame re-encoded as lossless PNG, so frames drop straight into
+    * the image machinery ([[featureExtract]] → Similarity ANN,
+    * [[aHash]] → frame-level dedup, [[resizeImages]]) with no special
+    * casing — a video is just a path-sharing batch of images. Other
+    * multi-image containers ImageIO can read (TIFF) take the same
+    * loop with zero offsets. mapPartitions is the codec-kernel
+    * justification ([[aHash]]): payloads never shuffle — they explode
+    * into frame rows at the scan, and only frames move. Frame count
+    * per payload is decoder-bounded (a GIF index walk), not trusted
+    * metadata; `maxFrames` caps a hostile/broken payload loudly
+    * rather than letting one file emit unbounded rows. Non-decodable
+    * payloads emit no rows, the [[featureExtract]] convention.
+    */
+  def videoFrames(binaries: DataFrame, maxFrames: Int = 10000): DataFrame = {
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries
+      .select(col("path"), col("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        decodeVideoFrames(bytes, maxFrames).map { case (i, img) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (p, i, img.getWidth, img.getHeight, bos.toByteArray)
+        }
+      })
+      .toDF("path", "frame_idx", "width", "height", "frame")
+  }
+
+  /** The frame compositor behind [[videoFrames]]: decode each image of
+    * a multi-image stream and play it onto the logical-screen canvas.
+    * Returns fully-composed RGB frames in presentation order. Exposed
+    * package-private for the spec that pins delta-frame composition
+    * against a hand-built offset GIF.
+    */
+  private[graft] def decodeVideoFrames(
+      bytes: Array[Byte], maxFrames: Int = 10000)
+      : Iterator[(Int, java.awt.image.BufferedImage)] = {
+    import java.awt.image.BufferedImage
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, BufferedImage)]
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return Iterator.empty
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        val isGif = r.getFormatName.equalsIgnoreCase("gif")
+        val n = math.min(
+          try r.getNumImages(true)
+          catch { case _: java.io.IOException => 0 },
+          maxFrames)
+        if (n <= 0) return Iterator.empty
+        // logical screen: GIF stream metadata when present, else the
+        // first frame's geometry (TIFF and friends)
+        val (screenW, screenH) =
+          gifLogicalScreen(r).getOrElse((r.getWidth(0), r.getHeight(0)))
+        val canvas = new BufferedImage(
+          screenW, screenH, BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          var i = 0
+          while (i < n) {
+            val frame =
+              try r.read(i)
+              catch { case _: java.io.IOException => null }
+            if (frame == null) return out.iterator // truncated tail
+            val (left, top, disposal) =
+              if (isGif) gifFrameGeometry(r, i) else (0, 0, "none")
+            g.drawImage(frame, left, top, null)
+            val snap = new BufferedImage(
+              screenW, screenH, BufferedImage.TYPE_INT_RGB)
+            snap.createGraphics().drawImage(canvas, 0, 0, null)
+            out += ((i, snap))
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                // deterministic black background — players disagree on
+                // palette background color; black is the common choice
+                val c = g.getColor
+                g.setColor(java.awt.Color.BLACK)
+                g.fillRect(left, top, frame.getWidth, frame.getHeight)
+                g.setColor(c)
+              case "restoreToPrevious" =>
+                if (out.length >= 2) {
+                  g.drawImage(out(out.length - 2)._2, 0, 0, null)
+                } else {
+                  val c = g.getColor
+                  g.setColor(java.awt.Color.BLACK)
+                  g.fillRect(0, 0, screenW, screenH)
+                  g.setColor(c)
+                }
+              case _ => () // none / doNotDispose: canvas carries over
+            }
+            i += 1
+          }
+        } finally g.dispose()
+        out.iterator
+      } finally r.dispose()
+    } catch {
+      case scala.util.control.NonFatal(_) => out.iterator
+    } finally in.close()
+  }
+
+  /** GIF logical screen size from stream metadata, when the reader
+    * exposes it. */
+  private def gifLogicalScreen(r: javax.imageio.ImageReader)
+      : Option[(Int, Int)] =
+    try {
+      val sm = r.getStreamMetadata
+      if (sm == null) None
+      else {
+        val root = sm.getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val lsd = root.getElementsByTagName("LogicalScreenDescriptor")
+        if (lsd.getLength == 0) None
+        else {
+          val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+          Some((e.getAttribute("logicalScreenWidth").toInt,
+            e.getAttribute("logicalScreenHeight").toInt))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame GIF placement + disposal from image metadata:
+    * (imageLeftPosition, imageTopPosition, disposalMethod). */
+  private def gifFrameGeometry(r: javax.imageio.ImageReader, i: Int)
+      : (Int, Int, String) =
+    try {
+      val root = r.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      def attr(tag: String, name: String, dflt: String): String = {
+        val nl = root.getElementsByTagName(tag)
+        if (nl.getLength == 0) dflt
+        else {
+          val v = nl.item(0).asInstanceOf[org.w3c.dom.Element]
+            .getAttribute(name)
+          if (v.isEmpty) dflt else v
+        }
+      }
+      (attr("ImageDescriptor", "imageLeftPosition", "0").toInt,
+        attr("ImageDescriptor", "imageTopPosition", "0").toInt,
+        attr("GraphicControlExtension", "disposalMethod", "none"))
+    } catch { case scala.util.control.NonFatal(_) => (0, 0, "none") }
+
+  /** Deterministic REAL animated-GIF fixture: `nFrames` full-size
+    * solid-gray frames (gray level `(seed·37 + f·53) mod 200` at frame
+    * f) written through the JDK's own GIF sequence writer
+    * (`writeToSequence`). Frames are TYPE_BYTE_INDEXED over an explicit
+    * 256-gray palette, so the GIF encoder stores the exact levels —
+    * no quantizer in the loop — and every decoded pixel is
+    * SQL-predictable: frame f of video `seed` sums to
+    * `gray(seed,f) · w · h` per channel, which is what lets a DuckDB
+    * oracle check the whole decode→compose→re-encode→feature chain
+    * from the construction formula alone ([[syntheticWav]]'s role, one
+    * modality over). Offsets/disposal default to full-frame/none; the
+    * delta-composition spec builds its own offset frames directly.
+    */
+  def syntheticGif(seed: Long, width: Int, height: Int,
+                   nFrames: Int): Array[Byte] = {
+    require(nFrames > 0, s"nFrames must be positive, got $nFrames")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        w.writeToSequence(
+          new javax.imageio.IIOImage(
+            solidGrayFrame(width, height, grayLevel(seed, f)), null, null),
+          null)
+        f += 1
+      }
+      w.endWriteSequence()
+    } finally {
+      w.dispose(); ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** The fixture's per-frame gray formula — shared with specs/oracles. */
+  private[graft] def grayLevel(seed: Long, frame: Int): Int =
+    math.floorMod(seed * 37 + frame * 53L, 200L).toInt
+
+  /** A solid-gray frame over an explicit 256-gray palette (exact GIF
+    * round-trip; also the building block for the spec's offset deltas). */
+  private[graft] def solidGrayFrame(width: Int, height: Int,
+                                    gray: Int): java.awt.image.BufferedImage = {
+    val levels = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(
+      8, 256, levels, levels, levels)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, gray)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 }
