@@ -764,6 +764,82 @@ object PipelineQueries {
              |  AS BIGINT) AS zkey
              |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // Z-order read-path pruning measured from REAL scan metrics inside
+    // the correctness gate itself (the PipelineOpsSpec runtime
+    // assertion, promoted to a channel): write documents through
+    // zOrderLayout partitionBy(z_bucket), read back with zCellsFor's
+    // curve cells as the `isin` partition filter plus the exact
+    // predicate, and emit each slab's aggregates TOGETHER with
+    // (dirs_total, dirs_read) taken from the executed plan's file scan.
+    // The oracle recomputes the aggregates from the documents table and
+    // hardcodes 4-of-16: a layout that stops pruning (dirs_read 16), a
+    // curve decomposition that over-prunes (aggregates short), or a
+    // bucket coverage hole (dirs_total < 16) all land as a red hash —
+    // and the pruning holds for a predicate on EITHER dimension, the
+    // whole point of the curve.
+    QueryDef(
+      "pipeline_zorder_scan",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec => scans(q.plan)
+          case f: FileSourceScanExec => Seq(f)
+          case other =>
+            other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+        }
+        // two independent bounded dims (coprime multiplier decorrelates;
+        // doc_id ranges cover [0, 256) in both at every SF)
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"),
+          (col("doc_id") % 256).cast("int").as("a"),
+          ((col("doc_id") * 131) % 256).cast("int").as("b"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-zscan")
+        try {
+          Curation.zOrderLayout(docs, col("a"), col("b"), bits = 8,
+              bucketBits = 2)
+            .write.mode("overwrite").partitionBy("z_bucket")
+            .parquet(dir.toString)
+          val dirsTotal = {
+            val ls = java.nio.file.Files.list(dir)
+            try {
+              import scala.jdk.CollectionConverters._
+              ls.iterator().asScala
+                .count(_.getFileName.toString.startsWith("z_bucket="))
+            } finally ls.close()
+          }
+          val back = s.read.parquet(dir.toString)
+          def slab(dim: String, cells: Seq[Long], exact: Column) = {
+            val q = back.filter(col("z_bucket").isin(cells: _*) && exact)
+              .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"))
+            val r = q.collect()(0) // execute: AQE finalizes, metrics fill
+            val scan = scans(q.queryExecution.executedPlan).head
+            (dim, r.getLong(0), r.getLong(1), dirsTotal,
+              scan.metrics("numPartitions").value.toInt)
+          }
+          import s.implicits._
+          Seq(
+            slab("a", Curation.zCellsFor(0, 63, 0, 255), col("a") <= 63),
+            slab("b", Curation.zCellsFor(0, 255, 192, 255),
+              col("b") >= 192))
+            .toDF("dim", "n_match", "sum_docs", "dirs_total", "dirs_read")
+            .orderBy(col("dim"))
+        } finally {
+          graft.PlanHygiene.deleteRecursively(dir)
+        }
+      },
+      Some("""SELECT 'a' AS dim, CAST(count(*) AS BIGINT) AS n_match,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_docs,
+             |       16 AS dirs_total, 4 AS dirs_read
+             |FROM documents WHERE doc_id % 256 <= 63
+             |UNION ALL
+             |SELECT 'b', CAST(count(*) AS BIGINT),
+             |       CAST(sum(doc_id) AS BIGINT), 16, 4
+             |FROM documents WHERE (doc_id * 131) % 256 >= 192
+             |ORDER BY dim""".stripMargin)),
+
     // Vocabulary Zipf profile: distinct-term count per document
     // frequency — feeds min-df cutoffs and vocabulary sizing; all
     // integer counts, so the whole curve hash-checks.
@@ -2625,6 +2701,117 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id + 1000 AS q_id, doc_id AS neighbor_id
              |FROM documents WHERE doc_id < 30
-             |ORDER BY q_id""".stripMargin))
+             |ORDER BY q_id""".stripMargin)),
+
+    // REAL video decode (the last modality off the stub path): doc-
+    // derived animated GIFs — nf solid-gray frames over an explicit
+    // 256-gray palette, exact through the indexed encode — decode via
+    // videoFrames' playing compositor into per-frame logical-screen
+    // PNGs, and featureGrid's real image decode re-reads every frame.
+    // The oracle re-derives frame count, geometry, and every channel
+    // sum from the construction formula (frame f of video `id` is
+    // solid gray (id·37 + f·53) mod 200, so each channel sums to
+    // gray·w·h) — a wrong frame count, a dirty-rect-sized frame, or a
+    // palette-requantized pixel all land as a red hash.
+    QueryDef(
+      "mm_video_frames",
+      (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            ("/vid/" + id, Multimodal.syntheticGif(
+              id, 16 + (id % 17).toInt, 12 + (id % 13).toInt,
+              2 + (id % 5).toInt))
+          })
+          .toDF("path", "data")
+        val frames = Multimodal.videoFrames(payloads)
+        val geo = frames.select(
+          concat(col("path"), lit("#"), col("frame_idx")).as("k"),
+          col("path"), col("frame_idx"), col("width"), col("height"))
+        val stats = Multimodal.featureGrid(
+            frames.select(
+              concat(col("path"), lit("#"), col("frame_idx")).as("path"),
+              col("frame").as("data")),
+            grid = 1)
+          .withColumnRenamed("path", "k")
+          .drop("cell")
+        geo.join(stats, "k").drop("k")
+          .orderBy(col("path"), col("frame_idx"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h,
+             |         2 + doc_id % 5 AS nf
+             |  FROM documents WHERE doc_id < 40),
+             |f AS (
+             |  SELECT doc_id, w, h, g.i AS fi,
+             |         (doc_id * 37 + g.i * 53) % 200 AS gray
+             |  FROM d, UNNEST(range(0, nf)) AS g(i))
+             |SELECT '/vid/' || doc_id AS path, CAST(fi AS INT) AS frame_idx,
+             |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |       CAST(gray * w * h AS BIGINT) AS r_sum,
+             |       CAST(gray * w * h AS BIGINT) AS g_sum,
+             |       CAST(gray * w * h AS BIGINT) AS b_sum
+             |FROM f ORDER BY path, frame_idx""".stripMargin)),
+
+    // Frame-level dedup finds a RE-CUT clip: video 1000+id carries the
+    // SAME footage as video id shifted one frame (gray level is linear
+    // in 37·seed + 53·f mod 200, and 169 ≡ 53·37⁻¹, so seed id+169 at
+    // frame f reproduces seed id at frame f+1 exactly) — byte-level
+    // video dedup can never see this (different GIF streams), but
+    // exact frame-feature dedup over the decoded frames must pair
+    // frame f of the re-cut with frame f+1 of the original AND nothing
+    // else: the dims formula isolates ids mod 15, and within a twin
+    // pair the shift equation has the single solution the oracle
+    // enumerates. Pair generation is the capped groupBy-bucket shape
+    // every dedup here uses (slim (key, fid) rows, fan-out bounded).
+    QueryDef(
+      "mm_video_dedup",
+      (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d).filter(col("doc_id") < 12)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = 12 + (id % 5).toInt * 2
+            val h = 10 + (id % 3).toInt * 2
+            val nf = 3 + (id % 3).toInt
+            Iterator(
+              ("/vid/" + id, Multimodal.syntheticGif(id, w, h, nf)),
+              ("/vid/" + (1000 + id),
+                Multimodal.syntheticGif(id + 169, w, h, nf)))
+          })
+          .toDF("path", "data")
+        val frames = Multimodal.videoFrames(payloads)
+        val geo = frames.select(
+          concat(col("path"), lit("#"), col("frame_idx")).as("k"),
+          col("path"), col("frame_idx"), col("width"), col("height"))
+        val stats = Multimodal.featureGrid(
+            frames.select(
+              concat(col("path"), lit("#"), col("frame_idx")).as("path"),
+              col("frame").as("data")),
+            grid = 1)
+          .withColumnRenamed("path", "k")
+        val keyed = geo.join(stats, "k")
+          .select(
+            (expr("CAST(substring(path, 6) AS BIGINT)") * 1000 +
+              col("frame_idx")).as("fid"),
+            col("width"), col("height"),
+            col("r_sum"), col("g_sum"), col("b_sum"))
+        LshGuard.pairsFromIdBuckets(
+            keyed.groupBy(col("width"), col("height"),
+                col("r_sum"), col("g_sum"), col("b_sum"))
+              .agg(sort_array(collect_list(col("fid"))).as("ids")),
+            cap = 1000, kind = "vframe")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 3 + doc_id % 3 AS nf
+             |  FROM documents WHERE doc_id < 12),
+             |f AS (
+             |  SELECT doc_id, g.i AS fi
+             |  FROM d, UNNEST(range(0, nf - 1)) AS g(i))
+             |SELECT doc_id * 1000 + fi + 1 AS id_a,
+             |       (1000 + doc_id) * 1000 + fi AS id_b
+             |FROM f ORDER BY id_a, id_b""".stripMargin))
   )
 }
