@@ -132,6 +132,73 @@ class GraftFileSystem extends FileSystem {
 
   private def cached(p: String): Option[Inode] = Option(inodeCache.get(p))
 
+  /** Parent → child-paths index over [[inodeCache]] — the
+    * NameNode-correct directory shape. Before this existed, every
+    * listStatus/rename/recursive-delete/empty-check scanned the WHOLE
+    * cache (O(N) per verb at up to the 10M-inode cap — a per-task-
+    * commit driver cost under a committer job); each verb now touches
+    * only the child set / subtree it names. Maintained in lock-step
+    * with the cache under [[mutLock]] via [[cachePut]]/[[cacheDrop]]
+    * (parentPath is a pure function of path — PathOps.parent — so a
+    * same-path overwrite never moves an index entry); the consistency
+    * spec asserts index ≡ groupBy(parentPath) of the cache after any
+    * verb mix.
+    */
+  private val childIndex =
+    new java.util.HashMap[String, java.util.HashSet[String]]()
+
+  /** Insert/overwrite one inode, keeping [[childIndex]] exact.
+    * Caller holds [[mutLock]] (or is single-threaded initialize). */
+  private def cachePut(n: Inode): Unit = {
+    val prior = inodeCache.put(n.path, n)
+    if (prior == null && n.parentPath != null)
+      childIndex.computeIfAbsent(n.parentPath,
+        _ => new java.util.HashSet[String]()).add(n.path)
+  }
+
+  /** Remove one inode, keeping [[childIndex]] exact (empty child sets
+    * are dropped so the index never outgrows the live tree). Caller
+    * holds [[mutLock]]. */
+  private def cacheDrop(p: String): Unit = {
+    val prior = inodeCache.remove(p)
+    if (prior != null && prior.parentPath != null) {
+      val kids = childIndex.get(prior.parentPath)
+      if (kids != null) {
+        kids.remove(p)
+        if (kids.isEmpty) childIndex.remove(prior.parentPath)
+      }
+    }
+  }
+
+  /** The subtree rooted at `p`, walked through [[childIndex]] —
+    * O(subtree), never O(cache). Fully materialized before any caller
+    * mutates (rename/remove iterate the result, not the live sets). */
+  private def subtreePaths(p: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def walk(q: String): Unit = {
+      out += q
+      val kids = childIndex.get(q)
+      if (kids != null) {
+        val it = kids.iterator()
+        while (it.hasNext) walk(it.next())
+      }
+    }
+    walk(p)
+    out.result()
+  }
+
+  /** Index snapshot for the consistency spec. */
+  private[fs] def childIndexSnapshot: Map[String, Set[String]] =
+    withMutLock {
+      val b = Map.newBuilder[String, Set[String]]
+      childIndex.forEach { (k, v) =>
+        val s = Set.newBuilder[String]
+        v.forEach(s += _)
+        b += k -> s.result()
+      }
+      b.result()
+    }
+
   /** Chunk rows written since the last fold, kept OUT of the plan.
     *
     * The first action-free write path threaded one filter+union plan
@@ -211,43 +278,38 @@ class GraftFileSystem extends FileSystem {
   private def rowInSubtree(r: Row, path: String): Boolean =
     r.getString(0) == path || r.getString(0).startsWith(subtreePrefix(path))
 
+  // children / emptiness / subtree ops answer from [[childIndex]] —
+  // O(children) / O(1) / O(subtree), never a full-cache scan
   private def cacheChildren(p: String): Seq[Inode] = {
-    val out = Seq.newBuilder[Inode]
-    inodeCache.values.forEach(n => if (n.parentPath == p) out += n)
-    out.result()
+    val kids = childIndex.get(p)
+    if (kids == null) Seq.empty
+    else {
+      val out = Seq.newBuilder[Inode]
+      val it = kids.iterator()
+      while (it.hasNext) cached(it.next()).foreach(out += _)
+      out.result()
+    }
   }
 
   private def cacheHasChildren(p: String): Boolean = {
-    val it = inodeCache.values.iterator()
-    while (it.hasNext) if (it.next().parentPath == p) return true
-    false
+    val kids = childIndex.get(p)
+    kids != null && !kids.isEmpty
   }
 
   private def subtreePrefix(p: String): String =
     if (p == "/") "/" else p + "/"
 
-  private def cacheRemoveSubtree(p: String): Unit = {
-    val pre = subtreePrefix(p)
-    val it = inodeCache.keySet.iterator()
-    while (it.hasNext) {
-      val k = it.next()
-      if (k == p || k.startsWith(pre)) it.remove()
-    }
-  }
+  private def cacheRemoveSubtree(p: String): Unit =
+    subtreePaths(p).foreach(cacheDrop)
 
   private def cacheRename(src: String, dst: String): Unit = {
-    val pre = subtreePrefix(src)
-    val moved = Seq.newBuilder[Inode]
-    val it = inodeCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey == src || e.getKey.startsWith(pre)) {
-        val np = dst + e.getKey.substring(src.length)
-        moved += e.getValue.copy(path = np, parentPath = PathOps.parent(np))
-        it.remove()
-      }
-    }
-    moved.result().foreach(n => inodeCache.put(n.path, n))
+    val paths = subtreePaths(src)
+    val moved = paths.flatMap(k => cached(k).map { n =>
+      val np = dst + k.substring(src.length)
+      n.copy(path = np, parentPath = PathOps.parent(np))
+    })
+    paths.foreach(cacheDrop)
+    moved.foreach(cachePut)
   }
 
   /** Serializes each verb's read-modify-write state transition.
@@ -371,7 +433,8 @@ class GraftFileSystem extends FileSystem {
     cell = new FsState(GraftFs(FsCatalog(s.createDataset(Seq(root))),
       emptyChunks), compactEvery = 8)
     inodeCache.clear()
-    inodeCache.put(root.path, root)
+    childIndex.clear()
+    cachePut(root)
     startCompactor()
   }
 
@@ -458,7 +521,7 @@ class GraftFileSystem extends FileSystem {
     val ok = levels.forall(l => cached(l).forall(_.isDir))
     if (ok || createOnFailure) {
       levels.filter(l => cached(l).isEmpty)
-        .foreach(l => inodeCache.put(l, FsCatalog.dirInode(l, "graft")))
+        .foreach(l => cachePut(FsCatalog.dirInode(l, "graft")))
       noteInodeGrowth()
     }
     ok
@@ -491,7 +554,7 @@ class GraftFileSystem extends FileSystem {
       throw new IOException(s"Parent path is not a directory: $parent")
     // store the empty inode NOW (CreateFileCommand.scala:79-83) and drop
     // any prior payload once — overwrite is settled before the first byte
-    inodeCache.put(p, inodeFor(p, parent, 0L))
+    cachePut(inodeFor(p, parent, 0L))
     noteInodeGrowth()
     // overwrite drops prior payload: pending rows in memory; one base
     // filter ONLY if this path ever folded (basePaths)
@@ -600,7 +663,7 @@ class GraftFileSystem extends FileSystem {
     // metadata is the cache (the catalog frame derives from it), so an
     // inode commit is a pure map write — no plan growth, no action
     private def commitInode(): Unit = withMutLock {
-      inodeCache.put(p, inodeFor(p, parent, written + used))
+      cachePut(inodeFor(p, parent, written + used))
     }
 
     /** Flush persists the buffered partial subblock so flushed bytes
@@ -827,11 +890,11 @@ class GraftFileSystem extends FileSystem {
       cached(p) match {
         case None => false
         case Some(node) if node.isFile =>
-          inodeCache.remove(p)
+          cacheDrop(p)
           dropChunksOf()
           true
         case Some(_) if !cacheHasChildren(p) =>
-          inodeCache.remove(p)
+          cacheDrop(p)
           dropChunksOf()
           true
         case Some(_) if !recursive =>

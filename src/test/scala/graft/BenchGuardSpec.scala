@@ -155,4 +155,28 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     Bench.readBaselineMins(f.getAbsolutePath,
       "/data/sf0.1") must be(Map.empty)
   }
+
+  it must "catch a below-summary-floor query regressing above the floor" in {
+    // The r11 coverage hole: BENCH_r10's summary line floor-truncated
+    // 65 fast queries, and a baseline rebuilt from the SUMMARY left
+    // them uncompared (baseline_n 66 of 131) — a 0.1 s query could
+    // regress 10x unseen. The committed BENCH_DETAIL.json carries
+    // mins for EVERY query including sub-floor ones; this pins the
+    // full path: a detail record whose min was cut from the summary
+    // (0.12 < floor 0.239) still arms the guard, and a blowup past
+    // the floor fires `regressed` through the exact same thresholds.
+    val f = java.io.File.createTempFile("bench_subfloor", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      ("""{"sf":"/data/sf0.1","q_floor":0.239,"n_below_floor":1,""" +
+        """"queries":{"q_fast":{"reps":[0.14,0.12,0.13],"min":0.12},""" +
+        """"q_slow":{"min":2.0}}}""").getBytes("UTF-8"))
+    val base = Bench.readBaselineMins(f.getAbsolutePath, "/data/sf0.1")
+    base must be(Map("q_fast" -> 0.12, "q_slow" -> 2.0)) // sub-floor kept
+    // the regression the summary could never see: 0.12 s -> 1.2 s
+    Bench.crossRoundFlag(base("q_fast"), 1.2) must be(Some("regressed"))
+    // while sub-floor jitter inside the absolute floors stays silent
+    Bench.crossRoundFlag(base("q_fast"), 0.3) must be(None)
+    Bench.crossRoundFlag(base("q_fast"), 0.43) must be(Some("shifted"))
+  }
 }

@@ -187,4 +187,111 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     // not due → no-op, no checkpoint spent
     cell.compactOpportunistic() must be(false)
   }
+
+  it must "survive 100 seeded rounds of locked verbs racing two-phase compactions and pinned readers" in {
+    // The swap-vs-verb race class (PLANS.md r11 review; fix 8c7c765)
+    // regression-proofed by hammering, not reasoning: each round spins
+    // up writer threads running facade-shaped LOCKED read-modify-write
+    // transitions, a compactor thread running the two-phase protocol
+    // (prepareCompaction's checkpoint action lock-free, trySwap under
+    // the SAME lock the verbs hold), and a pinned reader collecting
+    // concurrently. Rewire the compactor to the unlocked composed form
+    // (compactOpportunistic — the pre-8c7c765 shape) and rounds fail
+    // with checkpoint-block-not-found/lost-update; the seeded jitter
+    // varies the interleaving across rounds so the swap lands at
+    // different points of the verb window.
+    val rounds = 100
+    var liveSwaps = 0    // swaps landed while the writer was still active
+    var abortedSwaps = 0 // prepare raced a verb: trySwap false + release
+    var totalSwaps = 0
+    for (round <- 0 until rounds) {
+      val rnd = new scala.util.Random(round * 2654435761L)
+      val cell = new FsState(emptyFs(), compactEvery = 1)
+      val lock = new java.util.concurrent.locks.ReentrantLock()
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val swaps = new java.util.concurrent.atomic.AtomicInteger
+      val live = new java.util.concurrent.atomic.AtomicInteger
+      val aborted = new java.util.concurrent.atomic.AtomicInteger
+      @volatile var writersDone = false
+      val nWrites = 6 + rnd.nextInt(5)
+      // seeded pauses: mostly tight (the prepare-overlaps-verb abort
+      // path), two per round LONGER than a checkpoint so a LIVE swap
+      // lands between two verbs of an active writer — the pre-fix
+      // kill window (an aborted prepare re-prepares instantly, so the
+      // fresh snapshot has the whole pause to checkpoint in)
+      val longAt = Set(rnd.nextInt(nWrites - 1), nWrites - 2)
+      val pauses = Array.tabulate(nWrites)(i =>
+        if (longAt(i)) 80 + rnd.nextInt(60) else rnd.nextInt(2))
+      val writer = new Thread(() => {
+        try {
+          var i = 0
+          while (i < nWrites) {
+            lock.lock()
+            try {
+              val fs = cell.get
+              cell.set(GraftFs(fs.catalog.touchz(s"/r$round-w$i"),
+                fs.chunks.unionByName(oneFile(s"/r$round-w$i", s"d$i"))),
+                allowCompact = false)
+            } finally lock.unlock()
+            if (pauses(i) > 0) Thread.sleep(pauses(i))
+            i += 1
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      }, s"race-writer-$round")
+      val compactor = new Thread(() => {
+        try {
+          while (!writersDone || cell.compactionDue) {
+            cell.prepareCompaction() match {
+              case Some((snap, c)) =>
+                val wasLive = !writersDone
+                lock.lock()
+                try {
+                  if (cell.trySwap(snap, c)) {
+                    swaps.incrementAndGet()
+                    if (wasLive) live.incrementAndGet()
+                  } else aborted.incrementAndGet()
+                } finally lock.unlock()
+              case None => Thread.sleep(1)
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      }, s"race-compactor-$round")
+      val reader = new Thread(() => {
+        try {
+          while (!writersDone) {
+            // the facade's blockAt shape: pin under the verb lock, run
+            // the engine read OUTSIDE it, unpin — a swap sweeping this
+            // generation mid-collect is the exact pre-pin failure
+            val snap = { lock.lock(); try cell.pinCurrent() finally lock.unlock() }
+            try { snap.chunks.count(); () } finally cell.unpin(snap)
+            Thread.sleep(3)
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      }, s"race-reader-$round")
+      writer.start(); compactor.start(); reader.start()
+      writer.join(60000); writersDone = true
+      compactor.join(60000); reader.join(60000)
+      (writer.isAlive || compactor.isAlive || reader.isAlive) must be(false)
+      errors.forEach(t => fail(s"round $round: $t", t))
+      // no lost update, no resurrected stale plan: every write visible
+      cell.get.catalog.inodes.count() must be(1L + nWrites)
+      val probe = rnd.nextInt(nWrites)
+      new String(DataPlane.cat(cell.get.chunks, s"/r$round-w$probe")
+        .collect()(0).getAs[Array[Byte]]("data")) must be(s"d$probe")
+      totalSwaps += swaps.get
+      liveSwaps += live.get
+      abortedSwaps += aborted.get
+      cell.releasePins()
+    }
+    // the storm must actually have raced — on BOTH contested paths:
+    // swaps that landed while the writer was mid-loop (the pre-fix
+    // kill window) and prepares aborted because a verb intervened
+    // (trySwap false + releasePrepared). Zero on either means the
+    // interleaving collapsed and the spec went vacuous.
+    withClue(s"total=$totalSwaps live=$liveSwaps aborted=$abortedSwaps: ") {
+      totalSwaps must be >= rounds
+      liveSwaps must be >= 10
+      abortedSwaps must be >= 10
+    }
+  }
 }

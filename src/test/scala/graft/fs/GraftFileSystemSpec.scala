@@ -367,4 +367,109 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
     // blocks ending before `start` are pruned (SnackFS.scala:138)
     fs.getFileBlockLocations(st, 17, st.getLen).length must be(1)
   }
+
+  it must "keep metadata verbs O(touched), not O(cache), at a million inodes" in {
+    // The parent→children index claim at NameNode scale: with 1M+
+    // unrelated inodes resident, listStatus of a 5-child dir and a
+    // small-subtree rename must cost the CHILD SET / SUBTREE, never a
+    // full-cache sweep. Bounds are deliberately generous (indexed runs
+    // are ~ms); the pre-index O(N)-per-verb code spends 10^9+ inode
+    // visits on these loops and blows them by an order of magnitude.
+    val fs = newFs()
+    (0 until 5).foreach(i => fs.mkdirs(new Path(s"/small/c$i")))
+    val n = 1_000_000
+    var i = 0
+    while (i < n) { fs.mkdirs(new Path(s"/big/d${i % 1000}/e$i")); i += 1 }
+    // 2000 listings of the small dir: index answers from the child set
+    val t0 = System.nanoTime()
+    var reps = 0
+    while (reps < 2000) {
+      fs.listStatus(new Path("/small")).length must be(5)
+      reps += 1
+    }
+    val listMs = (System.nanoTime() - t0) / 1e6
+    // 200 small-subtree renames: index walks 6 nodes, not the cache
+    val t1 = System.nanoTime()
+    var r = 0
+    while (r < 200) {
+      fs.rename(new Path("/small"), new Path("/small2")) must be(true)
+      fs.rename(new Path("/small2"), new Path("/small")) must be(true)
+      r += 2
+    }
+    val renameMs = (System.nanoTime() - t1) / 1e6
+    withClue(s"listStatus x2000 took ${listMs}ms, rename x200 ${renameMs}ms: ") {
+      listMs must be < 2000.0
+      renameMs must be < 2000.0
+    }
+    // and the big tree is still exact where it's touched
+    fs.listStatus(new Path("/big/d7")).length must be(1000)
+    fs.getFileStatus(new Path(s"/big/d999/e${n - 1}")).isDirectory must be(true)
+    fs.close()
+  }
+
+  it must "never show readers a mid-rename or mid-delete state under a concurrent verb storm" in {
+    // The second r11-review finding regression-proofed (PLANS.md r11:
+    // lock-free readers over the entry-by-entry cache rewrite could
+    // observe a live file at NEITHER path mid-rename — spurious
+    // FileNotFound under committer-concurrent task commits). Readers
+    // and mutators race for 1000+ flips; every atomic observation
+    // (one listStatus call) must see exactly one of the two names.
+    // Drop the reader-side locking in getFileStatus/listStatus and the
+    // anomaly counter goes nonzero within a few rounds.
+    val fs = newFs()
+    fs.mkdirs(new Path("/flip"))
+    val o = fs.create(new Path("/flip/a")); o.write("x".getBytes); o.close()
+    val flips = 1000
+    val anomalies = new java.util.concurrent.atomic.AtomicInteger
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var done = false
+    val renamer = new Thread(() => {
+      try {
+        var i = 0
+        while (i < flips) {
+          fs.rename(new Path("/flip/a"), new Path("/flip/b")) must be(true)
+          fs.rename(new Path("/flip/b"), new Path("/flip/a")) must be(true)
+          i += 2
+        }
+      } catch { case t: Throwable => errors.add(t) }
+      finally done = true
+    }, "flip-renamer")
+    val readers = (0 until 3).map(r => new Thread(() => {
+      try {
+        while (!done) {
+          val kids = fs.listStatus(new Path("/flip"))
+          if (kids.length != 1) anomalies.incrementAndGet()
+          else {
+            val name = kids(0).getPath.getName
+            if (name != "a" && name != "b") anomalies.incrementAndGet()
+          }
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    }, s"flip-reader-$r"))
+    // a committer-shaped sibling storm: concurrent creates+deletes in a
+    // second dir exercise the child index under the same lock traffic
+    val churner = new Thread(() => {
+      try {
+        var i = 0
+        while (i < 300) {
+          val p = new Path(s"/churn/t$i")
+          val out = fs.create(p); out.write(i.toByte); out.close()
+          if (i % 3 == 0) fs.delete(p, false)
+          i += 1
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    }, "churner")
+    (readers :+ renamer :+ churner).foreach(_.start())
+    (readers :+ renamer :+ churner).foreach(_.join(120000))
+    (readers :+ renamer :+ churner).exists(_.isAlive) must be(false)
+    errors.forEach(t => fail(s"storm thread failed: $t", t))
+    anomalies.get must be(0)
+    // post-storm exactness: the flip file is back at /flip/a with its
+    // payload, the churn dir holds exactly the non-deleted survivors
+    fs.listStatus(new Path("/flip")).map(_.getPath.getName) must be(Array("a"))
+    val in = fs.open(new Path("/flip/a"))
+    try in.read() must be('x'.toInt) finally in.close()
+    fs.listStatus(new Path("/churn")).length must be(300 - 100)
+    fs.close()
+  }
 }

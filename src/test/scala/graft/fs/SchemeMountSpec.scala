@@ -229,6 +229,13 @@ class SchemeMountSpec extends AnyFlatSpec with Matchers {
         (n.parentPath, n.isDir, n.length) must be(
           (f.parentPath, f.isDir, f.length))
       }
+      // the parent→children index must be EXACTLY groupBy(parentPath)
+      // of the cache after the same verb mix — no stale child entries
+      // (rename/delete), no missing ones (mkdirs/create), no retained
+      // empty sets
+      val expected = cache.values.filter(_.parentPath != null).toSeq
+        .groupBy(_.parentPath).view.mapValues(_.map(_.path).toSet).toMap
+      fs.childIndexSnapshot must be(expected)
     } finally fs.releaseSnapshot(snap)
   }
 }
