@@ -789,6 +789,42 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
+  /** Canonical-document selection over NEAR-dup components — the keep
+    * rule a production pipeline actually wants: within each cluster of
+    * near-duplicates, keep the HIGHEST-scoring member (longest,
+    * highest quality gate, freshest crawl — caller's `score` column),
+    * not the lowest id. [[keepFirst]] is the exact-hash analog; this
+    * one closes transitively over the verified pair set via
+    * [[components]], so a~b, b~c keeps ONE of {a,b,c} even when a and
+    * c never paired. Ties break to the smallest doc_id (one
+    * lexicographic struct max — deterministic survivors, no arg_max
+    * nondeterminism). Output: one row per cluster
+    * (component, doc_id, score, n_members); singletons (never paired)
+    * pass through as their own component.
+    *
+    * Scale shape: the corpus never groups and never shuffles — the
+    * label table is pair-sliver-sized, so the membership join AND the
+    * singleton anti-join both broadcast it while the corpus streams;
+    * only the sliver pays the per-component aggregate.
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame = {
+    val comp = components(pairs) // (doc_id, component) — pair sliver only
+    val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
+    val paired = scored.join(comp, Seq("doc_id"))
+    val winners = paired.groupBy(col("component"))
+      .agg(
+        // max over (score, -doc_id): best score wins, ties to min id
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).cast("long").as("n_members"))
+      .select(col("component"), (-col("m.nid")).as("doc_id"),
+        col("m.score").as("score"), col("n_members"))
+    val unpaired = scored
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("component"), col("doc_id"),
+        col("score"), lit(1L).as("n_members"))
+    unpaired.unionByName(winners)
+  }
+
   private def releaseCheckpoint(df: DataFrame): Unit =
     graft.PlanHygiene.releaseCheckpoint(df)
 

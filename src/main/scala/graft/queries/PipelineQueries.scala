@@ -1311,6 +1311,60 @@ object PipelineQueries {
              |SELECT id AS doc_id, MIN(r) AS component
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // Canonical selection within near-dup clusters — the production
+    // keep rule: one survivor per component, the LONGEST member
+    // (score = n_chars; ties to min doc_id), singletons surviving as
+    // themselves. Composes the LSH pair set + pointer-jumping
+    // components + one sliver-sized argmax; the corpus itself never
+    // groups or shuffles (labels broadcast). Oracle re-derives the
+    // clusters with the recursive CTE and picks the same winner with
+    // an explicit max+min tie-break (no arg_max nondeterminism), so a
+    // wrong cluster, wrong winner, or lost singleton is a red hash.
+    QueryDef(
+      "dedup_keep_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.keepBest(docs,
+            Dedup.minhashPairs(docs, shingleN = 3, b = 8, r = 4,
+              threshold = 0.5),
+            col("n_chars"))
+          .orderBy(col("component"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+             |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+             |mem AS (
+             |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             |         CAST(d.n_chars AS BIGINT) AS score
+             |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+             |best AS (SELECT component, MAX(score) AS score FROM mem GROUP BY 1),
+             |sel AS (
+             |  SELECT m.component, MIN(m.doc_id) AS doc_id, b.score
+             |  FROM mem m JOIN best b
+             |    ON m.component = b.component AND m.score = b.score
+             |  GROUP BY m.component, b.score),
+             |cnt AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+             |        FROM mem GROUP BY 1)
+             |SELECT s.component, s.doc_id, s.score, c.n_members
+             |FROM sel s JOIN cnt c USING (component)
+             |ORDER BY s.component""".stripMargin)),
+
     // Prefix-containment dedup over a cloned-truncation corpus (the
     // dedup_simhash_pairs injection pattern): docs < 100 are doubled
     // with id+20000 clones truncated to their first max(3n DIV 5, 8)

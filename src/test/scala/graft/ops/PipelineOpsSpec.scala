@@ -177,6 +177,28 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     e.getMessage must include("not converged")
   }
 
+  behavior of "Dedup.keepBest (canonical selection in near-dup clusters)"
+
+  it must "keep one highest-scoring survivor per component, ties to min id, singletons intact" in {
+    val s = spark
+    import s.implicits._
+    // component {1,2,3} (transitive: 1~2, 2~3), island {10,11} with a
+    // score TIE, singletons 20 and 21 never paired
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (20L, 2L), (21L, 0L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBest(docs, pairs, col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    got must be(Seq(
+      (1L, 2L, 9L, 3L),   // chain {1,2,3}: 2 wins on score 9
+      (10L, 10L, 4L, 2L), // tie at 4: min id 10 wins
+      (20L, 20L, 2L, 1L), // singletons survive as themselves
+      (21L, 21L, 0L, 1L)))
+    // exactly one survivor per component, never zero, never two
+    got.map(_._1).distinct.length must be(got.length)
+  }
+
   behavior of "Dedup.simhash"
 
   it must "give identical signatures to identical docs and different ones to disjoint docs" in {
