@@ -632,7 +632,12 @@ object TextAnalysis {
       .join(allTerms, "w")
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(true) // one corpus scan serves df AND scoring
+      // one corpus scan serves df AND scoring: LAZY persist (not an
+      // eager checkpoint — that spends a whole extra job + block
+      // writes before the real one, measured +~0.2 s on the 1-row
+      // single-query channel): the broadcast(dfs) build materializes
+      // the sliver into cache and the probe side reads it back
+      .persist()
     val corpusStats = docs.agg(count(lit(1)).cast("double"),
       avg(size(tokens).cast("double"))).head()
     val n = corpusStats.getDouble(0)

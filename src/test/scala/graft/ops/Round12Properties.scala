@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.TestSpark
+
+/** Round-12 invariants over random inputs: keepBest must equal a plain
+  * union-find + argmax reference on ANY doc set and pair graph — one
+  * survivor per connected component, the max-score member with the
+  * min-id tie-break, singletons surviving as themselves. Narrow score
+  * range forces frequent ties so the tie-break is genuinely exercised;
+  * random graphs include empty edge sets, multi-edges, and both edge
+  * orientations. Real Spark jobs per case → low success counts, like
+  * the other *Properties objects.
+  */
+object Round12Properties extends Properties("Round12Ops") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withWorkers(1)
+
+  private lazy val spark = TestSpark.spark
+
+  private val genCase: Gen[(Seq[(Long, Long)], Seq[(Long, Long)])] = for {
+    n <- Gen.choose(2, 24)
+    scores <- Gen.listOfN(n, Gen.choose(0L, 6L)) // narrow: force ties
+    nEdges <- Gen.choose(0, 2 * n)
+    edges <- Gen.listOfN(nEdges, for {
+      a <- Gen.choose(0, n - 1)
+      b <- Gen.choose(0, n - 1)
+    } yield (a.toLong, b.toLong))
+  } yield (
+    scores.zipWithIndex.map { case (sc, i) => (i.toLong, sc) },
+    edges.filter(e => e._1 != e._2))
+
+  property("keepBest equals the union-find argmax reference (any graph)") =
+    Prop.forAllNoShrink(genCase) { case (docs, pairs) =>
+      val s = spark
+      import s.implicits._
+      // reference: union-find, component key = min member id (the
+      // label Dedup.components produces), winner = (max score, min id)
+      val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val score = docs.toMap
+      val expected = docs.map(_._1).groupBy(find).map { case (_, members) =>
+        val comp = members.min
+        val best = members.map(score).max
+        (comp, members.filter(score(_) == best).min, best, members.size.toLong)
+      }.toSet
+      val got = Dedup.keepBest(
+          docs.toDF("doc_id", "score"),
+          pairs.toDF("id_a", "id_b"),
+          col("score"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      Prop(got == expected) :| s"got $got expected $expected"
+    }
+}

@@ -150,6 +150,30 @@ class VideoSpec extends AnyFlatSpec with Matchers {
     px(f2, 10, 6) must be(50)
   }
 
+  it must "decode other multi-image containers (multi-page TIFF) through the same loop" in {
+    // the scaladoc's TIFF claim, pinned: the stock JDK ships a TIFF
+    // plugin, frames carry no GIF geometry (zero offsets, disposal
+    // none), so each page decodes to its own full frame
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      for (g <- Seq(30, 90, 150))
+        w.writeToSequence(new javax.imageio.IIOImage(
+          Multimodal.solidGrayFrame(12, 7, g), null, null), null)
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    val frames = Multimodal.decodeVideoFrames(bos.toByteArray).toSeq
+    frames.map(_._1) must be(0 until 3)
+    frames.zip(Seq(30, 90, 150)).foreach { case ((_, img), g) =>
+      (img.getWidth, img.getHeight) must be((12, 7))
+      px(img, 0, 0) must be(g)
+      px(img, 11, 6) must be(g)
+    }
+  }
+
   it must "cap a many-frame payload at maxFrames and drop undecodable payloads" in {
     val bytes = Multimodal.syntheticGif(3L, 8, 8, 9)
     Multimodal.decodeVideoFrames(bytes, maxFrames = 4).length must be(4)
