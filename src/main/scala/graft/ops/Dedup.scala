@@ -825,6 +825,65 @@ object Dedup {
     unpaired.unionByName(winners)
   }
 
+  /** [[keepBest]] under a daily crawl — the incremental-family member
+    * for canonical selection (dedup_incremental_* / ann_incremental
+    * precedent): absorb a new batch + its near-dup pairs WITHOUT
+    * recomputing untouched clusters. A component no new pair/doc
+    * touches has byte-identical membership, so its old survivor row
+    * passes through UNCHANGED; only components containing a new doc or
+    * a new pair endpoint (including history↔history pairs a re-crawl
+    * discovered, and components MERGED by a bridging edge — membership
+    * is resolved doc-level, so a survivor whose cluster was absorbed
+    * under another label is correctly retired) are re-argmaxed, and
+    * unpaired new docs enter as their own singletons. Output is
+    * bit-identical to `keepBest(allDocs, allPairs)` — the channel
+    * gates on the SAME full-recompute oracle.
+    *
+    * Scale shape: components run over the pair set (near-dup sliver,
+    * never corpus-scale); the corpus contributes one projected scan
+    * pruned by the broadcast affected-member sliver for scores (a
+    * deployment points this at its doc-score side table); untouched
+    * survivors move as rows, not recomputation.
+    *
+    * @param histSurvivors prior [[keepBest]] output
+    *                      (component, doc_id, score, n_members)
+    * @param docs          (doc_id, score source) for ALL docs — only
+    *                      affected members' rows are ever read
+    * @param histPairs     pair set the prior run used
+    * @param newDocs       (doc_id) of the increment
+    * @param newPairs      pairs with ≥1 endpoint new, plus any newly
+    *                      discovered history↔history pairs
+    */
+  def keepBestIncremental(histSurvivors: DataFrame, docs: DataFrame,
+                          histPairs: DataFrame, newDocs: DataFrame,
+                          newPairs: DataFrame, score: Column): DataFrame = {
+    val comp = components(histPairs.unionByName(newPairs))
+    val touched = newPairs.select(col("id_a").as("doc_id"))
+      .unionByName(newPairs.select(col("id_b").as("doc_id")))
+      .unionByName(newDocs.select(col("doc_id")))
+      .distinct()
+    val affected = comp.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct()
+    val members = comp.join(affected, Seq("component"), "left_semi")
+    val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
+    val recomputed = scored.join(members, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).cast("long").as("n_members"))
+      .select(col("component"), (-col("m.nid")).as("doc_id"),
+        col("m.score").as("score"), col("n_members"))
+    val newSingles = newDocs.select(col("doc_id"))
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(scored, Seq("doc_id"))
+      .select(col("doc_id").as("component"), col("doc_id"), col("score"),
+        lit(1L).as("n_members"))
+    val untouched = histSurvivors
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("component"), col("doc_id"), col("score"),
+        col("n_members"))
+    untouched.unionByName(recomputed).unionByName(newSingles)
+  }
+
   private def releaseCheckpoint(df: DataFrame): Unit =
     graft.PlanHygiene.releaseCheckpoint(df)
 

@@ -1365,6 +1365,68 @@ object PipelineQueries {
              |FROM sel s JOIN cnt c USING (component)
              |ORDER BY s.component""".stripMargin)),
 
+    // Incremental canonical selection: history survivors + a new batch
+    // (doc_id % 10 == 0) + the new/bridging pair sliver absorb WITHOUT
+    // recomputing untouched clusters — untouched survivor rows pass
+    // through, only affected components re-argmax, unpaired new docs
+    // enter as singletons. The oracle is the SAME full-recompute SQL
+    // as dedup_keep_best, so the incremental path must be bit-identical
+    // to rerunning everything — a stale survivor, a missed merged
+    // cluster, or a lost singleton is a red hash.
+    QueryDef(
+      "dedup_keep_best_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 0
+        val hist = docs.filter(!isNew(col("doc_id")))
+        val inc = docs.filter(isNew(col("doc_id")))
+        val allPairs = Dedup.minhashPairs(docs, shingleN = 3, b = 8,
+          r = 4, threshold = 0.5).localCheckpoint(true)
+        val histPairs = allPairs.filter(
+          !isNew(col("id_a")) && !isNew(col("id_b")))
+        val newPairs = allPairs.filter(
+          isNew(col("id_a")) || isNew(col("id_b")))
+        Dedup.keepBestIncremental(
+            Dedup.keepBest(hist, histPairs, col("n_chars")),
+            docs, histPairs, inc.select(col("doc_id")), newPairs,
+            col("n_chars"))
+          .orderBy(col("component"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+             |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+             |mem AS (
+             |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             |         CAST(d.n_chars AS BIGINT) AS score
+             |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+             |best AS (SELECT component, MAX(score) AS score FROM mem GROUP BY 1),
+             |sel AS (
+             |  SELECT m.component, MIN(m.doc_id) AS doc_id, b.score
+             |  FROM mem m JOIN best b
+             |    ON m.component = b.component AND m.score = b.score
+             |  GROUP BY m.component, b.score),
+             |cnt AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+             |        FROM mem GROUP BY 1)
+             |SELECT s.component, s.doc_id, s.score, c.n_members
+             |FROM sel s JOIN cnt c USING (component)
+             |ORDER BY s.component""".stripMargin)),
+
     // Prefix-containment dedup over a cloned-truncation corpus (the
     // dedup_simhash_pairs injection pattern): docs < 100 are doubled
     // with id+20000 clones truncated to their first max(3n DIV 5, 8)

@@ -62,4 +62,32 @@ object Round12Properties extends Properties("Round12Ops") {
         .toSet
       Prop(got == expected) :| s"got $got expected $expected"
     }
+
+  property("keepBestIncremental is bit-identical to the full recompute (any split)") =
+    Prop.forAllNoShrink(genCase, Gen.choose(1, 9)) {
+      case ((docs, pairs), mod) =>
+        val s = spark
+        import s.implicits._
+        // random increment: every doc_id ≡ 0 (mod `mod`) is "new";
+        // pairs split the channel's way — new iff either endpoint is
+        // (bridging edges and re-discovered history pairs included)
+        val isNew = (i: Long) => i % mod == 0
+        val hist = docs.filterNot(d => isNew(d._1))
+        val inc = docs.filter(d => isNew(d._1))
+        val histPairs = pairs.filter(p => !isNew(p._1) && !isNew(p._2))
+        val newPairs = pairs.filter(p => isNew(p._1) || isNew(p._2))
+        val docsDf = docs.toDF("doc_id", "score")
+        def collectSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        val full = collectSet(
+          Dedup.keepBest(docsDf, pairs.toDF("id_a", "id_b"), col("score")))
+        val incr = collectSet(Dedup.keepBestIncremental(
+          Dedup.keepBest(hist.toDF("doc_id", "score"),
+            histPairs.toDF("id_a", "id_b"), col("score")),
+          docsDf, histPairs.toDF("id_a", "id_b"),
+          inc.map(_._1).toDF("doc_id"), newPairs.toDF("id_a", "id_b"),
+          col("score")))
+        Prop(incr == full) :| s"incremental $incr != full $full"
+    }
 }
