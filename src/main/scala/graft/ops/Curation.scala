@@ -422,6 +422,38 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Op-domain salt for [[curriculumShards]] (see [[SplitSeedSalt]]'s
+    * rationale — each op family draws from its own uniform stream). */
+  val ShardSeedSalt: Long = 0x73687264L // "shrd"
+
+  /** Deterministic curriculum sharding — the training-loader manifest:
+    * every document lands in one of `nShards` shards by the SAME
+    * splitmix-style integer hash the sampling/split family uses (pure
+    * integer arithmetic end to end, so the oracle recomputes shard
+    * assignment EXACTLY — no float-boundary risk), and inside each
+    * shard documents are ordered by DESCENDING score with doc_id
+    * tie-break (curriculum order: a loader walking pos 1..n feeds
+    * easiest/highest-quality first; reverse downstream for the other
+    * direction). The global-sort trap is deliberately avoided: a
+    * corpus-wide row_number needs a single partition at 100 TB, while
+    * per-shard windows sort nShards independent partitions — pick
+    * nShards at or above cluster parallelism and each sort is
+    * corpus/nShards, with skew impossible under the uniform hash.
+    */
+  def curriculumShards(docs: DataFrame, score: Column, nShards: Int,
+                       seed: Long = 42L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val m = pmod(col("doc_id") + lit(seed ^ ShardSeedSalt),
+      lit(2147483647L))
+    val h = (m.bitwiseXOR(shiftright(m, 15)) * lit(2654435761L)) %
+      lit(2147483647L)
+    docs.withColumn("shard", (h % nShards).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(score.desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Z-order (Morton) interleave of two bounded dimension keys — the
     * multi-dimensional LAYOUT clustering a 100 TB table needs when
     * queries filter on two independent columns. A single-column sort

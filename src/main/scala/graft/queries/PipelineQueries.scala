@@ -764,6 +764,29 @@ object PipelineQueries {
              |  AS BIGINT) AS zkey
              |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // Curriculum shard manifest: deterministic integer-hash shard
+    // assignment (the splitmix family — shard recomputes EXACTLY in
+    // SQL, no float boundary) + per-shard descending-quality order
+    // with doc_id tie-break. Per-shard windows, never a corpus-wide
+    // row_number (the single-partition trap at 100 TB). The oracle
+    // replays the hash term for term and the window definition.
+    QueryDef(
+      "pipeline_curriculum",
+      (s, d) =>
+        Curation.curriculumShards(Tables.documents(s, d),
+            col("n_chars"), nShards = 8)
+          .orderBy(col("doc_id")),
+      Some("""WITH h AS (
+             |  SELECT doc_id, n_chars,
+             |         ((xor(((doc_id + 1936224846) % 2147483647),
+             |               ((doc_id + 1936224846) % 2147483647) >> 15)
+             |           * 2654435761) % 2147483647) % 8 AS shard
+             |  FROM documents)
+             |SELECT doc_id, CAST(shard AS INT) AS shard,
+             |       ROW_NUMBER() OVER (PARTITION BY shard
+             |                          ORDER BY n_chars DESC, doc_id) AS pos
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // Z-order read-path pruning measured from REAL scan metrics inside
     // the correctness gate itself (the PipelineOpsSpec runtime
     // assertion, promoted to a channel): write documents through

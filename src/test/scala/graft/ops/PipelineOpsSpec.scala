@@ -2269,6 +2269,42 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "Curation.curriculumShards (deterministic shard manifest)"
+
+  it must "cover every doc once, order each shard by descending score, and window per shard" in {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, (i * 37) % 50))
+      .toDF("doc_id", "n_chars")
+    val out = Curation.curriculumShards(docs, col("n_chars"), nShards = 4)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // total function: every doc exactly once, shards in range
+    rows.length must be(200)
+    rows.map(_._1).distinct.length must be(200)
+    all(rows.map(_._2)) must (be >= 0 and be < 4)
+    // per shard: positions contiguous from 1, score non-increasing,
+    // doc_id tie-break ascending
+    val score = (0L until 200L).map(i => i -> (i * 37) % 50).toMap
+    rows.groupBy(_._2).foreach { case (_, sh) =>
+      val ordered = sh.sortBy(_._3)
+      ordered.map(_._3) must be((1L to sh.length).toSeq)
+      ordered.sliding(2).foreach {
+        case Array((idA, _, _), (idB, _, _)) =>
+          val (sa, sb) = (score(idA), score(idB))
+          (sa > sb || (sa == sb && idA < idB)) must be(true)
+        case _ => ()
+      }
+    }
+    // the window partitions by shard — a corpus-wide single-partition
+    // sort would be the 100 TB scale-killer this op exists to avoid
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows.nonEmpty must be(true)
+    all(windows.map(_.partitionSpec.nonEmpty)) must be(true)
+  }
+
   behavior of "Curation.zOrderKey / zOrderLayout (multi-dimensional layout)"
 
   it must "interleave exactly per the Morton model and reject out-of-range dims" in {
