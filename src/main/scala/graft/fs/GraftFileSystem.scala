@@ -234,12 +234,36 @@ class GraftFileSystem extends FileSystem {
     * ops), not O(renames): both per-rename frame shapes are
     * exponential under eager analysis (GraftFs.renameChunksOnly
     * scaladoc) and wedged a stock 8-task write before this existed.
+    *
+    * SORTED set, not a hash set: [[baseHasSubtree]] runs on the block-
+    * miss READ path (blockAt) and per structural op, and a linear
+    * prefix scan there re-grows with every folded file over a mount's
+    * lifetime — the same O(N)-per-verb class the inode cache's
+    * parent index removed. Prefix membership over a sorted set is one
+    * floor lookup: the first key ≥ "p/" starts with "p/" iff the
+    * subtree is non-empty. All access under [[mutLock]].
     */
-  private val basePaths = scala.collection.mutable.HashSet.empty[String]
+  private val basePaths = new java.util.TreeSet[String]()
 
   private def baseHasSubtree(p: String): Boolean = {
+    if (basePaths.contains(p)) return true
     val pre = subtreePrefix(p)
-    basePaths.contains(p) || basePaths.exists(_.startsWith(pre))
+    val c = basePaths.ceiling(pre)
+    c != null && c.startsWith(pre)
+  }
+
+  /** All folded paths under `p` (inclusive), via one sorted-range walk. */
+  private def baseSubtree(p: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    if (basePaths.contains(p)) out += p
+    val pre = subtreePrefix(p)
+    val it = basePaths.tailSet(pre).iterator()
+    var go = true
+    while (go && it.hasNext) {
+      val k = it.next()
+      if (k.startsWith(pre)) out += k else go = false
+    }
+    out.result()
   }
 
   private val chunkRowSchema = StructType(Seq(
@@ -257,7 +281,7 @@ class GraftFileSystem extends FileSystem {
   private def foldPending(): Unit =
     if (pendingChunks.nonEmpty) {
       val rows = new java.util.ArrayList[Row](pendingChunks.size)
-      pendingChunks.foreach { r => rows.add(r); basePaths += r.getString(0) }
+      pendingChunks.foreach { r => rows.add(r); basePaths.add(r.getString(0)) }
       val df = spark.createDataFrame(rows, chunkRowSchema)
       setState(GraftFs(state.catalog, state.chunks.unionByName(df)))
       pendingChunks.clear()
@@ -882,7 +906,7 @@ class GraftFileSystem extends FileSystem {
         dropPending(rowInSubtree(_, p))
         if (baseHasSubtree(p)) {
           val pre = subtreePrefix(p)
-          basePaths.filterInPlace(k => k != p && !k.startsWith(pre))
+          baseSubtree(p).foreach(basePaths.remove)
           setState(GraftFs(state.catalog, state.chunks.filter(
             !(col("path") === p || col("path").startsWith(pre)))))
         }
@@ -942,10 +966,9 @@ class GraftFileSystem extends FileSystem {
           i += 1
         }
         if (baseHasSubtree(s)) {
-          val moved = basePaths.toSeq
-            .filter(k => k == s || k.startsWith(pre))
-          basePaths --= moved
-          basePaths ++= moved.map(k => d + k.substring(s.length))
+          val moved = baseSubtree(s)
+          moved.foreach(basePaths.remove)
+          moved.foreach(k => basePaths.add(d + k.substring(s.length)))
           setState(state.renameChunksOnly(s, d))
         }
         true
