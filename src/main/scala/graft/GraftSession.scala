@@ -67,5 +67,11 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.TopKByScore].getName, "graft_topk"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.TopKByScore(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.NfcNormalize(exprs(0))))
   }
 }

@@ -659,6 +659,29 @@ object TextAnalysis {
           .DecimalType(28, 8))).cast("double"), 5).as("bm25"))
   }
 
+  /** Text normalization — the cleanup pass that runs BEFORE any
+    * content-addressed op (sha/MinHash/SimHash/BPE), because "é" as
+    * U+00E9 vs e+U+0301 are byte-different same-text and a stray
+    * control char or doubled space forks every downstream hash:
+    * Unicode NFC via the native codegen'd `graft_nfc` expression
+    * (quick-check fast path — ASCII rows never allocate), control
+    * chars stripped (NUL..US minus \t\n\r, plus DEL), whitespace runs
+    * squashed to one space, ends trimmed. Patterns are the
+    * RE2-compatible explicit classes shared verbatim with the oracle
+    * (the redactPii convention). Pure per-row projection inside
+    * WholeStageCodegen — scan speed at 100 TB, no shuffle, no UDF.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val nfc = expr(s"graft_nfc(`$textCol`)")
+    val stripped =
+      regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val squashed = trim(regexp_replace(stripped, "[ \\t\\n\\r]+", " "))
+    docs.select(col("doc_id"), squashed.as("norm_text"),
+      length(col(textCol)).as("n_chars_raw"),
+      length(squashed).as("n_chars_norm"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the cheap cross-engine-stable dedup key (rolling-hash analog).
     */

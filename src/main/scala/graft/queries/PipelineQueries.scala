@@ -305,6 +305,44 @@ object PipelineQueries {
              |       CAST(len(regexp_extract_all(after_ip, '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phones
              |FROM staged2 ORDER BY doc_id""".stripMargin)),
 
+    // Unicode + whitespace normalization through the native graft_nfc
+    // expression (text_redact's injection pattern): every third doc
+    // gets a decomposed e+COMBINING-ACUTE, a control char, and a
+    // doubled space appended, so the NFC compose (e+U+0301 → é), the
+    // control strip, and the squash all provably fire — DuckDB's
+    // nfc_normalize replays the composition and both engines emit the
+    // identical composed string and char counts.
+    QueryDef(
+      "text_normalize",
+      (s, d) =>
+        TextAnalysis.normalizeText(
+          Tables.documents(s, d).select(
+            col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              // decomposed on purpose: two spaces, 'x', U+0001,
+              // 'e' + COMBINING ACUTE (the bytes the oracle builds
+              // with chr()); NFC must compose, strip, squash
+              concat(col("text"), lit("  xé")))
+              .otherwise(col("text")).as("text")))
+          .orderBy(col("doc_id")),
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 3 = 0
+             |              THEN text || '  x' || chr(1) || 'e' || chr(769)
+             |              ELSE text END AS t
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id, t,
+             |         trim(regexp_replace(
+             |           regexp_replace(nfc_normalize(t),
+             |             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |           '[ \t\n\r]+', ' ', 'g')) AS norm_text
+             |  FROM aug)
+             |SELECT doc_id, norm_text,
+             |       CAST(length(t) AS INT) AS n_chars_raw,
+             |       CAST(length(norm_text) AS INT) AS n_chars_norm
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
     // Within-doc repetition signals (Gopher-style quality heuristics):
     // distinct-word ratio + most-frequent word/bigram mass. Every ratio
     // is one int/int division rounded to 6 places, so the whole row set
