@@ -343,6 +343,51 @@ object PipelineQueries {
              |       CAST(length(norm_text) AS INT) AS n_chars_norm
              |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // WHY normalizeText sits before content-addressed dedup: clone
+    // 20000+id carries the SAME text as id in a different encoding
+    // provenance (composed " é" vs doubled-space + decomposed
+    // e+COMBINING-ACUTE + trailing space) — raw sha256 sees two
+    // distinct documents FOREVER (n_raw_variants = 2), while grouping
+    // on the normalized text pairs every clone with its original
+    // (n_copies = 2). The oracle replays the full normalize pipeline
+    // in SQL, so a normalization drift on either transform breaks the
+    // pairing and the hash.
+    QueryDef(
+      "dedup_normalized",
+      (s, d) => {
+        val base = Tables.documents(s, d).filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("text"))
+        val aug = base.select(col("doc_id"),
+            concat(col("text"), lit(" é")).as("text"))
+          .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit("  é ")).as("text")))
+        TextAnalysis.normalizeText(aug)
+          .join(aug, "doc_id")
+          .groupBy(col("norm_text"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"),
+            countDistinct(sha2(col("text"), 256)).as("n_raw_variants"))
+          .select(col("doc_id"), col("n_copies"), col("n_raw_variants"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text || ' ' || chr(233) AS text
+             |  FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 20000, text || '  e' || chr(769) || ' '
+             |  FROM documents WHERE doc_id < 50),
+             |norm AS (
+             |  SELECT doc_id, text,
+             |         trim(regexp_replace(
+             |           regexp_replace(nfc_normalize(text),
+             |             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |           '[ \t\n\r]+', ' ', 'g')) AS norm_text
+             |  FROM aug)
+             |SELECT MIN(doc_id) AS doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+             |       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_raw_variants
+             |FROM norm GROUP BY norm_text ORDER BY doc_id""".stripMargin)),
+
     // Within-doc repetition signals (Gopher-style quality heuristics):
     // distinct-word ratio + most-frequent word/bigram mass. Every ratio
     // is one int/int division rounded to 6 places, so the whole row set
