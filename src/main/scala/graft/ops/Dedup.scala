@@ -810,7 +810,13 @@ object Dedup {
   def keepBest(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame = {
     val comp = components(pairs) // (doc_id, component) — pair sliver only
     val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
-    val paired = scored.join(comp, Seq("doc_id"))
+    // EXPLICIT broadcast: comp is a checkpointed LogicalRDD, which
+    // carries no stats — the static planner would default-size it
+    // huge and sort-merge-shuffle the CORPUS side of both joins (the
+    // exact 100 TB failure this op's shape exists to avoid); the hint
+    // makes the sliver-broadcast deterministic instead of an AQE
+    // runtime rescue
+    val paired = scored.join(broadcast(comp), Seq("doc_id"))
     val winners = paired.groupBy(col("component"))
       .agg(
         // max over (score, -doc_id): best score wins, ties to min id
@@ -819,7 +825,7 @@ object Dedup {
       .select(col("component"), (-col("m.nid")).as("doc_id"),
         col("m.score").as("score"), col("n_members"))
     val unpaired = scored
-      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(comp.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("component"), col("doc_id"),
         col("score"), lit(1L).as("n_members"))
     unpaired.unionByName(winners)
@@ -862,23 +868,27 @@ object Dedup {
       .unionByName(newPairs.select(col("id_b").as("doc_id")))
       .unionByName(newDocs.select(col("doc_id")))
       .distinct()
-    val affected = comp.join(touched, Seq("doc_id"), "left_semi")
+    val affected = comp.join(broadcast(touched), Seq("doc_id"), "left_semi")
       .select(col("component")).distinct()
-    val members = comp.join(affected, Seq("component"), "left_semi")
+    val members = comp.join(broadcast(affected), Seq("component"), "left_semi")
     val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
-    val recomputed = scored.join(members, Seq("doc_id"))
+    // explicit sliver broadcasts for every corpus-facing join, the
+    // keepBest rationale (stats-less checkpointed frames must never
+    // default-size into a corpus shuffle)
+    val recomputed = scored.join(broadcast(members), Seq("doc_id"))
       .groupBy(col("component"))
       .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"),
         count(lit(1)).cast("long").as("n_members"))
       .select(col("component"), (-col("m.nid")).as("doc_id"),
         col("m.score").as("score"), col("n_members"))
     val newSingles = newDocs.select(col("doc_id"))
-      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(comp.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .join(scored, Seq("doc_id"))
       .select(col("doc_id").as("component"), col("doc_id"), col("score"),
         lit(1L).as("n_members"))
     val untouched = histSurvivors
-      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(members.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
       .select(col("component"), col("doc_id"), col("score"),
         col("n_members"))
     untouched.unionByName(recomputed).unionByName(newSingles)

@@ -313,7 +313,10 @@ object Similarity {
     val comps = graft.ops.Dedup.components(
       pairs.select(col("id_a"), col("id_b")))
     corpus.select(col("vec_id"))
-      .join(comps.select(col("doc_id").as("vec_id"), col("component")),
+      // explicit broadcast: comps is a stats-less checkpointed sliver
+      // (Dedup.keepBest rationale — never shuffle the corpus side)
+      .join(broadcast(
+          comps.select(col("doc_id").as("vec_id"), col("component"))),
         Seq("vec_id"), "left_outer")
       .select(col("vec_id"),
         coalesce(col("component"), col("vec_id")).as("rep_id"))

@@ -199,6 +199,32 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     got.map(_._1).distinct.length must be(got.length)
   }
 
+  it must "broadcast the component sliver so the corpus side never sort-merge-shuffles" in {
+    // the 100 TB plan claim, pinned from the EXECUTED plan: comp is a
+    // stats-less checkpointed LogicalRDD, and without the explicit
+    // broadcast hints the static planner default-sizes it huge and
+    // plans SortMergeJoins that shuffle the corpus on both the
+    // membership join and the singleton anti-join
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => q +: flat(q.plan)
+      case other => other +: (other.children.flatMap(flat) ++
+        other.subqueries.flatMap(flat))
+    }
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 2000L).map(i => (i, i % 97)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(docs, pairs, col("n_chars"))
+    out.collect()
+    val nodes = flat(out.queryExecution.executedPlan)
+    nodes.count(_.isInstanceOf[SortMergeJoinExec]) must be(0)
+    nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) must be >= 2
+  }
+
   behavior of "Dedup.simhash"
 
   it must "give identical signatures to identical docs and different ones to disjoint docs" in {
