@@ -673,10 +673,19 @@ object TextAnalysis {
     */
   def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val nfc = expr(s"graft_nfc(`$textCol`)")
-    val stripped =
-      regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-    val squashed = trim(regexp_replace(stripped, "[ \\t\\n\\r]+", " "))
+    // ORDER IS LOAD-BEARING: controls strip BEFORE NFC. A control char
+    // between a base letter and its combining mark blocks composition
+    // (no composite exists for (control, mark)), so NFC-then-strip
+    // leaves an uncomposed e+mark behind — a second pass would change
+    // the text again. Strip-first makes the whole pipeline idempotent
+    // (NFC is idempotent and never mints controls or ASCII whitespace)
+    // — pinned as a ∀ property in Round12Properties.
+    // the strip rides inside the graft_nfc SQL expression (the repo's
+    // expr()-string convention for graft functions); SQL string
+    // literals eat one backslash level, hence the doubling
+    val nfc = expr(s"graft_nfc(regexp_replace(`$textCol`, " +
+      "'[\\\\x00-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F\\\\x7F]', ''))")
+    val squashed = trim(regexp_replace(nfc, "[ \\t\\n\\r]+", " "))
     docs.select(col("doc_id"), squashed.as("norm_text"),
       length(col(textCol)).as("n_chars_raw"),
       length(squashed).as("n_chars_norm"))

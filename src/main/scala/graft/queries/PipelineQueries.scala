@@ -319,23 +319,25 @@ object PipelineQueries {
           Tables.documents(s, d).select(
             col("doc_id"),
             when(col("doc_id") % 3 === 0,
-              // decomposed on purpose: two spaces, 'x', U+0001,
-              // 'e' + COMBINING ACUTE (the bytes the oracle builds
-              // with chr()); NFC must compose, strip, squash
-              concat(col("text"), lit("  xé")))
+              // decomposed on purpose: two spaces, 'x', 'e', U+0001,
+              // COMBINING ACUTE (the bytes the oracle builds with
+              // chr()) - the control sits BETWEEN base and mark, so
+              // only the strip-BEFORE-NFC order composes it; the
+              // reversed order leaves e+mark uncomposed and goes red
+              concat(col("text"), lit("  xe́")))
               .otherwise(col("text")).as("text")))
           .orderBy(col("doc_id")),
       Some("""WITH aug AS (
              |  SELECT doc_id,
              |         CASE WHEN doc_id % 3 = 0
-             |              THEN text || '  x' || chr(1) || 'e' || chr(769)
+             |              THEN text || '  xe' || chr(1) || chr(769)
              |              ELSE text END AS t
              |  FROM documents),
              |n AS (
              |  SELECT doc_id, t,
              |         trim(regexp_replace(
-             |           regexp_replace(nfc_normalize(t),
-             |             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |           nfc_normalize(regexp_replace(t,
+             |             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
              |           '[ \t\n\r]+', ' ', 'g')) AS norm_text
              |  FROM aug)
              |SELECT doc_id, norm_text,
@@ -379,8 +381,8 @@ object PipelineQueries {
              |norm AS (
              |  SELECT doc_id, text,
              |         trim(regexp_replace(
-             |           regexp_replace(nfc_normalize(text),
-             |             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |           nfc_normalize(regexp_replace(text,
+             |             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
              |           '[ \t\n\r]+', ' ', 'g')) AS norm_text
              |  FROM aug)
              |SELECT MIN(doc_id) AS doc_id,

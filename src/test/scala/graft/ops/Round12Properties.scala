@@ -90,4 +90,38 @@ object Round12Properties extends Properties("Round12Ops") {
           col("score")))
         Prop(incr == full) :| s"incremental $incr != full $full"
     }
+
+  // ── normalizeText is idempotent, ∀ pathological interleavings ──────
+  // The order bug this pins: a control char BETWEEN a base letter and
+  // its combining mark blocks NFC composition, so NFC-then-strip left
+  // text a second pass would still change; strip-then-NFC does not.
+  // The alphabet deliberately over-samples the nasty atoms: controls,
+  // combining marks, decomposed pairs, Hangul jamo, whitespace runs.
+  private val genNasty: Gen[Seq[String]] = {
+    val atom = Gen.oneOf(
+      "a", "Z", "9", ".", " ", "  ", "\t", "\n", "", "",
+      "", "e", "́", "é", "é", "Å", "Å",
+      "ᄀ", "ᅡ", "가", "  ", "x́")
+    Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 24).flatMap(len =>
+        Gen.listOfN(len, atom).map(_.mkString))))
+  }
+
+  property("normalizeText(normalizeText(x)) == normalizeText(x)") =
+    Prop.forAllNoShrink(genNasty) { texts =>
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = TextAnalysis.normalizeText(docs)
+        .select(col("doc_id"), col("norm_text"))
+      val twice = TextAnalysis.normalizeText(
+          once.withColumnRenamed("norm_text", "text"))
+        .select(col("doc_id"), col("norm_text"))
+      val a = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val b = twice.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      Prop(a == b) :| s"not idempotent: ${
+        a.keySet.filter(k => a(k) != b(k)).map(k =>
+          s"$k: '${a(k)}' -> '${b(k)}'").mkString("; ")}"
+    }
 }
