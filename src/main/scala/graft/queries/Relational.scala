@@ -879,6 +879,29 @@ object Relational {
              |  AND stopword_ratio >= 0.02
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── Streaming MULTIMODAL ingest, EXECUTED (twelfth streaming
+    //    channel): image files arrive through the binaryFile streaming
+    //    source and the REAL decode + feature extraction
+    //    (Multimodal.featureGrid) runs at ingest — stateless per-row,
+    //    so ingest features are byte-identical to a batch pass. The
+    //    engineered landing (solid-gray exact-palette PNGs keyed by
+    //    doc_id) makes every channel sum formula-predictable, so the
+    //    oracle re-derives the whole decode→sum chain from arithmetic. ──
+    QueryDef(
+      "stream_mm_ingest",
+      (s, d) =>
+        graft.streaming.EventsStream.mmIngestAvailableNow(s, d)
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CAST(((doc_id * 37) % 200) * (8 + doc_id % 9)
+             |            * (6 + doc_id % 7) AS BIGINT) AS r_sum,
+             |       CAST(((doc_id * 37) % 200) * (8 + doc_id % 9)
+             |            * (6 + doc_id % 7) AS BIGINT) AS g_sum,
+             |       CAST(((doc_id * 37) % 200) * (8 + doc_id % 9)
+             |            * (6 + doc_id % 7) AS BIGINT) AS b_sum
+             |FROM documents WHERE doc_id < 30
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── Native session_window, EXECUTED (seventh streaming channel):
     //    Spark's built-in session aggregation under the same gap and
     //    watermark as the custom flatMapGroupsWithState channel, so

@@ -576,6 +576,97 @@ object EventsStream {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  private val mmDrains = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Memo[DataFrame]]()
+
+  /** Streaming MULTIMODAL ingest — media arrives as FILES through
+    * Spark's binaryFile streaming source and the REAL decode + feature
+    * extraction (Multimodal.featureGrid: javax.imageio decode,
+    * exact-integer channel sums) runs AT INGEST as a stateless per-row
+    * transform, so ingest-time features are byte-identical to an
+    * offline batch pass whatever the micro-batch boundaries — the
+    * weightedSample/qualityFilter ingest contract extended to the
+    * binary modality (a crawl's images get their embeddings/gates as
+    * they land, not in a later corpus pass). The landing is engineered
+    * from the documents table's ids (the mm_* fixture convention:
+    * solid-gray exact-palette PNGs whose every channel sum is
+    * formula-predictable), written and drained once per
+    * (applicationId, sfDir); bounded driver work (30 tiny files — the
+    * stageLanding shape).
+    */
+  def mmIngestAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    memoized(mmDrains, key, "engineered-fixture-v1") {
+      import spark.implicits._
+      val ids = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 30).select(col("doc_id"))
+        .as[Long].collect().sorted
+      val landing = java.nio.file.Files.createTempDirectory("graft-mm-landing")
+      ids.foreach { id =>
+        val (w, h) = (8 + (id % 9).toInt, 6 + (id % 7).toInt)
+        val g = ((id * 37) % 200).toInt
+        // render through an RGB canvas, the videoFrames precedent: the
+        // PNG writer COLOR-CONVERTS a gray-palette TYPE_BYTE_INDEXED
+        // image to gamma-shifted grayscale (measured: 7 → 46), while
+        // TYPE_INT_RGB round-trips every level exactly
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = img.createGraphics()
+        gfx.setColor(new java.awt.Color(g, g, g))
+        gfx.fillRect(0, 0, w, h)
+        gfx.dispose()
+        javax.imageio.ImageIO.write(
+          img, "png", landing.resolve(s"img_$id.png").toFile)
+      }
+      val ckpt = tempCheckpointDir()
+      val sink = "mm_ingest_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          // binaryFile's fixed source schema, declared up front (file
+          // streaming sources require it — the documentsSchema rule)
+          val binarySchema = StructType(Seq(
+            StructField("path", StringType),
+            StructField("modificationTime", TimestampType),
+            StructField("length", LongType),
+            StructField("content", BinaryType)))
+          q = graft.ops.Multimodal.featureGrid(
+              spark.readStream.format("binaryFile").schema(binarySchema)
+                .load(landing.toString)
+                .select(col("path"), col("content").as("data")),
+              grid = 1)
+            .select(
+              regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+                .cast("long").as("doc_id"),
+              col("r_sum"), col("g_sum"), col("b_sum"))
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          if (q != null && q.isActive) q.stop()
+        }
+        // materialize OFF the shared memory-sink view before memoizing
+        // (the stream_unseen detach lesson — a later drain's sink name
+        // can never alias a cached frame)
+        val out = spark.table(sink)
+        val rows = out.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        unloadStateStores()
+        deleteRecursively(ckpt)
+        deleteRecursively(landing)
+      }
+    }
+  }
+
   private val semanticGates = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Memo[DataFrame]]()
 
