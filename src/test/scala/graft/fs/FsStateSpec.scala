@@ -201,10 +201,22 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     // varies the interleaving across rounds so the swap lands at
     // different points of the verb window.
     val rounds = 100
+    // activity gates (vacuity proof): at least this many swaps must
+    // have landed while the writer was mid-loop, and this many
+    // prepares must have aborted against an intervening verb. Both
+    // depend on checkpoint-vs-pause timing, so under a loaded box the
+    // storm runs EXTRA seeded rounds (up to maxRounds) until the gates
+    // are met rather than failing on scheduler weather — the per-round
+    // correctness assertions stay unconditional either way.
+    val (minLive, minAborted, maxRounds) = (10, 10, 300)
     var liveSwaps = 0    // swaps landed while the writer was still active
     var abortedSwaps = 0 // prepare raced a verb: trySwap false + release
     var totalSwaps = 0
-    for (round <- 0 until rounds) {
+    var round = -1
+    while ({ round += 1
+      round < rounds ||
+        (round < maxRounds &&
+          (liveSwaps < minLive || abortedSwaps < minAborted)) }) {
       val rnd = new scala.util.Random(round * 2654435761L)
       val cell = new FsState(emptyFs(), compactEvery = 1)
       val lock = new java.util.concurrent.locks.ReentrantLock()
@@ -286,12 +298,14 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     // the storm must actually have raced — on BOTH contested paths:
     // swaps that landed while the writer was mid-loop (the pre-fix
     // kill window) and prepares aborted because a verb intervened
-    // (trySwap false + releasePrepared). Zero on either means the
-    // interleaving collapsed and the spec went vacuous.
-    withClue(s"total=$totalSwaps live=$liveSwaps aborted=$abortedSwaps: ") {
+    // (trySwap false + releasePrepared). Failing here after maxRounds
+    // seeded attempts means the interleaving genuinely collapsed and
+    // the spec went vacuous — not scheduler weather.
+    withClue(s"rounds=$round total=$totalSwaps live=$liveSwaps " +
+        s"aborted=$abortedSwaps: ") {
       totalSwaps must be >= rounds
-      liveSwaps must be >= 10
-      abortedSwaps must be >= 10
+      liveSwaps must be >= minLive
+      abortedSwaps must be >= minAborted
     }
   }
 }
