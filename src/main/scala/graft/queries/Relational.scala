@@ -902,6 +902,33 @@ object Relational {
              |FROM documents WHERE doc_id < 30
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── Streaming VIDEO ingest, EXECUTED (thirteenth streaming
+    //    channel): GIF files land through the binaryFile source, the
+    //    REAL multi-frame compositor explodes each arrival into frame
+    //    rows, featureGrid sums every frame — one stateless flatMap
+    //    chain, no stream-stream join (geometry rides the key). The
+    //    oracle re-derives frame count, geometry, and every channel
+    //    sum from the mm_video_frames construction formula. ────────────
+    QueryDef(
+      "stream_video_ingest",
+      (s, d) =>
+        graft.streaming.EventsStream.videoIngestAvailableNow(s, d)
+          .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH dd AS (
+             |  SELECT doc_id, 16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h,
+             |         2 + doc_id % 5 AS nf
+             |  FROM documents WHERE doc_id < 12),
+             |f AS (
+             |  SELECT doc_id, w, h, g.i AS fi,
+             |         (doc_id * 37 + g.i * 53) % 200 AS gray
+             |  FROM dd, UNNEST(range(0, nf)) AS g(i))
+             |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+             |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |       CAST(gray * w * h AS BIGINT) AS r_sum,
+             |       CAST(gray * w * h AS BIGINT) AS g_sum,
+             |       CAST(gray * w * h AS BIGINT) AS b_sum
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ── Native session_window, EXECUTED (seventh streaming channel):
     //    Spark's built-in session aggregation under the same gap and
     //    watermark as the custom flatMapGroupsWithState channel, so

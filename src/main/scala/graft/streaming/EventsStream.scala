@@ -667,6 +667,93 @@ object EventsStream {
     }
   }
 
+  private val videoDrains = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Memo[DataFrame]]()
+
+  /** Streaming VIDEO ingest — [[mmIngestAvailableNow]] one modality up:
+    * video files land through the binaryFile source, the REAL
+    * multi-frame decode (Multimodal.videoFrames — javax.imageio GIF
+    * composition) explodes each arrival into per-frame image rows, and
+    * featureGrid extracts per-frame channel sums, all inside ONE
+    * stateless streaming plan. No stream-stream join: frame geometry
+    * rides the featureGrid KEY (path#idx#w#h) and parses back out
+    * after — the composition stays a per-row flatMap chain, so
+    * ingest-time frame features are batch-identical whatever the
+    * micro-batch boundaries. Landing = the mm_video_frames fixture
+    * parametrization (doc-keyed synthetic GIFs, every frame's sums
+    * formula-predictable), staged and drained once per
+    * (applicationId, sfDir).
+    */
+  def videoIngestAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    memoized(videoDrains, key, "engineered-fixture-v1") {
+      import spark.implicits._
+      val ids = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 12).select(col("doc_id"))
+        .as[Long].collect()
+      val landing = java.nio.file.Files.createTempDirectory("graft-vid-landing")
+      ids.foreach { id =>
+        java.nio.file.Files.write(landing.resolve(s"vid_$id.gif"),
+          graft.ops.Multimodal.syntheticGif(
+            id, 16 + (id % 17).toInt, 12 + (id % 13).toInt,
+            2 + (id % 5).toInt))
+      }
+      val ckpt = tempCheckpointDir()
+      val sink = "vid_ingest_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          val binarySchema = StructType(Seq(
+            StructField("path", StringType),
+            StructField("modificationTime", TimestampType),
+            StructField("length", LongType),
+            StructField("content", BinaryType)))
+          val frames = graft.ops.Multimodal.videoFrames(
+            spark.readStream.format("binaryFile").schema(binarySchema)
+              .load(landing.toString)
+              .select(
+                regexp_extract(col("path"), "vid_(\\d+)\\.gif", 1)
+                  .as("path"),
+                col("content").as("data")))
+          q = graft.ops.Multimodal.featureGrid(
+              frames.select(
+                concat_ws("#", col("path"), col("frame_idx"),
+                  col("width"), col("height")).as("path"),
+                col("frame").as("data")),
+              grid = 1)
+            .select(split(col("path"), "#").as("k"),
+              col("r_sum"), col("g_sum"), col("b_sum"))
+            .select(
+              element_at(col("k"), 1).cast("long").as("doc_id"),
+              element_at(col("k"), 2).cast("int").as("frame_idx"),
+              element_at(col("k"), 3).cast("int").as("width"),
+              element_at(col("k"), 4).cast("int").as("height"),
+              col("r_sum"), col("g_sum"), col("b_sum"))
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          if (q != null && q.isActive) q.stop()
+        }
+        val out = spark.table(sink)
+        val rows = out.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        unloadStateStores()
+        deleteRecursively(ckpt)
+        deleteRecursively(landing)
+      }
+    }
+  }
+
   private val semanticGates = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Memo[DataFrame]]()
 
