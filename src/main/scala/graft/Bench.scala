@@ -55,6 +55,89 @@ object Bench {
     else if (curMin > 1.5 * baseMin && curMin > baseMin + 0.3) Some("shifted")
     else None
 
+  /** Query family = leading name segment ("text_langid" → "text";
+    * the q01..q28 relational block folds to "q"). The unit the
+    * family-shift detector reasons over: contamination hits a PLAN
+    * FAMILY (shared codegen shapes, shared session state), box
+    * weather hits whatever rep the scheduler was starving.
+    */
+  def family(name: String): String =
+    if (name.length > 1 && name(0) == 'q' && name(1).isDigit) "q"
+    else name.takeWhile(_ != '_')
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0 else s((s.size - 1) / 2)
+  }
+
+  /** Family-shift detector — the r12 verdict's missing instrument: a
+    * WHOLE family shifting together while the interleaved rest of the
+    * suite holds its baseline is in-process contamination (session
+    * state, codegen churn, listener backlog), not box weather —
+    * weather has no reason to align with name prefixes. Input:
+    * per-query cross-round ratios (curMin/baseMin, baselined queries
+    * only). A family flags when it has ≥3 baselined members, its
+    * member-median ratio exceeds 2×, and the median over ALL OTHER
+    * baselined queries stays ≤1.3× (the r9→r10 calibration: normal
+    * cross-round ratios sit ≤1.21). The r12 text cluster (11 queries
+    * at 2.6–12× while 132 others held level) is the designed-for
+    * positive; a suite-wide slowdown (everything 2×) correctly does
+    * NOT flag any family — that's load, not contamination.
+    */
+  def familyShifts(ratios: Map[String, Double]): Seq[String] = {
+    val fams = ratios.keys.map(family).toSeq.distinct
+    fams.filter { f =>
+      val (mine, others) = ratios.partition { case (n, _) => family(n) == f }
+      mine.size >= 3 && others.nonEmpty &&
+        median(mine.values.toSeq) > 2.0 && median(others.values.toSeq) <= 1.3
+    }.sorted
+  }
+
+  /** One point-in-time JVM/engine counter snapshot; per-query DELTAS of
+    * these turn "JVM-context inflation" from a narrative into a
+    * measurement (the r12 verdict's top directive). All sources are
+    * public management APIs plus Spark's public CodegenMetrics codahale
+    * source — compilation-count delta during a query IS its
+    * codegen-cache miss count (a hit never recompiles).
+    */
+  final case class JvmSnap(gcMs: Long, gcCount: Long, jitMs: Long,
+                           codegenCompiles: Long, codegenClassBytes: Long,
+                           heapUsedMb: Long, activeStreams: Int)
+
+  def jvmSnap(spark: SparkSession): JvmSnap = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val gcMs = gcs.map(b => math.max(0L, b.getCollectionTime)).sum
+    val gcCount = gcs.map(b => math.max(0L, b.getCollectionCount)).sum
+    val jit = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(-1L)
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+    val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
+    JvmSnap(gcMs, gcCount, jit,
+      cg.METRIC_COMPILATION_TIME.getCount,
+      cg.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount,
+      heap >> 20,
+      try spark.streams.active.length catch { case _: Throwable => -1 })
+  }
+
+  /** Registered listener count on the shared LiveListenerBus (leaked
+    * listeners from drained streams are a contamination suspect).
+    * private[spark] compiles to public bytecode, so plain reflection
+    * reads it; any API drift returns -1 rather than failing the bench.
+    */
+  def listenerCount(spark: SparkSession): Int =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m =>
+          m.getName == "listeners" && m.getParameterCount == 0)
+        .map(_.invoke(bus))
+        .collect { case l: java.util.List[_] => l.size() }
+        .getOrElse(-1)
+    } catch { case _: Throwable => -1 }
+
   /** Per-query mins from a committed BENCH_DETAIL.json (the previous
     * round's full-suite record). Any parse failure returns empty — the
     * guard silently disarming would be worse, so main() reports the
@@ -118,8 +201,15 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     // a failed query must LOOK failed: named on stderr, timed as -1 —
-    // never a plausible wall-time that reads as "slow but fine"
+    // never a plausible wall-time that reads as "slow but fine".
+    // Each query also records the JVM-counter DELTA across its reps
+    // (jvmSnap scaladoc) — the instrument that lets a post-run read of
+    // BENCH_DETAIL.json attribute an in-suite slowdown to GC pressure,
+    // JIT/codegen churn, or leaked listeners instead of narrative.
+    val jvmByQuery = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
+      val pre = jvmSnap(spark)
+      val preL = listenerCount(spark)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -140,6 +230,17 @@ object Bench {
           PlanHygiene.sweepPersisted(spark)
         }
       }
+      val post = jvmSnap(spark)
+      val postL = listenerCount(spark)
+      jvmByQuery(name) =
+        s"""{"gc_ms":${post.gcMs - pre.gcMs}""" +
+          s""","gc_n":${post.gcCount - pre.gcCount}""" +
+          s""","jit_ms":${post.jitMs - pre.jitMs}""" +
+          s""","codegen_n":${post.codegenCompiles - pre.codegenCompiles}""" +
+          s""","codegen_classes":${post.codegenClassBytes - pre.codegenClassBytes}""" +
+          s""","heap_mb":${post.heapUsedMb}""" +
+          s""","listeners":$postL,"listeners_d":${postL - preL}""" +
+          s""","streams":${post.activeStreams}}"""
       name -> (if (times.contains(-1.0)) Seq(-1.0) else times)
     }
     // The driver records only the LAST 2000 chars of stdout; the r5 line
@@ -184,6 +285,25 @@ object Bench {
     val crossFlagged: Map[String, String] = results.flatMap { case (n, ts) =>
       baseline.get(n).flatMap(b => crossRoundFlag(b, ts.min)).map(n -> _)
     }.toMap
+    // family-shift detection over the same cross-round ratios: a whole
+    // prefix-family shifting while the rest holds is CONTAMINATION,
+    // named as such in the record (see familyShifts scaladoc)
+    val ratios: Map[String, Double] = results.flatMap { case (n, ts) =>
+      baseline.get(n).filter(_ > 0).collect {
+        case b if ts.min >= 0 => n -> ts.min / b
+      }
+    }.toMap
+    val famShifts = familyShifts(ratios)
+    famShifts.foreach { f =>
+      val mine = ratios.filter { case (n, _) => family(n) == f }
+      System.err.println(f"[bench][WARN] FAMILY SHIFT: '$f' " +
+        f"(${mine.size} baselined queries, median ratio " +
+        f"${median(mine.values.toSeq)}%.2f) while the rest of the suite " +
+        f"holds (median ${median(ratios.filter { case (n, _) =>
+          family(n) != f }.values.toSeq)}%.2f) — in-process " +
+        "contamination, not box weather; read the jvm counters in " +
+        "BENCH_DETAIL.json")
+    }
     val recheckReps = sys.env.get("SPARK_GRAFT_RECHECK")
       .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(3)
     val queryFns = SparkEntry.queries
@@ -247,6 +367,7 @@ object Bench {
       list("degraded", degraded) + list("exonerated", exonerated) +
         list("regressed", regressed) + list("shifted", shifted) +
         list("shift_exonerated", shiftExonerated) +
+        list("family_shift", famShifts) +
         s""","baseline_n":${results.count(r => baseline.contains(r._1))}"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
@@ -286,10 +407,15 @@ object Bench {
       }.getOrElse("")
       "\"" + k + "\":{\"reps\":" + ts.mkString("[", ",", "]") +
         ",\"first\":" + ts.head + ",\"min\":" + ts.min +
-        ",\"degrades\":" + degrades(ts) + recheck + cross + "}"
+        ",\"degrades\":" + degrades(ts) +
+        jvmByQuery.get(k).map(",\"jvm\":" + _).getOrElse("") +
+        recheck + cross + "}"
     }.mkString(
       s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMin,""" +
-        s""""unit":"sec","reps":$reps,"sf":"$sfDir","queries":{""",
+        s""""unit":"sec","reps":$reps,"sf":"$sfDir",""" +
+        famShifts.map("\"" + _ + "\"")
+          .mkString("\"family_shift\":[", ",", "],") +
+        s""""queries":{""",
       ",", "}}")
     // a SPARK_GRAFT_ONLY-restricted smoke run must never clobber the
     // round's full-suite record (it did once — the committed detail file

@@ -174,16 +174,21 @@ class GraftFileSystem extends FileSystem {
     * O(subtree), never O(cache). Fully materialized before any caller
     * mutates (rename/remove iterate the result, not the live sets). */
   private def subtreePaths(p: String): Seq[String] = {
+    // Explicit-stack iteration: a pathologically deep chain (mkdirs
+    // with tens of thousands of components) must not blow the JVM
+    // stack while holding mutLock.
     val out = Seq.newBuilder[String]
-    def walk(q: String): Unit = {
+    val stack = new java.util.ArrayDeque[String]()
+    stack.push(p)
+    while (!stack.isEmpty) {
+      val q = stack.pop()
       out += q
       val kids = childIndex.get(q)
       if (kids != null) {
         val it = kids.iterator()
-        while (it.hasNext) walk(it.next())
+        while (it.hasNext) stack.push(it.next())
       }
     }
-    walk(p)
     out.result()
   }
 

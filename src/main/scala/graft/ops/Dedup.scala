@@ -807,16 +807,49 @@ object Dedup {
     * singleton anti-join both broadcast it while the corpus streams;
     * only the sliver pays the per-component aggregate.
     */
+  /** Hint policy for the components sliver and its derived frames:
+    * broadcast WHEN IT FITS. comp is a checkpointed LogicalRDD with no
+    * stats — unhinted, the static planner default-sizes it huge and
+    * sort-merge-shuffles the CORPUS side (the 100 TB failure this op
+    * exists to avoid). But comp scales with the corpus's DUPLICATED
+    * fraction (30%+ on a raw crawl), not a fixed sliver — a forced
+    * broadcast there OOMs the driver where an SMJ would merely be
+    * slow. So: one cheap count of the checkpoint decides the policy
+    * for every derived join (members/anti-join sides are ⊆ comp), with
+    * a loud stderr note when the hint is withheld.
+    */
+  private def sliverHint(comp: DataFrame, what: String): DataFrame => DataFrame = {
+    val conf = comp.sparkSession.conf
+    val thresholdStr =
+      conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val threshold =
+      try {
+        if (thresholdStr.startsWith("-")) -1L
+        else org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(thresholdStr)
+      } catch { case scala.util.control.NonFatal(_) => 10L * 1024 * 1024 }
+    val rows = comp.count() // checkpoint read — no recompute
+    val estBytes = rows * 64L // (long, long) row + broadcast-map overhead
+    if (threshold > 0 && estBytes <= threshold) df => broadcast(df)
+    else {
+      Console.err.println(
+        s"[graft][WARN] $what: components sliver has $rows rows " +
+          s"(~$estBytes B est.) vs broadcast threshold $thresholdStr — " +
+          "withholding the broadcast hint; the planner may sort-merge " +
+          "(slow but safe). High-duplication corpus: exact-dedup " +
+          "boilerplate upstream to shrink the near-dup sliver.")
+      identity
+    }
+  }
+
   def keepBest(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame = {
     val comp = components(pairs) // (doc_id, component) — pair sliver only
+    val hint = sliverHint(comp, "keepBest")
     val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
-    // EXPLICIT broadcast: comp is a checkpointed LogicalRDD, which
-    // carries no stats — the static planner would default-size it
-    // huge and sort-merge-shuffle the CORPUS side of both joins (the
-    // exact 100 TB failure this op's shape exists to avoid); the hint
-    // makes the sliver-broadcast deterministic instead of an AQE
-    // runtime rescue
-    val paired = scored.join(broadcast(comp), Seq("doc_id"))
+    // size-guarded broadcast (see sliverHint): deterministic sliver
+    // broadcast when it fits, instead of an AQE runtime rescue — and
+    // no driver OOM when the dup fraction makes comp corpus-scale
+    val paired = scored.join(hint(comp), Seq("doc_id"))
     val winners = paired.groupBy(col("component"))
       .agg(
         // max over (score, -doc_id): best score wins, ties to min id
@@ -825,7 +858,7 @@ object Dedup {
       .select(col("component"), (-col("m.nid")).as("doc_id"),
         col("m.score").as("score"), col("n_members"))
     val unpaired = scored
-      .join(broadcast(comp.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .join(hint(comp.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("component"), col("doc_id"),
         col("score"), lit(1L).as("n_members"))
     unpaired.unionByName(winners)
@@ -864,30 +897,32 @@ object Dedup {
                           histPairs: DataFrame, newDocs: DataFrame,
                           newPairs: DataFrame, score: Column): DataFrame = {
     val comp = components(histPairs.unionByName(newPairs))
+    val hint = sliverHint(comp, "keepBestIncremental")
     val touched = newPairs.select(col("id_a").as("doc_id"))
       .unionByName(newPairs.select(col("id_b").as("doc_id")))
       .unionByName(newDocs.select(col("doc_id")))
       .distinct()
-    val affected = comp.join(broadcast(touched), Seq("doc_id"), "left_semi")
+    val affected = comp.join(hint(touched), Seq("doc_id"), "left_semi")
       .select(col("component")).distinct()
-    val members = comp.join(broadcast(affected), Seq("component"), "left_semi")
+    val members = comp.join(hint(affected), Seq("component"), "left_semi")
     val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
-    // explicit sliver broadcasts for every corpus-facing join, the
+    // size-guarded sliver broadcasts for every corpus-facing join, the
     // keepBest rationale (stats-less checkpointed frames must never
-    // default-size into a corpus shuffle)
-    val recomputed = scored.join(broadcast(members), Seq("doc_id"))
+    // default-size into a corpus shuffle — but a corpus-scale comp
+    // must never force-broadcast either; sliverHint decides once)
+    val recomputed = scored.join(hint(members), Seq("doc_id"))
       .groupBy(col("component"))
       .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"),
         count(lit(1)).cast("long").as("n_members"))
       .select(col("component"), (-col("m.nid")).as("doc_id"),
         col("m.score").as("score"), col("n_members"))
     val newSingles = newDocs.select(col("doc_id"))
-      .join(broadcast(comp.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .join(hint(comp.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .join(scored, Seq("doc_id"))
       .select(col("doc_id").as("component"), col("doc_id"), col("score"),
         lit(1L).as("n_members"))
     val untouched = histSurvivors
-      .join(broadcast(members.select(col("doc_id"))), Seq("doc_id"),
+      .join(hint(members.select(col("doc_id"))), Seq("doc_id"),
         "left_anti")
       .select(col("component"), col("doc_id"), col("score"),
         col("n_members"))

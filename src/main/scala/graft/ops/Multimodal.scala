@@ -800,6 +800,17 @@ object Multimodal {
             if (frame == null) return out.iterator // truncated tail
             val (left, top, disposal) =
               if (isGif) gifFrameGeometry(r, i) else (0, 0, "none")
+            // Disposal 3 restores the canvas state *prior to rendering
+            // this frame* (GIF89a spec), which differs from the previous
+            // composed output whenever frame i-1 itself disposed — so
+            // snapshot BEFORE drawing, not the last emitted frame.
+            val preDraw: BufferedImage =
+              if (disposal == "restoreToPrevious") {
+                val s = new BufferedImage(
+                  screenW, screenH, BufferedImage.TYPE_INT_RGB)
+                s.createGraphics().drawImage(canvas, 0, 0, null)
+                s
+              } else null
             g.drawImage(frame, left, top, null)
             val snap = new BufferedImage(
               screenW, screenH, BufferedImage.TYPE_INT_RGB)
@@ -814,14 +825,7 @@ object Multimodal {
                 g.fillRect(left, top, frame.getWidth, frame.getHeight)
                 g.setColor(c)
               case "restoreToPrevious" =>
-                if (out.length >= 2) {
-                  g.drawImage(out(out.length - 2)._2, 0, 0, null)
-                } else {
-                  val c = g.getColor
-                  g.setColor(java.awt.Color.BLACK)
-                  g.fillRect(0, 0, screenW, screenH)
-                  g.setColor(c)
-                }
+                g.drawImage(preDraw, 0, 0, null)
               case _ => () // none / doNotDispose: canvas carries over
             }
             i += 1

@@ -620,6 +620,22 @@ object TextAnalysis {
     * (query, doc) pairs; compose graft_topk for the bounded-heap
     * ranking shape (text_search_batch pins that plan).
     */
+  // The tf sliver below persists lazily and the returned frame is
+  // lazy too, so in-call unpersist would defeat the cache. Instead the
+  // live handle count is BOUNDED AT ONE: each bm25Many call releases
+  // the previous call's sliver (storage-evictable either way; this
+  // caps the handle-count leak the same way the drain memos do), and
+  // releaseBm25Cache() frees the last one explicitly.
+  private val lastBm25Tf =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Release the cached tf sliver held by the most recent
+    * [[bm25Many]]/[[bm25]] call (safe after its result materialized). */
+  def releaseBm25Cache(): Unit = {
+    val prev = lastBm25Tf.getAndSet(null)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   def bm25Many(docs: DataFrame, queries: DataFrame,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
@@ -638,6 +654,8 @@ object TextAnalysis {
       // single-query channel): the broadcast(dfs) build materializes
       // the sliver into cache and the probe side reads it back
       .persist()
+    val prev = lastBm25Tf.getAndSet(tf)
+    if (prev != null) prev.unpersist(blocking = false)
     val corpusStats = docs.agg(count(lit(1)).cast("double"),
       avg(size(tokens).cast("double"))).head()
     val n = corpusStats.getDouble(0)

@@ -201,10 +201,18 @@ object EventsStream {
     /** Stable token for this fingerprint — the cache key that keeps
       * drain memos honest (see [[stageLandingWithToken]]). */
     lazy val token: String = {
+      // each entry is digested as length-prefixed name + fixed-width
+      // (size, crc) — delimiter-joining raw names lets a name
+      // containing ':' or '|' collide across different fingerprints
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      val joined = fingerprint.toSeq.sortBy(_._1)
-        .map { case (n, (sz, crc)) => s"$n:$sz:$crc" }.mkString("|")
-      md.digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      fingerprint.toSeq.sortBy(_._1).foreach { case (n, (sz, crc)) =>
+        val nb = n.getBytes("UTF-8")
+        md.update(java.nio.ByteBuffer.allocate(4).putInt(nb.length).array())
+        md.update(nb)
+        md.update(java.nio.ByteBuffer.allocate(16)
+          .putLong(sz).putLong(crc).array())
+      }
+      md.digest().map("%02x".format(_)).mkString
     }
   }
 

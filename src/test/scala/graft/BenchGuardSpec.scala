@@ -179,4 +179,44 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     Bench.crossRoundFlag(base("q_fast"), 0.3) must be(None)
     Bench.crossRoundFlag(base("q_fast"), 0.43) must be(Some("shifted"))
   }
+
+  behavior of "Bench.family / Bench.familyShifts (contamination detector)"
+
+  it must "fold names to their prefix family, with q01..q28 as one family" in {
+    Bench.family("text_langid_eval") must be("text")
+    Bench.family("ann_ivfpq_recall") must be("ann")
+    Bench.family("q07_window_prefix_sum") must be("q")
+    Bench.family("q22_approx_distinct") must be("q")
+    Bench.family("fs_cat_roundtrip") must be("fs")
+    Bench.family("quality") must be("quality") // non-q\d names intact
+  }
+
+  it must "flag the r12 text-cluster shape: one family inflated, rest level" in {
+    // 11 text queries at 2.6-12x while everything else holds ~1.0 —
+    // the exact driver-run evidence the detector was built for
+    val text = (1 to 11).map(i => s"text_q$i" -> (2.6 + i * 0.8))
+    val rest = (1 to 40).map(i => s"dedup_q$i" -> 1.05) ++
+      (1 to 30).map(i => s"ann_q$i" -> 0.95) ++
+      (1 to 28).map(i => f"q$i%02d_rel" -> 1.1)
+    Bench.familyShifts((text ++ rest).toMap) must be(Seq("text"))
+  }
+
+  it must "stay silent on a suite-wide slowdown (load, not contamination)" in {
+    val all = (1 to 11).map(i => s"text_q$i" -> 2.5) ++
+      (1 to 20).map(i => s"dedup_q$i" -> 2.4) ++
+      (1 to 20).map(i => s"ann_q$i" -> 2.6)
+    Bench.familyShifts(all.toMap) must be(empty)
+  }
+
+  it must "stay silent on single-query blips and tiny families" in {
+    // one hot query inside a level family: family median stays low
+    val m1 = Map("text_a" -> 9.0, "text_b" -> 1.0, "text_c" -> 1.1,
+      "text_d" -> 0.9, "dedup_a" -> 1.0, "dedup_b" -> 1.1, "dedup_c" -> 1.0)
+    Bench.familyShifts(m1) must be(empty)
+    // two inflated queries in a 2-member family: below the >=3 floor
+    // (a 2-member cluster is indistinguishable from two weather blips)
+    val m2 = Map("mm_a" -> 5.0, "mm_b" -> 4.0,
+      "dedup_a" -> 1.0, "dedup_b" -> 1.1, "dedup_c" -> 1.0)
+    Bench.familyShifts(m2) must be(empty)
+  }
 }

@@ -407,6 +407,31 @@ class GraftFileSystemSpec extends AnyFlatSpec with Matchers {
     fs.close()
   }
 
+  it must "rename and delete a pathologically deep chain without blowing the stack" in {
+    // subtreePaths walks the child index with an explicit stack — a
+    // recursive walk at this depth overflows a constrained thread
+    // stack while holding mutLock. Runs the verbs on a 512 KiB-stack
+    // thread so a regression to recursion fails deterministically.
+    val fs = newFs()
+    val depth = 20000
+    val deep = new StringBuilder("/deep")
+    (0 until depth).foreach(i => deep.append(s"/c$i"))
+    @volatile var err: Throwable = null
+    val t = new Thread(null, () => {
+      try {
+        fs.mkdirs(new Path(deep.toString)) must be(true)
+        fs.rename(new Path("/deep"), new Path("/deep2")) must be(true)
+        fs.delete(new Path("/deep2"), true) must be(true)
+      } catch { case e: Throwable => err = e }
+    }, "deep-chain", 512 * 1024)
+    t.start(); t.join(120000)
+    t.isAlive must be(false)
+    withClue(s"deep-chain verb failed: $err: ") { err must be(null) }
+    fs.exists(new Path("/deep")) must be(false)
+    fs.exists(new Path("/deep2")) must be(false)
+    fs.close()
+  }
+
   it must "never show readers a mid-rename or mid-delete state under a concurrent verb storm" in {
     // The second r11-review finding regression-proofed (PLANS.md r11:
     // lock-free readers over the entry-by-entry cache rewrite could

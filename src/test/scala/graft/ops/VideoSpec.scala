@@ -150,6 +150,31 @@ class VideoSpec extends AnyFlatSpec with Matchers {
     px(f2, 10, 6) must be(50)
   }
 
+  it must "roll back to the PRE-DRAW canvas on restoreToPrevious after a disposing frame" in {
+    // GIF89a disposal 3 restores the canvas state prior to rendering
+    // the current frame — which differs from the previous EMITTED
+    // frame whenever frame i-1 itself disposed. Frame 1 disposes its
+    // rect to background; frame 2 (restoreToPrevious) must roll back
+    // to [frame 0 + black rect], not to emitted frame 1 (which still
+    // showed the 200 patch). Frame 3 then reads the rolled-back canvas.
+    val bytes = gifWithGeometry(Seq(
+      (Multimodal.solidGrayFrame(16, 10, 100), 0, 0, "doNotDispose"),
+      (Multimodal.solidGrayFrame(4, 3, 200), 5, 2, "restoreToBackgroundColor"),
+      (Multimodal.solidGrayFrame(2, 2, 50), 0, 0, "restoreToPrevious"),
+      (Multimodal.solidGrayFrame(2, 2, 220), 12, 8, "doNotDispose")))
+    val frames = Multimodal.decodeVideoFrames(bytes).toSeq
+    frames.length must be(4)
+    val f2 = frames(2)._2
+    px(f2, 0, 0) must be(50) // frame 2's own patch
+    px(f2, 6, 3) must be(0) // frame 1's rect already disposed to black
+    val f3 = frames(3)._2
+    px(f3, 12, 8) must be(220) // frame 3's own patch
+    px(f3, 0, 0) must be(100) // frame 2's patch rolled back to frame 0
+    // the load-bearing pixel: pre-draw rollback keeps frame 1's rect
+    // BLACK; restoring emitted frame i-2 would resurrect the 200 patch
+    px(f3, 6, 3) must be(0)
+  }
+
   it must "decode other multi-image containers (multi-page TIFF) through the same loop" in {
     // the scaladoc's TIFF claim, pinned: the stock JDK ships a TIFF
     // plugin, frames carry no GIF geometry (zero offsets, disposal
