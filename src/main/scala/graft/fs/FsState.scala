@@ -1,5 +1,9 @@
 package graft.fs
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+
 import graft.PlanHygiene
 
 /** Mutation-counting (catalog, chunks) holder shared by the facade and
@@ -47,6 +51,26 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
   private var sinceCompact = 0
   private var interval = compactEvery
   private var lastCheckpointed: Option[GraftFs] = None
+  // monotone mutation counter + its value at the last prepared
+  // snapshot: a REBASING swap keeps the intervening deltas stacked on
+  // the new base, so sinceCompact restarts at their count, not 0
+  private var seq = 0L
+  @volatile private var preparedSeq = 0L
+  // HEAVY sets are tree-DOUBLING plan transitions (the facade's
+  // base-touching rename — GraftFs.renameChunksOnly's filter∪rewrite).
+  // k of them between compactions means 2^k plan growth, so waiting
+  // out the full doubling interval is exponential-blowup territory
+  // (measured r13: ~10 stacked doublings degraded renames to 5 s);
+  // compactionDue therefore ALSO fires once heavyDebt reaches
+  // [[FsState.HeavyCompactDebt]], independent of sinceCompact
+  private var heavyDebt = 0
+  @volatile private var preparedHeavy = 0
+  // swap-outcome accounting (specs + ops visibility): clean installs,
+  // rebased installs, aborted swaps
+  @volatile private var swapsClean = 0
+  @volatile private var swapsRebased = 0
+  @volatile private var swapsAborted = 0
+  def swapStats: (Int, Int, Int) = (swapsClean, swapsRebased, swapsAborted)
   // escaped snapshot → the checkpoint generation backing it, REF
   // COUNTED: two callers escaping the same generation share one entry
   // (pinCurrent hands both the same object), so the first unpin must
@@ -108,11 +132,19 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     * [[trySwap]]. Plan depth in the deferral window is bounded by the
     * fold cadence (one union per FoldBytes), not unbounded.
     */
-  def set(next: GraftFs, allowCompact: Boolean): Unit = synchronized {
-    current = next
-    sinceCompact += 1
-    if (allowCompact && sinceCompact >= interval) compactNow()
-  }
+  def set(next: GraftFs, allowCompact: Boolean): Unit =
+    set(next, allowCompact, heavy = false)
+
+  /** `heavy = true` marks a tree-DOUBLING transition (see heavyDebt). */
+  def set(next: GraftFs, allowCompact: Boolean, heavy: Boolean): Unit =
+    synchronized {
+      current = next
+      sinceCompact += 1
+      seq += 1
+      if (heavy) heavyDebt += 1
+      if (allowCompact && (sinceCompact >= interval ||
+          heavyDebt >= FsState.HeavyCompactDebt)) compactNow()
+    }
 
   /** Phase 1 of opportunistic compaction: snapshot under the monitor
     * (instant), checkpoint OUTSIDE it so mutators proceed freely while
@@ -129,17 +161,32 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     */
   def prepareCompaction(): Option[(GraftFs, GraftFs)] = {
     val snapshot = synchronized {
-      if (sinceCompact < interval) return None
+      if (sinceCompact < interval &&
+        heavyDebt < FsState.HeavyCompactDebt) return None
+      preparedSeq = seq
+      preparedHeavy = heavyDebt
       current
     }
     Some((snapshot, snapshot.compact())) // Spark action — NO lock held
   }
 
-  /** Phase 2: install `compacted` ONLY if no mutation intervened since
-    * the snapshot; otherwise release the stale checkpoint and report
-    * false (the compactor's loop retries after the burst — under
-    * sustained writes the plan simply grows until the first quiet
-    * moment, bounded by the fold cadence).
+  /** Phase 2: install `compacted`. When no mutation intervened since
+    * the snapshot, the checkpoint replaces `current` outright. When
+    * verbs DID intervene, the swap REBASES instead of aborting: the
+    * intervening verbs built their plans ON TOP of the snapshot's plan
+    * objects (one union/filter per verb), so substituting the
+    * snapshot's plan subtree with the checkpoint's single LogicalRDD —
+    * inside the current plan, by node identity / sameResult — yields
+    * the same results over a flattened base (the LSM shape: compaction
+    * rewrites the base while the memtable keeps accepting writes).
+    * Without the rebase, sustained write load outruns the
+    * snapshot-and-retry loop — every swap aborts, plan depth grows
+    * unboundedly, and EAGER analysis goes superlinear (measured r13:
+    * a 4-writer payload storm degraded verbs to 47 s p99 within
+    * seconds; with the rebase the same storm holds ms-level p99). A
+    * rebase that cannot prove itself (plane neither matches the
+    * snapshot nor is checkpoint-free) falls back to the old
+    * release-and-report-false path.
     *
     * CALLER CONTRACT: hold the same lock that serializes your verbs'
     * read-modify-write transitions while calling this. The `current eq
@@ -154,17 +201,38 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     */
   def trySwap(snapshot: GraftFs, compacted: GraftFs): Boolean =
     synchronized {
-      if (current eq snapshot) {
-        lastCheckpointed.foreach(prev => retired ::= prev)
-        lastCheckpointed = Some(compacted)
-        current = compacted
-        sinceCompact = 0
-        interval = math.min(interval * 2, FsState.MaxCompactEvery)
-        sweepRetired()
-        true
-      } else {
-        releasePrepared(compacted)
-        false
+      val clean = current eq snapshot
+      val next: Option[(GraftFs, Int)] =
+        if (clean) Some((compacted, 0))
+        else {
+          val deltas = (seq - preparedSeq).toInt
+          for {
+            cat <- FsState.rebasePlane(current.catalog.inodes.toDF(),
+              snapshot.catalog.inodes.toDF(), compacted.catalog.inodes.toDF())
+            ch <- FsState.rebasePlane(current.chunks, snapshot.chunks,
+              compacted.chunks)
+          } yield (GraftFs(
+            graft.catalog.FsCatalog(
+              cat.as(graft.catalog.FsCatalog.inodeEncoder)),
+            ch), deltas)
+        }
+      next match {
+        case Some((installed, deltas)) =>
+          if (clean) swapsClean += 1 else swapsRebased += 1
+          lastCheckpointed.foreach(prev => retired ::= prev)
+          lastCheckpointed = Some(compacted)
+          current = installed
+          sinceCompact = deltas
+          // the checkpoint flattened preparedHeavy of the doublings;
+          // only ones that raced in during the checkpoint remain
+          heavyDebt = math.max(0, heavyDebt - preparedHeavy)
+          interval = math.min(interval * 2, FsState.MaxCompactEvery)
+          sweepRetired()
+          true
+        case None =>
+          swapsAborted += 1
+          releasePrepared(compacted)
+          false
       }
     }
 
@@ -190,7 +258,8 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     * (the facade's compactor thread polls this before paying the
     * snapshot dance).
     */
-  def compactionDue: Boolean = synchronized(sinceCompact >= interval)
+  def compactionDue: Boolean = synchronized(
+    sinceCompact >= interval || heavyDebt >= FsState.HeavyCompactDebt)
 
   /** Force a compaction boundary (also runs automatically). */
   def compactNow(): Unit = synchronized {
@@ -200,6 +269,7 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     lastCheckpointed = Some(compacted)
     current = compacted
     sinceCompact = 0
+    heavyDebt = 0
     interval = math.min(interval * 2, FsState.MaxCompactEvery)
   }
 
@@ -230,4 +300,78 @@ object FsState {
     * cost) even in the longest sessions.
     */
   val MaxCompactEvery: Int = 1024
+
+  /** Tree-DOUBLING (heavy) sets tolerated before a compaction is due
+    * regardless of the linear interval: 2^4 = 16× growth max — bounded
+    * analysis cost — where waiting out a doubled interval compounds
+    * exponentially (see heavyDebt).
+    */
+  val HeavyCompactDebt: Int = 4
+
+  /** One plane of the rebasing swap (trySwap scaladoc). Outcomes:
+    *
+    *  - `cur eq snap`: the plane saw no verbs — install the checkpoint.
+    *  - the snapshot's plan appears INSIDE `cur`'s plan (by node
+    *    identity, or sameResult for analyzer-copied subtrees): return
+    *    `cur` with every such subtree substituted by the checkpoint's
+    *    plan — same results, flattened base. sameResult matches get a
+    *    re-aliasing Project so downstream attribute references stay
+    *    bound.
+    *  - zero matches AND `cur` contains no checkpoint leaf (LogicalRDD)
+    *    at all: the plane is self-contained (the facade's catalog
+    *    derives depth-1 from the inode cache each verb) — keep `cur`;
+    *    it cannot be invalidated by retiring any checkpoint.
+    *  - anything else (or any analysis failure): None — the caller
+    *    falls back to abort-and-retry, the pre-rebase behavior.
+    */
+  private[fs] def rebasePlane(cur: DataFrame, snap: DataFrame,
+                              comp: DataFrame): Option[DataFrame] =
+    try {
+      if (cur eq snap) return Some(comp)
+      val snapPlan = snap.queryExecution.analyzed
+      val compPlan = comp.queryExecution.analyzed
+      val curPlan = cur.queryExecution.analyzed
+      if (curPlan eq snapPlan) return Some(comp)
+      def substitute(matches: LogicalPlan => Boolean): (LogicalPlan, Int) = {
+        var hits = 0
+        val p2 = curPlan.transformUp {
+          case p if matches(p) =>
+            hits += 1
+            if (p.output.map(_.exprId) == compPlan.output.map(_.exprId))
+              compPlan
+            else
+              // analyzer-copied subtree: rebind the checkpoint's output
+              // to the copy's attribute ids so parents stay resolved
+              Project(p.output.zip(compPlan.output).map { case (to, from) =>
+                Alias(from, to.name)(exprId = to.exprId)
+              }, compPlan)
+        }
+        (p2, hits)
+      }
+      // Identity pass first: the verb shapes embed parent plans by
+      // object, so this is the hot path and costs one cheap tree walk.
+      // sameResult is the FALLBACK only — its canonicalization compares
+      // LocalRelation payload bytes node-by-node, measured as the
+      // ~900 ms p99 tail when it ran unconditionally under the verb
+      // lock in the r13 storm spec.
+      val (eqPlan, eqHits) = substitute(p => p eq snapPlan)
+      val (rebasedPlan, hits) =
+        if (eqHits > 0) (eqPlan, eqHits)
+        else substitute(p =>
+          (p.schema == snapPlan.schema) && p.sameResult(snapPlan))
+      if (hits > 0) Some(ofRows(cur.sparkSession, rebasedPlan))
+      else if (!curPlan.exists(n =>
+          n.getClass.getSimpleName == "LogicalRDD"))
+        Some(cur) // self-contained plane — no checkpoint dependency
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** `Dataset.ofRows` is private[sql]; the bytecode is public. */
+  private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame = {
+    val cls = Class.forName("org.apache.spark.sql.classic.Dataset$")
+    val mod = cls.getField("MODULE$").get(null)
+    val m = cls.getMethods.find(m =>
+      m.getName == "ofRows" && m.getParameterCount == 2).get
+    m.invoke(mod, spark, plan).asInstanceOf[DataFrame]
+  }
 }

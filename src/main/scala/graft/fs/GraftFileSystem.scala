@@ -230,45 +230,73 @@ class GraftFileSystem extends FileSystem {
   // overwrite — at test-sized payloads; production default 64 MB
   private var FoldBytes = 64L << 20
 
-  /** Paths whose rows have been FOLDED into the base plan. A
-    * structural op (overwrite, delete, rename) only spends a plan node
-    * when it touches one of these; a path still entirely in the
-    * pending buffer rewrites in pure memory — which is the COMMON
-    * case, because the committer renames files written moments ago.
-    * This is what keeps the base plan's growth O(folds + base-touching
-    * ops), not O(renames): both per-rename frame shapes are
-    * exponential under eager analysis (GraftFs.renameChunksOnly
-    * scaladoc) and wedged a stock 8-task write before this existed.
+  /** Files whose rows have been FOLDED into the base plan, mapped
+    * CURRENT path → BIRTH name. Rows fold under an IMMUTABLE birth
+    * name (usually the path at first fold) and never change identity
+    * again: rename is pure map re-keying — ZERO plan nodes — where the
+    * old design's per-rename filter∪rewrite DOUBLED the plan tree and
+    * went exponential the moment a committer renamed a fold's worth of
+    * files (measured r13 storm: 13-44 s verbs; at production geometry
+    * a 32-core committer stacks 32 doublings per fold — 2^32). Reads
+    * and structural filters translate current → birth at the boundary
+    * (one map lookup under [[mutLock]]). A birth name that would
+    * collide with a LIVE file's birth (re-created path after a rename
+    * moved the original away) gets a NUL-suffixed alias — NUL never
+    * appears in a real Hadoop path, so aliases cannot shadow data.
     *
-    * SORTED set, not a hash set: [[baseHasSubtree]] runs on the block-
-    * miss READ path (blockAt) and per structural op, and a linear
-    * prefix scan there re-grows with every folded file over a mount's
-    * lifetime — the same O(N)-per-verb class the inode cache's
-    * parent index removed. Prefix membership over a sorted set is one
-    * floor lookup: the first key ≥ "p/" starts with "p/" iff the
-    * subtree is non-empty. All access under [[mutLock]].
+    * SORTED maps, not hash sets: [[baseHasSubtree]] runs on the block-
+    * miss READ path (blockAt) and per structural op; prefix membership
+    * is one floor lookup, subtree enumeration one range walk, and the
+    * delete path range-scans [[birthIndex]] for foreign births under
+    * the prefix. All access under [[mutLock]].
     */
-  private val basePaths = new java.util.TreeSet[String]()
+  private val baseFiles = new java.util.TreeMap[String, String]()
+
+  /** Birth name → CURRENT path (live folded files only). */
+  private val birthIndex = new java.util.TreeMap[String, String]()
+
+  private var birthGen = 0L
 
   private def baseHasSubtree(p: String): Boolean = {
-    if (basePaths.contains(p)) return true
-    val pre = subtreePrefix(p)
-    val c = basePaths.ceiling(pre)
-    c != null && c.startsWith(pre)
+    if (baseFiles.containsKey(p)) return true
+    val c = baseFiles.ceilingKey(subtreePrefix(p))
+    c != null && c.startsWith(subtreePrefix(p))
   }
 
-  /** All folded paths under `p` (inclusive), via one sorted-range walk. */
-  private def baseSubtree(p: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    if (basePaths.contains(p)) out += p
+  /** All folded (currentPath, birthName) under `p` (inclusive), via one
+    * sorted-range walk. */
+  private def baseSubtree(p: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    val self = baseFiles.get(p)
+    if (self != null) out += (p -> self)
     val pre = subtreePrefix(p)
-    val it = basePaths.tailSet(pre).iterator()
+    val it = baseFiles.tailMap(pre).entrySet().iterator()
     var go = true
     while (go && it.hasNext) {
-      val k = it.next()
-      if (k.startsWith(pre)) out += k else go = false
+      val e = it.next()
+      if (e.getKey.startsWith(pre)) out += (e.getKey -> e.getValue)
+      else go = false
     }
     out.result()
+  }
+
+  /** Birth name for `p`'s next folded rows: the existing assignment if
+    * p folded before (mid-stream folds reuse it), else p itself unless
+    * some LIVE file elsewhere already owns that birth name (p was
+    * re-created after a rename moved the original away) — then a fresh
+    * NUL-suffixed alias. Caller holds [[mutLock]].
+    */
+  private def birthFor(p: String): String = {
+    val existing = baseFiles.get(p)
+    if (existing != null) existing
+    else {
+      val b =
+        if (birthIndex.containsKey(p)) { birthGen += 1; p + "\u0000" + birthGen }
+        else p
+      baseFiles.put(p, b)
+      birthIndex.put(b, p)
+      b
+    }
   }
 
   private val chunkRowSchema = StructType(Seq(
@@ -286,7 +314,13 @@ class GraftFileSystem extends FileSystem {
   private def foldPending(): Unit =
     if (pendingChunks.nonEmpty) {
       val rows = new java.util.ArrayList[Row](pendingChunks.size)
-      pendingChunks.foreach { r => rows.add(r); basePaths.add(r.getString(0)) }
+      pendingChunks.foreach { r =>
+        val birth = birthFor(r.getString(0))
+        rows.add(
+          if (birth == r.getString(0)) r
+          else Row(birth, r.getInt(1), r.getInt(2), r.getLong(3),
+            r.getLong(4), r.get(5), r.getLong(6)))
+      }
       val df = spark.createDataFrame(rows, chunkRowSchema)
       setState(GraftFs(state.catalog, state.chunks.unionByName(df)))
       pendingChunks.clear()
@@ -586,12 +620,16 @@ class GraftFileSystem extends FileSystem {
     cachePut(inodeFor(p, parent, 0L))
     noteInodeGrowth()
     // overwrite drops prior payload: pending rows in memory; one base
-    // filter ONLY if this path ever folded (basePaths)
+    // filter ONLY if this path ever folded (baseFiles) — targeting the
+    // BIRTH name, and freeing it for the replacement's next fold
     if (overwrite && prior.isDefined) {
       dropPending(_.getString(0) == p)
-      if (basePaths.remove(p))
+      val birth = baseFiles.remove(p)
+      if (birth != null) {
+        birthIndex.remove(birth)
         setState(GraftFs(state.catalog,
-          state.chunks.filter(col("path") =!= p)))
+          state.chunks.filter(col("path") =!= birth)))
+      }
     }
     new FSDataOutputStream(new SubBlockStream(p, parent), statistics, 0L)
   }
@@ -665,10 +703,13 @@ class GraftFileSystem extends FileSystem {
         val before = pendingChunks.length
         dropPending(r => r.getString(0) == p &&
           r.getInt(1) == blockId && r.getInt(2) == subId)
-        if (pendingChunks.length == before)
+        if (pendingChunks.length == before) {
+          // the folded partial copy sits under the BIRTH name
+          val birth = Option(baseFiles.get(p)).getOrElse(p)
           setState(GraftFs(state.catalog,
-            state.chunks.filter(!(col("path") === p &&
+            state.chunks.filter(!(col("path") === birth &&
               col("block_id") === blockId && col("sub_id") === subId))))
+        }
       }
       pendingChunks += Row(p, blockId, subId,
         blockId.toLong * blockSize, subId.toLong * subBlockSize,
@@ -796,13 +837,13 @@ class GraftFileSystem extends FileSystem {
       //    data from inside a core-saturating outer job remains the
       //    mount's documented local-mode caveat.
       if (id != cachedId) {
-        val (memRows, inBase) = withMutLock {
+        val (memRows, birth) = withMutLock {
           val rs = pendingChunks.filter(r =>
             r.getString(0) == p && r.getInt(1) == id.toInt)
           (rs.sortBy(_.getLong(4)).map(_.getAs[Array[Byte]](5)).toArray,
-            baseHasSubtree(p))
+            baseFiles.get(p))
         }
-        if (!inBase) {
+        if (birth == null) {
           val total = memRows.iterator.map(_.length).sum
           val out = new Array[Byte](total)
           var at = 0
@@ -823,8 +864,10 @@ class GraftFileSystem extends FileSystem {
           // honors.
           val snap = withMutLock { foldPending(); cell.pinCurrent() }
           try engineOp {
+            // base rows live under the file's BIRTH name (renames never
+            // rewrite the plan — baseFiles scaladoc)
             val rows = DataPlane.reassembleBlocks(
-                snap.chunks.filter(col("path") === p && col("block_id") === id))
+                snap.chunks.filter(col("path") === birth && col("block_id") === id))
               .select(col("data")).collect()
             cached = if (rows.isEmpty) Array.emptyByteArray
               else rows(0).getAs[Array[Byte]](0)
@@ -911,9 +954,40 @@ class GraftFileSystem extends FileSystem {
         dropPending(rowInSubtree(_, p))
         if (baseHasSubtree(p)) {
           val pre = subtreePrefix(p)
-          baseSubtree(p).foreach(basePaths.remove)
-          setState(GraftFs(state.catalog, state.chunks.filter(
-            !(col("path") === p || col("path").startsWith(pre)))))
+          val members = baseSubtree(p) // (currentPath, birthName)
+          members.foreach { case (c, b) =>
+            baseFiles.remove(c); birthIndex.remove(b)
+          }
+          // rows live under BIRTH names. The bulk of a subtree's rows
+          // sit under the current prefix (never renamed), covered by
+          // ONE prefix predicate; the exceptions stay O(renamed files):
+          //  - foreign births: members renamed IN from elsewhere —
+          //    their rows need explicit deletion (isin);
+          //  - alive births under the prefix: files renamed AWAY whose
+          //    rows the prefix predicate must NOT catch (anti-isin).
+          //    (birthIndex entries under pre are live files by
+          //    construction — this subtree's members were removed
+          //    above, so what remains is exactly the renamed-away set.)
+          val strayIn = members.collect {
+            case (_, b) if b != p && !b.startsWith(pre) => b
+          }
+          val aliveUnder = Seq.newBuilder[String]
+          val it = birthIndex.tailMap(pre).keySet().iterator()
+          var go = true
+          while (go && it.hasNext) {
+            val k = it.next()
+            if (k.startsWith(pre)) aliveUnder += k else go = false
+          }
+          if (birthIndex.containsKey(p)) aliveUnder += p
+          val alive = aliveUnder.result()
+          val underPre = col("path") === p || col("path").startsWith(pre)
+          val doomedPre =
+            if (alive.isEmpty) underPre
+            else underPre && !col("path").isin(alive: _*)
+          val doomed =
+            if (strayIn.isEmpty) doomedPre
+            else doomedPre || col("path").isin(strayIn: _*)
+          setState(GraftFs(state.catalog, state.chunks.filter(!doomed)))
         }
       }
       cached(p) match {
@@ -971,10 +1045,17 @@ class GraftFileSystem extends FileSystem {
           i += 1
         }
         if (baseHasSubtree(s)) {
-          val moved = baseSubtree(s)
-          moved.foreach(basePaths.remove)
-          moved.foreach(k => basePaths.add(d + k.substring(s.length)))
-          setState(state.renameChunksOnly(s, d))
+          // ZERO plan nodes: rows keep their immutable BIRTH names;
+          // rename is pure map re-keying (baseFiles scaladoc). The old
+          // per-rename filter∪rewrite doubled the plan tree — under a
+          // committer storm that compounded exponentially (2^renames)
+          // faster than any compaction cadence could flatten it.
+          baseSubtree(s).foreach { case (c, b) =>
+            baseFiles.remove(c)
+            val nc = d + c.substring(s.length)
+            baseFiles.put(nc, b)
+            birthIndex.put(b, nc)
+          }
         }
         true
       }
@@ -1045,6 +1126,9 @@ class GraftFileSystem extends FileSystem {
 
   /** Release one `graftFs` escape (see FsState.unpin). */
   def releaseSnapshot(snapshot: GraftFs): Unit = cell.unpin(snapshot)
+
+  /** Swap-outcome accounting passthrough (FsState.swapStats). */
+  private[fs] def swapStats: (Int, Int, Int) = cell.swapStats
 
   override def close(): Unit = {
     if (compactor != null) compactor.interrupt()

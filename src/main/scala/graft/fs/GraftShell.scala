@@ -245,11 +245,18 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
           throw new IOException(
             s"When $verb multiple files, destination should be a directory.")
         matched.foreach { src =>
-          if (cmd == "-mv") { val (next, _) = cur.rename(src, dst); setFs(next) }
-          else {
+          // rename/copy embed the chunk plane TWICE (filter∪rewrite /
+          // union-dup — GraftFs scaladocs): tree-DOUBLING transitions,
+          // marked heavy so the cell compacts after HeavyCompactDebt of
+          // them (inline — the shell is a driver thread) instead of
+          // letting 2^interval growth stack before the linear cadence
+          if (cmd == "-mv") {
+            val (next, _) = cur.rename(src, dst)
+            cell.set(next, allowCompact = true, heavy = true)
+          } else {
             val target = if (dstIsDir) s"${dirPrefix(dst)}${basename(src)}" else dst
             val (next, _) = cur.copy(src, target)
-            setFs(next)
+            cell.set(next, allowCompact = true, heavy = true)
           }
         }
         Nil

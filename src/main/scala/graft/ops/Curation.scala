@@ -412,10 +412,12 @@ object Curation {
       "need trainFrac > 0, valFrac >= 0, trainFrac + valFrac < 1")
     val comp = graft.ops.Dedup.components(pairs)
       .select(col("doc_id"), col("component"))
-    // explicit broadcast: comp is a stats-less checkpointed sliver —
+    // size-guarded broadcast: comp is a stats-less checkpointed sliver —
     // without the hint the static planner default-sizes it huge and
-    // shuffles the CORPUS side (Dedup.keepBest rationale)
-    val withRep = docs.join(broadcast(comp), Seq("doc_id"), "left_outer")
+    // shuffles the CORPUS side; but a corpus-scale comp must never
+    // force-broadcast either (Dedup.sliverHint rationale)
+    val hint = graft.ops.Dedup.sliverHint(comp, "groupedSplits")
+    val withRep = docs.join(hint(comp), Seq("doc_id"), "left_outer")
       .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
       .drop("component")
     val u = uniformHash(col("rep_id"), seed ^ SplitSeedSalt)

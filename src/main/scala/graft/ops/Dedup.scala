@@ -818,7 +818,7 @@ object Dedup {
     * for every derived join (members/anti-join sides are ⊆ comp), with
     * a loud stderr note when the hint is withheld.
     */
-  private def sliverHint(comp: DataFrame, what: String): DataFrame => DataFrame = {
+  private[ops] def sliverHint(comp: DataFrame, what: String): DataFrame => DataFrame = {
     val conf = comp.sparkSession.conf
     val thresholdStr =
       conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim

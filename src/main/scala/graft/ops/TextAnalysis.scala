@@ -26,7 +26,12 @@ object TextAnalysis {
 
   /** Quality scoring: length/punctuation/stopword ratios.
     * All ratios are a single int/int double division — bit-identical
-    * across engines — then rounded.
+    * across engines — then rounded. Divisors go through nullif: an
+    * EMPTY document (0 chars / 0 tokens — a raw crawl always has some)
+    * gets NULL ratios instead of an ANSI DIVIDE_BY_ZERO that kills the
+    * whole pass; every downstream gate's NULL comparison then drops
+    * the doc, which is the curation semantics an empty doc deserves
+    * (found by the Round13 degenerate-input sweep).
     */
   def quality(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
@@ -40,10 +45,13 @@ object TextAnalysis {
         col("n_chars"),
         size(col("toks")).cast("long").as("n_words"),
         round(expr("aggregate(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
-          .cast("double") / size(col("toks")), 4).as("avg_word_len"),
-        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+          .cast("double") / nullif(size(col("toks")).cast("double"), lit(0d)),
+          4).as("avg_word_len"),
+        round(col("n_punct").cast("double") /
+          nullif(col("n_chars").cast("double"), lit(0d)), 6).as("punct_ratio"),
         round(expr(s"size(filter(toks, w -> w IN ($stop)))").cast("double") /
-          size(col("toks")), 6).as("stopword_ratio"))
+          nullif(size(col("toks")).cast("double"), lit(0d)), 6)
+          .as("stopword_ratio"))
       .withColumn("quality_ok",
         col("n_words") >= 5 && col("punct_ratio") < 0.1)
   }

@@ -1709,6 +1709,110 @@ object PipelineQueries {
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 1.0 ORDER BY id_a, id_b""".stripMargin)),
 
+    // ── RETRIEVAL FUSION: the RAG-indexing composition the pipeline
+    //    brief implies, proven end to end as ONE oracle channel —
+    //    chunkWithOverlap → passage-level lexical scoring (exact
+    //    integer tf over the query vocabulary, doc score = MAX over
+    //    its chunks, the standard passage-max) fused with embedding
+    //    ANN (bruteTopK here for the exact oracle; the scale path
+    //    swaps in ivfpqTopKIndexed compositionally — same (query,
+    //    doc, rank) shape) via Reciprocal Rank Fusion. RRF terms are
+    //    1/(60+rank): one IEEE division of exact integers per side
+    //    and ONE fixed-order addition, so the fused score is
+    //    bit-identical cross-engine and the ranking hash-checks.
+    //    Scale shape: chunking runs at scan speed (no shuffle), the
+    //    query vocabulary broadcasts, the per-chunk tf aggregates
+    //    shuffle only matching (query, doc, chunk) rows, the fusion
+    //    join touches two ≤20-rows-per-query slivers, and every
+    //    window partitions BY QUERY — nothing corpus-wide ever sorts.
+    QueryDef(
+      "pipeline_retrieval_fusion",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val qterms = Seq((0L, "dup"), (0L, "vector"), (1L, "vector"),
+          (1L, "join"), (2L, "dup"), (2L, "join")).toDF("query_id", "w")
+        val chunks = Curation.chunkWithOverlap(docs,
+          chunkSize = 32, stride = 24)
+        val cw = chunks.select(col("doc_id"), col("chunk_idx"),
+          explode(expr(
+            "regexp_extract_all(chunk_text, '\\\\w+', 0)")).as("w"))
+        val docScore = cw.join(broadcast(qterms), "w")
+          .groupBy(col("query_id"), col("doc_id"), col("chunk_idx"))
+          .agg(count(lit(1)).cast("long").as("s"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(max(col("s")).as("s"))
+        val wLex = Window.partitionBy(col("query_id"))
+          .orderBy(col("s").desc, col("doc_id"))
+        val lex = docScore.withColumn("r", row_number().over(wLex))
+          .filter(col("r") <= 20)
+          .select(col("query_id"), col("doc_id"), col("r").as("lex_r"))
+        val ann = Similarity.bruteTopK(emb.filter(col("vec_id") < 3),
+            emb, k = 20)
+          .select(col("q_id").cast("long").as("query_id"),
+            col("neighbor_id").cast("long").as("doc_id"),
+            col("rank").as("ann_r"))
+        val fused = lex.join(ann, Seq("query_id", "doc_id"), "full_outer")
+          .select(col("query_id"), col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("lex_r")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("ann_r")), lit(0.0)))
+              .as("rrf"))
+        val wF = Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+        fused.withColumn("fused_rank", row_number().over(wF).cast("int"))
+          .filter(col("fused_rank") <= 10)
+          .select(col("query_id"), col("fused_rank"), col("doc_id"),
+            round(col("rrf"), 6).as("rrf"))
+          .orderBy(col("query_id"), col("fused_rank"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS cidx,
+             |         toks[(CAST(i AS INT) * 24 + 1):(CAST(i AS INT) * 24 + 32)] AS ct
+             |  FROM t, UNNEST(range(0,
+             |    CAST(CEIL(GREATEST(len(toks) - 32, 0) / 24.0) AS BIGINT) + 1)) AS u(i)),
+             |q(query_id, w) AS (VALUES (0, 'dup'), (0, 'vector'),
+             |  (1, 'vector'), (1, 'join'), (2, 'dup'), (2, 'join')),
+             |cw AS (SELECT doc_id, cidx, unnest(ct) AS w FROM ch),
+             |ds AS (
+             |  SELECT query_id, doc_id, MAX(s) AS s FROM (
+             |    SELECT CAST(q.query_id AS BIGINT) AS query_id, doc_id, cidx,
+             |           CAST(COUNT(*) AS BIGINT) AS s
+             |    FROM cw JOIN q USING (w) GROUP BY 1, 2, 3)
+             |  GROUP BY 1, 2),
+             |lex AS (
+             |  SELECT query_id, doc_id, r FROM (
+             |    SELECT query_id, doc_id, ROW_NUMBER() OVER
+             |      (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+             |    FROM ds) WHERE r <= 20),
+             |ann AS (
+             |  SELECT query_id, doc_id, r FROM (
+             |    SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+             |           CAST(e.vec_id AS BIGINT) AS doc_id,
+             |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |             list_cosine_similarity(q.embedding, e.embedding)
+             |               DESC, e.vec_id) AS r
+             |    FROM embeddings e, embeddings q
+             |    WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id)
+             |  WHERE r <= 20),
+             |fused AS (
+             |  SELECT COALESCE(l.query_id, a.query_id) AS query_id,
+             |         COALESCE(l.doc_id, a.doc_id) AS doc_id,
+             |         COALESCE(1.0 / (60 + l.r), 0) +
+             |         COALESCE(1.0 / (60 + a.r), 0) AS rrf
+             |  FROM lex l FULL OUTER JOIN ann a
+             |    ON l.query_id = a.query_id AND l.doc_id = a.doc_id)
+             |SELECT query_id, CAST(rk AS INTEGER) AS fused_rank, doc_id,
+             |       ROUND(rrf, 6) AS rrf
+             |FROM (SELECT *, ROW_NUMBER() OVER
+             |        (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+             |      FROM fused)
+             |WHERE rk <= 10 ORDER BY query_id, fused_rank""".stripMargin)),
+
     // ── Similarity search ───────────────────────────────────────────────
     QueryDef(
       "ann_brute_topk",

@@ -879,6 +879,35 @@ object Relational {
              |  AND stopword_ratio >= 0.02
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── FILE-SINK streaming quality gate, EXECUTED — the production
+    //    ingest TOPOLOGY twin of stream_quality_filter: the same
+    //    stateless gate drains through Spark's native parquet FileSink
+    //    (executor-side commits, _spark_metadata exactly-once), so the
+    //    driver never buffers an output row; the channel reads the
+    //    committed files back and the oracle hash rides the on-disk
+    //    bytes. Shares pipeline_quality_filter's exact oracle. ─────────
+    QueryDef(
+      "stream_quality_filter_files",
+      (s, d) =>
+        graft.streaming.EventsStream.qualityFilterFilesAvailableNow(s, d)
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, LENGTH(text) AS n_chars,
+             |         regexp_extract_all(lower(text), '\w+') AS toks,
+             |         LEN(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_words,
+             |         ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+             |         ROUND(CAST(LEN(list_filter(toks,
+             |               w -> w IN ('the','a','of','and','to','in','is','it')))
+             |               AS DOUBLE) / LEN(toks), 6) AS stopword_ratio
+             |  FROM t)
+             |SELECT doc_id, n_words, punct_ratio, stopword_ratio FROM q
+             |WHERE n_words >= 5 AND punct_ratio < 0.1
+             |  AND stopword_ratio >= 0.02
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── Streaming MULTIMODAL ingest, EXECUTED (twelfth streaming
     //    channel): image files arrive through the binaryFile streaming
     //    source and the REAL decode + feature extraction

@@ -356,6 +356,55 @@ object EventsStream {
       cls.getMethod("unloadAll").invoke(module)
     } catch { case _: Throwable => () }
 
+  /** Reap the StreamingQueryListenerBus instances LEAKED by per-run
+    * cloned sessions — the measured in-process contamination vector
+    * behind the r12 "JVM-context inflation" narrative: every STATEFUL
+    * streaming query run clones the session, the clone's
+    * StreamingQueryManager registers its own listener bus on the
+    * shared LiveListenerBus, and nothing ever removes it when the
+    * clone dies (measured: +1 bus per stateful drain, 6 → 27
+    * listeners across the 13-channel suite, every one still attached
+    * while the text family ran). Each leaked bus is a SparkListener
+    * that processes EVERY subsequent event in the session — a
+    * long-lived engine session accumulates them without bound. The
+    * reap removes every registered StreamingQueryListenerBus except
+    * the root session's own (user-registered StreamingQueryListeners
+    * live on that one); the leaked buses belong to dead clones whose
+    * queries have terminated, so removal can orphan nothing. Any
+    * reflection drift no-ops rather than failing the drain.
+    */
+  private[streaming] def reapLeakedListenerBuses(spark: SparkSession): Int =
+    try {
+      val mgr = spark.streams
+      val ownM = mgr.getClass.getDeclaredMethod("listenerBus")
+      ownM.setAccessible(true)
+      val own = ownM.invoke(mgr)
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val listM = bus.getClass.getMethods.find(m =>
+        m.getName == "listeners" && m.getParameterCount == 0).get
+      import scala.jdk.CollectionConverters._
+      val leaked = listM.invoke(bus).asInstanceOf[java.util.List[AnyRef]]
+        .asScala
+        .filter(l => l.getClass.getName.endsWith("StreamingQueryListenerBus")
+          && (l.asInstanceOf[AnyRef] ne own))
+        .toList
+      // LiveListenerBus.removeListener — reflective because its
+      // parameter type (SparkListenerInterface) is private[spark]
+      val removeM = bus.getClass.getMethods.find(m =>
+        m.getName == "removeListener" && m.getParameterCount == 1).get
+      leaked.foreach(l => removeM.invoke(bus, l))
+      leaked.size
+    } catch { case _: Throwable => 0 }
+
+  /** Post-drain hygiene shared by every channel: unload superseded
+    * state-store providers AND reap leaked listener buses. */
+  private def drainHygiene(spark: SparkSession): Unit = {
+    unloadStateStores()
+    reapLeakedListenerBuses(spark)
+    ()
+  }
+
   /** Generic parquet AvailableNow drain for non-events tables; the
     * reader receives the staged landing directory. The checkpoint is an
     * EXPLICIT per-drain temp dir removed in the finally — Spark's
@@ -399,7 +448,7 @@ object EventsStream {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      unloadStateStores()
+      drainHygiene(spark)
       deleteRecursively(ckpt)
     }
     spark.table(sink)
@@ -540,7 +589,7 @@ object EventsStream {
           }
         } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          unloadStateStores()
+          drainHygiene(spark)
           deleteRecursively(ckpt)
         }
         import scala.jdk.CollectionConverters._
@@ -575,6 +624,76 @@ object EventsStream {
   def qualityFilterAvailableNow(spark: SparkSession,
                                 sfDir: String): DataFrame =
     statelessIngest(spark, sfDir).quality
+
+  private val fileSinkDrains = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Memo[DataFrame]]()
+
+  /** Sink description of the most recent file-sink drain, recorded so
+    * the topology spec can pin that the drain really ran through
+    * Spark's FileSink (executor-side commits), not a memory sink. */
+  @volatile private[streaming] var lastFileSinkDescription: String = ""
+
+  /** FILE-SINK streaming quality gate — stream_quality_filter's
+    * PRODUCTION-TOPOLOGY twin. The memory-sink drains are oracle
+    * harnesses whose driver-side row buffers grow linearly with the
+    * kept corpus on filter-shaped channels — fine as a correctness
+    * gate, not the 100 TB ingest topology. Here the SAME stateless
+    * gate (Curation.qualityFilter) runs on the document stream and
+    * Spark's native parquet FileSink commits each micro-batch's kept
+    * rows from EXECUTOR tasks with exactly-once manifest semantics
+    * (_spark_metadata): structurally no collect in the drain path —
+    * the driver never holds an output row. The returned frame READS
+    * BACK the committed files (a FileSourceScanExec, pinned by spec),
+    * so the oracle hash rides the on-disk bytes. One sink dir per
+    * (applicationId, sfDir) behind the token memo; a re-staged source
+    * rebuilds into a fresh dir and the superseded one is reclaimed by
+    * the shutdown hook (the stagedLandings lifecycle — a bounded
+    * handful of dirs, not per-rep churn).
+    */
+  def qualityFilterFilesAvailableNow(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val (landing, token) =
+      stageLandingWithToken(s"$sfDir/documents.parquet")
+    memoized(fileSinkDrains,
+      (spark.sparkContext.applicationId, sfDir), token) {
+        val outDir =
+          java.nio.file.Files.createTempDirectory("graft-file-sink")
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => deleteRecursively(outDir)))
+        val ckpt = tempCheckpointDir()
+        // output schema from a zero-row STATIC read — an empty landing
+        // legitimately commits no files, and the read-back must not
+        // depend on inference over an empty directory
+        val outSchema = graft.ops.Curation.qualityFilter(
+          spark.read.schema(documentsSchema).parquet(landing).limit(0))
+          .schema
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          var q: org.apache.spark.sql.streaming.StreamingQuery = null
+          try {
+            q = graft.ops.Curation.qualityFilter(
+                spark.readStream.schema(documentsSchema).parquet(landing))
+              .writeStream.format("parquet")
+              .option("path", outDir.toString)
+              .option("checkpointLocation", ckpt.toString)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            lastFileSinkDescription =
+              Option(q.lastProgress).map(_.sink.description).getOrElse("")
+          } finally {
+            if (q != null && q.isActive) q.stop()
+          }
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          drainHygiene(spark)
+          deleteRecursively(ckpt)
+        }
+        spark.read.schema(outSchema).parquet(outDir.toString)
+      }
+  }
 
   /** embeddings-table file-stream schema (vec_id, Array[Float], label —
     * matches TESTDATA.md / the parquet footer).
@@ -668,7 +787,7 @@ object EventsStream {
           java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        unloadStateStores()
+        drainHygiene(spark)
         deleteRecursively(ckpt)
         deleteRecursively(landing)
       }
@@ -755,7 +874,7 @@ object EventsStream {
           java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        unloadStateStores()
+        drainHygiene(spark)
         deleteRecursively(ckpt)
         deleteRecursively(landing)
       }
@@ -832,7 +951,7 @@ object EventsStream {
           }
         } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          unloadStateStores()
+          drainHygiene(spark)
           deleteRecursively(ckpt)
         }
         import scala.jdk.CollectionConverters._

@@ -198,6 +198,53 @@ class SchemeMountSpec extends AnyFlatSpec with Matchers {
     fs.close()
   }
 
+  it must "serve FOLDED payload reads to task threads while a core stays free (the documented boundary)" in {
+    // The mount's one non-action-free path (r12 verdict "What's wrong
+    // #3"): a block-miss read of FOLDED payload submits a nested
+    // engine job (engineOp unsets the TaskContext first). This pins
+    // the SUPPORTED side of the boundary — local-mode task threads
+    // with the outer job below core count — by reading a folded file
+    // from INSIDE Spark tasks. The unsupported side is documented in
+    // SURVEY §8's narrowing row: a core-saturating outer job converts
+    // to the lock-timeout IOException (spec above), and a REMOTE
+    // executor cannot submit driver jobs at all — cluster-scale reads
+    // belong on the DSv2 connector.
+    mountConf()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.subblock.size", 512)
+    hconf.setInt("graft.block.size", 1024)
+    hconf.setLong("graft.mount.fold.bytes", 1024)
+    val fs =
+      try FileSystem.get(new URI("graftfs://foldread/"), hconf)
+        .asInstanceOf[GraftFileSystem]
+      finally {
+        hconf.unset("graft.subblock.size")
+        hconf.unset("graft.block.size")
+        hconf.unset("graft.mount.fold.bytes")
+      }
+    val bytes = Array.tabulate[Byte](3072)(i => ((i * 31 + 7) & 0xFF).toByte)
+    val out = fs.create(new Path("graftfs://foldread/f.bin"))
+    out.write(bytes); out.close() // 3 KB >> 1 KB fold: payload in base
+    val expected = { val c = new java.util.zip.CRC32C(); c.update(bytes)
+      c.getValue }
+    // 2 tasks on local[4]: each resolves the SAME cached fs instance
+    // (scheme+authority keyed) and pulls the folded blocks through the
+    // nested-job read path, with two cores left for those jobs
+    val crcs = spark.sparkContext.parallelize(1 to 2, 2).map { _ =>
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      c.set("fs.graftfs.impl", "graft.fs.GraftFileSystem")
+      val tfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("graftfs://foldread/"), c)
+      val in = tfs.open(new org.apache.hadoop.fs.Path(
+        "graftfs://foldread/f.bin"))
+      val buf = new Array[Byte](3072)
+      try in.readFully(0L, buf) finally in.close()
+      val crc = new java.util.zip.CRC32C(); crc.update(buf); crc.getValue
+    }.collect()
+    crcs.toSeq must be(Seq(expected, expected))
+    fs.close()
+  }
+
   it must "keep the metadata cache exactly in step with the catalog frames" in {
     mountConf()
     val fs = FileSystem.get(new URI("graftfs://mountspec/"),

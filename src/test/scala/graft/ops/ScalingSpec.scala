@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.{Tables, TestSpark}
+
+/** MEASURED scaling exponents for the heavy operators — the r12
+  * verdict's "What's missing #2": every 100×-scale claim so far was a
+  * plan-shape argument plus one-SF timings. Three scale points exist
+  * on disk (sf0.001/0.01/0.1 — TESTDATA.md); this spec times the five
+  * heaviest pipeline operators at each and asserts SUB-QUADRATIC
+  * growth on the big decade: a quadratic op costs ~100× per 10× data,
+  * the bucketed/capped designs here claim ~linear, and the assertion
+  * allows 30× (linear + fixed-overhead noise + super-linear shuffle
+  * constants, still far below quadratic). The full log-slope table
+  * prints to stdout for PLANS.md. Wall-clock assertions are
+  * deliberately coarse — the point is the EXPONENT, not the constant;
+  * a regression to an all-pairs shape fails by an order of magnitude,
+  * not by jitter.
+  */
+class ScalingSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private val sfs = Seq(
+    "sf0.001" -> "/root/testdata/sf0.001",
+    "sf0.01" -> "/root/testdata/sf0.01",
+    "sf0.1" -> "/root/testdata/sf0.1")
+
+  /** min-of-2 wall seconds (min absorbs one-off JIT/scan warmup). */
+  private def time(body: => Unit): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      graft.PlanHygiene.sweepPersisted(spark)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  private val heavyOps: Seq[(String, String => Unit)] = Seq(
+    "minhashPairs" -> { d: String =>
+      Dedup.minhashPairs(Tables.documents(spark, d)).count(); ()
+    },
+    "ngramJaccardPairs" -> { d: String =>
+      Dedup.ngramJaccardPairs(Tables.documents(spark, d)).count(); ()
+    },
+    "exactSubstringOverlaps" -> { d: String =>
+      Dedup.exactSubstringOverlaps(Tables.documents(spark, d)).count(); ()
+    },
+    "components(minhashPairs)" -> { d: String =>
+      Dedup.components(
+        Dedup.minhashPairs(Tables.documents(spark, d))).count(); ()
+    },
+    "ivfpqBuild" -> { d: String =>
+      val emb = Tables.embeddings(spark, d)
+      val coarse = Similarity.kmeansCentroids(emb, 16, 3)
+      val cbs = Similarity.pqCodebooks(emb, m = 8, ksub = 16,
+        iters = 1, dim = 64)
+      val dir = java.nio.file.Files.createTempDirectory("graft-scaling-ivfpq")
+      try Similarity.saveIvfPqIndex(emb, coarse, cbs, dir.toString)
+      finally graft.PlanHygiene.deleteRecursively(dir)
+    })
+
+  behavior of "heavy-operator scaling (sf0.001 → sf0.01 → sf0.1)"
+
+  it must "grow sub-quadratically across the measured decade" in {
+    val table = heavyOps.map { case (name, run) =>
+      val ts = sfs.map { case (sf, dir) => sf -> time(run(dir)) }
+      name -> ts
+    }
+    info(f"${"operator"}%-26s ${"sf0.001"}%9s ${"sf0.01"}%9s " +
+      f"${"sf0.1"}%9s ${"x(.01→.1)"}%10s ${"slope"}%7s")
+    val rows = table.map { case (name, ts) =>
+      val t = ts.map(_._2)
+      val ratio = t(2) / math.max(t(1), 1e-3)
+      val slope = math.log10(math.max(ratio, 1e-3)) // per decade of data
+      info(f"$name%-26s ${t(0)}%9.3f ${t(1)}%9.3f ${t(2)}%9.3f " +
+        f"$ratio%10.2f $slope%7.2f")
+      (name, ratio, slope)
+    }
+    rows.foreach { case (name, ratio, _) =>
+      withClue(s"$name grew ${ratio}x over one data decade " +
+        "(quadratic ≈ 100x, asserted < 30x): ") {
+        ratio must be < 30.0
+      }
+    }
+  }
+}
