@@ -331,6 +331,26 @@ object Relational {
              |WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ── STATEFUL file-sink streaming twin: the same watermarked
+    //    windowed aggregation drains through Spark's native parquet
+    //    FileSink — append mode emits each window exactly once when
+    //    the watermark closes it, the contract the FileSink requires,
+    //    so the production ingest topology extends to STATEFUL
+    //    operators unchanged (state in the checkpoint's store, output
+    //    committed by executors, the driver holds neither). Same
+    //    emitted prefix, same oracle as stream_hourly_events. ──────────
+    QueryDef(
+      "stream_hourly_events_files",
+      (s, d) =>
+        graft.streaming.EventsStream.hourlyAggFilesAvailableNow(s, d)
+          .orderBy(col("hour"), col("event_type")),
+      Some("""WITH m AS (SELECT MAX(ts) AS mx FROM events)
+             |SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events, m
+             |WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── Chained stateful streaming, EXECUTED (sixth streaming
     //    channel): watermarked dropDuplicates state feeding a windowed
     //    count in ONE query — per-hour unique users, the ingest-time

@@ -651,29 +651,61 @@ object EventsStream {
     * handful of dirs, not per-rep churn).
     */
   def qualityFilterFilesAvailableNow(spark: SparkSession,
-                                     sfDir: String): DataFrame = {
-    val (landing, token) =
-      stageLandingWithToken(s"$sfDir/documents.parquet")
+                                     sfDir: String): DataFrame =
+    drainToFileSink(spark, s"$sfDir/documents.parquet", "quality",
+      documentsSchema)(
+      spark.readStream.schema(documentsSchema).parquet(_))(
+      graft.ops.Curation.qualityFilter(_))
+
+  /** STATEFUL file-sink twin — [[qualityFilterFilesAvailableNow]] for
+    * the watermarked windowed aggregation: append mode emits each
+    * window EXACTLY ONCE when the watermark closes it, which is
+    * precisely the contract Spark's FileSink requires — so the
+    * production topology extends to stateful ingest unchanged (state
+    * lives in the checkpoint's state store, output rows commit from
+    * executor tasks, the driver holds neither). Same emitted prefix,
+    * same oracle as stream_hourly_events.
+    */
+  def hourlyAggFilesAvailableNow(spark: SparkSession,
+                                 sfDir: String): DataFrame =
+    drainToFileSink(spark, s"$sfDir/events.parquet", "hourly",
+      eventSchema)(readEvents(spark, _))(hourlyAgg)
+
+  /** Shared FILE-SINK drain: the same AvailableNow lifecycle as the
+    * memory-sink drains, but the output commits through Spark's native
+    * parquet FileSink (executor-side task commits, exactly-once
+    * _spark_metadata manifest) and the returned frame READS BACK the
+    * committed files — structurally no output row ever transits a
+    * driver buffer. One sink dir per (applicationId, name, source)
+    * behind the token memo; superseded dirs are reclaimed by the
+    * shutdown hook (the stagedLandings lifecycle).
+    */
+  private def drainToFileSink(spark: SparkSession, srcParquet: String,
+                              name: String, srcSchema: StructType)(
+      readStream: String => DataFrame)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val (landing, token) = stageLandingWithToken(srcParquet)
     memoized(fileSinkDrains,
-      (spark.sparkContext.applicationId, sfDir), token) {
+      (spark.sparkContext.applicationId, s"$name@$srcParquet"), token) {
         val outDir =
-          java.nio.file.Files.createTempDirectory("graft-file-sink")
+          java.nio.file.Files.createTempDirectory(s"graft-file-sink-$name")
         Runtime.getRuntime.addShutdownHook(
           new Thread(() => deleteRecursively(outDir)))
         val ckpt = tempCheckpointDir()
-        // output schema from a zero-row STATIC read — an empty landing
+        // output schema from a zero-row STATIC frame — an empty landing
         // legitimately commits no files, and the read-back must not
-        // depend on inference over an empty directory
-        val outSchema = graft.ops.Curation.qualityFilter(
-          spark.read.schema(documentsSchema).parquet(landing).limit(0))
-          .schema
+        // depend on inference over an empty directory (withWatermark on
+        // a batch frame is analyzer-eliminated, so stateful transforms
+        // derive their schema this way too)
+        val outSchema = transform(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          srcSchema)).schema
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           var q: org.apache.spark.sql.streaming.StreamingQuery = null
           try {
-            q = graft.ops.Curation.qualityFilter(
-                spark.readStream.schema(documentsSchema).parquet(landing))
+            q = transform(readStream(landing))
               .writeStream.format("parquet")
               .option("path", outDir.toString)
               .option("checkpointLocation", ckpt.toString)
