@@ -329,36 +329,66 @@ object FsState {
     try {
       if (cur eq snap) return Some(comp)
       val snapPlan = snap.queryExecution.analyzed
+      // composition embeds Dataset.logicalPlan = commandExecuted, which
+      // can be a different OBJECT from `analyzed` — target both
+      val snapCmd = snap.queryExecution.commandExecuted
       val compPlan = comp.queryExecution.analyzed
       val curPlan = cur.queryExecution.analyzed
-      if (curPlan eq snapPlan) return Some(comp)
-      def substitute(matches: LogicalPlan => Boolean): (LogicalPlan, Int) = {
+      if ((curPlan eq snapPlan) || (curPlan eq snapCmd)) return Some(comp)
+      // the checkpoint's output re-bound to `p`'s attribute ids when an
+      // analyzer copy gave the matched subtree fresh exprIds
+      def aligned(p: LogicalPlan): LogicalPlan =
+        if (p.output.map(_.exprId) == compPlan.output.map(_.exprId))
+          compPlan
+        else
+          Project(p.output.zip(compPlan.output).map { case (to, from) =>
+            Alias(from, to.name)(exprId = to.exprId)
+          }, compPlan)
+      // UNION-PREFIX matching: the analyzer FLATTENS nested unions, so
+      // a snapshot whose root is Union(c1..ck) never survives as a
+      // subtree once folds append children — it survives as the
+      // identical (eq) PREFIX of a wider Union(c1..ck, d1..dm). The
+      // rebase then re-roots that union as Union(checkpoint, d1..dm).
+      // Union output attrs derive from the first child, which the
+      // checkpoint preserves (localCheckpoint keeps output exprIds), so
+      // parents stay bound. A filter barrier resets flattening and the
+      // plain identity match covers filter-rooted snapshots.
+      val snapChildren: Seq[LogicalPlan] = snapPlan match {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+          u.children
+        case _ => Nil
+      }
+      def prefixReplace(
+          u: org.apache.spark.sql.catalyst.plans.logical.Union)
+          : Option[LogicalPlan] =
+        if (snapChildren.nonEmpty &&
+            snapChildren.length < u.children.length &&
+            snapChildren.zip(u.children).forall { case (a, b) => a eq b })
+          Some(u.copy(children = compPlan +: u.children.drop(snapChildren.length)))
+        else None
+      def substitute(loose: Boolean): (LogicalPlan, Int) = {
         var hits = 0
         val p2 = curPlan.transformUp {
-          case p if matches(p) =>
-            hits += 1
-            if (p.output.map(_.exprId) == compPlan.output.map(_.exprId))
-              compPlan
-            else
-              // analyzer-copied subtree: rebind the checkpoint's output
-              // to the copy's attribute ids so parents stay resolved
-              Project(p.output.zip(compPlan.output).map { case (to, from) =>
-                Alias(from, to.name)(exprId = to.exprId)
-              }, compPlan)
+          case p if (p eq snapPlan) || (p eq snapCmd) =>
+            hits += 1; aligned(p)
+          case u: org.apache.spark.sql.catalyst.plans.logical.Union
+              if prefixReplace(u).isDefined =>
+            hits += 1; prefixReplace(u).get
+          case p if loose && (p.schema == snapPlan.schema) &&
+              p.sameResult(snapPlan) =>
+            hits += 1; aligned(p)
         }
         (p2, hits)
       }
-      // Identity pass first: the verb shapes embed parent plans by
-      // object, so this is the hot path and costs one cheap tree walk.
-      // sameResult is the FALLBACK only — its canonicalization compares
-      // LocalRelation payload bytes node-by-node, measured as the
-      // ~900 ms p99 tail when it ran unconditionally under the verb
-      // lock in the r13 storm spec.
-      val (eqPlan, eqHits) = substitute(p => p eq snapPlan)
+      // Identity + union-prefix pass first: the verb shapes embed
+      // parent plans by object, so this is the hot path and costs one
+      // cheap tree walk. sameResult is the FALLBACK only — its
+      // canonicalization compares LocalRelation payload bytes
+      // node-by-node, measured as a ~900 ms p99 tail when it ran
+      // unconditionally under the verb lock in the r13 storm spec.
+      val (eqPlan, eqHits) = substitute(loose = false)
       val (rebasedPlan, hits) =
-        if (eqHits > 0) (eqPlan, eqHits)
-        else substitute(p =>
-          (p.schema == snapPlan.schema) && p.sameResult(snapPlan))
+        if (eqHits > 0) (eqPlan, eqHits) else substitute(loose = true)
       if (hits > 0) Some(ofRows(cur.sparkSession, rebasedPlan))
       else if (!curPlan.exists(n =>
           n.getClass.getSimpleName == "LogicalRDD"))

@@ -57,6 +57,82 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
       .getAs[Array[Byte]]("data")) must be("payload-7")
   }
 
+  behavior of "FsState.trySwap rebasing (the LSM swap — r13)"
+
+  it must "REBASE onto the checkpoint when verbs raced the prepare, keeping every delta" in {
+    val cell = new FsState(emptyFs(), compactEvery = 2)
+    (1 to 2).foreach { i =>
+      val fs = cell.get
+      cell.set(GraftFs(fs.catalog.touchz(s"/a$i"),
+        fs.chunks.unionByName(oneFile(s"/a$i", s"a-$i"))), allowCompact = false)
+    }
+    val Some((snap, compacted)) = cell.prepareCompaction()
+    // verbs intervene AFTER the snapshot: a fold-shaped union AND a
+    // rename-shaped filter∪rewrite (embeds the snapshot plan TWICE)
+    val fs1 = cell.get
+    cell.set(GraftFs(fs1.catalog.touchz("/b1"),
+      fs1.chunks.unionByName(oneFile("/b1", "b-1"))), allowCompact = false)
+    cell.set(cell.get.renameChunksOnly("/a1", "/m1"), allowCompact = false)
+    // the swap must land as a REBASE (not abort), with the checkpoint
+    // replacing the snapshot subtree under the intervening deltas
+    cell.trySwap(snap, compacted) must be(true)
+    cell.swapStats._2 must be(1) // rebased
+    val leaves = cell.get.chunks.queryExecution.analyzed.collectLeaves()
+    leaves.count(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) must be >= 1
+    // every pre- and post-snapshot write reads back; the rename applied
+    new String(DataPlane.cat(cell.get.chunks, "/m1").collect()(0)
+      .getAs[Array[Byte]]("data")) must be("a-1")
+    new String(DataPlane.cat(cell.get.chunks, "/a2").collect()(0)
+      .getAs[Array[Byte]]("data")) must be("a-2")
+    new String(DataPlane.cat(cell.get.chunks, "/b1").collect()(0)
+      .getAs[Array[Byte]]("data")) must be("b-1")
+    DataPlane.cat(cell.get.chunks, "/a1").collect() must be(empty)
+    // and a follow-up CLEAN compaction still works on the rebased plan
+    cell.compactNow()
+    new String(DataPlane.cat(cell.get.chunks, "/m1").collect()(0)
+      .getAs[Array[Byte]]("data")) must be("a-1")
+  }
+
+  it must "keep the intervening-delta count so compaction pressure is not reset by a rebase" in {
+    val cell = new FsState(emptyFs(), compactEvery = 2)
+    (1 to 2).foreach { i =>
+      val fs = cell.get
+      cell.set(GraftFs(fs.catalog.touchz(s"/c$i"),
+        fs.chunks.unionByName(oneFile(s"/c$i", s"c-$i"))), allowCompact = false)
+    }
+    val Some((snap, compacted)) = cell.prepareCompaction()
+    // four deltas race in — MORE than the (pre-doubling) interval
+    (3 to 6).foreach { i =>
+      val fs = cell.get
+      cell.set(GraftFs(fs.catalog.touchz(s"/c$i"),
+        fs.chunks.unionByName(oneFile(s"/c$i", s"c-$i"))), allowCompact = false)
+    }
+    cell.trySwap(snap, compacted) must be(true)
+    // sinceCompact restarted at the DELTA count (4), which meets the
+    // doubled interval (4) — the cell is immediately due again instead
+    // of silently carrying 4 unflattened deltas toward the next window
+    cell.compactionDue must be(true)
+  }
+
+  it must "expedite compaction after HeavyCompactDebt tree-doubling sets" in {
+    val cell = new FsState(emptyFs(), compactEvery = 1000)
+    val fs0 = cell.get
+    cell.set(GraftFs(fs0.catalog.touchz("/h0"),
+      fs0.chunks.unionByName(oneFile("/h0", "h"))), allowCompact = false)
+    (1 to FsState.HeavyCompactDebt - 1).foreach { i =>
+      cell.set(cell.get.renameChunksOnly(if (i == 1) "/h0" else s"/h${i - 1}",
+        s"/h$i"), allowCompact = false, heavy = true)
+      cell.compactionDue must be(false) // under the debt cap
+    }
+    cell.set(cell.get.renameChunksOnly(s"/h${FsState.HeavyCompactDebt - 1}",
+      "/hx"), allowCompact = false, heavy = true)
+    cell.compactionDue must be(true) // debt reached — due despite interval 1000
+    cell.compactOpportunistic() must be(true)
+    cell.compactionDue must be(false) // clean swap cleared the debt
+    new String(DataPlane.cat(cell.get.chunks, "/hx").collect()(0)
+      .getAs[Array[Byte]]("data")) must be("h")
+  }
+
   it must "keep pinned snapshots queryable across later compactions" in {
     val cell = new FsState(emptyFs(), compactEvery = 2)
     (1 to 4).foreach { i =>
@@ -202,21 +278,24 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     // different points of the verb window.
     val rounds = 100
     // activity gates (vacuity proof): at least this many swaps must
-    // have landed while the writer was mid-loop, and this many
-    // prepares must have aborted against an intervening verb. Both
-    // depend on checkpoint-vs-pause timing, so under a loaded box the
-    // storm runs EXTRA seeded rounds (up to maxRounds) until the gates
-    // are met rather than failing on scheduler weather — the per-round
-    // correctness assertions stay unconditional either way.
-    val (minLive, minAborted, maxRounds) = (10, 10, 300)
+    // have landed while the writer was mid-loop, and this many swaps
+    // must have RACED an intervening verb — which since the r13
+    // rebasing trySwap land as REBASES (the pre-rebase abort path now
+    // fires only when plan-shape matching fails, so an abort count
+    // would be permanently vacuous). Both depend on checkpoint-vs-
+    // pause timing, so under a loaded box the storm runs EXTRA seeded
+    // rounds (up to maxRounds) until the gates are met rather than
+    // failing on scheduler weather — the per-round correctness
+    // assertions stay unconditional either way.
+    val (minLive, minRaced, maxRounds) = (10, 10, 300)
     var liveSwaps = 0    // swaps landed while the writer was still active
-    var abortedSwaps = 0 // prepare raced a verb: trySwap false + release
+    var racedSwaps = 0   // prepare raced a verb: rebased or aborted
     var totalSwaps = 0
     var round = -1
     while ({ round += 1
       round < rounds ||
         (round < maxRounds &&
-          (liveSwaps < minLive || abortedSwaps < minAborted)) }) {
+          (liveSwaps < minLive || racedSwaps < minRaced)) }) {
       val rnd = new scala.util.Random(round * 2654435761L)
       val cell = new FsState(emptyFs(), compactEvery = 1)
       val lock = new java.util.concurrent.locks.ReentrantLock()
@@ -292,20 +371,24 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
         .collect()(0).getAs[Array[Byte]]("data")) must be(s"d$probe")
       totalSwaps += swaps.get
       liveSwaps += live.get
-      abortedSwaps += aborted.get
+      // raced = prepare overlapped a verb: landed as a REBASE (r13) or,
+      // if plan matching failed, as an abort — both prove the contested
+      // window was exercised this round
+      val (_, rebased, abortedN) = cell.swapStats
+      racedSwaps += rebased + abortedN + aborted.get
       cell.releasePins()
     }
     // the storm must actually have raced — on BOTH contested paths:
     // swaps that landed while the writer was mid-loop (the pre-fix
-    // kill window) and prepares aborted because a verb intervened
-    // (trySwap false + releasePrepared). Failing here after maxRounds
-    // seeded attempts means the interleaving genuinely collapsed and
-    // the spec went vacuous — not scheduler weather.
+    // kill window) and swaps whose prepare a verb raced (rebased or
+    // aborted). Failing here after maxRounds seeded attempts means the
+    // interleaving genuinely collapsed and the spec went vacuous — not
+    // scheduler weather.
     withClue(s"rounds=$round total=$totalSwaps live=$liveSwaps " +
-        s"aborted=$abortedSwaps: ") {
+        s"raced=$racedSwaps: ") {
       totalSwaps must be >= rounds
       liveSwaps must be >= minLive
-      abortedSwaps must be >= minAborted
+      racedSwaps must be >= minRaced
     }
   }
 }

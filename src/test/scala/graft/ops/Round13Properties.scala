@@ -127,6 +127,52 @@ class Round13Properties extends AnyFlatSpec with Matchers {
     }
   }
 
+  private def embDf(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  it must "stay total over degenerate corpora for the dedup family" in {
+    for ((shape, docs) <- corpora) {
+      def c(op: String) = s"$shape / $op"
+      total(c("exactStats"), Dedup.exactStats(docs))
+      total(c("keepFirst"), Dedup.keepFirst(docs))
+      total(c("stripBoilerplateLines"),
+        Dedup.stripBoilerplateLines(docs, minDocs = 2))
+      total(c("prefixContained"), Dedup.prefixContained(docs))
+      total(c("simhash"), Dedup.simhash(docs))
+      total(c("simhashPairs"), Dedup.simhashPairs(docs))
+      total(c("minhashPairs"), Dedup.minhashPairs(docs))
+      total(c("ngramJaccardPairs"), Dedup.ngramJaccardPairs(docs))
+      total(c("exactSubstringOverlaps"),
+        Dedup.exactSubstringOverlaps(docs))
+      total(c("keepBest (no pairs)"),
+        Dedup.keepBest(docs, pairsDf(Nil), col("n_chars")))
+    }
+  }
+
+  it must "stay total over degenerate embeddings for the ANN family" in {
+    val shapes: Seq[(String, DataFrame)] = Seq(
+      "empty embeddings" -> embDf(Nil),
+      // the ZERO vector: |v| = 0 — any cosine against it divides by a
+      // zero norm unless the kernel guards it
+      "zero vector in corpus" -> embDf(Seq(
+        0L -> Seq.fill(8)(0.1f), 1L -> Seq.fill(8)(0f),
+        2L -> Seq.fill(8)(0.2f))),
+      "single row" -> embDf(Seq(0L -> Seq.fill(8)(0.5f))))
+    for ((shape, emb) <- shapes) {
+      def c(op: String) = s"$shape / $op"
+      total(c("bruteTopK"),
+        Similarity.bruteTopK(emb.filter(col("vec_id") < 2), emb, k = 3))
+      total(c("bruteNearDups"), Similarity.bruteNearDups(emb, 0.9))
+      total(c("sq8TopK"),
+        Similarity.sq8TopK(emb.filter(col("vec_id") < 2), emb,
+          k = 3, cand = 10))
+    }
+  }
+
   it must "emit EXACTLY zero rows from every corpus-shaped op on the empty corpus" in {
     val docs = corpora.head._2
     TextAnalysis.quality(docs).count() must be(0L)
