@@ -245,6 +245,53 @@ class SchemeMountSpec extends AnyFlatSpec with Matchers {
     fs.close()
   }
 
+  it must "serve a re-created path whose BIRTH name a live renamed file still owns" in {
+    // The birth-name collision branch (GraftFileSystem.birthFor): rows
+    // fold under immutable birth names, so after rename /a → /b the
+    // storage rows for /b are still NAMED /a. A brand-new /a folding
+    // under the name /a would alias the old payload — birthFor must
+    // mint a fresh NUL-suffixed birth for it. Reads of BOTH files, the
+    // rename-away delete, and the overwrite must all resolve through
+    // the maps to the right bytes.
+    mountConf()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.subblock.size", 512)
+    hconf.setInt("graft.block.size", 1024)
+    hconf.setLong("graft.mount.fold.bytes", 512)
+    val fs =
+      try FileSystem.get(new URI("graftfs://rebirth/"), hconf)
+        .asInstanceOf[GraftFileSystem]
+      finally {
+        hconf.unset("graft.subblock.size")
+        hconf.unset("graft.block.size")
+        hconf.unset("graft.mount.fold.bytes")
+      }
+    def put(p: String, bytes: Array[Byte]): Unit = {
+      val o = fs.create(new Path(p)); o.write(bytes); o.close()
+    }
+    def readAll(p: String, n: Int): Array[Byte] = {
+      val in = fs.open(new Path(p))
+      val buf = new Array[Byte](n)
+      try { in.readFully(0L, buf); buf } finally in.close()
+    }
+    val first = Array.tabulate[Byte](1024)(i => (i & 0x7F).toByte)
+    val second = Array.tabulate[Byte](1024)(i => ((i * 3 + 1) & 0x7F).toByte)
+    put("graftfs://rebirth/a", first) // folds (1 KB > 512 B): birth = /a
+    fs.rename(new Path("graftfs://rebirth/a"),
+      new Path("graftfs://rebirth/b")) must be(true)
+    put("graftfs://rebirth/a", second) // birth /a is taken → alias
+    readAll("graftfs://rebirth/b", 1024) must be(first)
+    readAll("graftfs://rebirth/a", 1024) must be(second)
+    // delete the renamed-away file: its (foreign-named) rows go, the
+    // aliased newcomer survives
+    fs.delete(new Path("graftfs://rebirth/b"), false) must be(true)
+    readAll("graftfs://rebirth/a", 1024) must be(second)
+    // overwrite the aliased file: old alias rows filtered, fresh birth
+    put("graftfs://rebirth/a", first)
+    readAll("graftfs://rebirth/a", 1024) must be(first)
+    fs.close()
+  }
+
   it must "keep the metadata cache exactly in step with the catalog frames" in {
     mountConf()
     val fs = FileSystem.get(new URI("graftfs://mountspec/"),
