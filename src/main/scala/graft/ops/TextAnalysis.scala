@@ -130,6 +130,53 @@ object TextAnalysis {
           lit(0.0)).as("top_bigram_ratio"))
   }
 
+  /** Bigram-fluency score — the deterministic analog of the
+    * KenLM-perplexity quality filter every production corpus pass
+    * runs: score(doc) = mean over the doc's bigram INSTANCES of the
+    * corpus conditional relative frequency C(w1 w2) / C(w1 ·). Fluent
+    * text strings common continuations together (high ratios); word
+    * salad, OCR noise, and wrong-language fragments string rare ones
+    * (ratios → 1/C(w1 ·)). A true LM uses log-probabilities, but ln is
+    * libm-dependent across engines (the tfidf linear-idf rationale);
+    * the linear mean keeps every term ONE IEEE division of exact Longs
+    * and the per-doc mean routes through DECIMAL(28,8) quantization
+    * (the bm25 scale discipline), so the whole score column
+    * hash-checks cross-engine. Docs with fewer than two tokens have no
+    * bigram and emit no row — a fluency gate composes a left-anti /
+    * left-outer join by policy.
+    *
+    * Scale shape: bigram and prefix count tables partial-aggregate
+    * map-side; the score join is a shuffle equi-join on the bigram key
+    * (corpus-vocabulary scale — deliberately NO broadcast assumption);
+    * the per-doc mean partitions by doc_id. No windows, no sorts.
+    */
+  def bigramFluency(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      // Generate barrier: the token array materializes ONCE per row
+      // (the repetition() rationale — HOF-inlining trap)
+      .select(col("doc_id"), explode(array(tokens)).as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          """zip_with(
+            |  slice(toks, 1, greatest(size(toks) - 1, 0)),
+            |  slice(toks, 2, greatest(size(toks) - 1, 0)),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cb = bigrams.groupBy(col("bg"))
+      .agg(count(lit(1)).cast("long").as("cb"))
+    val cp = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("long").as("cp"))
+    bigrams
+      .join(cb, "bg")
+      .join(cp, "w1")
+      .withColumn("r", col("cb").cast("double") / col("cp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(
+          sum(col("r").cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+            .cast("double") / count(lit(1)), 6).as("fluency"))
+  }
+
   /** Token-rarity profile — the OOV/noise quality signal: per document,
     * the mean and minimum CORPUS document-frequency of its distinct
     * tokens (a doc dominated by tokens nothing else uses is noise,

@@ -391,6 +391,34 @@ object PipelineQueries {
              |FROM norm GROUP BY norm_text ORDER BY doc_id""".stripMargin)),
 
     // Within-doc repetition signals (Gopher-style quality heuristics):
+    // Bigram-fluency quality score — the deterministic KenLM-filter
+    // analog: per doc, the mean corpus conditional relative frequency
+    // C(w1 w2)/C(w1 ·) over its bigram instances. Linear (not log) so
+    // every term is one IEEE division of exact Longs; the mean routes
+    // through DECIMAL(28,8) (the bm25 discipline) and hash-checks.
+    QueryDef(
+      "text_bigram_fluency",
+      (s, d) => TextAnalysis.bigramFluency(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |bg AS (SELECT doc_id,
+             |              unnest([toks[i] || ' ' || toks[i+1]
+             |                      for i in range(1, len(toks))]) AS b
+             |       FROM t),
+             |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+             |cp AS (SELECT split_part(b, ' ', 1) AS w1,
+             |              CAST(COUNT(*) AS BIGINT) AS cp
+             |       FROM bg GROUP BY 1),
+             |r AS (SELECT doc_id, CAST(cb.cb AS DOUBLE) / cp.cp AS r
+             |      FROM bg JOIN cb USING (b)
+             |      JOIN cp ON split_part(bg.b, ' ', 1) = cp.w1)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |       ROUND(CAST(SUM(CAST(r AS DECIMAL(28,8))) AS DOUBLE)
+             |             / COUNT(*), 6) AS fluency
+             |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // distinct-word ratio + most-frequent word/bigram mass. Every ratio
     // is one int/int division rounded to 6 places, so the whole row set
     // hash-checks.

@@ -93,6 +93,7 @@ class Round13Properties extends AnyFlatSpec with Matchers {
           TextAnalysis.termSearchMany(docs, qs, k = 3))
         total(c("bm25"), TextAnalysis.bm25(docs, Seq("hello", "words")))
         total(c("bm25Many"), TextAnalysis.bm25Many(docs, qs))
+        total(c("bigramFluency"), TextAnalysis.bigramFluency(docs))
         total(c("normalizeText"), TextAnalysis.normalizeText(docs))
         total(c("fingerprint"), TextAnalysis.fingerprint(docs))
         total(c("redactPii"), TextAnalysis.redactPii(docs))
