@@ -225,6 +225,35 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) must be >= 2
   }
 
+  behavior of "retrieval fusion plan shape"
+
+  it must "fuse lexical and ANN rankings without any cartesian or nested-loop join" in {
+    // the 100 TB claim of pipeline_retrieval_fusion: the fusion join
+    // touches two ≤20-rows-per-query rank slivers and every window
+    // partitions by query — the EXECUTED plan must contain no
+    // CartesianProduct / BroadcastNestedLoopJoin anywhere (an
+    // accidental non-equi or missing join key would plan one)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => q +: flat(q.plan)
+      case other => other +: (other.children.flatMap(flat) ++
+        other.subqueries.flatMap(flat))
+    }
+    val out = graft.SparkEntry.queries("pipeline_retrieval_fusion")(
+      spark, "/root/testdata/sf0.001")
+    out.collect().length must be > 0
+    val nodes = flat(out.queryExecution.executedPlan)
+    nodes.count(_.isInstanceOf[CartesianProductExec]) must be(0)
+    // exactly ONE nested-loop is LEGITIMATE: bruteTopK's all-pairs scan
+    // (that is what brute force means) with the K-BOUNDED query set on
+    // the broadcast side — the corpus streams once. The FUSION side
+    // must never add another (a missing join key there would)
+    nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) must be(1)
+  }
+
   behavior of "Dedup.simhash"
 
   it must "give identical signatures to identical docs and different ones to disjoint docs" in {
