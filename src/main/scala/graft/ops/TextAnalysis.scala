@@ -540,6 +540,71 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+    rankTf(tf, terms, k)
+  }
+
+  /** PERSISTED inverted index — the lexical analog of the persisted
+    * IVF/IVF-PQ layouts: one corpus tokenization pass writes the
+    * (term, doc, tf) postings PARTITIONED BY a term-hash bucket, so a
+    * term-filtered search prunes non-matching buckets at the FILE
+    * level (Hive partition pruning — the exact trick the ANN index
+    * uses with its coarse buckets) and never re-reads corpus text. Per-
+    * term df is deliberately NOT persisted: search recomputes it from
+    * the PRUNED postings (each query touches ≤ |terms| buckets), which
+    * makes incremental ingest PURE APPEND ([[appendToTextIndex]]) — no
+    * stats table to merge, no retraining, and indexed search over
+    * history ∪ increment is by construction identical to a fresh
+    * full-corpus search.
+    */
+  def saveTextIndex(docs: DataFrame, dir: String,
+                    buckets: Int = 64): Unit =
+    appendPostings(docs, dir, buckets, overwrite = true)
+
+  /** Incremental ingest: append the new batch's postings — one pass
+    * over the increment, zero passes over history (see
+    * [[saveTextIndex]] for why no stats merge is needed). */
+  def appendToTextIndex(newDocs: DataFrame, dir: String,
+                        buckets: Int = 64): Unit =
+    appendPostings(newDocs, dir, buckets, overwrite = false)
+
+  private def appendPostings(docs: DataFrame, dir: String, buckets: Int,
+                             overwrite: Boolean): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    docs.select(col("doc_id"), explode(tokens).as("w"))
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("wb", pmod(xxhash64(col("w")), lit(buckets.toLong)))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("wb").parquet(s"$dir/postings")
+  }
+
+  /** Search the persisted index: prune postings to the query terms'
+    * buckets (file-level partition pruning) + exact term match, then
+    * the SAME exact-integer tf·idf ranking as [[termSearch]] — indexed
+    * search is bit-identical to the direct corpus search. */
+  def termSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, terms: Seq[String], k: Int,
+                        buckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "terms must be non-empty and distinct")
+    import spark.implicits._
+    // bucket ids via the ENGINE's own xxhash64 (a JVM-side reimplementation
+    // could drift); |terms| rows, one local job
+    val wbs = terms.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(buckets.toLong)).as("wb"))
+      .as[Long].collect().distinct.toSeq
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("wb").isin(wbs: _*) && col("w").isin(terms: _*))
+      .select(col("doc_id"), col("w"), col("tf"))
+      .localCheckpoint(true) // serves the df collect AND the result plan
+    rankTf(tf, terms, k)
+  }
+
+  /** The shared ranking core of [[termSearch]]/[[termSearchIndexed]]:
+    * exact-integer tf·idf over a (doc_id, w, tf) frame (scaladoc on
+    * termSearch). The caller hands a MATERIALIZED tf (checkpoint) so
+    * the stats collect and the returned plan share one computation. */
+  private def rankTf(tf: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     // df AND the max tf in one driver fetch — max tf feeds the
     // overflow guard below
     val stats = tf.groupBy(col("w"))
@@ -548,7 +613,7 @@ object TextAnalysis {
       .toMap
     val dfMap = stats.view.mapValues(_._1).toMap
     val present = terms.filter(dfMap.contains)
-    val spark = docs.sparkSession
+    val spark = tf.sparkSession
     import spark.implicits._
     if (present.isEmpty)
       return Seq.empty[(Long, Long, Long)]

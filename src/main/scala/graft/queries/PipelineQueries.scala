@@ -665,6 +665,73 @@ object PipelineQueries {
              |SELECT doc_id, n_terms_hit, CAST(s AS BIGINT) AS score_num
              |FROM sc ORDER BY score_num DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // PERSISTED lexical index round-trip: one tokenization pass writes
+    // term-hash-bucketed postings (Hive partition pruning at search —
+    // the ANN index layout applied to text), and the indexed search
+    // must return BIT-IDENTICAL results to the direct corpus search:
+    // same oracle as text_search_topk. df recomputes from the pruned
+    // postings so there is no stats table to maintain.
+    QueryDef(
+      "text_search_indexed",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-text-idx")
+        try {
+          TextAnalysis.saveTextIndex(Tables.documents(s, d), dir.toString)
+          TextAnalysis.termSearchIndexed(s, dir.toString,
+              Seq("dup", "vector", "join"), k = 10)
+            .localCheckpoint(true) // materialize before the dir dies
+        } finally graft.PlanHygiene.deleteRecursively(dir)
+      },
+      Some("""WITH wd AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM wd WHERE w IN ('dup', 'vector', 'join')
+             |       GROUP BY 1, 2),
+             |dfs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(PRODUCT(df) AS BIGINT) AS prod FROM dfs),
+             |sc AS (
+             |  SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             |         SUM(tf.tf * ((SELECT prod FROM tot) // dfs.df)) AS s
+             |  FROM tf JOIN dfs USING (w) GROUP BY 1)
+             |SELECT doc_id, n_terms_hit, CAST(s AS BIGINT) AS score_num
+             |FROM sc ORDER BY score_num DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Retrain-free text ingest: history indexes once, the daily batch
+    // APPENDS its postings (one pass over the increment, zero over
+    // history — no stats merge by design), and searching the combined
+    // index is identical to a fresh full-corpus search — the
+    // ann_incremental contract on the lexical side. Same oracle.
+    QueryDef(
+      "text_search_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft-text-inc")
+        try {
+          TextAnalysis.saveTextIndex(
+            docs.filter(col("doc_id") % 10 =!= 0), dir.toString)
+          TextAnalysis.appendToTextIndex(
+            docs.filter(col("doc_id") % 10 === 0), dir.toString)
+          TextAnalysis.termSearchIndexed(s, dir.toString,
+              Seq("dup", "vector", "join"), k = 10)
+            .localCheckpoint(true)
+        } finally graft.PlanHygiene.deleteRecursively(dir)
+      },
+      Some("""WITH wd AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM wd WHERE w IN ('dup', 'vector', 'join')
+             |       GROUP BY 1, 2),
+             |dfs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(PRODUCT(df) AS BIGINT) AS prod FROM dfs),
+             |sc AS (
+             |  SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             |         SUM(tf.tf * ((SELECT prod FROM tot) // dfs.df)) AS s
+             |  FROM tf JOIN dfs USING (w) GROUP BY 1)
+             |SELECT doc_id, n_terms_hit, CAST(s AS BIGINT) AS score_num
+             |FROM sc ORDER BY score_num DESC, doc_id LIMIT 10""".stripMargin)),
+
     // BATCH top-k retrieval: three queries ranked in ONE pass with the
     // weights computed relationally (Long-HOF df product per query,
     // exact integer DIV per term) and ranking through the bounded

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.TestSpark
+
+/** The persisted lexical index (TextAnalysis.saveTextIndex /
+  * appendToTextIndex / termSearchIndexed): bucket-partitioned postings
+  * must (1) return BIT-IDENTICAL rankings to the direct corpus search,
+  * (2) prune non-matching term buckets at the FILE level — the scan
+  * touches at most |terms| of the partition directories — and (3)
+  * absorb appended batches with indexed results identical to a fresh
+  * full-corpus search (retrain-free ingest, the ann_incremental
+  * contract on the lexical side).
+  */
+class TextIndexSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    (0L until 80L).map { i =>
+      val r = new scala.util.Random(i * 7 + 1)
+      val t = (0 until 12).map(_ => words(r.nextInt(words.length)))
+        .mkString(" ")
+      (i, t, "en", "web", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  behavior of "the persisted lexical index"
+
+  it must "match the direct search bit for bit and prune to the terms' buckets" in {
+    val s = spark
+    import s.implicits._
+    val docs = docsDf()
+    val terms = Seq("alpha", "kappa")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tidx-spec")
+    try {
+      TextAnalysis.saveTextIndex(docs, dir.toString, buckets = 16)
+      // on-disk layout: bucket-partitioned postings dirs
+      val dirsTotal = {
+        val ls = java.nio.file.Files.list(dir.resolve("postings"))
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala
+            .count(_.getFileName.toString.startsWith("wb="))
+        } finally ls.close()
+      }
+      dirsTotal must be > 4 // the vocabulary really spreads over buckets
+      val indexed = TextAnalysis.termSearchIndexed(
+        spark, dir.toString, terms, k = 10, buckets = 16)
+      val rows = indexed.collect()
+      // (1) bit-identical to the direct corpus search
+      rows.map(_.toString).toSeq must be(
+        TextAnalysis.termSearch(docs, terms, k = 10)
+          .collect().map(_.toString).toSeq)
+      rows.length must be > 0
+      // (2) file-level pruning: the postings scan read at most |terms|
+      // partition dirs of the dirsTotal on disk
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other =>
+          other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+      }
+      // re-run the pruned read standalone so the scan metric is this
+      // query's own (termSearchIndexed checkpointed its tf)
+      val probe = spark.read.parquet(s"$dir/postings")
+        .filter(col("wb").isin(
+          terms.toDF("w").select(
+            pmod(xxhash64(col("w")), lit(16L)).as("wb"))
+            .collect().map(_.getLong(0)).distinct.toSeq: _*)
+          && col("w").isin(terms: _*))
+      probe.count() must be > 0L
+      val scan = scans(probe.queryExecution.executedPlan).head
+      val read = scan.metrics("numPartitions").value.toInt
+      withClue(s"read $read of $dirsTotal bucket dirs: ") {
+        read must be <= terms.length
+        read must be < dirsTotal
+      }
+    } finally graft.PlanHygiene.deleteRecursively(dir)
+  }
+
+  it must "absorb appended batches: indexed search equals a fresh full search" in {
+    val docs = docsDf()
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+    val inc = docs.filter(col("doc_id") % 3 === 0)
+    val terms = Seq("beta", "mu", "theta")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tidx-inc")
+    try {
+      TextAnalysis.saveTextIndex(hist, dir.toString, buckets = 16)
+      TextAnalysis.appendToTextIndex(inc, dir.toString, buckets = 16)
+      TextAnalysis.termSearchIndexed(spark, dir.toString, terms, k = 10,
+          buckets = 16)
+        .collect().map(_.toString).toSeq must be(
+        TextAnalysis.termSearch(docs, terms, k = 10)
+          .collect().map(_.toString).toSeq)
+    } finally graft.PlanHygiene.deleteRecursively(dir)
+  }
+}
