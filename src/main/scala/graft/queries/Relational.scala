@@ -928,6 +928,57 @@ object Relational {
              |  AND stopword_ratio >= 0.02
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── RESTART RECOVERY, stateless — exactly-once ACROSS A CRASH:
+    //    the quality gate's file-sink drain is killed mid-stream
+    //    (batch N−2 dies on an injected corrupt chunk AFTER earlier
+    //    batches committed through _spark_metadata), the chunk is
+    //    repaired, and a second query resumes from the SAME checkpoint
+    //    and sink. The offset log replays the aborted batch, the
+    //    manifest admits it exactly once, and the read-back hash rides
+    //    the committed bytes — so green here means the interrupted +
+    //    resumed run equals an uninterrupted one byte for byte.
+    //    Shares pipeline_quality_filter's exact oracle. ─────────────────
+    QueryDef(
+      "stream_restart_recovery",
+      (s, d) =>
+        graft.streaming.EventsStream.restartRecoveryAvailableNow(s, d)
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, LENGTH(text) AS n_chars,
+             |         regexp_extract_all(lower(text), '\w+') AS toks,
+             |         LEN(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_words,
+             |         ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+             |         ROUND(CAST(LEN(list_filter(toks,
+             |               w -> w IN ('the','a','of','and','to','in','is','it')))
+             |               AS DOUBLE) / LEN(toks), 6) AS stopword_ratio
+             |  FROM t)
+             |SELECT doc_id, n_words, punct_ratio, stopword_ratio FROM q
+             |WHERE n_words >= 5 AND punct_ratio < 0.1
+             |  AND stopword_ratio >= 0.02
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── RESTART RECOVERY, STATEFUL — the state-store leg of the same
+    //    contract: the watermarked hourly aggregation is killed after
+    //    ≥1 committed micro-batch and resumed from its checkpoint; the
+    //    state store recovers its last committed version, the replayed
+    //    batch emits exactly once, and ts-range-ordered chunks keep the
+    //    recovered watermark sequence monotone (nothing late-dropped).
+    //    Same emitted prefix, same oracle as stream_hourly_events. ─────
+    QueryDef(
+      "stream_restart_stateful",
+      (s, d) =>
+        graft.streaming.EventsStream.restartRecoveryStatefulAvailableNow(s, d)
+          .orderBy(col("hour"), col("event_type")),
+      Some("""WITH m AS (SELECT MAX(ts) AS mx FROM events)
+             |SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events, m
+             |WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── Streaming MULTIMODAL ingest, EXECUTED (twelfth streaming
     //    channel): image files arrive through the binaryFile streaming
     //    source and the REAL decode + feature extraction

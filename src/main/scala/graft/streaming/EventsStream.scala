@@ -222,6 +222,35 @@ object EventsStream {
   private def deleteRecursively(dir: java.nio.file.Path): Unit =
     graft.PlanHygiene.deleteRecursively(dir)
 
+  /** ONE JVM shutdown hook draining a shared queue of directories —
+    * the stagedLandings lifecycle generalized (r13 ADVICE): per-dir
+    * `addShutdownHook` calls accumulate a Thread per staged/superseded
+    * dir for the life of a long session; a single hook over a shared
+    * list is O(1) hooks forever, and `unregister` lets an EAGERLY
+    * deleted dir (a superseded file-sink output) drop out instead of
+    * being re-deleted at exit.
+    */
+  private val exitReclaim =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val exitReclaimHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = exitReclaim.poll()
+      while (p != null) { deleteRecursively(p); p = exitReclaim.poll() }
+    }))
+    true
+  }
+
+  private[streaming] def reclaimOnExit(p: java.nio.file.Path): Unit = {
+    require(exitReclaimHookInstalled)
+    exitReclaim.add(p)
+    ()
+  }
+
+  private[streaming] def unregisterReclaim(p: java.nio.file.Path): Unit = {
+    exitReclaim.remove(p)
+    ()
+  }
+
   /** Throwaway per-drain checkpoint dir, preferring tmpfs (/dev/shm)
     * over disk: each AvailableNow drain fsyncs offset/commit/state
     * files it deletes seconds later in the finally, so durability buys
@@ -310,8 +339,7 @@ object EventsStream {
             d
           } else {
             val d = Files.createTempDirectory("graft-events-landing")
-            Runtime.getRuntime.addShutdownHook(
-              new Thread(() => deleteRecursively(d)))
+            reclaimOnExit(d)
             d
           }
         toStage.foreach(p => Files.copy(p,
@@ -384,10 +412,36 @@ object EventsStream {
       val listM = bus.getClass.getMethods.find(m =>
         m.getName == "listeners" && m.getParameterCount == 0).get
       import scala.jdk.CollectionConverters._
+      // a bus still ROUTING for live queries must be spared: reaping it
+      // would sever a concurrently-running cloned session's progress/
+      // termination listener delivery (r13 ADVICE). Each
+      // StreamingQueryListenerBus tracks the run ids it routes for in
+      // `activeQueryRunIds`; an empty set means every query that ever
+      // registered on it has terminated — exactly the dead-clone leak
+      // this reap exists for. If reflection drift hides the field, err
+      // on the side of NOT reaping that bus (correctness over hygiene).
+      def isIdle(l: AnyRef): Boolean =
+        (try {
+          var c: Class[_] = l.getClass
+          var f: java.lang.reflect.Field = null
+          while (f == null && c != null) {
+            f = c.getDeclaredFields.find(
+              _.getName.contains("activeQueryRunIds")).orNull
+            c = c.getSuperclass
+          }
+          Option(f).map { fld =>
+            fld.setAccessible(true)
+            fld.get(l) match {
+              case s: scala.collection.Iterable[_] => s.isEmpty
+              case s: java.util.Collection[_] => s.isEmpty
+              case _ => false
+            }
+          }
+        } catch { case _: Throwable => Some(false) }).getOrElse(false)
       val leaked = listM.invoke(bus).asInstanceOf[java.util.List[AnyRef]]
         .asScala
         .filter(l => l.getClass.getName.endsWith("StreamingQueryListenerBus")
-          && (l.asInstanceOf[AnyRef] ne own))
+          && (l.asInstanceOf[AnyRef] ne own) && isIdle(l))
         .toList
       // LiveListenerBus.removeListener — reflective because its
       // parameter type (SparkListenerInterface) is private[spark]
@@ -628,6 +682,15 @@ object EventsStream {
   private val fileSinkDrains = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Memo[DataFrame]]()
 
+  /** Live sink dir per file-sink-drain key, so a memo REBUILD (re-staged
+    * source) reclaims the superseded output eagerly — once the memo is
+    * replaced no live frame can reference the old dir (callers only ever
+    * see the current memo's read-back), so waiting for JVM exit just
+    * accumulates dead dirs for the life of a long session (r13 ADVICE).
+    */
+  private val fileSinkOutDirs = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.nio.file.Path]()
+
   /** Sink description of the most recent file-sink drain, recorded so
     * the topology spec can pin that the drain really ran through
     * Spark's FileSink (executor-side commits), not a memory sink. */
@@ -685,12 +748,17 @@ object EventsStream {
       readStream: String => DataFrame)(
       transform: DataFrame => DataFrame): DataFrame = {
     val (landing, token) = stageLandingWithToken(srcParquet)
-    memoized(fileSinkDrains,
-      (spark.sparkContext.applicationId, s"$name@$srcParquet"), token) {
+    val drainKey = (spark.sparkContext.applicationId, s"$name@$srcParquet")
+    memoized(fileSinkDrains, drainKey, token) {
+        // a rebuild supersedes the previous sink dir: reclaim it NOW —
+        // the replaced memo was the only reference to its read-back
+        Option(fileSinkOutDirs.remove(drainKey)).foreach { old =>
+          deleteRecursively(old); unregisterReclaim(old)
+        }
         val outDir =
           java.nio.file.Files.createTempDirectory(s"graft-file-sink-$name")
-        Runtime.getRuntime.addShutdownHook(
-          new Thread(() => deleteRecursively(outDir)))
+        reclaimOnExit(outDir)
+        fileSinkOutDirs.put(drainKey, outDir)
         val ckpt = tempCheckpointDir()
         // output schema from a zero-row STATIC frame — an empty landing
         // legitimately commits no files, and the read-back must not
@@ -725,6 +793,227 @@ object EventsStream {
         }
         spark.read.schema(outSchema).parquet(outDir.toString)
       }
+  }
+
+  // ─── Restart recovery: the exactly-once contract ACROSS a crash ───
+
+  /** Diagnostics from the most recent [[crashResumeFileSink]] run, for
+    * the topology spec: what committed before the crash, whether the
+    * crash was the injected one, and whether the resume left every
+    * pre-crash manifest entry byte-identical (re-committed nothing).
+    */
+  final case class RestartDiag(
+      totalChunks: Int,
+      crashMessage: String,
+      committedBeforeResume: Seq[String],
+      manifestBeforeResume: Map[String, String],
+      manifestAfterResume: Map[String, String]) {
+    /** The resumed run never re-commits a batch the manifest already
+      * holds: every pre-crash entry survives byte-identical. */
+    def resumedRecommittedNothing: Boolean =
+      manifestBeforeResume.forall { case (name, bytes) =>
+        manifestAfterResume.get(name).contains(bytes)
+      }
+  }
+
+  @volatile private[streaming] var lastRestartDiag: Option[RestartDiag] = None
+
+  private val restartDrains = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Memo[DataFrame]]()
+
+  /** Exactly-once ACROSS A RESTART — the production contract of
+    * `_spark_metadata` + state-store checkpointing that the file-sink
+    * twins' single-run drains never exercised (r13 verdict #1). The
+    * harness stages the source as N mtime-ordered chunk files, streams
+    * them one file per micro-batch (`maxFilesPerTrigger=1`), and KILLS
+    * the first run mid-stream deterministically: chunk N−2 is
+    * byte-corrupted on disk, so batches 0..N−3 commit through the
+    * FileSink's manifest and batch N−2 dies inside task execution —
+    * an abnormal termination with committed prefix, in-flight batch
+    * aborted, trailing chunk never read (the crash-recovery state a
+    * real ingest stream restarts from). The file is then repaired and
+    * a SECOND query resumes from the SAME checkpoint and sink:
+    * the offset log replays the aborted batch, the manifest admits it
+    * exactly once, the state store (stateful transforms) recovers its
+    * last committed version, and the drain finishes. The returned
+    * frame reads back the committed files through `_spark_metadata` —
+    * so the oracle hash riding it proves the interrupted+resumed run
+    * is byte-equal to an uninterrupted one, and [[lastRestartDiag]]
+    * lets the spec pin that the resume re-committed nothing already
+    * in the manifest.
+    *
+    * Chunks are RANGE-ordered on `chunkCol` with strictly ascending
+    * mtimes: for event-time sources that makes the recovered
+    * watermark sequence monotone across chunk boundaries (no row of
+    * chunk k+1 can be below the watermark chunk k set), so the
+    * watermarked channels emit exactly the single-run prefix.
+    */
+  private def crashResumeFileSink(
+      spark: SparkSession, name: String, token: String,
+      source: => DataFrame, chunkCol: String, nChunks: Int,
+      srcSchema: StructType)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Path}
+    memoized(restartDrains,
+      (spark.sparkContext.applicationId, name), token) {
+      // ── stage the landing: N range chunks, ascending mtimes ──
+      val landing = Files.createTempDirectory(s"graft-restart-landing-$name")
+      reclaimOnExit(landing)
+      val stage = Files.createTempDirectory(s"graft-restart-stage-$name")
+      try {
+        // repartitionByRange sorts part files by range: part-00000 holds
+        // the lowest chunkCol values — renaming in part order preserves
+        // event-time order across the mtime sequence
+        source.repartitionByRange(nChunks, col(chunkCol))
+          .write.mode("overwrite").parquet(stage.toString)
+        val parts = {
+          val s = Files.list(stage)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .toSeq.sortBy(_.getFileName.toString)
+          } finally s.close()
+        }
+        val base = Files.getLastModifiedTime(parts.head).toMillis
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val dst = landing.resolve(f"chunk_$i%03d.parquet")
+          Files.move(p, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        }
+      } finally deleteRecursively(stage)
+      val chunks = {
+        val s = Files.list(landing)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+        } finally s.close()
+      }
+      require(chunks.length >= 3,
+        s"restart harness needs >=3 chunks, got ${chunks.length}")
+
+      // ── corrupt chunk N−2 (keep its mtime so batch order holds) ──
+      val crashIdx = chunks.length - 2
+      val victim = chunks(crashIdx)
+      val realBytes = Files.readAllBytes(victim)
+      val victimMtime = Files.getLastModifiedTime(victim)
+      Files.write(victim,
+        "GRAFT-INJECTED-CRASH: not a parquet file".getBytes("UTF-8"))
+      Files.setLastModifiedTime(victim, victimMtime)
+
+      val outDir = Files.createTempDirectory(s"graft-restart-out-$name")
+      reclaimOnExit(outDir)
+      val ckpt = Files.createTempDirectory(s"graft-restart-ckpt-$name")
+      val outSchema = transform(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        srcSchema)).schema
+
+      def manifest(): Map[String, String] = {
+        val md = outDir.resolve("_spark_metadata")
+        if (!Files.isDirectory(md)) Map.empty
+        else {
+          val s = Files.list(md)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(!_.getFileName.toString.startsWith("."))
+              .map(p => p.getFileName.toString ->
+                new String(Files.readAllBytes(p), "UTF-8"))
+              .toMap
+          } finally s.close()
+        }
+      }
+
+      def runOnce(): Option[Throwable] = {
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          q = transform(
+              spark.readStream.schema(srcSchema)
+                .option("maxFilesPerTrigger", "1")
+                // the injected corruption MUST abort the batch — a
+                // session-level ignoreCorruptFiles=true would silently
+                // drop the chunk's rows instead of crashing
+                .option("ignoreCorruptFiles", "false")
+                .parquet(landing.toString))
+            .writeStream.format("parquet")
+            .option("path", outDir.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          None
+        } catch {
+          case e: Throwable => Some(e)
+        } finally {
+          if (q != null && q.isActive) q.stop()
+        }
+      }
+
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        // ── run 1: dies at batch crashIdx, prefix committed ──
+        val crash = runOnce()
+        require(crash.isDefined,
+          "restart harness: the corrupted chunk did not kill the run — " +
+            "the crash-recovery premise (and the chunk's rows) would be lost")
+        val before = manifest()
+        require(before.nonEmpty,
+          "restart harness: no micro-batch committed before the crash")
+
+        // ── repair + run 2: resume from the same checkpoint/sink ──
+        Files.write(victim, realBytes)
+        Files.setLastModifiedTime(victim, victimMtime)
+        val resume = runOnce()
+        resume.foreach(e => throw e)
+        val after = manifest()
+        lastRestartDiag = Some(RestartDiag(
+          totalChunks = chunks.length,
+          crashMessage = crash.map(_.toString).getOrElse(""),
+          committedBeforeResume = before.keys.toSeq.sorted,
+          manifestBeforeResume = before,
+          manifestAfterResume = after))
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        drainHygiene(spark)
+        deleteRecursively(ckpt)
+      }
+      spark.read.schema(outSchema).parquet(outDir.toString)
+    }
+  }
+
+  /** STATELESS restart-recovery channel: the quality gate's file-sink
+    * drain killed mid-stream and resumed (see [[crashResumeFileSink]]).
+    * Same oracle as stream_quality_filter_files — the hash proves the
+    * crash+resume read-back equals the uninterrupted run.
+    */
+  def restartRecoveryAvailableNow(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    val src = s"$sfDir/documents.parquet"
+    val token = stageLandingWithToken(src)._2
+    crashResumeFileSink(spark, "restart_quality", token,
+      spark.read.schema(documentsSchema).parquet(src),
+      chunkCol = "doc_id", nChunks = 5, documentsSchema)(
+      graft.ops.Curation.qualityFilter(_))
+  }
+
+  /** STATEFUL restart-recovery channel: the watermarked hourly window
+    * aggregation killed mid-stream and resumed — state-store recovery
+    * from the last committed checkpoint version, replayed batch
+    * admitted exactly once by the manifest. Chunks are ts-range-ordered
+    * so the recovered watermark sequence drops nothing (see
+    * [[crashResumeFileSink]]); the emitted set is exactly the windows
+    * the final watermark closed — stream_hourly_events_files's oracle.
+    */
+  def restartRecoveryStatefulAvailableNow(spark: SparkSession,
+                                          sfDir: String): DataFrame = {
+    val src = s"$sfDir/events.parquet"
+    val token = stageLandingWithToken(src)._2
+    crashResumeFileSink(spark, "restart_hourly", token,
+      graft.Tables.events(spark, sfDir),
+      chunkCol = "ts", nChunks = 5, eventSchema)(hourlyAgg)
   }
 
   /** embeddings-table file-stream schema (vec_id, Array[Float], label —

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
 import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.must.Matchers
 
@@ -58,6 +59,98 @@ class FileSinkDrainSpec extends AnyFlatSpec with Matchers {
       out.collect().map(_.toString).sorted must be(
         batch.collect().map(_.toString).sorted)
       out.select("doc_id").as[Long].collect().toSet must not be empty
+    } finally {
+      graft.PlanHygiene.deleteRecursively(java.nio.file.Paths.get(sfDir))
+    }
+  }
+
+  behavior of "EventsStream.restartRecoveryAvailableNow (crash + resume)"
+
+  it must "commit a prefix, die mid-stream, resume from the checkpoint, and re-commit nothing" in {
+    val s = spark
+    import s.implicits._
+    val sfDir = Files.createTempDirectory("graft-restart-sf").toString
+    try {
+      val passing =
+        "the quick brown fox jumps over the lazy dog every single day"
+      // 40 docs spread over 5 range chunks, mixed pass/fail rows in
+      // every chunk so a lost batch is visible in the keep set
+      val docs = (0L until 40L).map { id =>
+        val t =
+          if (id % 3 == 2) "!!! ??? ;;; ,,, ... :::"
+          else s"$passing n$id"
+        (id, t, "en", "web", t.length.toLong)
+      }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+
+      val out = EventsStream.restartRecoveryAvailableNow(spark, sfDir)
+      val diag = EventsStream.lastRestartDiag.get
+
+      // 1. the first run REALLY died mid-stream on the injected fault,
+      //    with at least one micro-batch already committed and at least
+      //    one never reached (crash at chunk N−2 of N)
+      diag.crashMessage.toLowerCase must include("parquet")
+      diag.committedBeforeResume must not be empty
+      diag.committedBeforeResume.size must be < diag.totalChunks
+
+      // 2. exactly-once across the restart: every manifest entry that
+      //    existed before the resume survives BYTE-IDENTICAL — the
+      //    resumed run admitted only batches the manifest did not hold
+      diag.resumedRecommittedNothing must be(true)
+      diag.manifestAfterResume.size must be > diag.manifestBeforeResume.size
+
+      // 3. the crash+resume read-back equals an uninterrupted batch run
+      val batch = graft.ops.Curation.qualityFilter(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      out.collect().map(_.toString).sorted must be(
+        batch.collect().map(_.toString).sorted)
+
+      // 4. no duplicates slipped through the replayed batch
+      val ids = out.select("doc_id").as[Long].collect()
+      ids.length must be(ids.distinct.length)
+    } finally {
+      graft.PlanHygiene.deleteRecursively(java.nio.file.Paths.get(sfDir))
+    }
+  }
+
+  it must "recover STATEFUL state across the restart (windowed agg equals uninterrupted run)" in {
+    val s = spark
+    import s.implicits._
+    val sfDir = Files.createTempDirectory("graft-restart-ev-sf").toString
+    try {
+      // 48 hours of events, 10 per hour, so the 2-hour watermark closes
+      // all but the last windows; values vary per row
+      val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val events = (0L until 480L).map { i =>
+        (i, new java.sql.Timestamp(base + i * 6L * 60 * 1000),
+          i % 7, if (i % 2 == 0) "click" else "view", i * 0.25, s"p$i")
+      }
+      events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$sfDir/events.parquet")
+
+      val out = EventsStream
+        .restartRecoveryStatefulAvailableNow(spark, sfDir)
+        .orderBy("hour", "event_type").collect().map(_.toString)
+      val diag = EventsStream.lastRestartDiag.get
+      diag.committedBeforeResume must not be empty
+      diag.resumedRecommittedNothing must be(true)
+
+      // uninterrupted twin: the single-run file-sink drain's oracle —
+      // all windows closed by the final watermark (max ts − 2 h)
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val mx = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val expected = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_value"))
+        .filter(unix_timestamp(col("hour")) * 1000 + 3600L * 1000 <=
+          mx - 2L * 3600 * 1000)
+        .orderBy("hour", "event_type").collect().map(_.toString)
+      out must be(expected)
     } finally {
       graft.PlanHygiene.deleteRecursively(java.nio.file.Paths.get(sfDir))
     }
