@@ -145,12 +145,23 @@ object TextAnalysis {
     * bigram and emit no row — a fluency gate composes a left-anti /
     * left-outer join by policy.
     *
-    * Scale shape: bigram and prefix count tables partial-aggregate
-    * map-side; the score join is a shuffle equi-join on the bigram key
-    * (corpus-vocabulary scale — deliberately NO broadcast assumption);
-    * the per-doc mean partitions by doc_id. No windows, no sorts.
+    * Scale shape (r13 de-skew): the per-instance rows PRE-AGGREGATE to
+    * one row per (doc, bigram) with multiplicity k before any join —
+    * map-side combine collapses the stopword-head mass, and the
+    * per-doc contribution k · q(cb/cp) is EXACTLY the instance-level
+    * decimal sum (k copies of the same DECIMAL(28,8) value sum to
+    * k × that value; the multiply is exact DECIMAL(38,8)), so the
+    * oracle is unchanged. The count joins are then HYBRID: the top-M
+    * most frequent bigram/prefix counts — a tiny frame by
+    * construction — BROADCAST to the probe, and only the long tail
+    * shuffles, so the natural hot keys ("the …" prefixes, the exact
+    * shape tokenRarity's scaladoc warns about) never cross a shuffle
+    * boundary as join keys. The head/tail split is a partition of the
+    * key space, so the output is invariant to M. The four consumers of
+    * the pre-aggregated frame share one exchange (ReuseExchange); the
+    * per-doc mean partitions by doc_id. No windows, no global sorts.
     */
-  def bigramFluency(docs: DataFrame): DataFrame = {
+  def bigramFluency(docs: DataFrame, headM: Int = 4096): DataFrame = {
     val bigrams = docs
       // Generate barrier: the token array materializes ONCE per row
       // (the repetition() rationale — HOF-inlining trap)
@@ -162,19 +173,41 @@ object TextAnalysis {
             |  slice(toks, 2, greatest(size(toks) - 1, 0)),
             |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val cb = bigrams.groupBy(col("bg"))
-      .agg(count(lit(1)).cast("long").as("cb"))
-    val cp = bigrams.groupBy(col("w1"))
-      .agg(count(lit(1)).cast("long").as("cp"))
-    bigrams
-      .join(cb, "bg")
-      .join(cp, "w1")
+    // one row per (doc, bigram) with instance multiplicity k: the only
+    // aggregation that ever sees per-instance rows, and it map-side
+    // combines — a stopword bigram crosses the shuffle once per doc,
+    // not once per occurrence
+    val dbg = bigrams.groupBy(col("doc_id"), col("w1"), col("bg"))
+      .agg(count(lit(1)).cast("long").as("k"))
+    val cb = dbg.groupBy(col("bg")).agg(sum(col("k")).cast("long").as("cb"))
+    val cp = dbg.groupBy(col("w1")).agg(sum(col("k")).cast("long").as("cp"))
+
+    // hybrid broadcast-head / shuffle-tail count join: the head is the
+    // top-M keys by count (deterministic tiebreak on the key; output
+    // is invariant to the split), broadcast-joined; the anti-filtered
+    // tail shuffles WITHOUT its hot keys
+    def hybridCountJoin(left: DataFrame, counts: DataFrame,
+                        key: String, cnt: String): DataFrame = {
+      val head = counts.orderBy(col(cnt).desc, col(key)).limit(headM)
+      val headRows = left.join(broadcast(head), Seq(key))
+      val tailRows = left
+        .join(broadcast(head.select(col(key))), Seq(key), "left_anti")
+        .join(counts, Seq(key))
+      headRows.unionByName(tailRows)
+    }
+
+    hybridCountJoin(hybridCountJoin(dbg, cb, "bg", "cb"), cp, "w1", "cp")
       .withColumn("r", col("cb").cast("double") / col("cp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+      .agg(sum(col("k")).cast("long").as("n_bigrams"),
         round(
-          sum(col("r").cast(org.apache.spark.sql.types.DecimalType(28, 8)))
-            .cast("double") / count(lit(1)), 6).as("fluency"))
+          // k · q(r) in exact decimal ≡ summing k instance copies of
+          // q(r): DECIMAL(28,8) × DECIMAL(9,0) → DECIMAL(38,8), no
+          // precision-loss adjustment, so the instance-level oracle
+          // holds unchanged
+          sum(col("r").cast(org.apache.spark.sql.types.DecimalType(28, 8)) *
+            col("k").cast(org.apache.spark.sql.types.DecimalType(9, 0)))
+            .cast("double") / sum(col("k")), 6).as("fluency"))
   }
 
   /** Token-rarity profile — the OOV/noise quality signal: per document,
