@@ -590,24 +590,41 @@ object TextAnalysis {
     * full-corpus search.
     */
   def saveTextIndex(docs: DataFrame, dir: String,
-                    buckets: Int = 64): Unit =
-    appendPostings(docs, dir, buckets, overwrite = true)
+                    buckets: Int = 64,
+                    writerOptions: Map[String, String] = Map.empty): Unit =
+    appendPostings(docs, dir, buckets, overwrite = true, writerOptions)
 
   /** Incremental ingest: append the new batch's postings — one pass
     * over the increment, zero passes over history (see
     * [[saveTextIndex]] for why no stats merge is needed). */
   def appendToTextIndex(newDocs: DataFrame, dir: String,
-                        buckets: Int = 64): Unit =
-    appendPostings(newDocs, dir, buckets, overwrite = false)
+                        buckets: Int = 64,
+                        writerOptions: Map[String, String] = Map.empty): Unit =
+    appendPostings(newDocs, dir, buckets, overwrite = false, writerOptions)
 
+  /** `writerOptions` passes parquet writer tuning through (e.g.
+    * `parquet.block.size` to size row groups for the deployment's
+    * term-selectivity — smaller groups = finer term-range skipping at
+    * more footer overhead). */
   private def appendPostings(docs: DataFrame, dir: String, buckets: Int,
-                             overwrite: Boolean): Unit = {
+                             overwrite: Boolean,
+                             writerOptions: Map[String, String]): Unit = {
     require(buckets > 0, "buckets must be positive")
     docs.select(col("doc_id"), explode(tokens).as("w"))
       .groupBy(col("w"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("wb", pmod(xxhash64(col("w")), lit(buckets.toLong)))
+      // sort each writer task by (wb, w): every postings file's row
+      // groups then span a NARROW term range, so a term-equality probe
+      // skips a co-bucketed stopword's mass via parquet min/max stats —
+      // term-level pruning INSIDE the bucket, on top of the bucket-dir
+      // partition pruning (the same trick the catalog uses for path
+      // ranges, SURVEY §8 perf notes). Pruning stopped at the bucket
+      // dir before this: a rare term co-bucketed with a stopword read
+      // the stopword's whole postings file (r13 verdict #4).
+      .sortWithinPartitions(col("wb"), col("w"))
       .write.mode(if (overwrite) "overwrite" else "append")
+      .options(writerOptions)
       .partitionBy("wb").parquet(s"$dir/postings")
   }
 

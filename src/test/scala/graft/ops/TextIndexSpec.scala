@@ -89,6 +89,60 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
     } finally graft.PlanHygiene.deleteRecursively(dir)
   }
 
+  it must "skip a co-bucketed stopword's row groups when probing a rare term" in {
+    // the r13 verdict #4 hole: bucket-dir pruning is blind INSIDE a
+    // bucket, so a rare term co-bucketed with a stopword used to read
+    // the stopword's entire postings file. With postings sorted by
+    // (wb, w) at write time, each row group spans a narrow term range
+    // and the rare-term probe skips the stopword mass via parquet
+    // min/max stats. buckets = 1 makes EVERYTHING co-bucketed — the
+    // worst case — and a small parquet.block.size forces many row
+    // groups at spec scale.
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 3000L).map { i =>
+      val stop = Seq.fill(8)("the").mkString(" ")
+      val uniq = s"u${i}a u${i}b u${i}c"
+      val rare = if (i == 1500L) " zzrare" else ""
+      (i, s"$stop $uniq$rare", "en", "web", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tidx-rg")
+    try {
+      TextAnalysis.saveTextIndex(docs, dir.toString, buckets = 1,
+        writerOptions = Map("parquet.block.size" -> (32 * 1024).toString))
+      val total = spark.read.parquet(s"$dir/postings").count()
+      total must be > 10000L
+
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other =>
+          other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+      }
+      // the exact pruned-read shape termSearchIndexed plans
+      val probe = spark.read.parquet(s"$dir/postings")
+        .filter(col("wb").isin(0L) && col("w").isin("zzrare"))
+      probe.collect().length must be(1)
+      val scan = scans(probe.queryExecution.executedPlan).head
+      val emitted = scan.metrics("numOutputRows").value
+      // without the write-time sort every row group spans the whole
+      // vocabulary and nothing skips (emitted == total); with it the
+      // probe touches only the rare term's row group(s)
+      withClue(s"scan emitted $emitted of $total postings rows: ") {
+        emitted must be < total / 4
+      }
+      // and the indexed search itself stays bit-identical on this corpus
+      TextAnalysis.termSearchIndexed(spark, dir.toString,
+          Seq("the", "zzrare"), k = 5, buckets = 1)
+        .collect().map(_.toString).toSeq must be(
+        TextAnalysis.termSearch(docs, Seq("the", "zzrare"), k = 5)
+          .collect().map(_.toString).toSeq)
+    } finally graft.PlanHygiene.deleteRecursively(dir)
+  }
+
   it must "absorb appended batches: indexed search equals a fresh full search" in {
     val docs = docsDf()
     val hist = docs.filter(col("doc_id") % 3 =!= 0)
