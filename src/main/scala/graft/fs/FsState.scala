@@ -389,9 +389,23 @@ object FsState {
       val (eqPlan, eqHits) = substitute(loose = false)
       val (rebasedPlan, hits) =
         if (eqHits > 0) (eqPlan, eqHits) else substitute(loose = true)
-      if (hits > 0) Some(ofRows(cur.sparkSession, rebasedPlan))
-      else if (!curPlan.exists(n =>
-          n.getClass.getSimpleName == "LogicalRDD"))
+      def isRdd(n: LogicalPlan): Boolean =
+        n.getClass.getSimpleName == "LogicalRDD"
+      if (hits > 0) {
+        // hits > 0 is NOT proof of completeness: an analyzer-copied
+        // subtree that matched neither identity, union-prefix, nor the
+        // schema+sameResult fallback would survive the substitution
+        // still pointing at the OLD checkpoint's RDD — which trySwap
+        // retires and unpersists the moment this returns. Verify the
+        // rebased plan holds no LogicalRDD leaf other than the new
+        // checkpoint's own; any stale leaf falls back to
+        // abort-and-retry (r13 ADVICE).
+        val fresh = compPlan.collect { case n if isRdd(n) => n }
+        val stale = rebasedPlan.exists(n =>
+          isRdd(n) && !fresh.exists(_ eq n))
+        if (stale) None else Some(ofRows(cur.sparkSession, rebasedPlan))
+      }
+      else if (!curPlan.exists(isRdd))
         Some(cur) // self-contained plane — no checkpoint dependency
       else None
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -898,11 +898,19 @@ object Dedup {
                           newPairs: DataFrame, score: Column): DataFrame = {
     val comp = components(histPairs.unionByName(newPairs))
     val hint = sliverHint(comp, "keepBestIncremental")
+    // touched is built from newPairs ∪ newDocs — NOT a subset of comp,
+    // so comp's broadcast decision must not govern it (a small comp
+    // with a large increment batch would force-broadcast a big frame —
+    // r13 ADVICE). It gets its own size-guarded policy; the eager
+    // checkpoint makes the sizing count a read, not a recompute, and
+    // falls to the caller's PlanHygiene sweep like every sliver.
     val touched = newPairs.select(col("id_a").as("doc_id"))
       .unionByName(newPairs.select(col("id_b").as("doc_id")))
       .unionByName(newDocs.select(col("doc_id")))
       .distinct()
-    val affected = comp.join(hint(touched), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val touchedHint = sliverHint(touched, "keepBestIncremental.touched")
+    val affected = comp.join(touchedHint(touched), Seq("doc_id"), "left_semi")
       .select(col("component")).distinct()
     val members = comp.join(hint(affected), Seq("component"), "left_semi")
     val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
