@@ -131,23 +131,26 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
     (renameFrames(src, dst), true)
   }
 
-  /** The rename prefix rewrite with preconditions already settled by
-    * the caller — the action-free half [[rename]] shares with the
-    * mounted facade's cache-checked path.
+  /** The rename relocation with preconditions already settled by the
+    * caller. The moved subtree's inode rows collect to the driver,
+    * re-path there, and re-enter as ONE local leaf — so the plan gains
+    * a filter + a union per rename (LINEAR growth) where the old
+    * filter-rewrite ∪ passthrough referenced the whole inode tree
+    * TWICE and chained renames grew 2^k (the r13 shell-path doubling,
+    * retired r14). The driver round-trip is metadata-scale and
+    * reference-faithful: RenameCommand loops the subtree child-by-child
+    * through the client too (RenameCommand.scala:44-58); the untouched
+    * branch stays a pure filter so parquet min/max pruning on the
+    * path-range-partitioned layout (save/load) skips its files.
     */
   private[graft] def renameFrames(src: String, dst: String): FsCatalog = {
     val inSubtree = col("path") === src || col("path").startsWith(prefixOf(src))
-    val newPath = concat(lit(dst), expr(s"substring(path, ${src.length + 1})"))
-    // filter-rewrite ∪ passthrough: only subtree rows are projected; the
-    // untouched branch stays a pure filter so parquet min/max pruning on
-    // the path-range-partitioned layout (save/load) skips its files
-    // instead of rewriting every catalog row to move one subtree
-    val moved = inodes
-      .filter(inSubtree)
-      .withColumn("path", newPath)
-      .withColumn("parentPath", parentOf(col("path")))
-      .as[Inode]
-    FsCatalog(inodes.filter(!inSubtree).unionByName(moved))
+    val moved = inodes.filter(inSubtree).collect().map { n =>
+      val np = dst + n.path.drop(src.length)
+      n.copy(path = np, parentPath = PathOps.parent(np))
+    }.toSeq
+    FsCatalog(inodes.filter(!inSubtree)
+      .unionByName(spark.createDataset(moved)(FsCatalog.inodeEncoder)))
   }
 
   // ── A9/D1: listStatus — shallow children (ListCommand.scala:33-60) ────
@@ -333,12 +336,17 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
       if (parentNode.isFile)
         throw new IOException("A file exists with parent of destination.")
     }
+    // collect-and-relocate like renameFrames: ONE local leaf per copy
+    // (linear plan growth) instead of a second reference to the whole
+    // inode tree (doubling)
     val dup = inodes
       .filter(col("path") === src || col("path").startsWith(prefixOf(src)))
-      .withColumn("path", concat(lit(dst), expr(s"substring(path, ${src.length + 1})")))
-      .withColumn("parentPath", parentOf(col("path")))
-      .as[Inode](inodeEncoder)
-    (FsCatalog(inodes.unionByName(dup)), true)
+      .collect().map { n =>
+        val np = dst + n.path.drop(src.length)
+        n.copy(path = np, parentPath = PathOps.parent(np))
+      }.toSeq
+    (FsCatalog(inodes.unionByName(
+      spark.createDataset(dup)(inodeEncoder))), true)
   }
 
   // ── A10/B11: getFileBlockLocations with the reference's block-range

@@ -56,15 +56,6 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
   // the new base, so sinceCompact restarts at their count, not 0
   private var seq = 0L
   @volatile private var preparedSeq = 0L
-  // HEAVY sets are tree-DOUBLING plan transitions (the facade's
-  // base-touching rename — GraftFs.renameChunksOnly's filter∪rewrite).
-  // k of them between compactions means 2^k plan growth, so waiting
-  // out the full doubling interval is exponential-blowup territory
-  // (measured r13: ~10 stacked doublings degraded renames to 5 s);
-  // compactionDue therefore ALSO fires once heavyDebt reaches
-  // [[FsState.HeavyCompactDebt]], independent of sinceCompact
-  private var heavyDebt = 0
-  @volatile private var preparedHeavy = 0
   // swap-outcome accounting (specs + ops visibility): clean installs,
   // rebased installs, aborted swaps
   @volatile private var swapsClean = 0
@@ -133,17 +124,11 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     * fold cadence (one union per FoldBytes), not unbounded.
     */
   def set(next: GraftFs, allowCompact: Boolean): Unit =
-    set(next, allowCompact, heavy = false)
-
-  /** `heavy = true` marks a tree-DOUBLING transition (see heavyDebt). */
-  def set(next: GraftFs, allowCompact: Boolean, heavy: Boolean): Unit =
     synchronized {
       current = next
       sinceCompact += 1
       seq += 1
-      if (heavy) heavyDebt += 1
-      if (allowCompact && (sinceCompact >= interval ||
-          heavyDebt >= FsState.HeavyCompactDebt)) compactNow()
+      if (allowCompact && sinceCompact >= interval) compactNow()
     }
 
   /** Phase 1 of opportunistic compaction: snapshot under the monitor
@@ -161,10 +146,8 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     */
   def prepareCompaction(): Option[(GraftFs, GraftFs)] = {
     val snapshot = synchronized {
-      if (sinceCompact < interval &&
-        heavyDebt < FsState.HeavyCompactDebt) return None
+      if (sinceCompact < interval) return None
       preparedSeq = seq
-      preparedHeavy = heavyDebt
       current
     }
     Some((snapshot, snapshot.compact())) // Spark action — NO lock held
@@ -214,7 +197,10 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
           } yield (GraftFs(
             graft.catalog.FsCatalog(
               cat.as(graft.catalog.FsCatalog.inodeEncoder)),
-            ch), deltas)
+            // aliases are driver metadata that advanced WITH the verbs;
+            // the rebased frames stay in birth space, so the current
+            // map stays authoritative
+            ch, current.aliases), deltas)
         }
       next match {
         case Some((installed, deltas)) =>
@@ -223,9 +209,6 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
           lastCheckpointed = Some(compacted)
           current = installed
           sinceCompact = deltas
-          // the checkpoint flattened preparedHeavy of the doublings;
-          // only ones that raced in during the checkpoint remain
-          heavyDebt = math.max(0, heavyDebt - preparedHeavy)
           interval = math.min(interval * 2, FsState.MaxCompactEvery)
           sweepRetired()
           true
@@ -258,8 +241,7 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     * (the facade's compactor thread polls this before paying the
     * snapshot dance).
     */
-  def compactionDue: Boolean = synchronized(
-    sinceCompact >= interval || heavyDebt >= FsState.HeavyCompactDebt)
+  def compactionDue: Boolean = synchronized(sinceCompact >= interval)
 
   /** Force a compaction boundary (also runs automatically). */
   def compactNow(): Unit = synchronized {
@@ -269,7 +251,6 @@ final class FsState(initial: GraftFs, compactEvery: Int = FsState.CompactEvery) 
     lastCheckpointed = Some(compacted)
     current = compacted
     sinceCompact = 0
-    heavyDebt = 0
     interval = math.min(interval * 2, FsState.MaxCompactEvery)
   }
 
@@ -301,12 +282,6 @@ object FsState {
     */
   val MaxCompactEvery: Int = 1024
 
-  /** Tree-DOUBLING (heavy) sets tolerated before a compaction is due
-    * regardless of the linear interval: 2^4 = 16× growth max — bounded
-    * analysis cost — where waiting out a doubled interval compounds
-    * exponentially (see heavyDebt).
-    */
-  val HeavyCompactDebt: Int = 4
 
   /** One plane of the rebasing swap (trySwap scaladoc). Outcomes:
     *

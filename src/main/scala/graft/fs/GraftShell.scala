@@ -198,14 +198,14 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     case "-mkdir" =>
       forEachSrc(cmd, args) { arg =>
         val (cat2, ok) = cur.catalog.mkdirs(abs(arg))
-        setFs(GraftFs(cat2, cur.chunks))
+        setFs(GraftFs(cat2, cur.chunks, cur.aliases))
         if (!ok) throw new IOException(s"cannot create directory $arg")
         Nil
       }
 
     case "-touchz" =>
       forEachSrc(cmd, args) { arg =>
-        setFs(GraftFs(cur.catalog.touchz(abs(arg)), cur.chunks))
+        setFs(GraftFs(cur.catalog.touchz(abs(arg)), cur.chunks, cur.aliases))
         Nil
       }
 
@@ -245,18 +245,17 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
           throw new IOException(
             s"When $verb multiple files, destination should be a directory.")
         matched.foreach { src =>
-          // rename/copy embed the chunk plane TWICE (filter∪rewrite /
-          // union-dup — GraftFs scaladocs): tree-DOUBLING transitions,
-          // marked heavy so the cell compacts after HeavyCompactDebt of
-          // them (inline — the shell is a driver thread) instead of
-          // letting 2^interval growth stack before the linear cadence
+          // rename is driver-map re-keying (zero plan nodes) and copy a
+          // single local-leaf union (GraftFs scaladocs) — plain linear
+          // sets; the r13 tree-doubling shapes and their HeavyCompactDebt
+          // mitigation are retired
           if (cmd == "-mv") {
             val (next, _) = cur.rename(src, dst)
-            cell.set(next, allowCompact = true, heavy = true)
+            setFs(next)
           } else {
             val target = if (dstIsDir) s"${dirPrefix(dst)}${basename(src)}" else dst
             val (next, _) = cur.copy(src, target)
-            cell.set(next, allowCompact = true, heavy = true)
+            setFs(next)
           }
         }
         Nil
@@ -291,14 +290,14 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       forEachSrc(cmd, args) { arg =>
         expandSrc(arg).map { m =>
           val p = fileArg(m)
-          val rows = DataPlane.text(cur.chunks.filter(col("path") === p)).collect()
+          val rows = DataPlane.text(cur.rowsForFile(p)).collect()
           rows.map(_.getString(1)).mkString("\n")
         }
       }
 
     case "-tail" =>
       val p = fileArg(args.head)
-      val rows = DataPlane.tail(cur.chunks.filter(col("path") === p), 1024).collect()
+      val rows = DataPlane.tail(cur.rowsForFile(p), 1024).collect()
       val payload = if (rows.isEmpty) Array.emptyByteArray
         else rows(0).getAs[Array[Byte]]("data")
       ShellResult(0, Seq(new String(payload, java.nio.charset.StandardCharsets.UTF_8)), Nil)
@@ -338,7 +337,9 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         val node = graft.catalog.Inode(dst, PathOps.parent(dst), "graft", "graft",
           420, isDir = false, new java.sql.Timestamp(1704067200000L),
           graft.catalog.BlockMeta.forLength(dst, len, sub, blk))
-        setFs(GraftFs(cat2.store(node), cur.chunks.unionByName(newChunks)))
+        // withNewRows re-keys the fresh rows if their identity birth is
+        // claimed (path re-created after a rename moved the original)
+        setFs(cur.withNewRows(cat2.store(node), dst, newChunks))
         Nil
       }
 
@@ -359,7 +360,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       matched.foreach { m =>
         val p = fileArg(m)
         val target = if (localIsDir) s"$local/${basename(p)}" else local
-        DataPlane.get(cur.chunks, p, target)
+        DataPlane.get(cur.rowsForFile(p), p, target)
       }
       ShellResult(0, Nil, Nil)
 
@@ -374,7 +375,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       // .copyMerge's getFileStatus) — never silently write an empty file
       if (!cur.catalog.exists(src)) throw new FileNotFoundException(src)
       // dir-scoped prefix: "/data" must not bleed onto "/databak"
-      DataPlane.getmergeTo(cur.chunks, dirPrefix(src), args(1), addnl)
+      DataPlane.getmergeTo(cur.currentChunks, dirPrefix(src), args(1), addnl)
       ShellResult(0, Nil, Nil)
 
     case other =>

@@ -78,10 +78,13 @@ object GraftShellMain {
 
   def saveFs(fs: GraftFs, dir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    // compact() flattens both planes to materialized LogicalRDD leaves,
-    // so the writes below never depend on the previous version's files
-    // (the loaded state's chunks frame still points at the old dir)
-    val flat = fs.compact()
+    // normalized() flattens both planes to materialized LogicalRDD
+    // leaves AND rewrites chunk rows to CURRENT paths (the alias map is
+    // driver metadata — persisted state must be self-describing
+    // parquet), so the writes below never depend on the previous
+    // version's files (the loaded state's chunks frame still points at
+    // the old dir)
+    val flat = fs.normalized()
     val base = Paths.get(dir)
     Files.createDirectories(base)
     val prev = currentStateDir(dir)

@@ -68,11 +68,12 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     }
     val Some((snap, compacted)) = cell.prepareCompaction()
     // verbs intervene AFTER the snapshot: a fold-shaped union AND a
-    // rename-shaped filter∪rewrite (embeds the snapshot plan TWICE)
+    // rename (driver-map re-keying rides the same chunks plan)
     val fs1 = cell.get
     cell.set(GraftFs(fs1.catalog.touchz("/b1"),
-      fs1.chunks.unionByName(oneFile("/b1", "b-1"))), allowCompact = false)
-    cell.set(cell.get.renameChunksOnly("/a1", "/m1"), allowCompact = false)
+      fs1.chunks.unionByName(oneFile("/b1", "b-1")), fs1.aliases),
+      allowCompact = false)
+    cell.set(cell.get.rename("/a1", "/m1")._1, allowCompact = false)
     // the swap must land as a REBASE (not abort), with the checkpoint
     // replacing the snapshot subtree under the intervening deltas
     cell.trySwap(snap, compacted) must be(true)
@@ -80,16 +81,16 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     val leaves = cell.get.chunks.queryExecution.analyzed.collectLeaves()
     leaves.count(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) must be >= 1
     // every pre- and post-snapshot write reads back; the rename applied
-    new String(DataPlane.cat(cell.get.chunks, "/m1").collect()(0)
+    new String(DataPlane.cat(cell.get.rowsForFile("/m1"), "/m1").collect()(0)
       .getAs[Array[Byte]]("data")) must be("a-1")
-    new String(DataPlane.cat(cell.get.chunks, "/a2").collect()(0)
+    new String(DataPlane.cat(cell.get.rowsForFile("/a2"), "/a2").collect()(0)
       .getAs[Array[Byte]]("data")) must be("a-2")
-    new String(DataPlane.cat(cell.get.chunks, "/b1").collect()(0)
+    new String(DataPlane.cat(cell.get.rowsForFile("/b1"), "/b1").collect()(0)
       .getAs[Array[Byte]]("data")) must be("b-1")
-    DataPlane.cat(cell.get.chunks, "/a1").collect() must be(empty)
+    DataPlane.cat(cell.get.rowsForFile("/a1"), "/a1").collect() must be(empty)
     // and a follow-up CLEAN compaction still works on the rebased plan
     cell.compactNow()
-    new String(DataPlane.cat(cell.get.chunks, "/m1").collect()(0)
+    new String(DataPlane.cat(cell.get.rowsForFile("/m1"), "/m1").collect()(0)
       .getAs[Array[Byte]]("data")) must be("a-1")
   }
 
@@ -114,24 +115,31 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     cell.compactionDue must be(true)
   }
 
-  it must "expedite compaction after HeavyCompactDebt tree-doubling sets" in {
+  it must "re-key renames with ZERO plan growth (the retired doubling shape's replacement)" in {
     val cell = new FsState(emptyFs(), compactEvery = 1000)
     val fs0 = cell.get
     cell.set(GraftFs(fs0.catalog.touchz("/h0"),
-      fs0.chunks.unionByName(oneFile("/h0", "h"))), allowCompact = false)
-    (1 to FsState.HeavyCompactDebt - 1).foreach { i =>
-      cell.set(cell.get.renameChunksOnly(if (i == 1) "/h0" else s"/h${i - 1}",
-        s"/h$i"), allowCompact = false, heavy = true)
-      cell.compactionDue must be(false) // under the debt cap
+      fs0.chunks.unionByName(oneFile("/h0", "h")), fs0.aliases),
+      allowCompact = false)
+    val planBefore = cell.get.chunks.queryExecution.analyzed
+    // 64 chained renames — the shape that used to stack 2^64 growth
+    (1 to 64).foreach { i =>
+      cell.set(cell.get.rename(
+        if (i == 1) "/h0" else s"/h${i - 1}", s"/h$i")._1,
+        allowCompact = false)
     }
-    cell.set(cell.get.renameChunksOnly(s"/h${FsState.HeavyCompactDebt - 1}",
-      "/hx"), allowCompact = false, heavy = true)
-    cell.compactionDue must be(true) // debt reached — due despite interval 1000
-    cell.compactOpportunistic() must be(true)
-    cell.compactionDue must be(false) // clean swap cleared the debt
-    new String(DataPlane.cat(cell.get.chunks, "/hx").collect()(0)
-      .getAs[Array[Byte]]("data")) must be("h")
+    // the chunk PLAN is the same object — rename never touched it
+    (cell.get.chunks.queryExecution.analyzed eq planBefore) must be(true)
+    // and the bytes read back at the final name only
+    new String(DataPlane.cat(cell.get.rowsForFile("/h64"), "/h64")
+      .collect()(0).getAs[Array[Byte]]("data")) must be("h")
+    DataPlane.cat(cell.get.rowsForFile("/h0"), "/h0").collect() must be(empty)
+    // a compaction keeps birth space + alias map and still answers
+    cell.compactNow()
+    new String(DataPlane.cat(cell.get.rowsForFile("/h64"), "/h64")
+      .collect()(0).getAs[Array[Byte]]("data")) must be("h")
   }
+
 
   it must "keep pinned snapshots queryable across later compactions" in {
     val cell = new FsState(emptyFs(), compactEvery = 2)

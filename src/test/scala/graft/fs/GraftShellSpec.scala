@@ -535,4 +535,48 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     unk.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) must be(true)
     unk.exitValue() must be(1)
   }
+  it must "sustain a -mv/-cp/-rm shell verb storm without the retired doubling blowup" in {
+    // the r13 shell-path residual: -mv/-cp embedded the chunk plane
+    // twice per verb, 2^k analysis growth held at bay only by the
+    // HeavyCompactDebt compact-after-4 mitigation. With rename as
+    // driver-map re-keying and copy as one local leaf, BOTH the
+    // mitigation and the blowup are gone: a storm of mixed verbs must
+    // hold FLAT per-verb cost (the old shape wedged into seconds-long
+    // verbs within ~10 renames and minutes soon after). Shell verbs run
+    // catalog precondition ACTIONS (driver jobs), so the gate is
+    // flatness + a sane wall bound, not the facade's map-op 9k verbs/s.
+    val sh = newShell()
+    sh.run(Array("-mkdir", "/storm")).code must be(0)
+    sh.run(Array("-cp", "/a/f1", "/storm/seed")).code must be(0)
+    val n = 120
+    val times = new Array[Long](n)
+    (0 until n).foreach { i =>
+      val t0 = System.nanoTime()
+      val r = (i % 4: @unchecked) match {
+        case 0 => sh.run(Array("-mv",
+          if (i == 0) "/storm/seed" else s"/storm/m${i - 4}",
+          s"/storm/m$i"))
+        case 1 => sh.run(Array("-cp", s"/storm/m${i - 1}", s"/storm/c$i"))
+        case 2 => sh.run(Array("-rm", s"/storm/c${i - 1}"))
+        case 3 => sh.run(Array("-touchz", s"/storm/t$i"))
+      }
+      r.code must be(0)
+      times(i) = System.nanoTime() - t0
+    }
+    // flat cost: the last quarter's median within 5x of the first's
+    // (doubling degraded verb k by 2^k — orders of magnitude, not 5x)
+    def medianMs(xs: Array[Long]): Double = {
+      val ss = xs.sorted; ss(ss.length / 2) / 1e6
+    }
+    val first = medianMs(times.take(n / 4))
+    val last = medianMs(times.takeRight(n / 4))
+    withClue(f"first-quartile median $first%.1f ms, last $last%.1f ms: ") {
+      last must be <= (first * 5.0 + 50.0)
+    }
+    // the storm's final state still answers correctly through every
+    // translation layer: the surviving rename chain reads back
+    val catR = sh.run(Array("-cat", s"/storm/m${n - 4}"))
+    catR.code must be(0)
+    catR.out.head must be("0123456789")
+  }
 }
