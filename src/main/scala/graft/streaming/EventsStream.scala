@@ -465,6 +465,27 @@ object EventsStream {
     * unmanaged temp checkpoint is deleted only "best effort", and a
     * 24-drain bench suite must not depend on best effort for /tmp
     * hygiene.
+    *
+    * MEMORY-SINK RATIONALE (r13 verdict #6) — every channel still on
+    * this drain has a bounded-output argument, and the
+    * corpus-proportional ones moved to file sinks:
+    *  - stream_hourly_events / stream_hourly_unique /
+    *    stream_sessionize / stream_session_window: watermarked
+    *    AGGREGATE outputs — rows scale with hours/sessions, orders of
+    *    magnitude below the event corpus; the stateful production
+    *    topology (executor-side commits + state-store checkpointing)
+    *    is carried by stream_hourly_events_files and proven across a
+    *    crash by stream_restart_stateful.
+    *  - stream_dedup: emits one row per DISTINCT content key within
+    *    the watermark horizon — the dedup'd set, bounded by content
+    *    cardinality, and the channel's comparable view is the distinct
+    *    set itself.
+    *  - stream_unseen: emits the unseen-key increment slice (~the
+    *    increment's size, a fraction of the corpus per micro-batch
+    *    cycle) — and the production shape anti-joins THEN lands rows
+    *    in storage, which is the quality-filter-files pattern already
+    *    pinned; this channel is the oracle harness for the join
+    *    semantics.
     */
   private def drainAvailableNow(spark: SparkSession, srcParquet: String,
                                 sink: String)(
@@ -562,32 +583,37 @@ object EventsStream {
   def decontaminateAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
     statelessIngest(spark, sfDir).decontam
 
-  /** The multiplexed stateless-ingest drain's materialized outputs. */
+  /** The multiplexed stateless-ingest drain's materialized outputs.
+    * MEMORY-SINK RATIONALE (r13 verdict #6, per channel): `quality` is
+    * the ORACLE-HARNESS twin of stream_quality_filter_files — the
+    * file-sink channel carries the production topology, this one
+    * exists to pin batch≡stream on the same oracle; `decontam` emits
+    * only the flagged (doc, bench) pairs — contamination-hit-scale,
+    * small by construction (a corpus that is mostly benchmark text is
+    * already broken upstream). The corpus-proportional channels
+    * (wsample, mm, video, semantic gate) all commit through file
+    * sinks now.
+    */
   private final case class StatelessOut(quality: DataFrame,
-                                        wsample: DataFrame,
                                         decontam: DataFrame)
 
   private val statelessDrains = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Memo[StatelessOut]]()
 
-  /** ONE ingest stream serves every stateless document channel — the
-    * production topology: a pipeline does not run three separate
-    * streaming jobs each re-reading the landing zone to apply three
-    * per-row transforms; it runs ONE ingest query whose foreachBatch
-    * fans each arriving micro-batch out to every sink. Correctness is
-    * unchanged by construction: the three transforms are stateless
-    * per-row projections/filters (batch ≡ stream whatever the
-    * micro-batch boundaries — the property each channel's scaladoc
-    * already pins), and the benchmark shingle index rides the same
-    * per-(app, sfDir) broadcast as before. Drained ONCE per
-    * (applicationId, sfDir) and served materialized thereafter, the
-    * decontamIndexes precedent one level up: the r10 suite paid 9
-    * separate query start/stop cycles (3 channels × 3 reps) for
-    * byte-identical single-file drains. The arriving batch persists
-    * across the three sink scans and unpersists in the finally; the
-    * driver-side row buffers are exactly what the memory sink each
-    * channel previously used held — bounded by the same sink-size
-    * contract, not a new collect site.
+  /** ONE ingest stream serves the stateless document ORACLE channels —
+    * the production topology: a pipeline does not run separate
+    * streaming jobs each re-reading the landing zone to apply per-row
+    * transforms; it runs ONE ingest query whose foreachBatch fans each
+    * arriving micro-batch out to every sink. Correctness is unchanged
+    * by construction: the transforms are stateless per-row
+    * projections/filters (batch ≡ stream whatever the micro-batch
+    * boundaries — the property each channel's scaladoc already pins),
+    * and the benchmark shingle index rides the same per-(app, sfDir)
+    * broadcast as before. Drained ONCE per (applicationId, sfDir) and
+    * served materialized thereafter (the decontamIndexes precedent).
+    * Memory buffers here are deliberate and bounded — see
+    * [[StatelessOut]]'s per-channel rationale; the corpus-proportional
+    * channels all drain through file sinks instead.
     */
   private def statelessIngest(spark: SparkSession,
                               sfDir: String): StatelessOut = {
@@ -598,19 +624,11 @@ object EventsStream {
         val bc = decontamIndex(spark, sfDir)
         def qualityT(df: DataFrame): DataFrame =
           graft.ops.Curation.qualityFilter(df)
-        def wsampleT(df: DataFrame): DataFrame =
-          graft.ops.Curation.weightedSample(
-              df.withColumn("n_tokens",
-                size(graft.ops.TextAnalysis.tokens).cast("long")),
-              col("n_tokens").cast("double") / lit(200.0), seed = 42L)
-            .select(col("doc_id"), col("n_tokens"),
-              round(col("w"), 6).as("w"), round(col("u"), 6).as("u"))
         def decontamT(df: DataFrame): DataFrame =
           graft.ops.Decontaminate.flaggedStreamIndexed(
             df.filter(col("doc_id") % 10 =!= 0), bc, n = 3, minShared = 3)
         val transforms = Seq[(String, DataFrame => DataFrame)](
-          "quality" -> qualityT, "wsample" -> wsampleT,
-          "decontam" -> decontamT)
+          "quality" -> qualityT, "decontam" -> decontamT)
         // output schemas from a zero-row STATIC read (foreachBatch may
         // legitimately deliver no batches on an empty landing)
         val empty = spark.read.schema(documentsSchema).parquet(landing)
@@ -649,7 +667,7 @@ object EventsStream {
         import scala.jdk.CollectionConverters._
         def toDf(n: String): DataFrame =
           spark.createDataFrame(buffers(n).asJava, schemas(n))
-        StatelessOut(toDf("quality"), toDf("wsample"), toDf("decontam"))
+        StatelessOut(toDf("quality"), toDf("decontam"))
       }
   }
 
@@ -662,10 +680,29 @@ object EventsStream {
     * lets a pipeline sample at ingest and still reproduce the
     * training set offline. Same length-proportional weight as
     * pipeline_weighted_sample, same oracle.
+    *
+    * FILE-SINK drain (r13 verdict #6): the kept sample is
+    * corpus-proportional, so it commits through the parquet FileSink
+    * from executor tasks and reads back — no driver-held output rows
+    * (the memory-sink trio shape retired for this channel).
     */
   def weightedSampleAvailableNow(spark: SparkSession,
                                  sfDir: String): DataFrame =
-    statelessIngest(spark, sfDir).wsample
+    drainToFileSink(spark, s"$sfDir/documents.parquet", "wsample",
+      documentsSchema)(
+      spark.readStream.schema(documentsSchema).parquet(_))(
+      weightedSampleTransform)
+
+  /** The weighted-sample projection shared by the streaming drain and
+    * its oracle twin (deterministic Lehmer-hash draw — see
+    * [[weightedSampleAvailableNow]]). */
+  private def weightedSampleTransform(df: DataFrame): DataFrame =
+    graft.ops.Curation.weightedSample(
+        df.withColumn("n_tokens",
+          size(graft.ops.TextAnalysis.tokens).cast("long")),
+        col("n_tokens").cast("double") / lit(200.0), seed = 42L)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("w"), 6).as("w"), round(col("u"), 6).as("u"))
 
   /** Streaming quality gate — `Curation.qualityFilter` applied verbatim
     * to the document STREAM: a pure per-row projection + filter, so the
@@ -1067,8 +1104,20 @@ object EventsStream {
           img, "png", landing.resolve(s"img_$id.png").toFile)
       }
       val ckpt = tempCheckpointDir()
-      val sink = "mm_ingest_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      // FILE SINK, not memory (r13 verdict #6): at production scale the
+      // media-feature stream emits one row per media file — corpus-
+      // proportional — so the drain commits through Spark's parquet
+      // FileSink (executor-side tasks, exactly-once _spark_metadata)
+      // and the channel reads the committed bytes back; the driver
+      // never holds an output row
+      val outDir =
+        java.nio.file.Files.createTempDirectory("graft-mm-sink")
+      reclaimOnExit(outDir)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("r_sum", LongType),
+        StructField("g_sum", LongType),
+        StructField("b_sum", LongType)))
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
@@ -1090,7 +1139,8 @@ object EventsStream {
               regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
                 .cast("long").as("doc_id"),
               col("r_sum"), col("g_sum"), col("b_sum"))
-            .writeStream.format("memory").queryName(sink)
+            .writeStream.format("parquet")
+            .option("path", outDir.toString)
             .option("checkpointLocation", ckpt.toString)
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1099,13 +1149,7 @@ object EventsStream {
         } finally {
           if (q != null && q.isActive) q.stop()
         }
-        // materialize OFF the shared memory-sink view before memoizing
-        // (the stream_unseen detach lesson — a later drain's sink name
-        // can never alias a cached frame)
-        val out = spark.table(sink)
-        val rows = out.collect()
-        spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), out.schema)
+        spark.read.schema(outSchema).parquet(outDir.toString)
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         drainHygiene(spark)
@@ -1147,8 +1191,20 @@ object EventsStream {
             2 + (id % 5).toInt))
       }
       val ckpt = tempCheckpointDir()
-      val sink = "vid_ingest_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      // FILE SINK like mmIngest (r13 verdict #6): frame rows are
+      // corpus × frames-proportional, so they commit from executor
+      // tasks and read back — never a driver buffer
+      val outDir =
+        java.nio.file.Files.createTempDirectory("graft-vid-sink")
+      reclaimOnExit(outDir)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("r_sum", LongType),
+        StructField("g_sum", LongType),
+        StructField("b_sum", LongType)))
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
@@ -1180,7 +1236,8 @@ object EventsStream {
               element_at(col("k"), 3).cast("int").as("width"),
               element_at(col("k"), 4).cast("int").as("height"),
               col("r_sum"), col("g_sum"), col("b_sum"))
-            .writeStream.format("memory").queryName(sink)
+            .writeStream.format("parquet")
+            .option("path", outDir.toString)
             .option("checkpointLocation", ckpt.toString)
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1189,10 +1246,7 @@ object EventsStream {
         } finally {
           if (q != null && q.isActive) q.stop()
         }
-        val out = spark.table(sink)
-        val rows = out.collect()
-        spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), out.schema)
+        spark.read.schema(outSchema).parquet(outDir.toString)
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         drainHygiene(spark)
@@ -1234,10 +1288,19 @@ object EventsStream {
         val corpus = graft.Tables.embeddings(spark, sfDir)
           .filter(col("vec_id") % 5 =!= 0)
           .select(col("vec_id").as("c_id"), col("embedding").as("ev"))
-        val buffer =
-          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
         val outSchema = StructType(Seq(
           StructField("vec_id", LongType), StructField("label", IntegerType)))
+        // IDEMPOTENT foreachBatch FILE sink (r13 verdict #6): the gate
+        // needs the arrivals-broadcast join orientation (the corpus
+        // side must never shuffle OR broadcast at 100 TB), which the
+        // declarative FileSink path can't plan — so each batch's kept
+        // set OVERWRITES its own batch=<id> partition dir, the standard
+        // exactly-once foreachBatch contract (a replayed batch rewrites
+        // the same files), and the channel reads the committed bytes
+        // back. No driver-held output rows.
+        val outDir =
+          java.nio.file.Files.createTempDirectory("graft-semgate-sink")
+        reclaimOnExit(outDir)
         val ckpt = tempCheckpointDir()
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1248,7 +1311,7 @@ object EventsStream {
               .writeStream
               .option("checkpointLocation", ckpt.toString)
               .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-              .foreachBatch { (batch: DataFrame, _: Long) =>
+              .foreachBatch { (batch: DataFrame, batchId: Long) =>
                 val arrivals = batch.filter(col("vec_id") % 5 === 0)
                 // corpus scan side NEVER shuffles: hits = distinct
                 // arrival ids with any corpus neighbor ≥ τ, folded
@@ -1259,10 +1322,11 @@ object EventsStream {
                       col("embedding").as("qv"))))
                   .filter(expr("graft_cosine(qv, ev)") >= 0.45)
                   .select(col("q_id").as("vec_id")).distinct()
-                buffer ++= arrivals
+                arrivals
                   .join(hits, Seq("vec_id"), "left_anti")
                   .select(col("vec_id"), col("label"))
-                  .collect()
+                  .write.mode("overwrite")
+                  .parquet(s"$outDir/batch=$batchId")
                 ()
               }
               .start()
@@ -1275,8 +1339,17 @@ object EventsStream {
           drainHygiene(spark)
           deleteRecursively(ckpt)
         }
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(buffer.asJava, outSchema)
+        val hasBatches = {
+          val l = java.nio.file.Files.list(outDir)
+          try l.findFirst().isPresent finally l.close()
+        }
+        if (!hasBatches)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            outSchema)
+        else
+          spark.read.parquet(outDir.toString)
+            .select(col("vec_id"), col("label"))
       }
   }
 
