@@ -818,10 +818,16 @@ object Multimodal {
             out += ((i, snap))
             disposal match {
               case "restoreToBackgroundColor" =>
-                // deterministic black background — players disagree on
-                // palette background color; black is the common choice
+                // GIF89a: the logical screen's background palette index
+                // (global color table + backgroundColorIndex) — resolved
+                // once per stream; transparent/absent background falls
+                // back to deterministic black (players render the
+                // transparent background as whatever is behind the
+                // image; black is the canonical opaque stand-in)
                 val c = g.getColor
-                g.setColor(java.awt.Color.BLACK)
+                g.setColor(if (isGif)
+                  gifBackgroundColor(r).getOrElse(java.awt.Color.BLACK)
+                else java.awt.Color.BLACK)
                 g.fillRect(left, top, frame.getWidth, frame.getHeight)
                 g.setColor(c)
               case "restoreToPrevious" =>
@@ -854,6 +860,49 @@ object Multimodal {
           val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
           Some((e.getAttribute("logicalScreenWidth").toInt,
             e.getAttribute("logicalScreenHeight").toInt))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The stream's background color: the global color table entry named
+    * by the logical screen descriptor's backgroundColorIndex — the
+    * color disposal-2 restores (GIF89a §18/§20). None when the stream
+    * has no global palette, no background index, or the index is the
+    * transparent one (per-frame GCE transparency can only make the
+    * background MORE transparent, never a different opaque color, so
+    * stream-level resolution is sufficient); the caller falls back to
+    * deterministic black.
+    */
+  private def gifBackgroundColor(r: javax.imageio.ImageReader)
+      : Option[java.awt.Color] =
+    try {
+      val sm = r.getStreamMetadata
+      if (sm == null) None
+      else {
+        val root = sm.getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val gcts = root.getElementsByTagName("GlobalColorTable")
+        if (gcts.getLength == 0) None
+        else {
+          val gct = gcts.item(0).asInstanceOf[org.w3c.dom.Element]
+          val bg = gct.getAttribute("backgroundColorIndex")
+          if (bg.isEmpty) None
+          else {
+            val idx = bg.toInt
+            val entries = gct.getElementsByTagName("ColorTableEntry")
+            var found: Option[java.awt.Color] = None
+            var i = 0
+            while (found.isEmpty && i < entries.getLength) {
+              val e = entries.item(i).asInstanceOf[org.w3c.dom.Element]
+              if (e.getAttribute("index").toInt == idx)
+                found = Some(new java.awt.Color(
+                  e.getAttribute("red").toInt,
+                  e.getAttribute("green").toInt,
+                  e.getAttribute("blue").toInt))
+              i += 1
+            }
+            found
+          }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => None }

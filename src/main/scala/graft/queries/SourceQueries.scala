@@ -65,6 +65,40 @@ object SourceQueries {
              |FROM part WHERE p_brand LIKE 'Brand#2%'
              |GROUP BY p_brand ORDER BY parent_path""".stripMargin)),
 
+    // ── COLD-SESSION read (r13 stretch #7): the snapshot is written by
+    //    the ENGINE session and consumed by a FRESH SparkSession
+    //    (newSession: its own conf/catalog/function registry, none of
+    //    graft's registrations) through the stock DataSourceV2 lookup —
+    //    the cluster-side consumer contract of the §8 narrowing: any
+    //    stock Spark session can mount and query a saved catalog with
+    //    nothing graft-specific installed. The K-bounded result rows
+    //    re-home to the engine session for the dump (grouped counts,
+    //    five rows). ───────────────────────────────────────────────────
+    QueryDef(
+      "fs_dsv2_cold_session",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-cold")
+        try {
+          CatalogBuilder.fromPart(s, d).save(dir.toString)
+          val fresh = s.newSession()
+          val out = fresh.read.format("graft.sources.GraftFsDataSource")
+            .load(dir.toString)
+            .filter(col("path").startsWith("/pt/Brand#3") && !col("is_dir"))
+            .groupBy(col("parent_path"))
+            .agg(count(lit(1)).as("n"), sum(col("len")).as("total_len"))
+            .orderBy(col("parent_path"))
+          val rows = out.collect()
+          s.createDataFrame(
+            java.util.Arrays.asList(rows: _*), out.schema)
+        } finally {
+          graft.PlanHygiene.deleteRecursively(dir)
+        }
+      },
+      Some("""SELECT '/pt/' || p_brand AS parent_path, COUNT(*) AS n,
+             |       CAST(SUM(p_size) AS BIGINT) AS total_len
+             |FROM part WHERE p_brand LIKE 'Brand#3%'
+             |GROUP BY p_brand ORDER BY parent_path""".stripMargin)),
+
     // ── drop-in scheme mount, as a correctness row: register
     //    fs.graftfs.impl (the reference's core-site.xml:29-32 claim),
     //    write the nation table as CSV THROUGH the Hadoop facade over a

@@ -138,6 +138,93 @@ class VideoSpec extends AnyFlatSpec with Matchers {
     px(f2, 14, 8) must be(100) // untouched frame-0 canvas
   }
 
+  it must "restore disposal-2 rects to the logical screen's NON-BLACK background color" in {
+    // r13 stretch: disposal-2 used a deterministic black fill; GIF89a
+    // says the fill is the global color table entry the logical screen
+    // descriptor's backgroundColorIndex names. Build a stream whose
+    // global palette entry 7 is gray 180 and set it as the background;
+    // the disposed rect must read back 180, not 0.
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      val f0 = Multimodal.solidGrayFrame(16, 10, 100)
+      val itype =
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(f0)
+      val smd = w.getDefaultStreamMetadata(null)
+      val sfmt = "javax_imageio_gif_stream_1.0"
+      val sroot = smd.getAsTree(sfmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val old = sroot.getElementsByTagName("GlobalColorTable")
+      if (old.getLength > 0) sroot.removeChild(old.item(0))
+      val gct = new javax.imageio.metadata.IIOMetadataNode("GlobalColorTable")
+      gct.setAttribute("sizeOfGlobalColorTable", "256")
+      gct.setAttribute("backgroundColorIndex", "7")
+      gct.setAttribute("sortFlag", "FALSE")
+      (0 until 256).foreach { i =>
+        val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
+        e.setAttribute("index", i.toString)
+        // entry 7 carries the distinguished background gray 180; the
+        // rest is the identity gray ramp the frames already use
+        val g = if (i == 7) 180 else i
+        e.setAttribute("red", g.toString)
+        e.setAttribute("green", g.toString)
+        e.setAttribute("blue", g.toString)
+        gct.appendChild(e)
+      }
+      sroot.appendChild(gct)
+      smd.setFromTree(sfmt, sroot)
+      w.prepareWriteSequence(smd)
+      Seq(
+        (f0, 0, 0, "doNotDispose"),
+        (Multimodal.solidGrayFrame(4, 3, 200), 5, 2,
+          "restoreToBackgroundColor"),
+        (Multimodal.solidGrayFrame(2, 2, 50), 0, 0, "doNotDispose"))
+        .foreach { case (img, left, top, disposal) =>
+          val md = w.getDefaultImageMetadata(
+            javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+            null)
+          val fmt = "javax_imageio_gif_image_1.0"
+          val root = md.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val lct = root.getElementsByTagName("LocalColorTable")
+          if (lct.getLength > 0) root.removeChild(lct.item(0))
+          def node(tag: String): javax.imageio.metadata.IIOMetadataNode = {
+            val nl = root.getElementsByTagName(tag)
+            if (nl.getLength > 0)
+              nl.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            else {
+              val n = new javax.imageio.metadata.IIOMetadataNode(tag)
+              root.appendChild(n)
+              n
+            }
+          }
+          val desc = node("ImageDescriptor")
+          desc.setAttribute("imageLeftPosition", left.toString)
+          desc.setAttribute("imageTopPosition", top.toString)
+          desc.setAttribute("imageWidth", img.getWidth.toString)
+          desc.setAttribute("imageHeight", img.getHeight.toString)
+          desc.setAttribute("interlaceFlag", "FALSE")
+          val gce = node("GraphicControlExtension")
+          gce.setAttribute("disposalMethod", disposal)
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", "10")
+          gce.setAttribute("transparentColorIndex", "0")
+          md.setFromTree(fmt, root)
+          w.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+        }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    val frames = Multimodal.decodeVideoFrames(bos.toByteArray).toSeq
+    frames.length must be(3)
+    val f2 = frames(2)._2
+    px(f2, 0, 0) must be(50) // the new frame
+    px(f2, 6, 3) must be(180) // disposed rect → the PALETTE background
+    px(f2, 14, 8) must be(100) // untouched frame-0 canvas
+  }
+
   it must "roll the canvas back on restoreToPrevious" in {
     val bytes = gifWithGeometry(Seq(
       (Multimodal.solidGrayFrame(16, 10, 100), 0, 0, "doNotDispose"),
