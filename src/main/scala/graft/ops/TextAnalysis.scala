@@ -151,17 +151,24 @@ object TextAnalysis {
     * per-doc contribution k · q(cb/cp) is EXACTLY the instance-level
     * decimal sum (k copies of the same DECIMAL(28,8) value sum to
     * k × that value; the multiply is exact DECIMAL(38,8)), so the
-    * oracle is unchanged. The count joins are then HYBRID: the top-M
-    * most frequent bigram/prefix counts — a tiny frame by
-    * construction — BROADCAST to the probe, and only the long tail
-    * shuffles, so the natural hot keys ("the …" prefixes, the exact
-    * shape tokenRarity's scaladoc warns about) never cross a shuffle
-    * boundary as join keys. The head/tail split is a partition of the
-    * key space, so the output is invariant to M. The four consumers of
-    * the pre-aggregated frame share one exchange (ReuseExchange); the
-    * per-doc mean partitions by doc_id. No windows, no global sorts.
+    * oracle is unchanged. The pre-aggregation is the primary de-skew:
+    * a stopword bigram crosses the shuffle once per DOC, not once per
+    * occurrence, and AQE's skew-join splits any residual per-doc hot
+    * partition at runtime (on in GraftSession). For Zipf-EXTREME
+    * corpora (one prefix holding most of the mass — the ZipfSkewSpec
+    * adversary), `headM > 0` additionally enables a HYBRID count join:
+    * the top-M most frequent bigram/prefix counts — a tiny frame by
+    * construction — BROADCAST to the probe and only the long tail
+    * shuffles, so the hot keys never cross a shuffle boundary as join
+    * keys at all. The head/tail split partitions the key space, so the
+    * output is invariant to M (spec-pinned at M ∈ {0, 16, ∞}); it
+    * costs two extra join branches per count table, which is why the
+    * default stays 0 — measured 0.98 s vs 1.75 s at sf0.1 where no
+    * extreme skew exists. The consumers of the pre-aggregated frame
+    * share one exchange (ReuseExchange); the per-doc mean partitions
+    * by doc_id. No windows, no global sorts.
     */
-  def bigramFluency(docs: DataFrame, headM: Int = 4096): DataFrame = {
+  def bigramFluency(docs: DataFrame, headM: Int = 0): DataFrame = {
     val bigrams = docs
       // Generate barrier: the token array materializes ONCE per row
       // (the repetition() rationale — HOF-inlining trap)
@@ -188,6 +195,7 @@ object TextAnalysis {
     // tail shuffles WITHOUT its hot keys
     def hybridCountJoin(left: DataFrame, counts: DataFrame,
                         key: String, cnt: String): DataFrame = {
+      if (headM <= 0) return left.join(counts, Seq(key))
       val head = counts.orderBy(col(cnt).desc, col(key)).limit(headM)
       val headRows = left.join(broadcast(head), Seq(key))
       val tailRows = left
