@@ -306,6 +306,28 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame,
     */
   def copy(src: String, dst: String): (GraftFs, Boolean) = {
     val (cat2, _) = catalog.copy(src, dst)
+    (copyWith(cat2, src, dst), true)
+  }
+
+  // ── Caller-supplied-catalog variants: the shell's driver-resident
+  //    inode cache settles the preconditions and builds the catalog
+  //    frame itself (the facade's refreshedState shape), so these do
+  //    ONLY the chunk-plane half. ──────────────────────────────────────
+
+  private[fs] def renameWith(newCatalog: FsCatalog, src: String,
+                             dst: String): GraftFs =
+    GraftFs(newCatalog, chunks, aliases.renamed(src, dst))
+
+  private[fs] def deleteWith(newCatalog: FsCatalog,
+                             paths: Seq[String]): GraftFs = {
+    val doomed = paths.map(aliases.doomedColumn).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    GraftFs(newCatalog, chunks.filter(!doomed),
+      paths.foldLeft(aliases)((a, r) => a.afterDelete(r)))
+  }
+
+  private[fs] def copyWith(newCatalog: FsCatalog, src: String,
+                           dst: String): GraftFs = {
     val spark = chunks.sparkSession
     val srcRows = currentChunks.filter(inSubtree(src)).collect()
     var al = aliases
@@ -323,7 +345,7 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame,
       }
     }
     val dup = spark.createDataFrame(out, chunks.schema)
-    (GraftFs(cat2, chunks.unionByName(dup), al), true)
+    GraftFs(newCatalog, chunks.unionByName(dup), al)
   }
 
   /** D12: cat through the catalog — a path the catalog no longer knows

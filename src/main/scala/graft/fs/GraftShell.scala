@@ -32,8 +32,46 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
   // session's plan depth bounded; external reads PIN their snapshot so
   // later compactions can't release a checkpoint someone still holds
   private val cell = new FsState(initial)
-  def fs: GraftFs = cell.pinCurrent()
-  private def cur: GraftFs = cell.get
+
+  /** Deferred mutation state (see the inode-cache block below): catalog
+    * rebuilds and delete filters batch up between verbs and FLUSH at
+    * the next read boundary, so a metadata-verb storm creates zero
+    * Datasets per verb (eager analysis of a growing plan was the 12 ms
+    * floor that kept the first cut at ~80 verbs/s).
+    */
+  private var catalogDirty = false
+  private var pendingDoom: List[org.apache.spark.sql.Column] = Nil
+
+  private def flushPending(): Unit =
+    if (catalogDirty || pendingDoom.nonEmpty) {
+      var g = cell.get
+      if (pendingDoom.nonEmpty) {
+        // ONE filter for the whole batch: stored-space (birth) doom
+        // predicates stay valid across later renames — birth names are
+        // immutable — so deferred application is order-safe as long as
+        // row-ADDING verbs flush first (put/cp do). BALANCED or-fold:
+        // a left-nested 500-term || chain overflows the Column
+        // converter's recursion
+        def orAll(cs: List[org.apache.spark.sql.Column])
+            : org.apache.spark.sql.Column = cs match {
+          case single :: Nil => single
+          case _ =>
+            val (a, b) = cs.splitAt(cs.length / 2)
+            orAll(a) || orAll(b)
+        }
+        g = GraftFs(g.catalog,
+          g.chunks.filter(!orAll(pendingDoom)), g.aliases)
+        pendingDoom = Nil
+      }
+      if (catalogDirty) {
+        g = GraftFs(cacheCatalog(), g.chunks, g.aliases)
+        catalogDirty = false
+      }
+      cell.set(g)
+    }
+
+  def fs: GraftFs = { flushPending(); cell.pinCurrent() }
+  private def cur: GraftFs = { flushPending(); cell.get }
   private def setFs(next: GraftFs): Unit = cell.set(next)
   var ctx: FsContext = context
 
@@ -44,6 +82,161 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     * checkpoints free (mirrors GraftFileSystem.close).
     */
   def close(): Unit = cell.releasePins()
+
+  // ── Driver-resident mirror of the CATALOG plane — the facade's
+  //    inodeCache technique (GraftFileSystem.scala:90) applied to the
+  //    shell. Preconditions and catalog mutations run against this
+  //    sorted map (microseconds, no Spark action per verb) and the
+  //    catalog FRAME the read verbs query derives from it as a depth-1
+  //    local dataset after each mutation — the facade's refreshedState
+  //    shape. Without it every -mv paid three limit(1).collect() jobs
+  //    for its preconditions alone, capping the shell at tens of
+  //    verbs/s; with it the mutation path is job-free (-cp excepted:
+  //    duplicating payload is inherent data motion). Sorted so a
+  //    subtree is one range walk. Same single-driver narrowing as the
+  //    class scaladoc. ──────────────────────────────────────────────────
+  private val inodeCache = new java.util.TreeMap[String, graft.catalog.Inode]()
+  initial.catalog.inodes.collect().foreach(n => inodeCache.put(n.path, n))
+  private val spark = initial.chunks.sparkSession
+
+  private def cacheCatalog(): graft.catalog.FsCatalog = {
+    import scala.jdk.CollectionConverters._
+    graft.catalog.FsCatalog(spark.createDataset(
+      inodeCache.values.asScala.toSeq)(
+      graft.catalog.FsCatalog.inodeEncoder))
+  }
+
+  private def cached(p: String): Option[graft.catalog.Inode] =
+    Option(inodeCache.get(p))
+
+  /** (path, inode) of `p` and everything under it — one range walk. */
+  private def cacheSubtree(p: String): Seq[(String, graft.catalog.Inode)] = {
+    val out = Seq.newBuilder[(String, graft.catalog.Inode)]
+    cached(p).foreach(n => out += (p -> n))
+    val pre = dirPrefix(p)
+    val it = inodeCache.tailMap(pre).entrySet().iterator()
+    var go = true
+    while (go && it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(pre)) out += (e.getKey -> e.getValue)
+      else go = false
+    }
+    out.result()
+  }
+
+  private def cacheHasChildren(p: String): Boolean = {
+    val pre = dirPrefix(p)
+    val k = inodeCache.ceilingKey(pre)
+    k != null && k.startsWith(pre)
+  }
+
+  /** FsCatalog.rename's precondition matrix (byte-identical error
+    * strings, RenameCommand.scala:61-107 semantics) + subtree
+    * relocation on the cache, then the chunk plane's zero-plan-node
+    * alias re-key.
+    */
+  private def renameCached(src: String, dst: String): Unit = {
+    if (src == dst) return // no-op success on every surface
+    if (cached(src).isEmpty)
+      throw new IOException(s"No such file or directory.$src")
+    if (cached(dst).isDefined)
+      throw new IOException("Destination already exists")
+    val dp = PathOps.parent(dst)
+    if (dp != null) {
+      val pn = cached(dp).getOrElse(throw new IOException(
+        s"Destination $dp directory does not exist."))
+      if (pn.isFile)
+        throw new IOException("A file exists with parent of destination.")
+    }
+    val moved = cacheSubtree(src)
+    moved.foreach { case (p, _) => inodeCache.remove(p) }
+    moved.foreach { case (p, n) =>
+      val np = dst + p.drop(src.length)
+      inodeCache.put(np, n.copy(path = np, parentPath = PathOps.parent(np)))
+    }
+    // zero Datasets on this path: the chunks plan object is reused and
+    // the catalog rebuild defers to the next read boundary
+    val g = cell.get
+    setFs(GraftFs(g.catalog, g.chunks, g.aliases.renamed(src, dst)))
+    catalogDirty = true
+  }
+
+  /** FsCatalog.copy's precondition matrix + subtree duplication on the
+    * cache; the chunk plane duplicates through the driver
+    * (GraftFs.copyWith — the reference's client-streamed copy).
+    */
+  private def copyCached(src: String, dst: String): Unit = {
+    if (src == dst) return
+    if (cached(src).isEmpty)
+      throw new IOException(s"No such file or directory.$src")
+    if (cached(dst).isDefined)
+      throw new IOException("Destination already exists")
+    val dp = PathOps.parent(dst)
+    if (dp != null) {
+      val pn = cached(dp).getOrElse(throw new IOException(
+        s"Destination $dp directory does not exist."))
+      if (pn.isFile)
+        throw new IOException("A file exists with parent of destination.")
+    }
+    cacheSubtree(src).foreach { case (p, n) =>
+      val np = dst + p.drop(src.length)
+      inodeCache.put(np, n.copy(path = np, parentPath = PathOps.parent(np)))
+    }
+    // row-ADDING verb: flush pending deletes first (deferred doom must
+    // never swallow rows born after it), then defer the catalog
+    val g = cur
+    setFs(g.copyWith(g.catalog, src, dst))
+    catalogDirty = true
+  }
+
+  /** FsCatalog.delete's error matrix on the cache (DeleteCommand
+    * semantics: missing → false; file or empty dir → remove; non-empty
+    * dir without -rmr → throw).
+    */
+  private def deleteCached(path: String, recursive: Boolean): Boolean =
+    cached(path) match {
+      case None => false
+      case Some(n) =>
+        if (n.isDir && cacheHasChildren(path)) {
+          if (!recursive) throw new IOException("Directory is not empty")
+          cacheSubtree(path).foreach { case (p, _) => inodeCache.remove(p) }
+        } else inodeCache.remove(path)
+        val g = cell.get
+        // doom computed against the aliases BEFORE the entry cleanup,
+        // deferred to the next read boundary (one filter per batch)
+        pendingDoom ::= g.aliases.doomedColumn(path)
+        setFs(GraftFs(g.catalog, g.chunks, g.aliases.afterDelete(path)))
+        catalogDirty = true
+        true
+    }
+
+  /** FsCatalog.deleteGlob's matrix on the cache — the SAME literal
+    * prefix + anchored regex + root rule as globPredicate, evaluated
+    * driver-side.
+    */
+  private def deleteGlobCached(pattern: String, recursive: Boolean): Boolean = {
+    val re = java.util.regex.Pattern.compile(PathOps.globToRegex(pattern))
+    val pre = PathOps.globLiteralPrefix(pattern)
+    import scala.jdk.CollectionConverters._
+    val roots = inodeCache.keySet().asScala.iterator
+      .filter(p => p.startsWith(pre) && re.matcher(p).find() &&
+        (pattern == "/" || p != "/"))
+      .toSeq.sorted
+    if (roots.isEmpty) return false
+    if (!recursive && roots.exists(r =>
+        cached(r).exists(_.isDir) && cacheHasChildren(r)))
+      throw new IOException(
+        s"Non-empty directory matched by $pattern; use -rmr")
+    roots.foreach { r =>
+      cacheSubtree(r).foreach { case (p, _) => inodeCache.remove(p) }
+    }
+    val g = cell.get
+    roots.foreach(r => pendingDoom ::= g.aliases.doomedColumn(r))
+    setFs(GraftFs(g.catalog, g.chunks,
+      roots.foldLeft(g.aliases)((a, r) => a.afterDelete(r))))
+    catalogDirty = true
+    true
+  }
 
   private val minArgs: Map[String, Int] = Map(
     "-put" -> 2, "-copyFromLocal" -> 2, "-moveFromLocal" -> 2,
@@ -197,15 +390,33 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
 
     case "-mkdir" =>
       forEachSrc(cmd, args) { arg =>
-        val (cat2, ok) = cur.catalog.mkdirs(abs(arg))
-        setFs(GraftFs(cat2, cur.chunks, cur.aliases))
+        // mkdirsWith semantics on the cache: create what it can,
+        // verdict = AND over all levels (file blocks → false)
+        val levels = PathOps.ancestors(abs(arg))
+        val ok = levels.forall(l => cached(l).forall(_.isDir))
+        val missing = levels.filterNot(l => cached(l).isDefined)
+        missing.foreach(l =>
+          inodeCache.put(l, graft.catalog.FsCatalog.dirInode(l, "graft")))
+        if (missing.nonEmpty) catalogDirty = true
         if (!ok) throw new IOException(s"cannot create directory $arg")
         Nil
       }
 
     case "-touchz" =>
       forEachSrc(cmd, args) { arg =>
-        setFs(GraftFs(cur.catalog.touchz(abs(arg)), cur.chunks, cur.aliases))
+        val p = abs(arg)
+        cached(p) match {
+          case Some(n) if n.isDir =>
+            throw new IOException(s"$p is a directory")
+          case Some(n) if n.length > 0 =>
+            throw new IOException(s"$p must be a zero-length file")
+          case Some(_) => () // existing zero-length file: no-op
+          case None =>
+            inodeCache.put(p, graft.catalog.Inode(p, PathOps.parent(p),
+              "graft", "graft", 420, isDir = false,
+              new java.sql.Timestamp(1704067200000L), Seq.empty))
+            catalogDirty = true
+        }
         Nil
       }
 
@@ -235,7 +446,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       val verb = if (cmd == "-mv") "moving" else "copying"
       val dst = abs(args.last)
       val sources = args.dropRight(1)
-      val dstIsDir = cur.catalog.retrieve(dst).exists(_.isDir)
+      val dstIsDir = cached(dst).exists(_.isDir)
       if (sources.length > 1 && !dstIsDir)
         return ShellResult(-1, Nil, Seq(
           s"$cmd: When $verb multiple files, destination ${args.last} should be a directory."))
@@ -245,18 +456,13 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
           throw new IOException(
             s"When $verb multiple files, destination should be a directory.")
         matched.foreach { src =>
-          // rename is driver-map re-keying (zero plan nodes) and copy a
-          // single local-leaf union (GraftFs scaladocs) — plain linear
-          // sets; the r13 tree-doubling shapes and their HeavyCompactDebt
-          // mitigation are retired
-          if (cmd == "-mv") {
-            val (next, _) = cur.rename(src, dst)
-            setFs(next)
-          } else {
-            val target = if (dstIsDir) s"${dirPrefix(dst)}${basename(src)}" else dst
-            val (next, _) = cur.copy(src, target)
-            setFs(next)
-          }
+          // rename is cache re-keying + a driver-map chunk re-key (zero
+          // Spark actions, zero plan nodes); copy duplicates through
+          // the driver (one local-leaf union). The r13 tree-doubling
+          // shapes and their HeavyCompactDebt mitigation are retired.
+          if (cmd == "-mv") renameCached(src, dst)
+          else copyCached(src,
+            if (dstIsDir) s"${dirPrefix(dst)}${basename(src)}" else dst)
         }
         Nil
       }
@@ -265,10 +471,9 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       val recursive = cmd == "-rmr"
       forEachSrc(cmd, args) { arg =>
         val target = abs(arg)
-        val (next, ok) =
-          if (PathOps.isGlob(arg)) cur.deleteGlob(target, recursive)
-          else cur.delete(target, recursive)
-        setFs(next)
+        val ok =
+          if (PathOps.isGlob(arg)) deleteGlobCached(target, recursive)
+          else deleteCached(target, recursive)
         if (!ok)
           throw new FileNotFoundException(s"No such file or directory: $arg")
         Nil
@@ -309,18 +514,17 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       // fresh path. Each source runs in the doall loop.
       val rawDst = abs(args.last)
       val sources = args.dropRight(1)
-      val dstIsDir = cur.catalog.retrieve(rawDst).exists(_.isDir)
+      val dstIsDir = cached(rawDst).exists(_.isDir)
       if (sources.length > 1 && !dstIsDir)
         return ShellResult(-1, Nil, Seq(
           s"$cmd: When copying multiple files, destination ${args.last} should be a directory."))
       forEachSrc(cmd, sources) { local =>
-        val spark = cur.chunks.sparkSession
         // put INTO an existing directory targets dir/<local basename>;
         // an existing file at the target errors (no silent duplicate
         // chunk rows — reassembly would concatenate both payloads)
         val base = java.nio.file.Paths.get(local).getFileName.toString
         val dst = if (dstIsDir) s"${dirPrefix(rawDst)}$base" else rawDst
-        if (cur.catalog.exists(dst))
+        if (cached(dst).isDefined)
           throw new IOException(s"Target $dst already exists")
         // size BEFORE moveFromLocal unlinks the source
         val len = java.nio.file.Files.size(java.nio.file.Paths.get(local))
@@ -331,15 +535,24 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
           if (cmd == "-moveFromLocal")
             DataPlane.moveFromLocal(spark, local, dst, sub, blk)
           else DataPlane.put(spark, local, dst, sub, blk)
-        val (cat2, ok) = cur.catalog.mkdirs(PathOps.parent(dst))
-        if (!ok) throw new IOException(
-          s"Parent path is not a directory: ${PathOps.parent(dst)}")
-        val node = graft.catalog.Inode(dst, PathOps.parent(dst), "graft", "graft",
-          420, isDir = false, new java.sql.Timestamp(1704067200000L),
-          graft.catalog.BlockMeta.forLength(dst, len, sub, blk))
+        // parent mkdirs on the cache; failure leaves state untouched
+        // (the frame path threw before any setFs too)
+        val levels = PathOps.ancestors(PathOps.parent(dst))
+        if (!levels.forall(l => cached(l).forall(_.isDir)))
+          throw new IOException(
+            s"Parent path is not a directory: ${PathOps.parent(dst)}")
+        levels.filterNot(l => cached(l).isDefined).foreach(l =>
+          inodeCache.put(l, graft.catalog.FsCatalog.dirInode(l, "graft")))
+        inodeCache.put(dst, graft.catalog.Inode(dst, PathOps.parent(dst),
+          "graft", "graft", 420, isDir = false,
+          new java.sql.Timestamp(1704067200000L),
+          graft.catalog.BlockMeta.forLength(dst, len, sub, blk)))
         // withNewRows re-keys the fresh rows if their identity birth is
-        // claimed (path re-created after a rename moved the original)
-        setFs(cur.withNewRows(cat2.store(node), dst, newChunks))
+        // claimed (path re-created after a rename moved the original);
+        // row-ADDING verb: cur flushes pending deletes first
+        val g = cur
+        setFs(g.withNewRows(g.catalog, dst, newChunks))
+        catalogDirty = true
         Nil
       }
 

@@ -579,4 +579,35 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     catR.code must be(0)
     catR.out.head must be("0123456789")
   }
+
+  it must "sustain >=500 metadata verbs/s through the cache-backed mutation path" in {
+    // the r13 directive's shell-path throughput gate: with the
+    // driver-resident inode cache, -mv/-touchz/-rm run no Spark action
+    // at all (the chunk plane re-keys a driver map; the catalog frame
+    // is a depth-1 local dataset rebuild) — only the cell's periodic
+    // compaction pays a job, amortized by the doubling interval. The
+    // frame-based precondition path capped at tens of verbs/s (three
+    // limit(1).collect() jobs per -mv).
+    val sh = newShell()
+    sh.run(Array("-mkdir", "/thr")).code must be(0)
+    // warmup: first verbs pay codegen/encoder warmup
+    (0 until 50).foreach(i => sh.run(Array("-touchz", s"/thr/w$i")))
+    val n = 1500
+    val t0 = System.nanoTime()
+    (0 until n).foreach { i =>
+      val r = (i % 3: @unchecked) match {
+        case 0 => sh.run(Array("-touchz", s"/thr/t$i"))
+        case 1 => sh.run(Array("-mv", s"/thr/t${i - 1}", s"/thr/r$i"))
+        case 2 => sh.run(Array("-rm", s"/thr/r${i - 1}"))
+      }
+      r.code must be(0)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = n / secs
+    withClue(f"$n verbs in $secs%.2f s = $rate%.0f verbs/s: ") {
+      rate must be >= 500.0
+    }
+    // and the state survives the storm coherently
+    sh.run(Array("-test", "-d", "/thr")).code must be(0)
+  }
 }
