@@ -383,6 +383,20 @@ final case class GraftFs(catalog: FsCatalog, chunks: DataFrame,
     GraftFs(graft.catalog.FsCatalog(catalog.inodes.localCheckpoint(true)),
       currentChunks.localCheckpoint(true), ChunkAliases.empty)
 
+  /** LAZY alias materialization: fold the current→birth translation
+    * into the chunk PLAN (≤ |entries|+1 branches) and empty the map —
+    * no action, no checkpoint, so the caller's state cell keeps sole
+    * ownership of checkpoint lifecycles and the branch plan flattens
+    * at its next tracked compaction. This is the alias-map growth
+    * bound: without it a session doing millions of renames would
+    * accumulate a driver map whose per-read translation view grows one
+    * union branch per entry forever (the shell normalizes at a fixed
+    * entry cap — [[GraftShell]] flush path).
+    */
+  def aliasesApplied(): GraftFs =
+    if (aliases.isEmpty) this
+    else GraftFs(catalog, currentChunks, ChunkAliases.empty)
+
   /** Data-plane accounting for consistency checks: chunk rows + bytes
     * under a prefix (current-path space).
     */

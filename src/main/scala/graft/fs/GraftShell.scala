@@ -67,6 +67,15 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         g = GraftFs(cacheCatalog(), g.chunks, g.aliases)
         catalogDirty = false
       }
+      // alias-map growth bound: past the cap, fold the translation into
+      // the plan and empty the map — safe EXACTLY here because pending
+      // deletes were just flushed (their predicates are birth-space;
+      // folding re-keys rows to current paths, so an unflushed doom
+      // would miss its rows and resurrect deleted data). Lazy — no
+      // checkpoint; the branch plan flattens at the cell's next
+      // tracked compaction.
+      if (g.aliases.entries.size > GraftShell.AliasFoldCap)
+        g = g.aliasesApplied()
       cell.set(g)
     }
 
@@ -594,4 +603,14 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     case other =>
       ShellResult(-1, Nil, Seq(s"Unknown command: $other"))
   }
+}
+
+object GraftShell {
+  /** Alias entries tolerated before a read-boundary flush folds the
+    * translation into the chunk plan and empties the map (see
+    * GraftFs.aliasesApplied): bounds BOTH the driver map and the
+    * per-read translation view at a few hundred branches, while
+    * keeping the fold rare enough that rename stays map-speed.
+    */
+  val AliasFoldCap: Int = 256
 }

@@ -610,4 +610,26 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     // and the state survives the storm coherently
     sh.run(Array("-test", "-d", "/thr")).code must be(0)
   }
+  it must "fold the alias map into the plan past AliasFoldCap and keep answering" in {
+    // the alias-map growth bound: a session renaming forever must not
+    // accumulate one translation branch per rename — past the cap the
+    // read-boundary flush folds the map into the plan and empties it
+    val sh = newShell()
+    sh.run(Array("-mkdir", "/fold")).code must be(0)
+    (0 until 300).foreach { i =>
+      sh.run(Array("-touchz", s"/fold/t$i")).code must be(0)
+      sh.run(Array("-mv", s"/fold/t$i", s"/fold/m$i")).code must be(0)
+    }
+    val snap = sh.fs // read boundary: flush + fold
+    try snap.aliases.entries.size must be <= GraftShell.AliasFoldCap
+    finally sh.releaseSnapshot(snap)
+    // the folded state still answers — bytes survive a rename ACROSS
+    // the fold boundary
+    sh.run(Array("-cp", "/a/f1", "/fold/data")).code must be(0)
+    sh.run(Array("-mv", "/fold/data", "/fold/moved")).code must be(0)
+    val r = sh.run(Array("-cat", "/fold/moved"))
+    r.code must be(0)
+    r.out.head must be("0123456789")
+    sh.run(Array("-test", "-e", "/fold/m299")).code must be(0)
+  }
 }
