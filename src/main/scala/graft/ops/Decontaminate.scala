@@ -274,4 +274,48 @@ object Decontaminate {
       flagged(train, benchmark, n, minShared, maxBenchDf)
         .select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** FUZZY decontamination — the near-duplicate form of [[flagged]]:
+    * flag (train, bench) pairs whose exact n-gram-shingle JACCARD
+    * meets `minJaccard`, not just an absolute shared count. An
+    * absolute floor misses a short eval doc paraphrase-embedded in a
+    * long training doc differently than a relative one; production
+    * leakage scrubs run both (this is the relative gate).
+    *
+    * Exactness over capping: unlike [[flagged]], no bench-df cap
+    * applies — Jaccard is a RATIO over full distinct-shingle sets, and
+    * dropping high-df shingles would silently deflate it. The bench
+    * side is bounded by design (an eval set, thousands of docs), so
+    * its shingle rows broadcast; the corpus side streams through the
+    * shingle-keyed join exactly once. Per-train-doc shingle sizes
+    * attach to the matched PAIR SLIVER (bounded by |bench| × matching
+    * docs), not the other way around, and AQE re-plans that join as a
+    * broadcast at runtime when the sliver is small.
+    *
+    * jaccard = shared / (n_a + n_b − shared): one double division of
+    * exact Longs — bit-identical cross-engine, threshold-stable.
+    * Returns (doc_id, bench_id, n_shared, jaccard) ordered by pair.
+    */
+  def fuzzyFlagged(train: DataFrame, benchmark: DataFrame,
+                   n: Int = 3, minJaccard: Double = 0.02): DataFrame = {
+    val tr = Dedup.shingleRows(train, n)
+    val be = Dedup.shingleRows(benchmark, n)
+      .withColumnRenamed("doc_id", "bench_id")
+    val trSize = tr.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_a"))
+    val beSize = be.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_b"))
+    tr.join(broadcast(be), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(beSize), "bench_id")
+      .join(trSize, "doc_id")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("bench_id"),
+        col("n_shared").cast("long").as("n_shared"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
 }

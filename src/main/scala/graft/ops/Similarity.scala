@@ -63,6 +63,74 @@ object Similarity {
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     topKPerQuery(scoreAll(queries, corpus), k)
 
+  /** MMR-diversified top-k — the retrieval RERANKER next to raw
+    * similarity search: greedily pick k of the top-`cand` candidates
+    * maximizing λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s), so the
+    * result covers the query's neighborhood instead of returning k
+    * near-copies of the same cluster (Carbonell & Goldstein 1998 —
+    * public).
+    *
+    * Distribution shape: the EXPENSIVE part (scoring the corpus,
+    * ranking top-cand per query) is [[bruteTopK]]'s corpus-scan +
+    * map-side heap — swap in any indexed variant for the 100 TB path.
+    * The greedy tail operates on a |queries|·cand sliver whose
+    * candidate-pair sims are one broadcast self-join of that sliver
+    * (≤ |q|·cand² rows); both frames are K-bounded BY CONSTRUCTION, so
+    * the driver-side greedy loop is a bounded collect (the codebook
+    * precedent), never corpus-proportional.
+    *
+    * Determinism: every similarity is the same codegen'd graft_cosine
+    * both stages use; with the default λ = 0.5 the MMR combination is
+    * 0.5·s − 0.5·m — two exact power-of-two scalings and one subtract —
+    * so the cross-engine argmax is as stable as the sims themselves;
+    * ties break on neighbor_id ascending.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              cand: Int = 25, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && cand >= k, s"need cand >= k >= 1, got k=$k cand=$cand")
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val cands = bruteTopK(queries, corpus, cand)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"), col("score"), col("cv"))
+    // candidate-pair sims: broadcast self-join of the bounded sliver,
+    // scored by the SAME cosine primitive as the query scores
+    val a = cands.select(col("q_id"), col("neighbor_id").as("x"), col("cv").as("av"))
+    val b = cands.select(col("q_id"), col("neighbor_id").as("y"), col("cv").as("bv"))
+    val pairSims = a.join(broadcast(b), Seq("q_id"))
+      .filter(col("x") =!= col("y"))
+      .select(col("q_id"), col("x"), col("y"),
+        expr("graft_cosine(av, bv)").as("s"))
+    val simByPair = pairSims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    val byQuery = cands.select(col("q_id"), col("neighbor_id"), col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val picked = byQuery.toSeq.flatMap { case (qId, rows) =>
+      val remaining = scala.collection.mutable.Map(
+        rows.map(r => r._2 -> r._3).toSeq: _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (1 to math.min(k, rows.length)).map { rank =>
+        // argmax of (mmr DESC, neighbor_id ASC) — first pick has no
+        // selected set, so its penalty term is 0 (plain max score)
+        val best = remaining.keys.toSeq.map { id =>
+          val penalty =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => simByPair((qId, id, s))).max
+          (lambda * remaining(id) - (1 - lambda) * penalty, id)
+        }.minBy { case (mmr, id) => (-mmr, id) }
+        selected += best._2
+        remaining -= best._2
+        (qId, best._2, rank)
+      }
+    }
+    import spark.implicits._
+    picked.toDF("q_id", "neighbor_id", "mmr_rank")
+  }
+
   /** Distributed spherical k-means over the embedding column — the real
     * centroid computation the first-K seeding was a placeholder for.
     * Each Lloyd round: (1) assignment = one corpus scan against

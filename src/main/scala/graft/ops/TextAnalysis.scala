@@ -956,4 +956,151 @@ object TextAnalysis {
     bm25Many(docs, Seq((0L, terms)).toDF("query_id", "terms"), k1, b)
       .drop("query_id")
   }
+
+  /** Gopher-style quality RULE battery (Rae et al. 2021 §A1.1.1, public)
+    * — the published-threshold cousin of [[quality]]'s raw ratios: each
+    * doc gets one boolean per rule plus the conjunction, so a curation
+    * pass can report per-rule kill counts instead of one opaque gate.
+    * Line-based rules (bullet/ellipsis) are omitted: this corpus is
+    * single-line by construction, so they'd be vacuously true columns.
+    * All inputs are exact integer counts off ONE materialized token
+    * array; each ratio is a single int/int double division (rounded),
+    * bit-identical cross-engine. Bounds are corpus-calibrated to
+    * discriminate (word counts here span 10–99; real Gopher uses
+    * 50–100k on web pages — the RULE SHAPE is the operator, the
+    * constants are parameters).
+    */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 25, maxWords: Int = 80,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 1): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopArr = stops.map(s => s"'$s'").mkString(", ")
+    docs
+      // Generate barrier: tokenize ONCE per row (the repetition()
+      // CollapseProject trap — every ratio below references toks)
+      .select(col("doc_id"), explode(array(tokens)).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        round(expr("aggregate(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+          .cast("double") / nullif(size(col("toks")).cast("double"), lit(0d)),
+          4).as("mean_word_len"),
+        round(expr("size(filter(toks, w -> w rlike '^[a-z]+$'))").cast("double") /
+          nullif(size(col("toks")).cast("double"), lit(0d)), 6).as("alpha_frac"),
+        expr(s"size(filter(array($stopArr), s -> array_contains(toks, s)))")
+          .cast("long").as("stop_hits"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("r_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("r_stopwords", col("stop_hits") >= minStopHits)
+      .withColumn("gopher_ok",
+        col("r_word_count") && col("r_mean_len") && col("r_alpha") &&
+          col("r_stopwords"))
+  }
+
+  /** Gopher-style repetition battery in CHARACTER-MASS terms (Rae et
+    * al. 2021 §A1.1.2) — the within-doc signals [[repetition]]'s count
+    * ratios don't capture: a doc whose most frequent 3-gram is three
+    * LONG words is more degenerate than one repeating three short
+    * ones. Per doc: top-{2,3,4}-gram char fraction (char mass of the
+    * heaviest n-gram over total token char mass) and dup-{5,6}-gram
+    * char fraction (char mass of all n-grams occurring ≥2×).
+    *
+    * Determinism: "heaviest" is MAX over grams of count × gram char
+    * mass — a pure max of exact Longs, so no most-frequent tiebreak is
+    * ever needed (the usual top-1 ambiguity when two grams tie on
+    * count). Char mass of one occurrence = length(gram) − (n−1)
+    * (the concat_ws separators subtracted back out). Fractions are one
+    * Long/Long double division each, rounded.
+    *
+    * Shape: ONE corpus scan. The token array materializes once per
+    * row; all five gram lengths emit from a single index-lambda
+    * `transform` (linear, codegen'd — no per-doc window sort, no
+    * sequence() reversal trap on short docs), flatten into one
+    * Generate, and feed ONE map-side-combined (doc, n, gram) count.
+    * Docs too short for any gram re-enter via the left join with all
+    * fractions 0.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val gramArrays = (2 to 6).map { n =>
+      // (t, i) index lambda: i is 0-based, slice is 1-based; emit the
+      // gram starting at each position that still fits, null otherwise,
+      // then drop the nulls — linear and total on 0/1-token docs.
+      expr(s"""filter(
+              |  transform(toks, (t, i) ->
+              |    IF(i + $n <= size(toks),
+              |       named_struct('n', $n,
+              |                    'gram', concat_ws(' ', slice(toks, i + 1, $n))),
+              |       CAST(NULL AS STRUCT<n: INT, gram: STRING>))),
+              |  x -> x IS NOT NULL)""".stripMargin)
+    }
+    val base = docs
+      .select(col("doc_id"), explode(array(tokens)).as("toks"))
+      .select(col("doc_id"),
+        expr("aggregate(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+          .as("n_token_chars"),
+        array(gramArrays: _*).as("gs"))
+    val mass = base.select(col("doc_id"), col("n_token_chars"))
+    val perGram = base
+      .select(col("doc_id"), explode(flatten(col("gs"))).as("g"))
+      .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w",
+        col("c") * (length(col("gram")) - (col("n") - 1).cast("long")))
+    val perDoc = perGram
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("w"))).as("t2"),
+        max(when(col("n") === 3, col("w"))).as("t3"),
+        max(when(col("n") === 4, col("w"))).as("t4"),
+        sum(when(col("n") === 5 && col("c") >= 2, col("w"))).as("d5"),
+        sum(when(col("n") === 6 && col("c") >= 2, col("w"))).as("d6"))
+    def frac(c: Column): Column =
+      coalesce(round(c.cast("double") /
+        nullif(col("n_token_chars").cast("double"), lit(0d)), 6), lit(0.0))
+    mass.join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_token_chars"),
+        frac(col("t2")).as("top_2gram_char_frac"),
+        frac(col("t3")).as("top_3gram_char_frac"),
+        frac(col("t4")).as("top_4gram_char_frac"),
+        frac(col("d5")).as("dup_5gram_char_frac"),
+        frac(col("d6")).as("dup_6gram_char_frac"))
+  }
+
+  /** Per-document shingle NOVELTY against everything that came before
+    * it — the memorization-risk / marginal-value score a pretraining
+    * pipeline ranks late-crawl documents by: novelty(d) = fraction of
+    * d's distinct n-gram shingles whose corpus-wide FIRST occurrence
+    * (minimum doc_id) is d itself. A doc stitched entirely from
+    * earlier documents scores 0; fully fresh text scores 1. Docs with
+    * fewer than n tokens have no shingle and emit no row (the
+    * bigramFluency no-row precedent — a gate composes a join by
+    * policy).
+    *
+    * Shape: the LSH shingle pipeline's distinct (doc, shingle) rows,
+    * one map-side-combined min(doc_id) per shingle, one shuffle join
+    * back on the shingle key, one per-doc count — all linear in corpus
+    * shingle mass, no pair generation anywhere. At 100 TB the
+    * first-occurrence table is exactly the dedup fingerprint table the
+    * warehouse already maintains; the join key (shingle text) salts
+    * naturally because shingles ARE the high-cardinality key.
+    */
+  def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleRows(docs, n)
+    val firstSeen = sh
+      .groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+  }
 }

@@ -3235,6 +3235,234 @@ object PipelineQueries {
              |  FROM d, UNNEST(range(0, nf - 1)) AS g(i))
              |SELECT doc_id * 1000 + fi + 1 AS id_a,
              |       (1000 + doc_id) * 1000 + fi AS id_b
-             |FROM f ORDER BY id_a, id_b""".stripMargin))
+             |FROM f ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── Gopher-style rule batteries (round-14 additions) ────────────────
+
+    // Published-threshold quality rules: one boolean per rule + the
+    // conjunction, so curation reports per-rule kill counts. Bounds are
+    // corpus-calibrated (word counts span 10–99 here); the rule SHAPE
+    // is the operator.
+    QueryDef(
+      "text_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |         CAST(LEN(toks) AS BIGINT) AS n_words,
+             |         ROUND(CAST(list_sum(list_transform(toks, w -> LENGTH(w))) AS DOUBLE) / LEN(toks), 4) AS mean_word_len,
+             |         ROUND(CAST(LEN(list_filter(toks, w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE) / LEN(toks), 6) AS alpha_frac,
+             |         CAST(LEN(list_filter(['the','be','to','of','and','that','have','with'], x -> list_contains(toks, x))) AS BIGINT) AS stop_hits
+             |  FROM t)
+             |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+             |       (n_words >= 25 AND n_words <= 80) AS r_word_count,
+             |       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+             |       (alpha_frac >= 0.8) AS r_alpha,
+             |       (stop_hits >= 1) AS r_stopwords,
+             |       (n_words >= 25 AND n_words <= 80
+             |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             |        AND alpha_frac >= 0.8 AND stop_hits >= 1) AS gopher_ok
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Char-mass repetition battery: top-{2,3,4}-gram and dup-{5,6}-gram
+    // character fractions. "Heaviest gram" is MAX(count × char mass) —
+    // a pure Long max, no most-frequent tiebreak ambiguity.
+    QueryDef(
+      "text_gopher_repetition",
+      (s, d) => TextAnalysis.gopherRepetition(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |         CAST(COALESCE(list_sum(list_transform(toks, w -> LENGTH(w))), 0) AS BIGINT) AS n_token_chars
+             |  FROM t),
+             |g AS (
+             |  SELECT doc_id, n,
+             |         array_to_string(list_slice(toks, i, i + n - 1), ' ') AS gram
+             |  FROM t, UNNEST([2, 3, 4, 5, 6]) AS u(n),
+             |       UNNEST(range(1, len(toks) - n + 2)) AS r(i)),
+             |c AS (
+             |  SELECT doc_id, n, gram, COUNT(*) AS cnt,
+             |         (LENGTH(gram) - (n - 1)) AS gmass
+             |  FROM g GROUP BY ALL),
+             |a AS (
+             |  SELECT doc_id,
+             |         MAX(CASE WHEN n = 2 THEN cnt * gmass END) AS t2,
+             |         MAX(CASE WHEN n = 3 THEN cnt * gmass END) AS t3,
+             |         MAX(CASE WHEN n = 4 THEN cnt * gmass END) AS t4,
+             |         SUM(CASE WHEN n = 5 AND cnt >= 2 THEN cnt * gmass END) AS d5,
+             |         SUM(CASE WHEN n = 6 AND cnt >= 2 THEN cnt * gmass END) AS d6
+             |  FROM c GROUP BY doc_id)
+             |SELECT m.doc_id, n_token_chars,
+             |       COALESCE(ROUND(CAST(t2 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS top_2gram_char_frac,
+             |       COALESCE(ROUND(CAST(t3 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS top_3gram_char_frac,
+             |       COALESCE(ROUND(CAST(t4 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS top_4gram_char_frac,
+             |       COALESCE(ROUND(CAST(d5 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS dup_5gram_char_frac,
+             |       COALESCE(ROUND(CAST(d6 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS dup_6gram_char_frac
+             |FROM m LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // First-occurrence shingle novelty: fraction of a doc's distinct
+    // 3-shingles first seen (min doc_id) in that doc. Docs with <3
+    // tokens emit no row (the bigramFluency no-row precedent).
+    QueryDef(
+      "text_novelty",
+      (s, d) => TextAnalysis.novelty(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                               for i in range(1, len(t)-1)])) AS sh
+             |  FROM t),
+             |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM g GROUP BY sh)
+             |SELECT g.doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |       ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+             |FROM g JOIN f USING (sh)
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Fuzzy (Jaccard-threshold) decontamination — the relative-overlap
+    // gate next to pipeline_decontaminate's absolute shared-count one.
+    // Same %10 bench split as the exact channel.
+    QueryDef(
+      "pipeline_decontaminate_fuzzy",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontaminate.fuzzyFlagged(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          n = 3, minJaccard = 0.02)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                               for i in range(1, len(t)-1)])) AS sh
+             |  FROM t),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+             |tr AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+             |be AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+             |shared AS (
+             |  SELECT tr.doc_id, be.doc_id AS bench_id, COUNT(*) AS c
+             |  FROM tr JOIN be USING (sh) GROUP BY 1, 2),
+             |j AS (
+             |  SELECT s.doc_id, s.bench_id, c,
+             |         CAST(c AS DOUBLE) / (a.n + b.n - c) AS jac
+             |  FROM shared s
+             |  JOIN sz a ON a.doc_id = s.doc_id
+             |  JOIN sz b ON b.doc_id = s.bench_id)
+             |SELECT doc_id, bench_id, CAST(c AS BIGINT) AS n_shared,
+             |       ROUND(jac, 6) AS jaccard
+             |FROM j WHERE jac >= 0.02
+             |ORDER BY doc_id, bench_id""".stripMargin)),
+
+    // MMR-diversified retrieval: greedy λ=0.5 rerank of the brute top-25
+    // per query. The oracle unrolls the k=5 greedy stages as CTEs —
+    // each stage excludes the selected union, max-joins the pair sims,
+    // and picks the (mmr DESC, id ASC) argmax, exactly the op's loop.
+    QueryDef(
+      "ann_mmr",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.mmrTopK(emb.filter(col("vec_id") < 5), emb,
+          k = 5, cand = 25, lambda = 0.5)
+          .orderBy(col("q_id"), col("mmr_rank"))
+      },
+      Some(mmrOracle(k = 5, cand = 25))),
+
+    // Streaming ANN-index ingest (seventeenth streaming channel): the
+    // increment lands in 3 chunked micro-batches, each encodes against
+    // frozen history-trained centroids into its own idempotent
+    // batch=<id> partition; searches through the streamed index must be
+    // IDENTICAL to a from-scratch batch build (the ann_incremental
+    // equality gate, now with the ingest topology executed for real).
+    QueryDef(
+      "stream_ann_ingest",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+        val hist = emb.filter(col("vec_id") % 10 =!= 0)
+        // same (k, iters) as the drain's frozen quantizer —
+        // deterministic training makes the two centroid sets identical
+        val cents = Similarity.kmeansCentroids(hist, 16, 3)
+        val merged = graft.streaming.EventsStream.annIngestAvailableNow(s, d)
+        searchEqualityGate(qs,
+          Similarity.ivfTopKIndexed(qs, merged, cents, nprobe = 4, k = 5),
+          Similarity.ivfTopKIndexed(qs,
+            Similarity.assignBuckets(emb, cents), cents, nprobe = 4, k = 5),
+          k = 5)
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS identical_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin))
   )
+
+  /** DuckDB twin of `Similarity.mmrTopK` (λ = 0.5): generated because
+    * the greedy selection needs one CTE pair per rank. Stage i keeps
+    * the candidates not yet selected, attaches max pair-sim to the
+    * selected union, and picks the (0.5·score − 0.5·msim DESC, id ASC)
+    * argmax — the op's driver loop, join for join.
+    */
+  private def mmrOracle(k: Int, cand: Int): String = {
+    val stages = (2 to k).map { i =>
+      s"""mmr$i AS (
+         |  SELECT c.q_id, c.neighbor_id, c.score, MAX(p.s) AS msim
+         |  FROM cand c
+         |  JOIN p ON p.q_id = c.q_id AND p.x = c.neighbor_id
+         |  JOIN selu${i - 1} su ON su.q_id = p.q_id AND su.neighbor_id = p.y
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} e
+         |                    WHERE e.q_id = c.q_id AND e.neighbor_id = c.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |sel$i AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY 0.5 * score - 0.5 * msim DESC, neighbor_id) AS rn
+         |    FROM mmr$i) WHERE rn = 1),
+         |selu$i AS (SELECT * FROM selu${i - 1}
+         |           UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to k).map(i =>
+      s"SELECT q_id, neighbor_id, CAST($i AS INTEGER) AS mmr_rank FROM sel$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH scores AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.embedding, e.embedding) AS score
+       |  FROM embeddings e, embeddings q
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT q_id, neighbor_id, score FROM (
+       |    SELECT q_id, neighbor_id, score,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY score DESC, neighbor_id) AS rn
+       |    FROM scores)
+       |  WHERE rn <= $cand),
+       |p AS (
+       |  SELECT a.q_id, a.neighbor_id AS x, b.neighbor_id AS y,
+       |         list_cosine_similarity(ea.embedding, eb.embedding) AS s
+       |  FROM cand a
+       |  JOIN cand b ON a.q_id = b.q_id AND a.neighbor_id <> b.neighbor_id
+       |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+       |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+       |sel1 AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY score DESC, neighbor_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |selu1 AS (SELECT * FROM sel1),
+       |$stages
+       |$ranks
+       |ORDER BY q_id, mmr_rank""".stripMargin
+  }
 }

@@ -1353,6 +1353,80 @@ object EventsStream {
       }
   }
 
+  private val annIngests = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Memo[DataFrame]]()
+
+  /** Streaming ANN-INDEX ingest — the arrival-time form of
+    * `ann_incremental`'s retrain-free append: embedding chunks land
+    * through the parquet file source (one micro-batch per chunk), each
+    * batch encodes against the FROZEN history-trained coarse centroids
+    * (one broadcast max-cosine assignment — stateless, no retraining at
+    * the door) and commits its bucket rows by OVERWRITING its own
+    * batch=<id> partition dir — the idempotent exactly-once foreachBatch
+    * contract the semantic gate uses, so a replayed batch rewrites the
+    * same files and the index never double-counts. The method returns
+    * the read-back merged index (history partition ∪ streamed
+    * partitions); the channel proves searches through it are IDENTICAL
+    * to a from-scratch batch index build, which is precisely the claim
+    * that lets a 100 TB pipeline index arrivals continuously instead of
+    * rebuilding nightly. Drained once per (applicationId, sfDir).
+    */
+  def annIngestAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, token) = stageLandingWithToken(s"$sfDir/embeddings.parquet")
+    memoized(annIngests, (spark.sparkContext.applicationId, sfDir), token) {
+      import java.nio.file.Files
+      graft.functions.GraftFunctions.register(spark)
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val hist = emb.filter(col("vec_id") % 10 =!= 0)
+      val inc = emb.filter(col("vec_id") % 10 === 0)
+      // frozen coarse quantizer: deterministic (first-K seed, no RNG),
+      // so the channel's batch-built twin trains to identical centroids
+      val cents = graft.ops.Similarity.kmeansCentroids(hist, 16, 3)
+
+      val indexDir = Files.createTempDirectory("graft-ann-index")
+      reclaimOnExit(indexDir)
+      graft.ops.Similarity.assignBuckets(hist, cents)
+        .write.mode("overwrite").parquet(s"$indexDir/batch=hist")
+
+      // the increment as ascending vec_id range chunks → 3 micro-batches
+      val landing = Files.createTempDirectory("graft-ann-landing")
+      reclaimOnExit(landing)
+      inc.repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(landing.toString)
+
+      val ckpt = tempCheckpointDir()
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          q = spark.readStream.schema(embeddingsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing.toString)
+            .writeStream
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              graft.ops.Similarity.assignBuckets(batch, cents)
+                .write.mode("overwrite")
+                .parquet(s"$indexDir/batch=$batchId")
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        } finally {
+          if (q != null && q.isActive) q.stop()
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        drainHygiene(spark)
+        deleteRecursively(ckpt)
+      }
+      spark.read.parquet(indexDir.toString)
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+    }
+  }
+
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
     * for a training-data pipeline: emit each content hash's FIRST
     * arrival only. `dropDuplicatesWithinWatermark` bounds the dedup

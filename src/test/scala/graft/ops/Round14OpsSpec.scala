@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.TestSpark
+
+/** Hand-computed fixtures for the round-14 batch ops: the Gopher rule
+  * battery, the char-mass repetition battery, first-occurrence shingle
+  * novelty, and fuzzy (Jaccard-threshold) decontamination.
+  */
+class Round14OpsSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  behavior of "TextAnalysis.gopherRules"
+
+  it must "evaluate each rule independently and conjoin them" in {
+    val ok = "the " + Seq.fill(29)("data").mkString(" ") // 30 words, has 'the'
+    val short = "the data table query row"               // 5 words
+    val digits = Seq.tabulate(30)(i => s"x$i").mkString(" ") // no pure-alpha
+    val noStop = Seq.fill(30)("data").mkString(" ")       // no gopher stopword
+    val out = TextAnalysis.gopherRules(docsDf(Seq(
+        1L -> ok, 2L -> short, 3L -> digits, 4L -> noStop)))
+      .orderBy("doc_id").collect()
+    def row(id: Long): Row = out.find(_.getLong(0) == id).get
+    row(1L).getAs[Boolean]("gopher_ok") must be(true)
+    row(1L).getAs[Double]("mean_word_len") must be(119.0 / 30 +- 1e-4)
+    row(2L).getAs[Boolean]("r_word_count") must be(false)
+    row(2L).getAs[Boolean]("r_stopwords") must be(true)
+    row(3L).getAs[Boolean]("r_alpha") must be(false)
+    row(3L).getAs[Double]("alpha_frac") must be(0.0)
+    row(4L).getAs[Boolean]("r_stopwords") must be(false)
+    Seq(2L, 3L, 4L).foreach(id =>
+      row(id).getAs[Boolean]("gopher_ok") must be(false))
+  }
+
+  behavior of "TextAnalysis.gopherRepetition"
+
+  it must "compute exact char-mass fractions (overlap counts multiply)" in {
+    // tokens [aa bb aa bb aa], char mass 10:
+    //   2-grams: "aa bb"×2, "bb aa"×2 → max w = 2×4 = 8      → 0.8
+    //   3-grams: "aa bb aa"×2 → 2×6 = 12                     → 1.2
+    //   4-grams: two singles of mass 8 → 8                   → 0.8
+    //   5-grams: one single → no dup                         → 0.0
+    val out = TextAnalysis.gopherRepetition(docsDf(Seq(
+        1L -> "aa bb aa bb aa",
+        2L -> Seq.fill(10)("cc").mkString(" "),
+        3L -> "aa")))
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    d1.getAs[Long]("n_token_chars") must be(10L)
+    d1.getAs[Double]("top_2gram_char_frac") must be(0.8)
+    d1.getAs[Double]("top_3gram_char_frac") must be(1.2)
+    d1.getAs[Double]("top_4gram_char_frac") must be(0.8)
+    d1.getAs[Double]("dup_5gram_char_frac") must be(0.0)
+    // 10×"cc", mass 20: 5-grams "cc…"×6 of mass 10 → 60/20 = 3.0
+    val d2 = out(1)
+    d2.getAs[Double]("dup_5gram_char_frac") must be(3.0)
+    d2.getAs[Double]("dup_6gram_char_frac") must be(3.0)
+    d2.getAs[Double]("top_2gram_char_frac") must be(1.8)
+    // a 1-token doc keeps its row with all-zero fractions
+    val d3 = out(2)
+    d3.getAs[Long]("n_token_chars") must be(2L)
+    d3.getAs[Double]("top_2gram_char_frac") must be(0.0)
+    d3.getAs[Double]("dup_6gram_char_frac") must be(0.0)
+  }
+
+  behavior of "TextAnalysis.novelty"
+
+  it must "score first-seen shingles as novel, copies as 0" in {
+    val out = TextAnalysis.novelty(docsDf(Seq(
+        1L -> "a b c d",       // both shingles first here → 1.0
+        2L -> "a b c d",       // exact copy → 0.0
+        3L -> "a b c x y z",   // 1 of 4 shingles seen before → 0.75
+        4L -> "q r")))         // <3 tokens → no row
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(0)).toSeq must be(Seq(1L, 2L, 3L))
+    out(0).getAs[Double]("novelty") must be(1.0)
+    out(1).getAs[Double]("novelty") must be(0.0)
+    out(2).getAs[Long]("n_shingles") must be(4L)
+    out(2).getAs[Long]("n_novel") must be(3L)
+    out(2).getAs[Double]("novelty") must be(0.75)
+  }
+
+  behavior of "Decontaminate.fuzzyFlagged"
+
+  it must "flag pairs at the exact Jaccard threshold and agree with Dedup.jaccard" in {
+    val train = docsDf(Seq(1L -> "w1 w2 w3 w4",
+      2L -> "totally different words here with nothing shared at all right"))
+    val bench = docsDf(Seq(10L -> "w1 w2 w3 w4 w5"))
+    // shingles: train d1 {w1w2w3, w2w3w4}, bench {.., .., w3w4w5}
+    // shared 2 → jaccard 2/(2+3−2) = 2/3
+    val out = Decontaminate.fuzzyFlagged(train, bench, n = 3,
+      minJaccard = 0.5).collect()
+    out.length must be(1)
+    out(0).getLong(0) must be(1L)
+    out(0).getLong(1) must be(10L)
+    out(0).getLong(2) must be(2L)
+    out(0).getDouble(3) must be(0.666667)
+    val exact = Dedup.jaccard(
+      docsDf(Seq(1L -> "w1 w2 w3 w4", 10L -> "w1 w2 w3 w4 w5")), 1L, 10L)
+    math.abs(exact - 2.0 / 3.0) must be < 1e-12
+    // a threshold just above the pair's jaccard drops it
+    Decontaminate.fuzzyFlagged(train, bench, n = 3, minJaccard = 0.67)
+      .count() must be(0L)
+  }
+
+  behavior of "Similarity.mmrTopK"
+
+  private def vecsDf(vs: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    vs.toDF("vec_id", "embedding")
+  }
+
+  it must "diversify: pick the off-cluster candidate over a near-copy of pick #1" in {
+    // query along +x; candidate 1 leans +y (score .9487), 2 is a
+    // near-copy of 1 with a hair MORE query-sim than 3 (.9479 > .9476),
+    // 3 mirrors 1 across the x-axis (far from 1: pair sim ≈ .80).
+    // Plain top-2 is (1, 2); MMR's second pick must be 3 because 2's
+    // penalty (sim to 1 ≈ 1.0) crushes its margin while 3's doesn't.
+    val q = vecsDf(Seq(100L -> Seq(1f, 0f)))
+    val corpus = vecsDf(Seq(
+      1L -> Seq(0.9f, 0.3f),
+      2L -> Seq(0.9f, 0.302f),
+      3L -> Seq(0.89f, -0.3f),
+      100L -> Seq(1f, 0f)))
+    val mmr = Similarity.mmrTopK(q, corpus, k = 2, cand = 3)
+      .orderBy("mmr_rank").collect()
+    mmr.map(r => (r.getLong(1), r.getInt(2))).toSeq must be(
+      Seq((1L, 1), (3L, 2)))
+    val brute = Similarity.bruteTopK(q, corpus, k = 2)
+      .orderBy("rank").collect()
+    brute.map(_.getLong(1)).toSeq must be(Seq(1L, 2L))
+  }
+
+  it must "emit min(k, candidates) rows with dense ranks per query" in {
+    val q = vecsDf(Seq(100L -> Seq(1f, 0f), 101L -> Seq(0f, 1f)))
+    val corpus = vecsDf(Seq(1L -> Seq(1f, 0.1f), 2L -> Seq(0.1f, 1f),
+      100L -> Seq(1f, 0f), 101L -> Seq(0f, 1f)))
+    // only 3 non-self candidates exist per query; k=5 must not pad
+    val out = Similarity.mmrTopK(q, corpus, k = 5, cand = 5).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.map(_.getInt(2)).sorted.toSeq must be(1 to rows.length)
+    }
+    out.length must be(6) // 3 candidates per query
+  }
+}
