@@ -1017,16 +1017,22 @@ object TextAnalysis {
     * (the concat_ws separators subtracted back out). Fractions are one
     * Long/Long double division each, rounded.
     *
-    * Shape: ONE corpus scan. The token array materializes once per
-    * row; all five gram lengths emit from a single index-lambda
+    * Shape: ONE corpus scan, NO join. The token array materializes
+    * once per row; gram lengths 1–6 emit from a single index-lambda
     * `transform` (linear, codegen'd — no per-doc window sort, no
     * sequence() reversal trap on short docs), flatten into one
     * Generate, and feed ONE map-side-combined (doc, n, gram) count.
-    * Docs too short for any gram re-enter via the left join with all
-    * fractions 0.
+    * The n=1 stratum IS the char-mass accounting — Σ count(tok)·len(tok)
+    * over unigrams equals total token char mass — so the denominator
+    * falls out of the same aggregation that produces the numerators and
+    * the whole op is scan → count → per-doc fold (an earlier cut joined
+    * a separate mass projection back in, which read the corpus TWICE —
+    * caught by the executed-plan scan count). A doc with zero tokens
+    * has no gram in any stratum and emits no row (the novelty/
+    * bigramFluency no-row precedent).
     */
   def gopherRepetition(docs: DataFrame): DataFrame = {
-    val gramArrays = (2 to 6).map { n =>
+    val gramArrays = (1 to 6).map { n =>
       // (t, i) index lambda: i is 0-based, slice is 1-based; emit the
       // gram starting at each position that still fits, null otherwise,
       // then drop the nulls — linear and total on 0/1-token docs.
@@ -1038,15 +1044,9 @@ object TextAnalysis {
               |       CAST(NULL AS STRUCT<n: INT, gram: STRING>))),
               |  x -> x IS NOT NULL)""".stripMargin)
     }
-    val base = docs
+    val perGram = docs
       .select(col("doc_id"), explode(array(tokens)).as("toks"))
-      .select(col("doc_id"),
-        expr("aggregate(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
-          .as("n_token_chars"),
-        array(gramArrays: _*).as("gs"))
-    val mass = base.select(col("doc_id"), col("n_token_chars"))
-    val perGram = base
-      .select(col("doc_id"), explode(flatten(col("gs"))).as("g"))
+      .select(col("doc_id"), explode(flatten(array(gramArrays: _*))).as("g"))
       .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
       .agg(count(lit(1)).as("c"))
       .withColumn("w",
@@ -1054,6 +1054,7 @@ object TextAnalysis {
     val perDoc = perGram
       .groupBy(col("doc_id"))
       .agg(
+        sum(when(col("n") === 1, col("w"))).as("n_token_chars"),
         max(when(col("n") === 2, col("w"))).as("t2"),
         max(when(col("n") === 3, col("w"))).as("t3"),
         max(when(col("n") === 4, col("w"))).as("t4"),
@@ -1062,8 +1063,9 @@ object TextAnalysis {
     def frac(c: Column): Column =
       coalesce(round(c.cast("double") /
         nullif(col("n_token_chars").cast("double"), lit(0d)), 6), lit(0.0))
-    mass.join(perDoc, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_token_chars"),
+    perDoc
+      .select(col("doc_id"),
+        col("n_token_chars").cast("long").as("n_token_chars"),
         frac(col("t2")).as("top_2gram_char_frac"),
         frac(col("t3")).as("top_3gram_char_frac"),
         frac(col("t4")).as("top_4gram_char_frac"),
@@ -1082,19 +1084,21 @@ object TextAnalysis {
     * policy).
     *
     * Shape: the LSH shingle pipeline's distinct (doc, shingle) rows,
-    * one map-side-combined min(doc_id) per shingle, one shuffle join
-    * back on the shingle key, one per-doc count — all linear in corpus
-    * shingle mass, no pair generation anywhere. At 100 TB the
-    * first-occurrence table is exactly the dedup fingerprint table the
-    * warehouse already maintains; the join key (shingle text) salts
-    * naturally because shingles ARE the high-cardinality key.
+    * then ONE shuffle: min(doc_id) attaches per shingle via a window
+    * over the shingle partition, and the per-doc fold partial-
+    * aggregates before its (much smaller) exchange. An earlier cut
+    * computed first-occurrence as a separate groupBy and JOINED it
+    * back — two corpus scans and the full shingle mass through two
+    * more exchanges (caught by the executed-plan scan count); the
+    * window form is scan → shuffle-by-shingle → fold. At 100 TB the
+    * shingle key salts naturally (shingles ARE the high-cardinality
+    * key), and the first-occurrence relation is exactly the dedup
+    * fingerprint table the warehouse already maintains.
     */
   def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
     val sh = Dedup.shingleRows(docs, n)
-    val firstSeen = sh
-      .groupBy(col("shingle"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    sh.join(firstSeen, Seq("shingle"))
+    sh.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("shingle"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_shingles"),

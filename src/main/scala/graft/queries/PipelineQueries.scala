@@ -3277,14 +3277,10 @@ object PipelineQueries {
       Some("""WITH t AS (
              |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
              |  FROM documents),
-             |m AS (
-             |  SELECT doc_id,
-             |         CAST(COALESCE(list_sum(list_transform(toks, w -> LENGTH(w))), 0) AS BIGINT) AS n_token_chars
-             |  FROM t),
              |g AS (
              |  SELECT doc_id, n,
              |         array_to_string(list_slice(toks, i, i + n - 1), ' ') AS gram
-             |  FROM t, UNNEST([2, 3, 4, 5, 6]) AS u(n),
+             |  FROM t, UNNEST([1, 2, 3, 4, 5, 6]) AS u(n),
              |       UNNEST(range(1, len(toks) - n + 2)) AS r(i)),
              |c AS (
              |  SELECT doc_id, n, gram, COUNT(*) AS cnt,
@@ -3292,19 +3288,20 @@ object PipelineQueries {
              |  FROM g GROUP BY ALL),
              |a AS (
              |  SELECT doc_id,
+             |         CAST(SUM(CASE WHEN n = 1 THEN cnt * gmass END) AS BIGINT) AS n_token_chars,
              |         MAX(CASE WHEN n = 2 THEN cnt * gmass END) AS t2,
              |         MAX(CASE WHEN n = 3 THEN cnt * gmass END) AS t3,
              |         MAX(CASE WHEN n = 4 THEN cnt * gmass END) AS t4,
              |         SUM(CASE WHEN n = 5 AND cnt >= 2 THEN cnt * gmass END) AS d5,
              |         SUM(CASE WHEN n = 6 AND cnt >= 2 THEN cnt * gmass END) AS d6
              |  FROM c GROUP BY doc_id)
-             |SELECT m.doc_id, n_token_chars,
+             |SELECT doc_id, n_token_chars,
              |       COALESCE(ROUND(CAST(t2 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS top_2gram_char_frac,
              |       COALESCE(ROUND(CAST(t3 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS top_3gram_char_frac,
              |       COALESCE(ROUND(CAST(t4 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS top_4gram_char_frac,
              |       COALESCE(ROUND(CAST(d5 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS dup_5gram_char_frac,
              |       COALESCE(ROUND(CAST(d6 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS dup_6gram_char_frac
-             |FROM m LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+             |FROM a ORDER BY doc_id""".stripMargin)),
 
     // First-occurrence shingle novelty: fraction of a doc's distinct
     // 3-shingles first seen (min doc_id) in that doc. Docs with <3

@@ -113,6 +113,37 @@ class Round14OpsSpec extends AnyFlatSpec with Matchers {
       .count() must be(0L)
   }
 
+  behavior of "round-14 plan shapes"
+
+  it must "run gopherRepetition and novelty as SINGLE-scan plans" in {
+    // the 100 TB shape claim, pinned from the EXECUTED plan: both ops
+    // read (doc_id, text) exactly once — an earlier cut of each joined
+    // a second projection of the corpus back in (two parquet scans)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => q +: flat(q.plan)
+      case other => other +: (other.children.flatMap(flat) ++
+        other.subqueries.flatMap(flat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-r14-plan")
+    try {
+      docsDf((0L until 50L).map(i =>
+          i -> s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 5) % 13} tok$i end"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Seq(TextAnalysis.gopherRepetition(docs), TextAnalysis.novelty(docs))
+        .foreach { out =>
+          out.collect()
+          flat(out.queryExecution.executedPlan)
+            .count(_.isInstanceOf[FileSourceScanExec]) must be(1)
+        }
+    } finally {
+      graft.PlanHygiene.deleteRecursively(dir)
+    }
+  }
+
   behavior of "Similarity.mmrTopK"
 
   private def vecsDf(vs: Seq[(Long, Seq[Float])]) = {
