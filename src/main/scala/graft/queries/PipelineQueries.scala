@@ -3326,6 +3326,51 @@ object PipelineQueries {
              |FROM g JOIN f USING (sh)
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Retrain-free novelty ingest: history indexes its first-occurrence
+    // relation once (80%), a first increment APPENDS (80→90%, one pass,
+    // no history rewrite), and scoring the FINAL increment (90→100%)
+    // through the index is bit-identical to full-corpus novelty
+    // restricted to those docs — the text_search_incremental contract
+    // on the novelty relation. The time-ordered split cutoffs are
+    // computed from max(doc_id) in exact integer math on both sides.
+    QueryDef(
+      "text_novelty_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val c1 = (mx + 1) * 8 / 10
+        val c2 = (mx + 1) * 9 / 10
+        val dir = java.nio.file.Files.createTempDirectory("graft-novelty-idx")
+        try {
+          TextAnalysis.saveNoveltyIndex(
+            docs.filter(col("doc_id") < c1), dir.toString)
+          TextAnalysis.appendToNoveltyIndex(
+            docs.filter(col("doc_id") >= c1 && col("doc_id") < c2),
+            dir.toString)
+          TextAnalysis.noveltyWithIndex(s, dir.toString,
+              docs.filter(col("doc_id") >= c2))
+            .orderBy(col("doc_id"))
+            .localCheckpoint(true) // materialize before the dir dies
+        } finally graft.PlanHygiene.deleteRecursively(dir)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                               for i in range(1, len(t)-1)])) AS sh
+             |  FROM t),
+             |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM g GROUP BY sh),
+             |cut AS (SELECT (MAX(doc_id) + 1) * 9 // 10 AS c2 FROM documents)
+             |SELECT g.doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |       ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+             |FROM g JOIN f USING (sh), cut
+             |WHERE g.doc_id >= cut.c2
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Fuzzy (Jaccard-threshold) decontamination — the relative-overlap
     // gate next to pipeline_decontaminate's absolute shared-count one.
     // Same %10 bench split as the exact channel.

@@ -113,6 +113,42 @@ class Round14OpsSpec extends AnyFlatSpec with Matchers {
       .count() must be(0L)
   }
 
+  behavior of "TextAnalysis novelty index (save / pure-append / score)"
+
+  it must "score an increment through the index identically to batch novelty" in {
+    // history 0..7, first increment 8..9 (pure-append), scored
+    // increment 10..11; d10 copies d1 (novelty 0), d11 is fresh (1.0)
+    val texts = (0L until 8L).map(i => i -> s"h$i a$i b$i c$i d$i") ++
+      Seq(8L -> "x8 y8 z8 w8", 9L -> "x9 y9 z9 w9",
+        10L -> "h1 a1 b1 c1 d1", 11L -> "fresh words only here now")
+    val all = docsDf(texts)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nov-idx-spec")
+    try {
+      TextAnalysis.saveNoveltyIndex(
+        all.filter(col("doc_id") < 8), dir.toString, buckets = 4)
+      TextAnalysis.appendToNoveltyIndex(
+        all.filter(col("doc_id") >= 8 && col("doc_id") < 10),
+        dir.toString, buckets = 4)
+      val inc = TextAnalysis.noveltyWithIndex(spark, dir.toString,
+          all.filter(col("doc_id") >= 10))
+        .orderBy("doc_id").collect()
+      val batch = TextAnalysis.novelty(all)
+        .filter(col("doc_id") >= 10)
+        .orderBy("doc_id").collect()
+      inc.map(_.toSeq).toSeq must be(batch.map(_.toSeq).toSeq)
+      inc.map(r => (r.getLong(0), r.getDouble(3))).toSeq must be(
+        Seq((10L, 0.0), (11L, 1.0)))
+      // a shingle APPENDED later than its first indexing min-folds: d10
+      // also shares nothing with the appended 8..9 docs, while a copy
+      // of an appended doc scores 0 through the merged generations
+      TextAnalysis.noveltyWithIndex(spark, dir.toString,
+          docsDf(Seq(12L -> "x9 y9 z9 w9")))
+        .collect()(0).getDouble(3) must be(0.0)
+    } finally {
+      graft.PlanHygiene.deleteRecursively(dir)
+    }
+  }
+
   behavior of "round-14 plan shapes"
 
   it must "run gopherRepetition and novelty as SINGLE-scan plans" in {
