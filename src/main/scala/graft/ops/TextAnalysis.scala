@@ -1089,27 +1089,36 @@ object TextAnalysis {
     * bigramFluency no-row precedent — a gate composes a join by
     * policy).
     *
-    * Shape: the LSH shingle pipeline's distinct (doc, shingle) rows,
-    * then ONE shuffle: min(doc_id) attaches per shingle via a window
-    * over the shingle partition, and the per-doc fold partial-
-    * aggregates before its (much smaller) exchange. An earlier cut
-    * computed first-occurrence as a separate groupBy and JOINED it
-    * back — two corpus scans and the full shingle mass through two
-    * more exchanges (caught by the executed-plan scan count); the
-    * window form is scan → shuffle-by-shingle → fold. At 100 TB the
-    * shingle key salts naturally (shingles ARE the high-cardinality
-    * key), and the first-occurrence relation is exactly the dedup
-    * fingerprint table the warehouse already maintains.
+    * Shape: a shingle's novel occurrences need NO attribution join
+    * back to its rows — grouping the first-occurrence relation by its
+    * OWN min gives each doc's novel-shingle count directly:
+    * n_novel(d) = |{shingles with min(doc_id) = d}|. So the op is two
+    * all-PARTIAL aggregations of the shingle rows (per-doc size;
+    * per-shingle min re-grouped by the winning doc) plus one join of
+    * two ≤|docs|-row frames. Every exchange carries map-side-combined
+    * rows, which is what makes the op Zipf-IMMUNE: a boilerplate
+    * shingle present in half the corpus folds to one row per map task
+    * before any shuffle. The two shapes this replaced both had a
+    * corpus-mass skew term — a window min over the shingle partition
+    * (windows have NO partial aggregation: the hot shingle's every row
+    * lands on one reducer) and a groupBy+join-back (the hot shingle's
+    * full row set through the join exchange). The price is reading the
+    * pruned (doc_id, text) columns twice — scans are the cheap
+    * currency at 100 TB, stragglers are not (spec-pinned: 2 scans,
+    * ZERO window exchanges). The first-occurrence relation is exactly
+    * the dedup fingerprint table the warehouse already maintains.
     */
   def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
     val sh = Dedup.shingleRows(docs, n)
-    sh.withColumn("first_doc",
-        min(col("doc_id")).over(Window.partitionBy(col("shingle"))))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).cast("long").as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .cast("long").as("n_novel"))
+    val perDoc = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"))
+    val novelPerDoc = sh
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).cast("long").as("n_novel"))
+      .withColumnRenamed("first_doc", "doc_id")
+    perDoc.join(novelPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
   }

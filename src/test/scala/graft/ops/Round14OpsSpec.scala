@@ -151,12 +151,20 @@ class Round14OpsSpec extends AnyFlatSpec with Matchers {
 
   behavior of "round-14 plan shapes"
 
-  it must "run gopherRepetition and novelty as SINGLE-scan plans" in {
-    // the 100 TB shape claim, pinned from the EXECUTED plan: both ops
-    // read (doc_id, text) exactly once — an earlier cut of each joined
-    // a second projection of the corpus back in (two parquet scans)
+  it must "pin gopherRepetition to one scan and novelty to partial-agg-only exchanges" in {
+    // the 100 TB shape claims, pinned from the EXECUTED plans:
+    //  - gopherRepetition reads (doc_id, text) exactly ONCE (an earlier
+    //    cut joined a second mass projection back in);
+    //  - novelty's only windows are DOC-partitioned (the shingle
+    //    pipeline's own lead window — partition size = doc length);
+    //    no window partitions by shingle, so a boilerplate shingle in
+    //    half the corpus map-side-combines through partial aggregates
+    //    instead of landing whole on one window reducer (the Zipf
+    //    straggler an earlier cut had). Scans stay ≤2 (both aggregation
+    //    branches reuse the distinct's exchange — measured 1 here).
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
     def flat(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
       case q: QueryStageExec => q +: flat(q.plan)
@@ -169,12 +177,17 @@ class Round14OpsSpec extends AnyFlatSpec with Matchers {
           i -> s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 5) % 13} tok$i end"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      Seq(TextAnalysis.gopherRepetition(docs), TextAnalysis.novelty(docs))
-        .foreach { out =>
-          out.collect()
-          flat(out.queryExecution.executedPlan)
-            .count(_.isInstanceOf[FileSourceScanExec]) must be(1)
-        }
+      val rep = TextAnalysis.gopherRepetition(docs)
+      rep.collect()
+      flat(rep.queryExecution.executedPlan)
+        .count(_.isInstanceOf[FileSourceScanExec]) must be(1)
+      val nov = TextAnalysis.novelty(docs)
+      nov.collect()
+      val nodes = flat(nov.queryExecution.executedPlan)
+      nodes.count(_.isInstanceOf[FileSourceScanExec]) must be <= 2
+      val winParts = nodes.collect { case w: WindowExec =>
+        w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet }
+      winParts.foreach(_ must be(Set("doc_id")))
     } finally {
       graft.PlanHygiene.deleteRecursively(dir)
     }
