@@ -940,6 +940,53 @@ object Dedup {
   private def releaseCheckpoint(df: DataFrame): Unit =
     graft.PlanHygiene.releaseCheckpoint(df)
 
+  /** Integer-arithmetic PageRank over the near-dup pair graph — the
+    * canonical-pick CENTRALITY signal: inside a duplicate cluster, the
+    * document most connected to the rest is the natural representative
+    * (the graph-side complement of keepBest's quality score), and the
+    * damped-walk formulation also surfaces hub templates across
+    * clusters. Nodes are the docs that appear in ≥1 pair (isolated
+    * docs have no centrality to report); edges are symmetric.
+    *
+    * DETERMINISM is the whole design: float PageRank sums
+    * contributions in partition order (never hash-comparable
+    * cross-engine), so every quantity here is an exact BIGINT ladder —
+    * pr₀ = scale; share = pr DIV deg; pr' = (15·scale) DIV 100 +
+    * (85 · Σ shares) DIV 100 — integer division and exact Long sums
+    * only, bit-identical on any engine and any partitioning.
+    * Overflow headroom: Σ shares ≤ |nodes|·scale, ×85 stays far under
+    * 2⁶³ for any realistic pair-sliver graph.
+    *
+    * Shape: `iters` rounds of one broadcast-or-hash join (the rank
+    * sliver onto the edge sliver) + one map-side-combined sum per
+    * round, all over the PAIR SLIVER — corpus-free by construction,
+    * like components(); the fixed low iteration count keeps the plan
+    * shallow (no checkpoint lifecycle needed).
+    */
+  def pagerankInt(pairs: DataFrame, iters: Int = 3,
+                  scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && scale >= 100 && scale % 100 == 0,
+      "need iters >= 1 and a scale divisible by 100")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val base = lit(15L * (scale / 100))
+    var pr = nodes.withColumn("pr", lit(scale))
+    for (_ <- 1 to iters) {
+      val shares = pr.join(deg, pr("doc_id") === deg("src"))
+        .select(col("src"), expr("pr DIV deg").as("share"))
+      val incoming = edges.join(shares, "src")
+        .groupBy(col("dst")).agg(sum(col("share")).as("msum"))
+      pr = nodes.join(incoming, nodes("doc_id") === incoming("dst"),
+          "left_outer")
+        .select(col("doc_id"),
+          (base + expr("(85 * coalesce(msum, CAST(0 AS BIGINT))) DIV 100"))
+            .cast("long").as("pr"))
+    }
+    pr
+  }
+
   /** Exact n-gram Jaccard for an explicit candidate pair — the standalone
     * verification op (LSH folds this in already).
     */

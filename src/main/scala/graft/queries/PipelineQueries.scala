@@ -3326,6 +3326,22 @@ object PipelineQueries {
              |FROM g JOIN f USING (sh)
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Canonical-pick CENTRALITY over the near-dup graph: 3 rounds of
+    // integer-arithmetic PageRank (pure BIGINT ladder — float PageRank
+    // sums in partition order and can never hash-check cross-engine)
+    // on the same exact-Jaccard>=0.5 pair set the dedup channels pin.
+    // The oracle re-derives the graph all-pairs and unrolls the three
+    // rounds as CTEs, division for division.
+    QueryDef(
+      "dedup_pagerank",
+      (s, d) =>
+        Dedup.pagerankInt(
+            Dedup.minhashPairs(Tables.documents(s, d), shingleN = 3,
+              b = 8, r = 4, threshold = 0.5),
+            iters = 3)
+          .orderBy(col("doc_id")),
+      Some(pagerankOracle(iters = 3))),
+
     // Retrain-free novelty ingest: history indexes its first-occurrence
     // relation once (80%), a first increment APPENDS (80→90%, one pass,
     // no history rewrite), and scoring the FINAL increment (90→100%)
@@ -3448,6 +3464,44 @@ object PipelineQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS identical_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin))
   )
+
+  /** DuckDB twin of `Dedup.pagerankInt`: generated because it needs one
+    * CTE per iteration. Same exact BIGINT ladder — pr₀ = 10¹²,
+    * share = pr // deg, pr' = 15·10¹⁰ + (85 · Σ shares) // 100 — over
+    * the symmetric all-pairs Jaccard ≥ 0.5 edge set.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.id,
+         |         CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100
+         |              AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.pr // d.deg) AS m
+         |    FROM e JOIN pr${i - 1} p ON p.id = e.src
+         |           JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                        for i in range(1, len(t)-1)]) AS s
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+       |        FROM documents)),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |e AS (
+       |  SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |pr0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM n),
+       |$rounds
+       |SELECT id AS doc_id, pr FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB twin of `Similarity.mmrTopK` (λ = 0.5): generated because
     * the greedy selection needs one CTE pair per rank. Stage i keeps

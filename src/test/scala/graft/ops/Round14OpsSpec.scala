@@ -113,6 +113,28 @@ class Round14OpsSpec extends AnyFlatSpec with Matchers {
       .count() must be(0L)
   }
 
+  behavior of "Dedup.pagerankInt"
+
+  it must "reproduce the hand-computed integer ladder on a triangle + pendant" in {
+    val s = spark
+    import s.implicits._
+    // edges 1-2, 2-3, 1-3, 3-4; degrees 2,2,3,1; scale 100:
+    //   shares 50,50,33,100 → incoming 83,83,200,33
+    //   pr₁ = 15 + (85·m)//100 → 85, 85, 185, 43
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val pr1 = Dedup.pagerankInt(pairs, iters = 1, scale = 100L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    pr1 must be(Seq((1L, 85L), (2L, 85L), (3L, 185L), (4L, 43L)))
+    // more iterations keep the hub on top and conserve boundedness
+    val pr3 = Dedup.pagerankInt(pairs, iters = 3, scale = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pr3(3L) must be > pr3(1L)
+    pr3(1L) must be(pr3(2L)) // symmetric positions stay exactly equal
+    pr3(4L) must be < pr3(1L)
+  }
+
   behavior of "TextAnalysis novelty index (save / pure-append / score)"
 
   it must "score an increment through the index identically to batch novelty" in {
