@@ -158,6 +158,14 @@ object Bench {
       val root = om.readTree(new java.io.File(path))
       val baseSf = root.path("sf").asText("")
       if (baseSf.nonEmpty && baseSf != sfDir) return Map.empty
+      // eval-mode gate (r14): baselines recorded under the old count()
+      // sink measured LESS work (Catalyst pruned final outer-join
+      // branches and aggregate expressions a row count doesn't need),
+      // so comparing forced-full-row mins against them mass-flags
+      // honest re-pricings as regressions. Same loud disarm as the SF
+      // mismatch: baseline_n = 0 says the comparison did not happen.
+      if (root.path("eval").asText("count") != "forced_full_row")
+        return Map.empty
       val qs = root.path("queries")
       val it = qs.fieldNames()
       val b = Map.newBuilder[String, Double]
@@ -194,6 +202,29 @@ object Bench {
     // first member — while "value" keeps the historical single-shot
     // TOTAL for round-over-round comparability and "value_min" carries
     // the min total. Per-rep detail lives in BENCH_DETAIL.json.
+    // FULL-evaluation sink (r14 honesty fix): `.count()` let Catalyst
+    // PRUNE any final outer join whose aggregate-keyed right side only
+    // feeds output columns — the row count is knowable from the left
+    // side alone, so the joined branch (and its scans and aggregations)
+    // vanished from the measured plan. Caught when gopherRepetition
+    // benched at 0.39 s while its gram battery cost 3 s: the same
+    // elimination had silently under-measured text_repetition's bigram
+    // branch since round 6. Folding every output column into one
+    // xxhash64 per row (bit_xor-reduced to a scalar) makes every
+    // branch load-bearing; outputs are oracle-sized (≤ ~10k rows), so
+    // the added hash work is nanoseconds against the upstream cost.
+    // to_json fallback covers hash-unsupported column types (maps).
+    def evalAll(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, struct, to_json, xxhash64}
+      val all = struct(df.columns.map(col).toIndexedSeq: _*)
+      val hashed =
+        try df.select(xxhash64(all).as("h")).queryExecution.assertAnalyzed match {
+          case _ => df.select(xxhash64(all).as("h"))
+        }
+        catch { case _: Throwable => df.select(xxhash64(to_json(all)).as("h")) }
+      hashed.selectExpr("bit_xor(h)").collect()
+      ()
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val reps = sys.env.get("SPARK_GRAFT_REPS")
@@ -213,7 +244,7 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          evalAll(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
@@ -312,7 +343,7 @@ object Bench {
       val ts = (1 to recheckReps).map { _ =>
         val t0 = System.nanoTime()
         try {
-          queryFns(n)(spark, sfDir).count()
+          evalAll(queryFns(n)(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
         finally PlanHygiene.sweepPersisted(spark)
@@ -372,7 +403,8 @@ object Bench {
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
         s""""queries":$qs,"queries_channel":"min_of_reps"$extra$degradedJson,""" +
-        s""""value_min":${r3(totalMin)},"reps":$reps,"sf":"$sfDir"}"""
+        s""""value_min":${r3(totalMin)},"eval":"forced_full_row",""" +
+        s""""reps":$reps,"sf":"$sfDir"}"""
     // degrade ADAPTIVELY if the query set outgrows the window: keep the
     // LARGEST prefix of queries by min-time (failures sort first — a
     // red query must never fall off the record) that fits, and SAY SO
@@ -412,7 +444,7 @@ object Bench {
         recheck + cross + "}"
     }.mkString(
       s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMin,""" +
-        s""""unit":"sec","reps":$reps,"sf":"$sfDir",""" +
+        s""""unit":"sec","eval":"forced_full_row","reps":$reps,"sf":"$sfDir",""" +
         famShifts.map("\"" + _ + "\"")
           .mkString("\"family_shift\":[", ",", "],") +
         s""""queries":{""",

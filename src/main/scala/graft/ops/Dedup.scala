@@ -967,8 +967,15 @@ object Dedup {
                   scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && scale >= 100 && scale % 100 == 0,
       "need iters >= 1 and a scale divisible by 100")
+    // materialize the edge sliver ONCE: every iteration references it
+    // 2-3 times, and without the checkpoint each reference re-runs the
+    // whole upstream pair pipeline (LSH shingling included) — measured
+    // 7.8 s -> the pair cost alone at sf0.1 once checkpointed. The
+    // caller's sweep (Bench/Verify PlanHygiene.sweepPersisted) releases
+    // the blocks after the result is consumed, the components() pattern.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val base = lit(15L * (scale / 100))

@@ -117,19 +117,38 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     val f = java.io.File.createTempFile("bench_detail", ".json")
     f.deleteOnExit()
     java.nio.file.Files.write(f.toPath,
-      ("""{"metric":"total","value_min":3.0,"sf":"/data/sf0.1","queries":{""" +
+      ("""{"metric":"total","value_min":3.0,"eval":"forced_full_row",""" +
+        """"sf":"/data/sf0.1","queries":{""" +
         """"q_a":{"reps":[1.2,1.0],"first":1.2,"min":1.0},""" +
         """"q_b":{"min":0.5,"degrades":false},""" +
         """"q_junk":{"reps":[1.0]}}}""").getBytes("UTF-8"))
     val m = Bench.readBaselineMins(f.getAbsolutePath, "/data/sf0.1")
     m must be(Map("q_a" -> 1.0, "q_b" -> 0.5))
-    // a legacy record with no sf field still compares (trust the caller)
+    // a record with no sf field still compares (trust the caller), but
+    // it must carry the eval stamp — a stampless record is count()-era
     val g = java.io.File.createTempFile("bench_nosf", ".json")
     g.deleteOnExit()
     java.nio.file.Files.write(g.toPath,
-      """{"queries":{"q_a":{"min":1.0}}}""".getBytes("UTF-8"))
+      """{"eval":"forced_full_row","queries":{"q_a":{"min":1.0}}}"""
+        .getBytes("UTF-8"))
     Bench.readBaselineMins(g.getAbsolutePath, "/data/sf0.1") must be(
       Map("q_a" -> 1.0))
+  }
+
+  it must "disarm on a count()-era baseline (eval-mode mismatch)" in {
+    // count() let Catalyst prune final outer-join branches AND every
+    // aggregate expression a row count doesn't need, so count-era mins
+    // measured LESS work — comparing forced-full-row mins against them
+    // would mass-flag honest re-pricings as regressions (measured r14:
+    // 13 false "regressed" + 14 false "shifted"). Same loud disarm as
+    // the SF mismatch: empty map, baseline_n = 0 on the summary line.
+    val f = java.io.File.createTempFile("bench_eval_mismatch", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      ("""{"sf":"/data/sf0.1","queries":""" +
+        """{"q_a":{"min":0.3}}}""").getBytes("UTF-8"))
+    Bench.readBaselineMins(f.getAbsolutePath, "/data/sf0.1") must be(
+      Map.empty)
   }
 
   it must "disarm on a scale-factor mismatch instead of flagging noise" in {
@@ -168,7 +187,8 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     val f = java.io.File.createTempFile("bench_subfloor", ".json")
     f.deleteOnExit()
     java.nio.file.Files.write(f.toPath,
-      ("""{"sf":"/data/sf0.1","q_floor":0.239,"n_below_floor":1,""" +
+      ("""{"sf":"/data/sf0.1","eval":"forced_full_row",""" +
+        """"q_floor":0.239,"n_below_floor":1,""" +
         """"queries":{"q_fast":{"reps":[0.14,0.12,0.13],"min":0.12},""" +
         """"q_slow":{"min":2.0}}}""").getBytes("UTF-8"))
     val base = Bench.readBaselineMins(f.getAbsolutePath, "/data/sf0.1")
