@@ -52,6 +52,14 @@ class ScalingSpec extends AnyFlatSpec with Matchers {
       Dedup.components(
         Dedup.minhashPairs(Tables.documents(spark, d))).count(); ()
     },
+    "novelty" -> { d: String =>
+      // forced through an aggregate of the output column: a bare
+      // count() would let Catalyst prune the first-occurrence branch
+      // off the final outer join (the r14 bench-sink lesson), timing
+      // only the per-doc size aggregation
+      TextAnalysis.novelty(Tables.documents(spark, d))
+        .agg(sum(col("novelty"))).collect(); ()
+    },
     "ivfpqBuild" -> { d: String =>
       val emb = Tables.embeddings(spark, d)
       val coarse = Similarity.kmeansCentroids(emb, 16, 3)
