@@ -528,4 +528,149 @@ object Curation {
       xb <- (bLo >> shift) to (bHi >> shift)
     } yield interleave(xa, xb)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling") — the deterministic exact-integer
+    * analog, same substitution bigramFluency makes for KenLM: features
+    * are HASHED BIGRAM counts folded into `buckets` buckets, the bucket
+    * ratio (target+1)/(raw+1) replaces the paper's log-ratio with one
+    * integer division per bucket at fixed scale (log is libm-dependent
+    * cross-engine; the ratio preserves the ranking semantics — target-
+    * like buckets score high), and a document's weight is the
+    * count-weighted bucket-ratio sum, per-bigram-normalized in
+    * `avg_weight` so long docs don't win on length alone. All BIGINT
+    * arithmetic: hash-checks cross-engine bit for bit.
+    *
+    * Scale shape: bigram instances pre-aggregate to one row per
+    * (doc, bucket) before anything else — the only aggregation that
+    * sees per-instance rows map-side combines, and `buckets` (default
+    * 256) bounds every downstream frame: the target/raw count table is
+    * `buckets` rows and BROADCASTS to the scoring join, so the hot
+    * stopword buckets never cross a shuffle as join keys. Two corpus
+    * scans (the global table re-derives the per-doc subtree — the
+    * tokenRarity trade: scans are the cheap currency, stragglers are
+    * not). Overflow headroom: score < Σc · (maxRatio·scale) — with the
+    * defaults a corpus needs ~10^12 target bigrams in one bucket before
+    * a Long saturates; raise `buckets` (sharper features, smaller
+    * counts) before `scale` if that day comes.
+    */
+  def dsirScores(docs: DataFrame, isTarget: Column, buckets: Int = 256,
+                 scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bg = docs
+      // Generate barrier: tokenize once per row (the repetition()
+      // CollapseProject trap)
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(array(TextAnalysis.tokens)).as("toks"))
+      .select(col("doc_id"), col("tgt"),
+        explode(expr(
+          """zip_with(
+            |  slice(toks, 1, greatest(size(toks) - 1, 0)),
+            |  slice(toks, 2, greatest(size(toks) - 1, 0)),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+      // md5-derived bucket (the simhash hash-bridge): first 8 hex chars
+      // < 2^32, so the modulo is over a non-negative Long on both
+      // engines
+      .withColumn("bk",
+        expr(s"cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint)" +
+          s" % $buckets"))
+    val perDoc = bg
+      .groupBy(col("doc_id"), col("tgt"), col("bk"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val ratios = perDoc
+      .groupBy(col("bk"))
+      .agg(sum(col("c")).cast("long").as("cr"),
+        sum(when(col("tgt"), col("c")).otherwise(0L)).cast("long")
+          .as("ct"))
+      // add-1 smoothing on both sides: an empty bucket contributes the
+      // uniform ratio instead of dividing by zero
+      .withColumn("ratio", expr(s"((ct + 1) * ${scale}L) div (cr + 1)"))
+      .select(col("bk"), col("ratio"))
+    perDoc
+      .join(broadcast(ratios), Seq("bk"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        sum(col("c") * col("ratio")).cast("long").as("score"))
+      .withColumn("avg_weight", expr("score div n_bigrams"))
+  }
+
+  /** Token-budget selection — "fill a training budget with the best
+    * documents": select documents in descending `score` order until the
+    * cumulative `cost` (token count) reaches `budget`, ties broken by
+    * doc_id. The 100 TB-correct shape is a HISTOGRAM CUT, not a global
+    * sort: a corpus-wide cumulative window needs one task to see every
+    * row, so instead (1) aggregate cost mass per distinct score value —
+    * a frame bounded by score cardinality, not corpus size; (2) run the
+    * cumulative sum over THAT aggregate (the domainMix bounded-window
+    * pattern) to find the threshold: every stratum whose running total
+    * fits is taken whole, and exactly one boundary stratum is partial;
+    * (3) broadcast the one-row threshold back and fill the remainder
+    * from the boundary stratum alone in doc_id order — the only
+    * per-document window runs over that single stratum. A heavily tied
+    * score column concentrates the boundary stratum on one task
+    * (document the skew); every other stratum never sorts at all.
+    * All-integer arithmetic end to end.
+    */
+  def tokenBudgetSelect(docs: DataFrame, score: Column, cost: Column,
+                        budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = docs.select(col("doc_id"), score.cast("long").as("score"),
+      cost.cast("long").as("cost"))
+    val hist = base.groupBy(col("score"))
+      .agg(sum(col("cost")).cast("long").as("mass"))
+    // bounded frame: one row per distinct score value
+    val wc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("mass")).over(wc))
+    val thr = cum.agg(
+      // lowest score taken WHOLE; null when even the top stratum
+      // overflows the budget
+      min(when(col("cum") <= budget, col("score"))).as("tau_full"),
+      coalesce(max(when(col("cum") <= budget, col("cum"))), lit(0L))
+        .as("used"),
+      // the single boundary stratum: the highest score whose running
+      // total crosses the budget (strictly below tau_full by
+      // monotonicity); null when everything fits
+      max(when(col("cum") > budget, col("score"))).as("tau_b"))
+    val withThr = base.crossJoin(broadcast(thr))
+    val full = withThr
+      .filter(col("tau_full").isNotNull && col("score") >= col("tau_full"))
+      .select(col("doc_id"), col("score"), col("cost"))
+    val wb = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = withThr
+      .filter(col("tau_b").isNotNull && col("score") === col("tau_b"))
+      .withColumn("bcum", sum(col("cost")).over(wb))
+      .filter(col("bcum") <= lit(budget) - col("used"))
+      .select(col("doc_id"), col("score"), col("cost"))
+    full.unionByName(boundary)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020) — per
+    * language, rank documents by the LM-quality score and cut the
+    * ranking into head/middle/tail terciles; CCNet trains on the head,
+    * audits the middle, drops the tail. The score is
+    * [[TextAnalysis.bigramFluency]] (this engine's deterministic KenLM
+    * analog — higher is more fluent); the cut is `ntile(3)` over a
+    * per-language window with doc_id tie-break, so the assignment is
+    * total-ordered and hash-checks cross-engine. Docs with no bigram
+    * have no fluency and emit no row (the fluency no-row precedent).
+    * Shape: the fluency frame joins doc metadata on doc_id (both sides
+    * shuffle-partition on the key once), then one window sort per
+    * language — the quantileGate per-stratum shape, never a
+    * whole-corpus sort.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val fl = TextAnalysis.bigramFluency(docs)
+      .select(col("doc_id"), col("fluency"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("fluency").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(fl, Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(w))
+      .withColumn("ppl_bucket",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail"))
+  }
 }

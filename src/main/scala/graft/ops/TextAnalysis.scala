@@ -1002,6 +1002,56 @@ object TextAnalysis {
           col("r_stopwords"))
   }
 
+  /** C4-style cleaning battery (Raffel et al. 2020 §2.2) — the LINE-level
+    * heuristics that complement [[gopherRules]]'s document-level stats:
+    * a line survives iff it ends in terminal punctuation (`. ! ? "`),
+    * carries at least `minWordsPerLine` words, and does not mention
+    * "javascript" (the boilerplate-nav tell); the PAGE is dropped
+    * entirely when any line contains "lorem ipsum" or a curly brace
+    * (template/code tells), or when fewer than `minKeptLines` lines
+    * survive the line gates (C4's ≥-sentences rule). Output per doc:
+    * line counts, the page verdict, and the cleaned text (kept lines in
+    * original order; empty when the page is dropped).
+    *
+    * Determinism: every rule is a string predicate over the line itself
+    * (no floats, no RNG), and the cleaned text reassembles via an
+    * order-key sort of the kept (pos, line) structs, so the whole row
+    * set hash-checks cross-engine. Scale shape: ONE corpus scan — lines
+    * explode once, every flag is a codegen'd per-row predicate, and the
+    * single aggregation groups by doc_id (partial-agg-fed; a doc's line
+    * count bounds the collect_list buffer, never the corpus).
+    */
+  def c4Filters(docs: DataFrame, minWordsPerLine: Int = 3,
+                minKeptLines: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lw", lower(col("line")))
+      .withColumn("keep_line",
+        col("line").rlike("[.!?\"]$") &&
+          size(expr("regexp_extract_all(lw, '\\\\w+', 0)")) >= minWordsPerLine &&
+          !col("lw").contains("javascript"))
+      .withColumn("poison",
+        col("lw").contains("lorem ipsum") || col("line").contains("{"))
+    lines
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("keep_line"), 1L).otherwise(0L)).cast("long")
+          .as("n_kept"),
+        max(col("poison")).as("poisoned"),
+        // collect_list skips the null structs the unkept lines produce;
+        // the sort key restores original line order deterministically
+        array_join(
+          expr("transform(array_sort(collect_list(" +
+            "CASE WHEN keep_line THEN struct(pos, line) END)), x -> x.line)"),
+          "\n").as("kept_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (!col("poisoned") && col("n_kept") >= minKeptLines).as("page_ok"),
+        when(!col("poisoned") && col("n_kept") >= minKeptLines,
+          col("kept_text")).otherwise(lit("")).as("cleaned"))
+  }
+
   /** Gopher-style repetition battery in CHARACTER-MASS terms (Rae et
     * al. 2021 §A1.1.2) — the within-doc signals [[repetition]]'s count
     * ratios don't capture: a doc whose most frequent 3-gram is three

@@ -94,6 +94,33 @@ object PipelineQueries {
           concat(lit("subscribe today "), col("source"))),
         concat(lit("ref code "), col("doc_id"))).as("text"))
 
+  /** The text_c4_filters injection, shared with the spec that pins each
+    * rule actually firing: the corpus has no line structure or
+    * punctuation, so every doc gets a deterministic mix of C4-clean
+    * sentences (terminal punctuation, ≥3 words), a punctuation-less
+    * line, a "javascript" nav line, a too-short line, and — on modular
+    * doc_id slices — the two page poisons ("lorem ipsum", a curly
+    * brace). Both engines build the identical text from the same base
+    * tokens.
+    */
+  private[graft] def c4Injected(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens)).as("toks"))
+      .select(
+        col("doc_id"),
+        concat_ws("\n",
+          concat(array_join(slice(col("toks"), 1, 8), " "), lit(".")),
+          array_join(slice(col("toks"), 9, 8), " "),
+          lit("nav menu javascript links."),
+          lit("ok."),
+          concat(array_join(slice(col("toks"), 17, 10), " "), lit(" done.")),
+          when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit.")),
+          when(col("doc_id") % 17 === 0, lit("template { x }")),
+          concat(array_join(slice(col("toks"), 27, 10), " "), lit(" end!")))
+          .as("text"))
+
   /** Shared by ann_brute_topk and ann_sq8_topk — the SQ8 result
     * channel's claim is rank-for-rank equality against the SAME
     * oracle, so the sameness is structural, not copy-paste.
@@ -3302,6 +3329,159 @@ object PipelineQueries {
              |       COALESCE(ROUND(CAST(d5 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS dup_5gram_char_frac,
              |       COALESCE(ROUND(CAST(d6 AS DOUBLE) / NULLIF(n_token_chars, 0), 6), 0.0) AS dup_6gram_char_frac
              |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // C4-style line/page cleaning battery (Raffel et al. 2020 §2.2) on
+    // deterministically injected line structure (see c4Injected): line
+    // gates = terminal punctuation + >=3 words + no "javascript"; page
+    // gates = no "lorem ipsum"/curly brace + >=3 surviving lines.
+    QueryDef(
+      "text_c4_filters",
+      (s, d) => TextAnalysis.c4Filters(c4Injected(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |  FROM documents),
+             |inj AS (
+             |  SELECT doc_id, concat_ws(chr(10),
+             |    coalesce(array_to_string(t[1:8], ' '), '') || '.',
+             |    coalesce(array_to_string(t[9:16], ' '), ''),
+             |    'nav menu javascript links.',
+             |    'ok.',
+             |    coalesce(array_to_string(t[17:26], ' '), '') || ' done.',
+             |    CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit.' END,
+             |    CASE WHEN doc_id % 17 = 0 THEN 'template { x }' END,
+             |    coalesce(array_to_string(t[27:36], ' '), '') || ' end!') AS text
+             |  FROM tk),
+             |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj),
+             |lines AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ls[CAST(i AS INT)] AS line
+             |  FROM l0, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+             |fl AS (
+             |  SELECT doc_id, pos, line,
+             |         (regexp_matches(line, '[.!?"]$')
+             |          AND len(regexp_extract_all(lower(line), '\w+')) >= 3
+             |          AND NOT contains(lower(line), 'javascript')) AS keep_line,
+             |         (contains(lower(line), 'lorem ipsum')
+             |          OR contains(line, '{')) AS poison
+             |  FROM lines),
+             |agg AS (
+             |  SELECT doc_id,
+             |         CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |         CAST(SUM(CASE WHEN keep_line THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |         bool_or(poison) AS poisoned,
+             |         string_agg(CASE WHEN keep_line THEN line END, chr(10) ORDER BY pos) AS kept_text
+             |  FROM fl GROUP BY 1)
+             |SELECT doc_id, n_lines, n_kept,
+             |       (NOT poisoned AND n_kept >= 3) AS page_ok,
+             |       CASE WHEN NOT poisoned AND n_kept >= 3
+             |            THEN coalesce(kept_text, '') ELSE '' END AS cleaned
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // DSIR importance weights (hashed-bigram features, exact-integer
+    // ratio analog of the log-likelihood ratio — see Curation.dsirScores)
+    // with target = lang 'en'; the channel emits the top-50 resample by
+    // per-bigram weight, doc_id tiebreak.
+    QueryDef(
+      "pipeline_dsir",
+      (s, d) => Curation.dsirScores(Tables.documents(s, d),
+          col("lang") === "en")
+        .orderBy(col("avg_weight").desc, col("doc_id"))
+        .limit(50),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang = 'en' AS tgt,
+             |         regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |bg AS (SELECT doc_id, tgt,
+             |              unnest([toks[i] || ' ' || toks[i+1]
+             |                      for i in range(1, len(toks))]) AS b
+             |       FROM t),
+             |pb AS (SELECT doc_id, tgt,
+             |              ('0x' || substring(md5(b), 1, 8))::BIGINT % 256 AS bk,
+             |              CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM bg GROUP BY 1, 2, 3),
+             |g AS (SELECT bk, SUM(c) AS cr,
+             |             SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct
+             |      FROM pb GROUP BY 1),
+             |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |              CAST(SUM(c * (((ct + 1) * 1000000) // (cr + 1))) AS BIGINT) AS score
+             |       FROM pb JOIN g USING (bk) GROUP BY 1)
+             |SELECT doc_id, n_bigrams, score,
+             |       CAST(score // n_bigrams AS BIGINT) AS avg_weight
+             |FROM sc ORDER BY avg_weight DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // Token-budget selection: fill a 1000-token budget with the
+    // highest-richness docs via the histogram cut (whole strata above
+    // the threshold + a doc_id-ordered prefix of the one boundary
+    // stratum) — see Curation.tokenBudgetSelect.
+    QueryDef(
+      "pipeline_token_budget",
+      (s, d) => Curation.tokenBudgetSelect(
+          Tables.documents(s, d).select(col("doc_id"),
+            expr("size(array_distinct(regexp_extract_all(lower(text), " +
+              "'\\\\w+', 0)))").cast("long").as("richness"),
+            expr("size(regexp_extract_all(lower(text), '\\\\w+', 0))")
+              .cast("long").as("n_tokens")),
+          col("richness"), col("n_tokens"), budget = 1000L)
+        .orderBy(col("score").desc, col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS BIGINT) AS score,
+             |         CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS cost
+             |  FROM documents),
+             |h AS (SELECT score, SUM(cost) AS mass FROM t GROUP BY 1),
+             |c AS (SELECT score,
+             |             SUM(mass) OVER (ORDER BY score DESC
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM h),
+             |thr AS (SELECT MIN(CASE WHEN cum <= 1000 THEN score END) AS tau_full,
+             |               COALESCE(MAX(CASE WHEN cum <= 1000 THEN cum END), 0) AS used,
+             |               MAX(CASE WHEN cum > 1000 THEN score END) AS tau_b
+             |        FROM c),
+             |fs AS (SELECT doc_id, score, cost FROM t, thr
+             |       WHERE tau_full IS NOT NULL AND score >= tau_full),
+             |bnd AS (SELECT doc_id, score, cost, used,
+             |               SUM(cost) OVER (PARTITION BY score ORDER BY doc_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bcum
+             |        FROM t, thr WHERE tau_b IS NOT NULL AND score = tau_b),
+             |bs AS (SELECT doc_id, score, cost FROM bnd WHERE bcum <= 1000 - used)
+             |SELECT doc_id, score, cost FROM fs
+             |UNION ALL SELECT doc_id, score, cost FROM bs
+             |ORDER BY score DESC, doc_id""".stripMargin)),
+
+    // CCNet-style perplexity terciles: per language, ntile(3) over the
+    // bigram-fluency ranking (head = most fluent). The fluency CTEs are
+    // text_bigram_fluency's oracle verbatim — same score, same rounding.
+    QueryDef(
+      "pipeline_ccnet_buckets",
+      (s, d) => Curation.ccnetBuckets(Tables.documents(s, d))
+        .orderBy(col("lang"), col("bucket"), col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |bg AS (SELECT doc_id,
+             |              unnest([toks[i] || ' ' || toks[i+1]
+             |                      for i in range(1, len(toks))]) AS b
+             |       FROM t),
+             |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+             |cp AS (SELECT split_part(b, ' ', 1) AS w1,
+             |              CAST(COUNT(*) AS BIGINT) AS cp
+             |       FROM bg GROUP BY 1),
+             |r AS (SELECT doc_id, CAST(cb.cb AS DOUBLE) / cp.cp AS r
+             |      FROM bg JOIN cb USING (b)
+             |      JOIN cp ON split_part(bg.b, ' ', 1) = cp.w1),
+             |fl AS (SELECT doc_id,
+             |              ROUND(CAST(SUM(CAST(r AS DECIMAL(28,8))) AS DOUBLE)
+             |                    / COUNT(*), 6) AS fluency
+             |       FROM r GROUP BY 1)
+             |SELECT fl.doc_id, d.lang, fl.fluency,
+             |       CAST(ntile(3) OVER (PARTITION BY d.lang
+             |         ORDER BY fl.fluency DESC, fl.doc_id) AS INTEGER) AS bucket,
+             |       CASE ntile(3) OVER (PARTITION BY d.lang
+             |              ORDER BY fl.fluency DESC, fl.doc_id)
+             |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             |         ELSE 'tail' END AS ppl_bucket
+             |FROM fl JOIN documents d USING (doc_id)
+             |ORDER BY lang, bucket, doc_id""".stripMargin)),
 
     // First-occurrence shingle novelty: fraction of a doc's distinct
     // 3-shingles first seen (min doc_id) in that doc. Docs with <3

@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.TestSpark
+
+/** Hand-computed fixtures for the data-selection ops added in round 14's
+  * third session: the C4 cleaning battery, DSIR importance weights,
+  * histogram-cut token-budget selection, and CCNet perplexity terciles.
+  */
+class SelectionOpsSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  behavior of "TextAnalysis.c4Filters"
+
+  it must "fire every line rule and both page poisons independently" in {
+    val clean3 = Seq(
+      "good clean sentence here.",
+      "another fine sentence today!",
+      "a third proper line?").mkString("\n")
+    val mixed = Seq(
+      "good clean sentence here.",   // kept
+      "no terminal punct line",      // dropped: no . ! ? "
+      "click Javascript now here.",  // dropped: javascript
+      "ok.",                         // dropped: < 3 words
+      "another fine sentence today!" // kept
+    ).mkString("\n")
+    val lorem = clean3 + "\nthis has lorem ipsum inside."
+    val brace = clean3 + "\ncode sample { nope }."
+    val out = TextAnalysis.c4Filters(docsDf(Seq(
+        1L -> clean3, 2L -> mixed, 3L -> lorem, 4L -> brace)))
+      .orderBy("doc_id").collect()
+    def row(id: Long): Row = out.find(_.getLong(0) == id).get
+    row(1L).getAs[Long]("n_lines") must be(3L)
+    row(1L).getAs[Long]("n_kept") must be(3L)
+    row(1L).getAs[Boolean]("page_ok") must be(true)
+    row(1L).getAs[String]("cleaned") must be(clean3)
+    // the mixed page keeps exactly the two clean lines, in order, but
+    // falls under the >=3 kept-lines page gate
+    row(2L).getAs[Long]("n_lines") must be(5L)
+    row(2L).getAs[Long]("n_kept") must be(2L)
+    row(2L).getAs[Boolean]("page_ok") must be(false)
+    row(2L).getAs[String]("cleaned") must be("")
+    // page poisons kill regardless of kept-line count; the poison line
+    // itself would even have survived the line gates
+    Seq(3L, 4L).foreach { id =>
+      row(id).getAs[Long]("n_kept") must be(4L)
+      row(id).getAs[Boolean]("page_ok") must be(false)
+      row(id).getAs[String]("cleaned") must be("")
+    }
+  }
+
+  it must "keep line order in cleaned text and read the corpus once" in {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => q +: flat(q.plan)
+      case other => other +: (other.children.flatMap(flat) ++
+        other.subqueries.flatMap(flat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-c4-plan")
+    try {
+      docsDf((0L until 40L).map(i => i ->
+          (s"alpha beta gamma line$i." + "\nmid line no punct" +
+            s"\nomega psi chi end$i!")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val out = TextAnalysis.c4Filters(docs, minKeptLines = 2)
+      val rows = out.collect()
+      rows.foreach { r =>
+        r.getAs[Boolean]("page_ok") must be(true)
+        val id = r.getAs[Long]("doc_id")
+        r.getAs[String]("cleaned") must be(
+          s"alpha beta gamma line$id.\nomega psi chi end$id!")
+      }
+      flat(out.queryExecution.executedPlan)
+        .count(_.isInstanceOf[FileSourceScanExec]) must be(1)
+    } finally {
+      graft.PlanHygiene.deleteRecursively(dir)
+    }
+  }
+
+  behavior of "Curation.dsirScores"
+
+  /** The Scala twin of the op's md5 bucket (and the DuckDB oracle's):
+    * first 8 hex chars of md5, as a long, mod buckets.
+    */
+  private def bucketOf(bigram: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bigram.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets
+  }
+
+  it must "reproduce the hand-computed integer ratio ladder" in {
+    val s = spark
+    import s.implicits._
+    // target doc: "a b a b" → bigrams (a b)×2, (b a)×1
+    // raw doc:    "x y x y" → bigrams (x y)×2, (y x)×1
+    val df = Seq((1L, true, "a b a b"), (2L, false, "x y x y"))
+      .toDF("doc_id", "tgt", "text")
+    val out = Curation.dsirScores(df, col("tgt"), buckets = 256)
+      .orderBy("doc_id").collect()
+    // expected bucket counts (collision-free for these four bigrams is
+    // asserted below, not assumed)
+    val bks = Seq("a b", "b a", "x y", "y x").map(bucketOf(_, 256))
+    bks.distinct.size must be(4)
+    def ratio(ct: Long, cr: Long): Long = ((ct + 1) * 1000000L) / (cr + 1)
+    // doc 1: 2·ratio(2,2) + 1·ratio(1,1); doc 2: 2·ratio(0,2) + 1·ratio(0,1)
+    val exp1 = 2 * ratio(2, 2) + 1 * ratio(1, 1)
+    val exp2 = 2 * ratio(0, 2) + 1 * ratio(0, 1)
+    val r1 = out.find(_.getLong(0) == 1L).get
+    val r2 = out.find(_.getLong(0) == 2L).get
+    r1.getAs[Long]("n_bigrams") must be(3L)
+    r1.getAs[Long]("score") must be(exp1)
+    r1.getAs[Long]("avg_weight") must be(exp1 / 3)
+    r2.getAs[Long]("score") must be(exp2)
+    // target-like text outranks raw-only text
+    r1.getAs[Long]("avg_weight") must be > r2.getAs[Long]("avg_weight")
+  }
+
+  it must "broadcast the bucket-ratio table (no shuffle join on buckets)" in {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => q +: flat(q.plan)
+      case other => other +: (other.children.flatMap(flat) ++
+        other.subqueries.flatMap(flat))
+    }
+    val df = docsDf((0L until 60L).map(i =>
+      i -> s"tok${i % 5} tok${(i * 3) % 7} tok${(i * 5) % 11} fin"))
+    val out = Curation.dsirScores(df, col("doc_id") % 2 === 0)
+    out.collect()
+    val nodes = flat(out.queryExecution.executedPlan)
+    nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) must be >= 1
+    nodes.count(_.isInstanceOf[SortMergeJoinExec]) must be(0)
+  }
+
+  behavior of "Curation.tokenBudgetSelect"
+
+  private def scored(rows: Seq[(Long, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "sc", "ct")
+  }
+
+  it must "take whole strata above the cut and a doc_id prefix of the boundary" in {
+    val rows = Seq(
+      (1L, 5L, 10L), (2L, 5L, 10L),            // stratum 5: mass 20
+      (3L, 4L, 10L),                            // stratum 4: cum 30
+      (4L, 3L, 10L), (5L, 3L, 10L), (6L, 3L, 10L), // stratum 3: cum 60
+      (7L, 2L, 10L))
+    // budget 45: strata 5 and 4 whole (used 30), remaining 15 fills
+    // doc 4 (cum 10) but not doc 5 (cum 20)
+    val out = Curation.tokenBudgetSelect(scored(rows), col("sc"), col("ct"),
+        budget = 45L)
+      .collect().map(_.getLong(0)).sorted
+    out must be(Array(1L, 2L, 3L, 4L))
+  }
+
+  it must "handle the budget inside the top stratum and the everything-fits case" in {
+    val rows = Seq((1L, 5L, 10L), (2L, 5L, 10L), (3L, 4L, 10L))
+    // budget 15 < top stratum mass 20: tau_full is null, boundary is the
+    // top stratum itself, doc 1 fits (10 <= 15), doc 2 does not
+    Curation.tokenBudgetSelect(scored(rows), col("sc"), col("ct"), 15L)
+      .collect().map(_.getLong(0)).sorted must be(Array(1L))
+    // budget beyond total mass: every doc selected, no boundary at all
+    Curation.tokenBudgetSelect(scored(rows), col("sc"), col("ct"), 1000L)
+      .collect().map(_.getLong(0)).sorted must be(Array(1L, 2L, 3L))
+  }
+
+  it must "never exceed the budget and be prefix-monotone in it" in {
+    val rows = (1L to 40L).map(i => (i, i % 7, 5 + i % 11))
+    val df = scored(rows)
+    val costs = rows.map(r => r._1 -> r._3).toMap
+    var prev = Set.empty[Long]
+    Seq(30L, 90L, 200L, 500L).foreach { b =>
+      val sel = Curation.tokenBudgetSelect(df, col("sc"), col("ct"), b)
+        .collect().map(_.getLong(0)).toSet
+      sel.toSeq.map(costs).sum must be <= b
+      // a larger budget only ever ADDS documents
+      prev.subsetOf(sel) must be(true)
+      prev = sel
+    }
+  }
+
+  behavior of "Curation.ccnetBuckets"
+
+  it must "cut each language's fluency ranking into balanced terciles" in {
+    val s = spark
+    import s.implicits._
+    // lang A: 6 docs, fluency strictly ordered by construction —
+    // "a a" bigram repeated k times has high C(w1 w2)/C(w1 ·) when k
+    // dominates; simpler: craft docs sharing bigrams so fluency is
+    // monotone in how often the doc's bigram occurs corpus-wide.
+    val docs = Seq(
+      // 3 docs of the common bigram, 3 of rarer ones (per lang)
+      (1L, "A", "x y x y x y"), (2L, "A", "x y x y"), (3L, "A", "x y"),
+      (4L, "A", "p q"), (5L, "A", "r s"), (6L, "A", "t u"),
+      (7L, "B", "x y x y"), (8L, "B", "p q"), (9L, "B", "r s"))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.ccnetBuckets(docs).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang("A").map(_.getAs[Int]("bucket")).sorted must be(
+      Array(1, 1, 2, 2, 3, 3))
+    byLang("B").map(_.getAs[Int]("bucket")).sorted must be(Array(1, 2, 3))
+    // head fluency >= tail fluency within each lang
+    byLang.values.foreach { rows =>
+      val head = rows.filter(_.getAs[String]("ppl_bucket") == "head")
+        .map(_.getAs[Double]("fluency")).min
+      val tail = rows.filter(_.getAs[String]("ppl_bucket") == "tail")
+        .map(_.getAs[Double]("fluency")).max
+      head must be >= tail
+    }
+    // labels track bucket ids exactly
+    out.foreach { r =>
+      val expect = r.getAs[Int]("bucket") match {
+        case 1 => "head"; case 2 => "middle"; case 3 => "tail"
+      }
+      r.getAs[String]("ppl_bucket") must be(expect)
+    }
+  }
+}
