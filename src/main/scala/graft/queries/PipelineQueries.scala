@@ -3483,6 +3483,105 @@ object PipelineQueries {
              |FROM fl JOIN documents d USING (doc_id)
              |ORDER BY lang, bucket, doc_id""".stripMargin)),
 
+    // The curation FUNNEL — per-document attrition report across the
+    // three quality families (Gopher doc-stats, C4 line/page battery,
+    // CCNet fluency terciles): which stage kills which doc, and the
+    // final kept set (the conjunction). The report shape is the real
+    // pipeline deliverable — stage kill counts are what a curation run
+    // publishes. A doc missing from a stage's frame (no bigrams → no
+    // fluency row) reads as failed-that-stage, never as vacuously kept.
+    QueryDef(
+      "pipeline_curation_funnel",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val g = TextAnalysis.gopherRules(docs)
+          .select(col("doc_id"), col("gopher_ok"))
+        val c = TextAnalysis.c4Filters(c4Injected(docs))
+          .select(col("doc_id"), col("page_ok").as("c4_ok"))
+        val p = Curation.ccnetBuckets(docs)
+          .select(col("doc_id"), (col("bucket") <= 2).as("ppl_ok"))
+        docs.select(col("doc_id"))
+          .join(g, Seq("doc_id"), "left_outer")
+          .join(c, Seq("doc_id"), "left_outer")
+          .join(p, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("gopher_ok"), lit(false)).as("gopher_ok"),
+            coalesce(col("c4_ok"), lit(false)).as("c4_ok"),
+            coalesce(col("ppl_ok"), lit(false)).as("ppl_ok"))
+          .withColumn("kept",
+            col("gopher_ok") && col("c4_ok") && col("ppl_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |         (LEN(toks) >= 25 AND LEN(toks) <= 80
+             |          AND ROUND(CAST(list_sum(list_transform(toks, w -> LENGTH(w))) AS DOUBLE) / LEN(toks), 4) >= 3.0
+             |          AND ROUND(CAST(list_sum(list_transform(toks, w -> LENGTH(w))) AS DOUBLE) / LEN(toks), 4) <= 10.0
+             |          AND ROUND(CAST(LEN(list_filter(toks, w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE) / LEN(toks), 6) >= 0.8
+             |          AND LEN(list_filter(['the','be','to','of','and','that','have','with'], x -> list_contains(toks, x))) >= 1) AS gopher_ok
+             |  FROM tok),
+             |inj AS (
+             |  SELECT doc_id, concat_ws(chr(10),
+             |    coalesce(array_to_string(toks[1:8], ' '), '') || '.',
+             |    coalesce(array_to_string(toks[9:16], ' '), ''),
+             |    'nav menu javascript links.',
+             |    'ok.',
+             |    coalesce(array_to_string(toks[17:26], ' '), '') || ' done.',
+             |    CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit.' END,
+             |    CASE WHEN doc_id % 17 = 0 THEN 'template { x }' END,
+             |    coalesce(array_to_string(toks[27:36], ' '), '') || ' end!') AS text
+             |  FROM tok),
+             |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj),
+             |lines AS (
+             |  SELECT doc_id, ls[CAST(i AS INT)] AS line
+             |  FROM l0, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+             |fl4 AS (
+             |  SELECT doc_id,
+             |         (regexp_matches(line, '[.!?"]$')
+             |          AND len(regexp_extract_all(lower(line), '\w+')) >= 3
+             |          AND NOT contains(lower(line), 'javascript')) AS keep_line,
+             |         (contains(lower(line), 'lorem ipsum')
+             |          OR contains(line, '{')) AS poison
+             |  FROM lines),
+             |c4 AS (
+             |  SELECT doc_id,
+             |         (NOT bool_or(poison)
+             |          AND SUM(CASE WHEN keep_line THEN 1 ELSE 0 END) >= 3) AS c4_ok
+             |  FROM fl4 GROUP BY 1),
+             |bg AS (SELECT doc_id,
+             |              unnest([toks[i] || ' ' || toks[i+1]
+             |                      for i in range(1, len(toks))]) AS b
+             |       FROM tok),
+             |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+             |cp AS (SELECT split_part(b, ' ', 1) AS w1,
+             |              CAST(COUNT(*) AS BIGINT) AS cp
+             |       FROM bg GROUP BY 1),
+             |r AS (SELECT doc_id, CAST(cb.cb AS DOUBLE) / cp.cp AS r
+             |      FROM bg JOIN cb USING (b)
+             |      JOIN cp ON split_part(bg.b, ' ', 1) = cp.w1),
+             |flu AS (SELECT doc_id,
+             |               ROUND(CAST(SUM(CAST(r AS DECIMAL(28,8))) AS DOUBLE)
+             |                     / COUNT(*), 6) AS fluency
+             |        FROM r GROUP BY 1),
+             |bkt AS (SELECT flu.doc_id,
+             |               (ntile(3) OVER (PARTITION BY d.lang
+             |                  ORDER BY flu.fluency DESC, flu.doc_id) <= 2) AS ppl_ok
+             |        FROM flu JOIN documents d USING (doc_id))
+             |SELECT d.doc_id,
+             |       COALESCE(g.gopher_ok, false) AS gopher_ok,
+             |       COALESCE(c4.c4_ok, false) AS c4_ok,
+             |       COALESCE(bkt.ppl_ok, false) AS ppl_ok,
+             |       (COALESCE(g.gopher_ok, false) AND COALESCE(c4.c4_ok, false)
+             |        AND COALESCE(bkt.ppl_ok, false)) AS kept
+             |FROM documents d
+             |LEFT JOIN g USING (doc_id)
+             |LEFT JOIN c4 USING (doc_id)
+             |LEFT JOIN bkt USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // First-occurrence shingle novelty: fraction of a doc's distinct
     // 3-shingles first seen (min doc_id) in that doc. Docs with <3
     // tokens emit no row (the bigramFluency no-row precedent).

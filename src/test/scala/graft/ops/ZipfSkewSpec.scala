@@ -118,4 +118,56 @@ class ZipfSkewSpec extends AnyFlatSpec with Matchers {
     allHead must be(brute)
     noHead must be(brute)
   }
+
+  behavior of "Curation.dsirScores under Zipf-extreme skew"
+
+  /** The instance-level formulation: every bigram occurrence rides the
+    * ratio join individually (no per-(doc, bucket) pre-aggregation) —
+    * the shape whose hot bucket WOULD concentrate on one task. */
+  private def bruteDsir(docs: DataFrame,
+                        isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(array(TextAnalysis.tokens)).as("toks"))
+      .select(col("doc_id"), col("tgt"),
+        explode(expr(
+          """zip_with(
+            |  slice(toks, 1, greatest(size(toks) - 1, 0)),
+            |  slice(toks, 2, greatest(size(toks) - 1, 0)),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+      .withColumn("bk",
+        expr("cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint) % 256"))
+    val ratios = bg.groupBy(col("bk"))
+      .agg(count(lit(1)).cast("long").as("cr"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).cast("long").as("ct"))
+      .withColumn("ratio", expr("((ct + 1) * 1000000L) div (cr + 1)"))
+      .select(col("bk"), col("ratio"))
+    bg.join(ratios, Seq("bk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("ratio")).cast("long").as("score"))
+      .withColumn("avg_weight", expr("score div n_bigrams"))
+  }
+
+  it must "pre-aggregate the hot bucket and broadcast the ratio table" in {
+    // the "the the" bigram — >=50% of all instances — folds to ONE row
+    // per doc before any join, and the 256-row ratio table broadcasts:
+    // the hot bucket never crosses a shuffle as a join key
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val out = Curation.dsirScores(zipfDocs, col("doc_id") % 3 === 0)
+    out.collect().length must be(300)
+    val nodes = flat(out.queryExecution.executedPlan)
+    nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) must be >= 1
+    nodes.count(_.isInstanceOf[SortMergeJoinExec]) must be(0)
+  }
+
+  it must "stay bit-identical to the instance-level formulation" in {
+    val preAgg = Curation.dsirScores(zipfDocs, col("doc_id") % 3 === 0)
+      .select("doc_id", "n_bigrams", "score", "avg_weight")
+      .orderBy("doc_id").collect().map(_.toString)
+    val brute = bruteDsir(zipfDocs, col("doc_id") % 3 === 0)
+      .select("doc_id", "n_bigrams", "score", "avg_weight")
+      .orderBy("doc_id").collect().map(_.toString)
+    preAgg must be(brute)
+  }
 }
