@@ -556,8 +556,18 @@ object Curation {
     */
   def dsirScores(docs: DataFrame, isTarget: Column, buckets: Int = 256,
                  scale: Long = 1000000L): DataFrame = {
+    val perDoc = dsirPerDocBuckets(docs, isTarget, buckets)
+    dsirScoreAgainst(perDoc, dsirRatios(dsirStatsOf(perDoc), scale))
+  }
+
+  /** One row per (doc, feature bucket) with the doc's count — the only
+    * aggregation that ever sees per-instance bigram rows (map-side
+    * combined; the bigramFluency de-skew rationale).
+    */
+  private def dsirPerDocBuckets(docs: DataFrame, isTarget: Column,
+                                buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val bg = docs
+    docs
       // Generate barrier: tokenize once per row (the repetition()
       // CollapseProject trap)
       .select(col("doc_id"), isTarget.as("tgt"),
@@ -574,25 +584,73 @@ object Curation {
       .withColumn("bk",
         expr(s"cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint)" +
           s" % $buckets"))
-    val perDoc = bg
       .groupBy(col("doc_id"), col("tgt"), col("bk"))
       .agg(count(lit(1)).cast("long").as("c"))
-    val ratios = perDoc
+  }
+
+  /** The `buckets`-row (bk, cr, ct) stats relation — raw counts, not
+    * ratios, so generations are PURE-ADDITIVE (see [[saveDsirStats]]).
+    */
+  private def dsirStatsOf(perDoc: DataFrame): DataFrame =
+    perDoc
       .groupBy(col("bk"))
       .agg(sum(col("c")).cast("long").as("cr"),
         sum(when(col("tgt"), col("c")).otherwise(0L)).cast("long")
           .as("ct"))
-      // add-1 smoothing on both sides: an empty bucket contributes the
-      // uniform ratio instead of dividing by zero
+
+  /** Fold (possibly multi-generation) stats rows to one ratio per
+    * bucket. Add-1 smoothing on both sides: an empty bucket
+    * contributes the uniform ratio instead of dividing by zero.
+    */
+  private def dsirRatios(stats: DataFrame, scale: Long): DataFrame =
+    stats
+      .groupBy(col("bk"))
+      .agg(sum(col("cr")).cast("long").as("cr"),
+        sum(col("ct")).cast("long").as("ct"))
       .withColumn("ratio", expr(s"((ct + 1) * ${scale}L) div (cr + 1)"))
       .select(col("bk"), col("ratio"))
+
+  private def dsirScoreAgainst(perDoc: DataFrame,
+                               ratios: DataFrame): DataFrame =
     perDoc
       .join(broadcast(ratios), Seq("bk"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_bigrams"),
         sum(col("c") * col("ratio")).cast("long").as("score"))
       .withColumn("avg_weight", expr("score div n_bigrams"))
-  }
+
+  /** Persist the DSIR bucket-stats relation — the retrain-free-ingest
+    * treatment the lexical/novelty/IVF indexes get: the stats are RAW
+    * counts (bk, cr, ct), so an increment appends its own counts as a
+    * new generation and readers SUM across generations — no
+    * read-modify-write of history, ever (the appendToTextIndex no-merge
+    * contract). The relation is `buckets` rows per generation; at any
+    * corpus scale the index is kilobytes.
+    */
+  def saveDsirStats(docs: DataFrame, isTarget: Column, dir: String,
+                    buckets: Int = 256): Unit =
+    dsirStatsOf(dsirPerDocBuckets(docs, isTarget, buckets))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** Pure-append ingest: one pass over the increment, zero passes over
+    * history. */
+  def appendToDsirStats(newDocs: DataFrame, isTarget: Column, dir: String,
+                        buckets: Int = 256): Unit =
+    dsirStatsOf(dsirPerDocBuckets(newDocs, isTarget, buckets))
+      .write.mode("append").parquet(s"$dir/stats")
+
+  /** Score `docs` against the PERSISTED stats. Because the folded
+    * generations are exactly the full corpus's bucket counts, scoring
+    * an increment through the index is BIT-IDENTICAL to full-corpus
+    * [[dsirScores]] restricted to the increment — the invariant the
+    * pipeline_dsir_incremental oracle rides.
+    */
+  def dsirScoresIndexed(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, dir: String, buckets: Int = 256,
+                        scale: Long = 1000000L): DataFrame =
+    dsirScoreAgainst(
+      dsirPerDocBuckets(docs, lit(false), buckets),
+      dsirRatios(spark.read.parquet(s"$dir/stats"), scale))
 
   /** Token-budget selection — "fill a training budget with the best
     * documents": select documents in descending `score` order until the

@@ -63,6 +63,27 @@ object Similarity {
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     topKPerQuery(scoreAll(queries, corpus), k)
 
+  /** Exact RANGE (radius) search — the similarity-search API's other
+    * half: every corpus neighbor with cosine ≥ `tau`, per query. Where
+    * top-k answers "the k nearest", range answers "everything this
+    * similar" (dedup candidate pulls, recall-first retrieval). Shape:
+    * the same one-corpus-scan-vs-broadcast-queries pass as
+    * [[bruteTopK]], but with NO ranking state at all — the threshold
+    * filter applies map-side inside the scan's codegen stage and
+    * survivors stream straight out, so the op never shuffles and
+    * output size is bounded by the caller's `tau`, not by corpus size.
+    * Emit membership (q_id, neighbor_id); the score column is for
+    * in-engine consumers — cross-engine gates should compare the
+    * membership SET at a gap-protected τ (the dedup_embedding_exact
+    * rule: no corpus pair may sit within float-ulp reach of the
+    * threshold).
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+                  tau: Double): DataFrame =
+    scoreAll(queries, corpus)
+      .filter(col("score") >= tau)
+      .select(col("q_id"), col("neighbor_id"), col("score"))
+
   /** MMR-diversified top-k — the retrieval RERANKER next to raw
     * similarity search: greedily pick k of the top-`cand` candidates
     * maximizing λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s), so the

@@ -3483,6 +3483,72 @@ object PipelineQueries {
              |FROM fl JOIN documents d USING (doc_id)
              |ORDER BY lang, bucket, doc_id""".stripMargin)),
 
+    // Exact RANGE (radius) similarity search — "everything at least
+    // this similar", the top-k API's other half. Membership at the
+    // gap-protected τ = 0.45 (the dedup_embedding_exact rule; measured
+    // min |cos − τ| ≥ 2.3e-4 across sf0.001/0.01/0.1 for this query
+    // slice — far above float-ulp reach), one corpus scan vs 200
+    // broadcast queries, the filter applies map-side and nothing
+    // shuffles.
+    QueryDef(
+      "ann_range_search",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.rangeSearch(emb.filter(col("vec_id") < 200), emb,
+            tau = 0.45)
+          .select(col("q_id"), col("neighbor_id"))
+          .orderBy(col("q_id"), col("neighbor_id"))
+      },
+      Some("""SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id
+             |FROM embeddings e, embeddings q
+             |WHERE q.vec_id < 200 AND e.vec_id <> q.vec_id
+             |  AND list_cosine_similarity(q.embedding, e.embedding) >= 0.45
+             |ORDER BY q_id, neighbor_id""".stripMargin)),
+
+    // Persisted DSIR stats + pure-append ingest (the retrain-free
+    // treatment the lexical/novelty/IVF indexes get): 90% of the corpus
+    // builds the stats, 10% appends as a generation, and the increment
+    // scores through the FOLDED stats — bit-identical to full-corpus
+    // DSIR restricted to the increment, which is exactly what the
+    // oracle computes.
+    QueryDef(
+      "pipeline_dsir_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft-dsir-inc")
+        try {
+          Curation.saveDsirStats(docs.filter(col("doc_id") % 10 =!= 0),
+            col("lang") === "en", dir.toString)
+          Curation.appendToDsirStats(docs.filter(col("doc_id") % 10 === 0),
+            col("lang") === "en", dir.toString)
+          Curation.dsirScoresIndexed(s,
+              docs.filter(col("doc_id") % 10 === 0), dir.toString)
+            .orderBy(col("doc_id"))
+            .localCheckpoint(true)
+        } finally graft.PlanHygiene.deleteRecursively(dir)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang = 'en' AS tgt,
+             |         regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |bg AS (SELECT doc_id, tgt,
+             |              unnest([toks[i] || ' ' || toks[i+1]
+             |                      for i in range(1, len(toks))]) AS b
+             |       FROM t),
+             |pb AS (SELECT doc_id, tgt,
+             |              ('0x' || substring(md5(b), 1, 8))::BIGINT % 256 AS bk,
+             |              CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM bg GROUP BY 1, 2, 3),
+             |g AS (SELECT bk, SUM(c) AS cr,
+             |             SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct
+             |      FROM pb GROUP BY 1),
+             |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |              CAST(SUM(c * (((ct + 1) * 1000000) // (cr + 1))) AS BIGINT) AS score
+             |       FROM pb JOIN g USING (bk) GROUP BY 1)
+             |SELECT doc_id, n_bigrams, score,
+             |       CAST(score // n_bigrams AS BIGINT) AS avg_weight
+             |FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
+
     // The curation FUNNEL — per-document attrition report across the
     // three quality families (Gopher doc-stats, C4 line/page battery,
     // CCNet fluency terciles): which stage kills which doc, and the

@@ -148,6 +148,69 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     nodes.count(_.isInstanceOf[SortMergeJoinExec]) must be(0)
   }
 
+  behavior of "Curation dsir stats index (save / pure-append / score)"
+
+  it must "score an increment through folded generations identically to batch DSIR" in {
+    val s = spark
+    val docs = docsDf((0L until 80L).map(i =>
+        i -> s"tok${i % 9} tok${(i * 3) % 7} tok${(i * 5) % 11} w$i end"))
+      .withColumn("tgt", col("doc_id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-spec")
+    try {
+      val hist = docs.filter(col("doc_id") % 10 =!= 0)
+      val inc = docs.filter(col("doc_id") % 10 === 0)
+      Curation.saveDsirStats(hist, col("tgt"), dir.toString)
+      Curation.appendToDsirStats(inc, col("tgt"), dir.toString)
+      val indexed = Curation.dsirScoresIndexed(s, inc, dir.toString)
+        .orderBy("doc_id").collect().map(_.toString)
+      val batch = Curation.dsirScores(docs, col("tgt"))
+        .filter(col("doc_id") % 10 === 0)
+        .orderBy("doc_id").collect().map(_.toString)
+      indexed must be(batch)
+      // the ingest really was pure-append: both generations' row sets
+      // survive on disk (a bucket hit by both batches carries TWO rows
+      // — no read-modify-write of history)
+      val gens = s.read.parquet(s"$dir/stats")
+      gens.count() must be > gens.select("bk").distinct().count()
+      val folded = gens.groupBy("bk")
+        .agg(sum("cr").as("cr")).agg(sum("cr")).collect()(0).getLong(0)
+      // folded raw mass = every bigram instance in the full corpus
+      val totalBigrams = Curation.dsirScores(docs, col("tgt"))
+        .agg(sum("n_bigrams")).collect()(0).getLong(0)
+      folded must be(totalBigrams)
+    } finally graft.PlanHygiene.deleteRecursively(dir)
+  }
+
+  behavior of "Similarity.rangeSearch"
+
+  it must "return exactly the neighbors at or above tau, and never shuffle" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => q +: flat(q.plan)
+      case other => other +: (other.children.flatMap(flat) ++
+        other.subqueries.flatMap(flat))
+    }
+    // unit vectors with hand-known cosines against q0 = (1, 0):
+    // a = 1.0, b = 0.8, c = 0.0, d = -1.0
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val out = Similarity.rangeSearch(queries, corpus, tau = 0.5)
+    val rows = out.collect()
+    rows.map(_.getLong(1)).sorted must be(Array(1L, 2L))
+    rows.foreach(_.getDouble(2) must be >= 0.5)
+    // the op is one scan + broadcast + map-side filter: no exchange
+    flat(out.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeExec]) must be(0)
+  }
+
   behavior of "Curation.tokenBudgetSelect"
 
   private def scored(rows: Seq[(Long, Long, Long)]) = {
