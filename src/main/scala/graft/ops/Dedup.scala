@@ -37,6 +37,58 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("sha"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** WITHIN-document line self-dedup — the RefinedWeb intra-doc pass
+    * [[stripBoilerplateLines]] cannot express: a chorus line repeated
+    * INSIDE one document (scraped pagination, templated list items,
+    * lyrics refrains) keeps its first occurrence and drops the rest,
+    * independent of what any other document contains. Output per doc:
+    * line count, kept count, and the cleaned text (first occurrences
+    * in original order).
+    *
+    * Scale shape: one corpus scan; the dedup is a map-side-combined
+    * min(pos) per (doc_id, line) — the aggregation key CONTAINS doc_id,
+    * so a line repeated across the whole corpus can never concentrate
+    * on one reducer (the window-free form of "row_number over
+    * (doc_id, line)"); reassembly is the same sorted-collect groupBy
+    * the boilerplate strip uses, bounded per doc.
+    */
+  def dedupLinesWithinDoc(docs: DataFrame): DataFrame = {
+    val firsts = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n"))
+        .as(Seq("pos", "line")))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(min(col("pos")).as("pos"))
+    firsts
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, line)))," +
+            " x -> x.line)"),
+          "\n").as("cleaned"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
+  }
+
+  /** Per-source duplication report — the corpus-health summary a dedup
+    * run publishes before anyone decides what to drop: per source, the
+    * document count, distinct-content count, duplicate count, and rate.
+    * One map-side-combined aggregation over (source, sha) then one over
+    * source; all integer counts plus one int/int division, hash-exact.
+    */
+  def dupRates(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"), sha2(col("text"), 256).as("sha"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dup"),
+        round((col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs"), 6).as("dup_rate"))
+
   /** Line-level boilerplate removal — the C4/RefinedWeb cleaning step
     * that PER-DOC dedup cannot express: a header/footer line repeated
     * across many documents of one source (nav bars, cookie banners,

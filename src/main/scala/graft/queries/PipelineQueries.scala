@@ -121,6 +121,29 @@ object PipelineQueries {
           concat(array_join(slice(col("toks"), 27, 10), " "), lit(" end!")))
           .as("text"))
 
+  /** The pipeline_intra_dedup injection, shared with the spec: a chorus
+    * line repeated three times and a footer repeated twice INSIDE every
+    * doc — the within-doc repeats the corpus itself lacks — plus two
+    * body slices and a unique ref line. Both engines build identical
+    * text from the same base tokens.
+    */
+  private[graft] def intraDupInjected(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens)).as("toks"))
+      .select(
+        col("doc_id"),
+        concat_ws("\n",
+          array_join(slice(col("toks"), 1, 10), " "),
+          lit("subscribe to our newsletter"),
+          array_join(slice(col("toks"), 11, 10), " "),
+          lit("subscribe to our newsletter"),
+          lit("all rights reserved"),
+          lit("subscribe to our newsletter"),
+          lit("all rights reserved"),
+          concat(lit("ref "), col("doc_id"))).as("text"))
+
   /** Shared by ann_brute_topk and ann_sq8_topk — the SQ8 result
     * channel's claim is rank-for-rank equality against the SAME
     * oracle, so the sameness is structural, not copy-paste.
@@ -3548,6 +3571,59 @@ object PipelineQueries {
              |SELECT doc_id, n_bigrams, score,
              |       CAST(score // n_bigrams AS BIGINT) AS avg_weight
              |FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // WITHIN-doc line self-dedup (the RefinedWeb intra-doc pass) on
+    // injected within-doc repeats: the chorus (3×) and footer (2×)
+    // collapse to their first occurrences, body lines and the unique
+    // ref survive, original order preserved.
+    QueryDef(
+      "pipeline_intra_dedup",
+      (s, d) => Dedup.dedupLinesWithinDoc(
+          intraDupInjected(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |  FROM documents),
+             |inj AS (
+             |  SELECT doc_id, concat_ws(chr(10),
+             |    coalesce(array_to_string(t[1:10], ' '), ''),
+             |    'subscribe to our newsletter',
+             |    coalesce(array_to_string(t[11:20], ' '), ''),
+             |    'subscribe to our newsletter',
+             |    'all rights reserved',
+             |    'subscribe to our newsletter',
+             |    'all rights reserved',
+             |    'ref ' || doc_id) AS text
+             |  FROM tk),
+             |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj),
+             |lines AS (
+             |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             |         ls[CAST(i AS INT)] AS line
+             |  FROM l0, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+             |firsts AS (
+             |  SELECT doc_id, line, MIN(pos) AS pos
+             |  FROM lines GROUP BY 1, 2)
+             |SELECT f.doc_id,
+             |       CAST(t.n_lines AS BIGINT) AS n_lines,
+             |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |       string_agg(f.line, chr(10) ORDER BY f.pos) AS cleaned
+             |FROM firsts f
+             |JOIN (SELECT doc_id, len(ls) AS n_lines FROM l0) t USING (doc_id)
+             |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+
+    // Per-source duplication report — corpus-health counts a dedup run
+    // publishes: docs, distinct contents, duplicates, rate.
+    QueryDef(
+      "dedup_source_rates",
+      (s, d) => Dedup.dupRates(Tables.documents(s, d))
+        .orderBy(col("source")),
+      Some("""SELECT source,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+             |       CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_dup,
+             |       ROUND(CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS DOUBLE)
+             |             / COUNT(*), 6) AS dup_rate
+             |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
 
     // The curation FUNNEL — per-document attrition report across the
     // three quality families (Gopher doc-stats, C4 line/page battery,

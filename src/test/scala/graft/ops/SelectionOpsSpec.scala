@@ -259,6 +259,47 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "Dedup.dedupLinesWithinDoc"
+
+  it must "keep first occurrences in order and count dropped repeats" in {
+    val doc = Seq("alpha beta", "chorus line", "gamma delta",
+      "chorus line", "chorus line", "alpha beta", "ref 1").mkString("\n")
+    val out = Dedup.dedupLinesWithinDoc(docsDf(Seq(1L -> doc))).collect()
+    out.length must be(1)
+    out(0).getAs[Long]("n_lines") must be(7L)
+    out(0).getAs[Long]("n_kept") must be(4L)
+    out(0).getAs[String]("cleaned") must be(
+      Seq("alpha beta", "chorus line", "gamma delta", "ref 1")
+        .mkString("\n"))
+  }
+
+  it must "leave repeat-free documents untouched" in {
+    val doc = Seq("one two", "three four", "five six").mkString("\n")
+    val out = Dedup.dedupLinesWithinDoc(docsDf(Seq(7L -> doc))).collect()
+    out(0).getAs[Long]("n_kept") must be(3L)
+    out(0).getAs[String]("cleaned") must be(doc)
+  }
+
+  behavior of "Dedup.dupRates"
+
+  it must "count per-source duplicates exactly" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "same text", "web"), (2L, "same text", "web"),
+      (3L, "other text", "web"), (4L, "unique here", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupRates(docs).orderBy("source").collect()
+    val web = out.find(_.getString(0) == "web").get
+    web.getAs[Long]("n_docs") must be(3L)
+    web.getAs[Long]("n_unique") must be(2L)
+    web.getAs[Long]("n_dup") must be(1L)
+    web.getAs[Double]("dup_rate") must be(0.333333)
+    val books = out.find(_.getString(0) == "books").get
+    books.getAs[Long]("n_dup") must be(0L)
+    books.getAs[Double]("dup_rate") must be(0.0)
+  }
+
   behavior of "Curation.ccnetBuckets"
 
   it must "cut each language's fluency ranking into balanced terciles" in {
