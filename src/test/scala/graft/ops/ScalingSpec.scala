@@ -60,6 +60,14 @@ class ScalingSpec extends AnyFlatSpec with Matchers {
       TextAnalysis.novelty(Tables.documents(spark, d))
         .agg(sum(col("novelty"))).collect(); ()
     },
+    "dsirScores" -> { d: String =>
+      // forced through output-column aggregates (the bench-sink
+      // lesson): a bare count() would prune the broadcast ratio join
+      // and time only the per-doc bucket aggregation
+      Curation.dsirScores(Tables.documents(spark, d),
+          col("lang") === "en")
+        .agg(sum(col("score")), sum(col("avg_weight"))).collect(); ()
+    },
     "ivfpqBuild" -> { d: String =>
       val emb = Tables.embeddings(spark, d)
       val coarse = Similarity.kmeansCentroids(emb, 16, 3)
