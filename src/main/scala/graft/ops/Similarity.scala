@@ -84,6 +84,69 @@ object Similarity {
       .filter(col("score") >= tau)
       .select(col("q_id"), col("neighbor_id"), col("score"))
 
+  /** IVF-pruned range search — [[rangeSearch]]'s 100 TB path: the
+    * corpus lists into its `corpusProbe` nearest coarse buckets, each
+    * query probes its `nprobe` nearest, and only co-bucketed pairs are
+    * scored (exact cosine re-verification, so precision is structural
+    * — the bucketing can only MISS neighbors, never invent them). The
+    * scored mass drops from |corpus|·|queries| to the probed buckets'
+    * mass; `nprobe`/`corpusProbe` are the recall levers (range recall
+    * needs BOTH sides near a shared centroid — query-side probing
+    * alone saturated at 9/10 on the measured testdata where
+    * corpusProbe = 2 clears the 0.9 floor with margin, the
+    * embeddingNearDups lesson), gated by [[rangeRecall]] exactly like
+    * every centroid-dependent path here. Join shape: the query probe
+    * set is K-bounded by construction and BROADCASTS to the
+    * bucket-partitioned corpus — the corpus never shuffles. At these
+    * toy centroid counts (16) the pruning ratio is modest; the
+    * parameters scale the standard way (numCentroids ~ √N, probes
+    * fixed) and the GATE, not the constant, is the channel's claim.
+    */
+  def ivfRangeSearch(queries: DataFrame, corpus: DataFrame, tau: Double,
+                     numCentroids: Int, kmeansIters: Int = 1,
+                     nprobe: Int = 2, corpusProbe: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(corpus, numCentroids, kmeansIters)
+    val cb = probeAssignments(corpus, cents, nprobe = corpusProbe)
+      .select(col("vec_id").as("neighbor_id"), col("ev"), col("bucket"))
+    val qb = probeAssignments(queries, cents, nprobe)
+      .select(col("vec_id").as("q_id"), col("ev").as("qv"), col("bucket"))
+    cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("score", expr("graft_cosine(qv, ev)"))
+      .filter(col("score") >= tau)
+      // corpusProbe > 1 lists a vector in several buckets, so a
+      // (query, neighbor) pair can surface once per shared bucket —
+      // dedup to membership before anything counts pairs
+      .select(col("q_id"), col("neighbor_id"), col("score"))
+      .dropDuplicates("q_id", "neighbor_id")
+  }
+
+  /** Recall gate for the IVF-pruned range path against the exact
+    * one-scan twin — the range analog of [[nearDupRecall]]: bucket
+    * assignment is centroid-dependent (not SQL-reproducible), but
+    * "the pruned pass recovers ≥ floor of the true range set, and
+    * invents none" is deterministic and oracle-checkable. Precision 1
+    * is structural (exact-cosine re-verified), emitted as a
+    * consistency row.
+    */
+  def rangeRecall(queries: DataFrame, corpus: DataFrame, tau: Double,
+                  numCentroids: Int, floor: Double,
+                  nprobe: Int = 2, corpusProbe: Int = 1): DataFrame = {
+    val exact = rangeSearch(queries, corpus, tau)
+      .select(col("q_id"), col("neighbor_id"))
+    val pruned = ivfRangeSearch(queries, corpus, tau, numCentroids,
+        nprobe = nprobe, corpusProbe = corpusProbe)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(pruned, Seq("q_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_found")))
+      .crossJoin(pruned.agg(count(lit(1)).as("n_pruned")))
+      .select(
+        col("n_exact"),
+        (col("n_found") >= col("n_exact") * floor).as("recall_ok"),
+        (col("n_found") === col("n_pruned")).as("precision_ok"))
+  }
+
   /** MMR-diversified top-k — the retrieval RERANKER next to raw
     * similarity search: greedily pick k of the top-`cand` candidates
     * maximizing λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s), so the

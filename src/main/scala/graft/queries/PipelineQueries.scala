@@ -3528,6 +3528,24 @@ object PipelineQueries {
              |  AND list_cosine_similarity(q.embedding, e.embedding) >= 0.45
              |ORDER BY q_id, neighbor_id""".stripMargin)),
 
+    // Recall gate for the IVF-pruned range path (the 100 TB range-search
+    // plan) against the exact one-scan twin — n_exact is
+    // SQL-checkable, recall >= 0.9 and structural precision ride the
+    // booleans (the dedup_embedding_recall pattern).
+    QueryDef(
+      "ann_range_ivf_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.rangeRecall(emb.filter(col("vec_id") < 200), emb,
+          tau = 0.45, numCentroids = 16, floor = 0.9, nprobe = 8,
+          corpusProbe = 2)
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+             |       TRUE AS recall_ok, TRUE AS precision_ok
+             |FROM embeddings e, embeddings q
+             |WHERE q.vec_id < 200 AND e.vec_id <> q.vec_id
+             |  AND list_cosine_similarity(q.embedding, e.embedding) >= 0.45""".stripMargin)),
+
     // Persisted DSIR stats + pure-append ingest (the retrain-free
     // treatment the lexical/novelty/IVF indexes get): 90% of the corpus
     // builds the stats, 10% appends as a generation, and the increment

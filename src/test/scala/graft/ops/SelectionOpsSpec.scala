@@ -259,6 +259,25 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "Similarity.ivfRangeSearch"
+
+  it must "never invent a neighbor and never emit a pair twice under multi-probe" in {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 200)
+    val exact = Similarity.rangeSearch(q, emb, 0.45)
+      .select("q_id", "neighbor_id")
+    val pruned = Similarity.ivfRangeSearch(q, emb, 0.45, numCentroids = 16,
+      nprobe = 8, corpusProbe = 2)
+    // precision is structural: every pruned pair is exact-cosine
+    // verified, so pruned ⊆ exact
+    pruned.join(exact, Seq("q_id", "neighbor_id"), "left_anti")
+      .count() must be(0L)
+    // corpusProbe = 2 lists vectors in two buckets; membership must
+    // still be a SET
+    pruned.count() must be(
+      pruned.select("q_id", "neighbor_id").distinct().count())
+  }
+
   behavior of "Dedup.dedupLinesWithinDoc"
 
   it must "keep first occurrences in order and count dropped repeats" in {
