@@ -632,6 +632,15 @@ object Curation {
     dsirStatsOf(dsirPerDocBuckets(docs, isTarget, buckets))
       .write.mode("overwrite").parquet(s"$dir/stats")
 
+  /** The (bk, cr, ct) stats relation as a frame — for writers that
+    * manage their own generation layout (the streaming ingest commits
+    * each micro-batch's stats by overwriting its own gen dir, the
+    * idempotent exactly-once foreachBatch contract).
+    */
+  def dsirStatsFrame(docs: DataFrame, isTarget: Column,
+                     buckets: Int = 256): DataFrame =
+    dsirStatsOf(dsirPerDocBuckets(docs, isTarget, buckets))
+
   /** Pure-append ingest: one pass over the increment, zero passes over
     * history. */
   def appendToDsirStats(newDocs: DataFrame, isTarget: Column, dir: String,

@@ -89,6 +89,28 @@ object Dedup {
         round((col("n_docs") - col("n_unique")).cast("double") /
           col("n_docs"), 6).as("dup_rate"))
 
+  /** Near-dup cluster-SIZE distribution — the shape report a dedup run
+    * publishes next to [[dupRates]]: how many clusters of each size the
+    * pair set closes into, INCLUDING the singleton row (unpaired docs)
+    * so the histogram masses sum to the corpus. Composes
+    * [[components]] (pointer-jumping over the pair sliver) with two
+    * bounded aggregations; the corpus contributes one count — it never
+    * groups or shuffles.
+    */
+  def clusterSizes(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = components(pairs)
+    val hist = labels
+      .groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+    val singles = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_paired"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_paired")).cast("long").as("n_clusters"))
+    hist.unionByName(singles)
+  }
+
   /** Line-level boilerplate removal — the C4/RefinedWeb cleaning step
     * that PER-DOC dedup cannot express: a header/footer line repeated
     * across many documents of one source (nav bars, cookie banners,

@@ -1564,6 +1564,48 @@ object PipelineQueries {
              |SELECT id AS doc_id, MIN(r) AS component
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // Near-dup cluster-SIZE distribution including the singleton row —
+    // the shape report next to dedup_source_rates: histogram masses sum
+    // to the corpus. Inherits dedup_components' soundness assumption.
+    QueryDef(
+      "dedup_cluster_sizes",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.clusterSizes(docs,
+            Dedup.minhashPairs(docs, shingleN = 3, b = 8, r = 4,
+              threshold = 0.5))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                        for i in range(1, len(t)-1)]) AS s
+             |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |        FROM documents)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+             |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+             |cs AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1),
+             |hist AS (SELECT CAST(sz AS BIGINT) AS cluster_size,
+             |                CAST(COUNT(*) AS BIGINT) AS n_clusters
+             |         FROM cs GROUP BY 1)
+             |SELECT * FROM hist
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT) AS cluster_size,
+             |       CAST((SELECT COUNT(*) FROM documents)
+             |            - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_clusters
+             |ORDER BY cluster_size""".stripMargin)),
+
     // Canonical selection within near-dup clusters — the production
     // keep rule: one survivor per component, the LONGEST member
     // (score = n_chars; ties to min doc_id), singletons surviving as
@@ -3901,7 +3943,39 @@ object PipelineQueries {
           k = 5)
       },
       Some("""SELECT vec_id AS q_id, TRUE AS identical_ok
-             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin))
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    // Streaming DSIR-stats ingest — the arrival-time form of
+    // pipeline_dsir_incremental: each micro-batch commits its own
+    // (bk, cr, ct) generation by idempotent gen-dir overwrite; readers
+    // fold by summing, so the increment scored through the STREAMED
+    // index is bit-identical to full-corpus DSIR restricted to the
+    // increment — the same full-SQL oracle as the batch channel.
+    QueryDef(
+      "stream_dsir_ingest",
+      (s, d) => graft.streaming.EventsStream.dsirIngestAvailableNow(s, d)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang = 'en' AS tgt,
+             |         regexp_extract_all(lower(text), '\w+') AS toks
+             |  FROM documents),
+             |bg AS (SELECT doc_id, tgt,
+             |              unnest([toks[i] || ' ' || toks[i+1]
+             |                      for i in range(1, len(toks))]) AS b
+             |       FROM t),
+             |pb AS (SELECT doc_id, tgt,
+             |              ('0x' || substring(md5(b), 1, 8))::BIGINT % 256 AS bk,
+             |              CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM bg GROUP BY 1, 2, 3),
+             |g AS (SELECT bk, SUM(c) AS cr,
+             |             SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct
+             |      FROM pb GROUP BY 1),
+             |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |              CAST(SUM(c * (((ct + 1) * 1000000) // (cr + 1))) AS BIGINT) AS score
+             |       FROM pb JOIN g USING (bk) GROUP BY 1)
+             |SELECT doc_id, n_bigrams, score,
+             |       CAST(score // n_bigrams AS BIGINT) AS avg_weight
+             |FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of `Dedup.pagerankInt`: generated because it needs one

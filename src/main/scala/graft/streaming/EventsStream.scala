@@ -1427,6 +1427,76 @@ object EventsStream {
     }
   }
 
+  private val dsirIngests = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Memo[DataFrame]]()
+
+  /** Streaming DSIR-stats ingest — the arrival-time form of
+    * `pipeline_dsir_incremental`'s pure-append generations: document
+    * chunks land through the parquet file source (one micro-batch per
+    * chunk), each batch aggregates its OWN (bk, cr, ct) stats
+    * generation — a `buckets`-row frame, never history — and commits
+    * by OVERWRITING its `gen=<batchId>` dir (the idempotent
+    * exactly-once foreachBatch contract the ANN ingest uses; a
+    * replayed batch rewrites the same files and the stats never
+    * double-count). History writes as `gen=hist` before the stream
+    * starts. Readers fold generations by summing (Curation.dsirRatios
+    * groups by bucket), so scoring the increment through the streamed
+    * index is bit-identical to full-corpus DSIR restricted to the
+    * increment — the batch channel's oracle rides unchanged. Drained
+    * once per (applicationId, sfDir).
+    */
+  def dsirIngestAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, token) = stageLandingWithToken(s"$sfDir/documents.parquet")
+    memoized(dsirIngests, (spark.sparkContext.applicationId, sfDir), token) {
+      import java.nio.file.Files
+      val docs = graft.Tables.documents(spark, sfDir)
+      val hist = docs.filter(col("doc_id") % 10 =!= 0)
+      val inc = docs.filter(col("doc_id") % 10 === 0)
+      val isTgt = col("lang") === "en"
+
+      val indexDir = Files.createTempDirectory("graft-dsir-stream")
+      reclaimOnExit(indexDir)
+      graft.ops.Curation.dsirStatsFrame(hist, isTgt)
+        .write.mode("overwrite").parquet(s"$indexDir/stats/gen=hist")
+
+      val landing = Files.createTempDirectory("graft-dsir-landing")
+      reclaimOnExit(landing)
+      inc.repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(landing.toString)
+
+      val ckpt = tempCheckpointDir()
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          q = spark.readStream.schema(documentsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing.toString)
+            .writeStream
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              graft.ops.Curation
+                .dsirStatsFrame(batch, col("lang") === "en")
+                .write.mode("overwrite")
+                .parquet(s"$indexDir/stats/gen=$batchId")
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        } finally {
+          if (q != null && q.isActive) q.stop()
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        drainHygiene(spark)
+        deleteRecursively(ckpt)
+      }
+      graft.ops.Curation.dsirScoresIndexed(spark, inc, indexDir.toString)
+    }
+  }
+
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
     * for a training-data pipeline: emit each content hash's FIRST
     * arrival only. `dropDuplicatesWithinWatermark` bounds the dedup

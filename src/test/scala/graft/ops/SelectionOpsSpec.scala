@@ -299,6 +299,21 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     out(0).getAs[String]("cleaned") must be(doc)
   }
 
+  behavior of "Dedup.clusterSizes"
+
+  it must "histogram component sizes and account every unpaired doc as a singleton" in {
+    val s = spark
+    import s.implicits._
+    // 7 docs; pairs close {1,2,3} (triangle via chain) and {5,6}; docs
+    // 4 and 7 are unpaired singletons
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterSizes(docs, pairs)
+      .orderBy("cluster_size").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) must be(
+      Array((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
   behavior of "Dedup.dupRates"
 
   it must "count per-source duplicates exactly" in {
