@@ -1002,6 +1002,47 @@ object TextAnalysis {
           col("r_stopwords"))
   }
 
+  /** HTML → text extraction — the step every web-crawl pipeline runs
+    * BEFORE any quality filter sees a document: drop script/style
+    * blocks whole (their content is code, not text), drop comments,
+    * strip the remaining tags, THEN decode the common entities
+    * (`&amp;` strictly last — decoding it first would turn the literal
+    * text "&amp;lt;" into "<", the classic double-decode corruption),
+    * and collapse whitespace. Everything is codegen'd
+    * `regexp_replace`/`replace` chains over one projection — no UDF,
+    * one corpus scan, and every regex is RE2-safe (no backreferences:
+    * script and style strip separately) so the DuckDB oracle recomputes
+    * the identical extraction.
+    */
+  def stripHtml(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val noBlocks = regexp_replace(
+      regexp_replace(col(textCol), "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, "(?s)<!--.*?-->", " "),
+      "<[^>]+>", " ")
+    // entity decode, &amp; last; &#39; via chr(39) so neither engine's
+    // string literal needs quote escaping
+    val decodeSql = Seq(
+      "replace(_nt, '&lt;', '<')",
+      "replace(_d1, '&gt;', '>')",
+      "replace(_d2, '&quot;', '\"')",
+      "replace(_d3, '&#39;', chr(39))",
+      "replace(_d4, '&nbsp;', ' ')",
+      "replace(_d5, '&amp;', '&')")
+    val decoded = decodeSql.zipWithIndex.foldLeft(
+      docs.withColumn("_nt", noTags)) { case (df, (sql, i)) =>
+      df.withColumn(s"_d${i + 1}", expr(sql))
+    }
+    decoded
+      .select(col("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars_raw"),
+        trim(regexp_replace(col("_d6"), "[ \\t\\n\\r]+", " ")).as("text"))
+      .withColumn("n_chars_text", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("n_chars_raw"), col("n_chars_text"),
+        col("text"))
+  }
+
   /** C4-style cleaning battery (Raffel et al. 2020 §2.2) — the LINE-level
     * heuristics that complement [[gopherRules]]'s document-level stats:
     * a line survives iff it ends in terminal punctuation (`. ! ? "`),

@@ -144,6 +144,34 @@ object PipelineQueries {
           lit("all rights reserved"),
           concat(lit("ref "), col("doc_id"))).as("text"))
 
+  /** The text_html_extract injection: wrap every doc's tokens in a
+    * realistic HTML page — style and script blocks (whose content must
+    * vanish whole, including the `1 < 2` that would derail a naive tag
+    * regex), a comment, heading/paragraph/bold tags, and the common
+    * entities including the `&amp;lt;` double-decode trap. Both
+    * engines build identical markup from the same base tokens.
+    */
+  private[graft] def htmlInjected(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens)).as("toks"))
+      .select(
+        col("doc_id"),
+        concat(
+          lit("<html><head><style type=\"text/css\">body { color: red; }" +
+            "</style><script>var x = 1 < 2; // noise\n</script></head>" +
+            "<body><!-- crawl comment\n id "),
+          col("doc_id"),
+          lit(" --><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+          array_join(slice(col("toks"), 1, 5), " "),
+          lit(" <b>"), array_join(slice(col("toks"), 6, 5), " "),
+          lit("</b> "),
+          array_join(slice(col("toks"), 11, 1000), " "),
+          lit("</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; " +
+            "&#39;s&#39;&nbsp;and &amp;lt; stays</div></body></html>"))
+          .as("text"))
+
   /** Shared by ann_brute_topk and ann_sq8_topk — the SQ8 result
     * channel's claim is rank-for-rank equality against the SAME
     * oracle, so the sameness is structural, not copy-paste.
@@ -3441,6 +3469,49 @@ object PipelineQueries {
              |       CASE WHEN NOT poisoned AND n_kept >= 3
              |            THEN coalesce(kept_text, '') ELSE '' END AS cleaned
              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // HTML -> text extraction (the pre-filter step of every web
+    // pipeline) on injected markup: script/style/comments vanish whole,
+    // tags strip, entities decode (&amp; last — the &amp;lt;
+    // double-decode trap is planted and must survive as literal "&lt;"
+    // ... decoded exactly once to "<"), whitespace collapses.
+    QueryDef(
+      "text_html_extract",
+      (s, d) => TextAnalysis.stripHtml(htmlInjected(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+             |  FROM documents),
+             |inj AS (
+             |  SELECT doc_id,
+             |         '<html><head><style type="text/css">body { color: red; }</style><script>var x = 1 < 2; // noise' || chr(10) ||
+             |         '</script></head><body><!-- crawl comment' || chr(10) ||
+             |         ' id ' || doc_id || ' --><h1>Doc ' || doc_id || '</h1><p>' ||
+             |         coalesce(array_to_string(t[1:5], ' '), '') ||
+             |         ' <b>' || coalesce(array_to_string(t[6:10], ' '), '') || '</b> ' ||
+             |         coalesce(array_to_string(t[11:1010], ' '), '') ||
+             |         '</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&#39;&nbsp;and &amp;lt; stays</div></body></html>' AS text
+             |  FROM tk),
+             |st AS (
+             |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_raw,
+             |         regexp_replace(
+             |           regexp_replace(
+             |             regexp_replace(
+             |               regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |             '(?s)<!--.*?-->', ' ', 'g'),
+             |           '<[^>]+>', ' ', 'g') AS s
+             |  FROM inj),
+             |de AS (
+             |  SELECT doc_id, n_chars_raw,
+             |         replace(replace(replace(replace(replace(replace(s,
+             |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+             |  FROM st)
+             |SELECT doc_id, n_chars_raw,
+             |       CAST(LENGTH(trim(regexp_replace(s, '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_chars_text,
+             |       trim(regexp_replace(s, '[ \t\n\r]+', ' ', 'g')) AS text
+             |FROM de ORDER BY doc_id""".stripMargin)),
 
     // DSIR importance weights (hashed-bigram features, exact-integer
     // ratio analog of the log-likelihood ratio — see Curation.dsirScores)

@@ -259,6 +259,28 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "TextAnalysis.stripHtml"
+
+  it must "drop blocks whole, strip tags, and decode entities exactly once" in {
+    val html = "<html><head><style>p { x }</style>" +
+      "<script>if (1 < 2) { alert('hi') }</script></head>" +
+      "<body><!-- note --><h1>Title</h1><p>plain <b>bold</b> text</p>" +
+      "<div>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;" +
+      "and &amp;lt; survives</div></body></html>"
+    val out = TextAnalysis.stripHtml(docsDf(Seq(1L -> html))).collect()
+    out(0).getAs[String]("text") must be(
+      "Title plain bold text A & B <tag> \"q\" 's' and &lt; survives")
+    out(0).getAs[Long]("n_chars_raw") must be(html.length.toLong)
+    out(0).getAs[Long]("n_chars_text") must be(
+      out(0).getAs[String]("text").length.toLong)
+  }
+
+  it must "pass plain text through modulo whitespace collapse" in {
+    val out = TextAnalysis.stripHtml(
+      docsDf(Seq(2L -> "no  markup\n here"))).collect()
+    out(0).getAs[String]("text") must be("no markup here")
+  }
+
   behavior of "Similarity.ivfRangeSearch"
 
   it must "never invent a neighbor and never emit a pair twice under multi-probe" in {
