@@ -89,6 +89,43 @@ object Dedup {
         round((col("n_docs") - col("n_unique")).cast("double") /
           col("n_docs"), 6).as("dup_rate"))
 
+  /** URL canonicalization — the key rule behind crawl-level URL dedup
+    * (C4/CCNet dedup by canonical URL before any content pass):
+    * lowercase scheme and host, strip the scheme's default port
+    * (:443 https / :80 http), drop the fragment, and drop `utm_*`
+    * tracking params while preserving the rest of the query (the
+    * first-`?` repair rides an anchored group replace). Pure codegen'd
+    * regexp chains; every regex is RE2-safe so the oracle recomputes
+    * the identical canonical form (only the replacement-group SYNTAX
+    * differs per engine: `$1` here, `\1` in DuckDB).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val rest = regexp_extract(url, "^[A-Za-z]+://[^/?#]+(.*)$", 1)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    // '?' → '&' so every param looks alike, strip utm params, then the
+    // anchored group replace restores '?' before the first survivor
+    val q0 = regexp_replace(noFrag, "\\?", "&")
+    val q1 = regexp_replace(q0, "&utm_[^&]*", "")
+    val q2 = regexp_replace(q1, "^([^&]*)&", "$1?")
+    concat(scheme, lit("://"), host, q2)
+  }
+
+  /** URL-keyed dedup report: one row per canonical URL with its first
+    * doc and copy count — the crawl-dedup pass that runs before any
+    * content hashing. One map-side-combined aggregation on the
+    * canonical string.
+    */
+  def dedupByUrl(docs: DataFrame, urlCol: Column): DataFrame =
+    docs
+      .groupBy(canonicalizeUrl(urlCol).as("canonical_url"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).cast("long").as("n_copies"))
+
   /** Near-dup cluster-SIZE distribution — the shape report a dedup run
     * publishes next to [[dupRates]]: how many clusters of each size the
     * pair set closes into, INCLUDING the singleton row (unpaired docs)

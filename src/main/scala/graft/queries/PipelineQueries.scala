@@ -3742,6 +3742,60 @@ object PipelineQueries {
              |JOIN (SELECT doc_id, len(ls) AS n_lines FROM l0) t USING (doc_id)
              |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
 
+    // Crawl-level URL dedup on injected URLs: each doc carries either a
+    // NOISY url (uppercase scheme/host, default :443 port, utm params,
+    // fragment) or its clean twin — both canonicalize identically, so
+    // the group count proves every rule fires. Base repeats mod 50 to
+    // create real dup groups.
+    QueryDef(
+      "pipeline_url_dedup",
+      (s, d) => {
+        val b = col("doc_id") % 50
+        val url = when(col("doc_id") % 2 === 0,
+          concat(lit("HTTPS://WWW.Site"), b % 7, lit(".COM:443/path/"), b,
+            lit("/?utm_source=feed&id="), b, lit("&utm_campaign=x#sec")))
+          .otherwise(
+            concat(lit("https://www.site"), b % 7, lit(".com/path/"), b,
+              lit("/?id="), b))
+        Dedup.dedupByUrl(
+            Tables.documents(s, d).withColumn("url", url), col("url"))
+          .orderBy(col("canonical_url"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 2 = 0 THEN
+             |           'HTTPS://WWW.Site' || (doc_id % 50) % 7 || '.COM:443/path/' ||
+             |           doc_id % 50 || '/?utm_source=feed&id=' || doc_id % 50 ||
+             |           '&utm_campaign=x#sec'
+             |         ELSE
+             |           'https://www.site' || (doc_id % 50) % 7 || '.com/path/' ||
+             |           doc_id % 50 || '/?id=' || doc_id % 50
+             |         END AS url
+             |  FROM documents),
+             |parts AS (
+             |  SELECT doc_id,
+             |         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             |         lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+             |         regexp_extract(url, '^[A-Za-z]+://[^/?#]+(.*)$', 1) AS rest
+             |  FROM u),
+             |canon AS (
+             |  SELECT doc_id,
+             |         scheme || '://' ||
+             |         CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             |              WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             |              ELSE hostport END ||
+             |         regexp_replace(
+             |           regexp_replace(
+             |             regexp_replace(
+             |               regexp_replace(rest, '#.*$', ''),
+             |               '\?', '&', 'g'),
+             |             '&utm_[^&]*', '', 'g'),
+             |           '^([^&]*)&', '\1?') AS canonical_url
+             |  FROM parts)
+             |SELECT canonical_url, MIN(doc_id) AS first_doc,
+             |       CAST(COUNT(*) AS BIGINT) AS n_copies
+             |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin)),
+
     // Per-source duplication report — corpus-health counts a dedup run
     // publishes: docs, distinct contents, duplicates, rate.
     QueryDef(

@@ -336,6 +336,32 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
       Array((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  behavior of "Dedup.canonicalizeUrl"
+
+  it must "apply every rule and only the matching default port" in {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // noisy → fully canonicalized
+      ("HTTPS://WWW.Ex.COM:443/p/?utm_s=1&id=2&utm_c=3#frag",
+        "https://www.ex.com/p/?id=2"),
+      // utm-only query collapses to no query at all
+      ("https://ex.com/p?utm_only=1", "https://ex.com/p"),
+      // :443 is NOT default for http and must survive
+      ("http://ex.com:443/p", "http://ex.com:443/p"),
+      ("http://EX.com:80/p?a=1&b=2", "http://ex.com/p?a=1&b=2"),
+      // no query, no fragment: passthrough modulo case
+      ("https://Ex.com/just/path", "https://ex.com/just/path"),
+      // bare host
+      ("https://EX.COM", "https://ex.com"))
+    val out = cases.zipWithIndex
+      .map { case ((raw, _), i) => (i.toLong, raw) }
+      .toDF("doc_id", "url")
+      .select(col("doc_id"), Dedup.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    out must be(cases.map(_._2).toArray)
+  }
+
   behavior of "Dedup.dupRates"
 
   it must "count per-source duplicates exactly" in {
