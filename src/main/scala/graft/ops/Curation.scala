@@ -546,10 +546,11 @@ object Curation {
     * sees per-instance rows map-side combines, and `buckets` (default
     * 256) bounds every downstream frame: the target/raw count table is
     * `buckets` rows and BROADCASTS to the scoring join, so the hot
-    * stopword buckets never cross a shuffle as join keys. Two corpus
-    * scans (the global table re-derives the per-doc subtree — the
-    * tokenRarity trade: scans are the cheap currency, stragglers are
-    * not). Overflow headroom: score < Σc · (maxRatio·scale) — with the
+    * stopword buckets never cross a shuffle as join keys. ONE corpus
+    * scan: both consumers of the per-doc frame canonicalize onto one
+    * exchange (ReuseExchange — see the no-op null-filter note in
+    * dsirPerDocBuckets; audited on the executed plan).
+    * Overflow headroom: score < Σc · (maxRatio·scale) — with the
     * defaults a corpus needs ~10^12 target bigrams in one bucket before
     * a Long saturates; raise `buckets` (sharper features, smaller
     * counts) before `scale` if that day comes.
@@ -584,6 +585,12 @@ object Curation {
       .withColumn("bk",
         expr(s"cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint)" +
           s" % $buckets"))
+      // no-op null filter (bk derives from a non-null concat), but
+      // LOAD-BEARING for plan reuse: the scoring join infers
+      // isnotnull(bk) on its probe branch only, which would stop the
+      // two consumers' subtrees canonicalizing equal and block
+      // ReuseExchange (the bigramFluency dbg lesson)
+      .filter(col("bk").isNotNull)
       .groupBy(col("doc_id"), col("tgt"), col("bk"))
       .agg(count(lit(1)).cast("long").as("c"))
   }

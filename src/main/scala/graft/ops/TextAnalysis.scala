@@ -183,8 +183,17 @@ object TextAnalysis {
     // one row per (doc, bigram) with instance multiplicity k: the only
     // aggregation that ever sees per-instance rows, and it map-side
     // combines — a stopword bigram crosses the shuffle once per doc,
-    // not once per occurrence
-    val dbg = bigrams.groupBy(col("doc_id"), col("w1"), col("bg"))
+    // not once per occurrence. The explicit no-op null filter (neither
+    // key can be null: bg is a concat of non-null tokens, w1 a
+    // substring of bg) is LOAD-BEARING for plan reuse: without it
+    // InferFiltersFromConstraints pushes a DIFFERENT IsNotNull set
+    // into each of the three consumers (probe needs both join keys,
+    // cb only bg, cp only w1), the subtrees stop canonicalizing equal,
+    // and ReuseExchange cannot fire — the corpus scanned three times
+    // (measured; with the filter, stages 1-2 read stage 0's exchange).
+    val dbg = bigrams
+      .filter(col("bg").isNotNull && col("w1").isNotNull)
+      .groupBy(col("doc_id"), col("w1"), col("bg"))
       .agg(count(lit(1)).cast("long").as("k"))
     val cb = dbg.groupBy(col("bg")).agg(sum(col("k")).cast("long").as("cb"))
     val cp = dbg.groupBy(col("w1")).agg(sum(col("k")).cast("long").as("cp"))
