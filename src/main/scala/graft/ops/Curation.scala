@@ -558,7 +558,7 @@ object Curation {
   def dsirScores(docs: DataFrame, isTarget: Column, buckets: Int = 256,
                  scale: Long = 1000000L): DataFrame = {
     val perDoc = dsirPerDocBuckets(docs, isTarget, buckets)
-    dsirScoreAgainst(perDoc, dsirRatios(dsirStatsOf(perDoc), scale))
+    dsirScoreAgainst(perDoc, dsirRatios(dsirStatsOf(perDoc), scale), scale)
   }
 
   /** One row per (doc, feature bucket) with the doc's count — the only
@@ -617,10 +617,18 @@ object Curation {
       .withColumn("ratio", expr(s"((ct + 1) * ${scale}L) div (cr + 1)"))
       .select(col("bk"), col("ratio"))
 
-  private def dsirScoreAgainst(perDoc: DataFrame,
-                               ratios: DataFrame): DataFrame =
+  /** LEFT join so a bucket absent from the stats (scoring NEW docs
+    * against a stale persisted index) still contributes the add-1
+    * uniform ratio ((0+1)*scale) div (0+1) = scale — the smoothing the
+    * ratio fold promises. An inner join would silently drop unseen
+    * buckets from both score and n_bigrams (and a doc made only of
+    * unseen buckets would emit no row at all).
+    */
+  private def dsirScoreAgainst(perDoc: DataFrame, ratios: DataFrame,
+                               scale: Long): DataFrame =
     perDoc
-      .join(broadcast(ratios), Seq("bk"))
+      .join(broadcast(ratios), Seq("bk"), "left")
+      .withColumn("ratio", coalesce(col("ratio"), lit(scale)))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_bigrams"),
         sum(col("c") * col("ratio")).cast("long").as("score"))
@@ -666,7 +674,7 @@ object Curation {
                         scale: Long = 1000000L): DataFrame =
     dsirScoreAgainst(
       dsirPerDocBuckets(docs, lit(false), buckets),
-      dsirRatios(spark.read.parquet(s"$dir/stats"), scale))
+      dsirRatios(spark.read.parquet(s"$dir/stats"), scale), scale)
 
   /** Token-budget selection — "fill a training budget with the best
     * documents": select documents in descending `score` order until the

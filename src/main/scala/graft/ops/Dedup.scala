@@ -45,7 +45,10 @@ object Dedup {
     * line count, kept count, and the cleaned text (first occurrences
     * in original order).
     *
-    * Scale shape: one corpus scan; the dedup is a map-side-combined
+    * Scale shape: ONE corpus scan (literally — `n_lines` rides the
+    * same exploded aggregation as the dedup, as the sum of per-line
+    * occurrence counts, so there is no second read of `docs` for a
+    * join to canonicalize away); the dedup is a map-side-combined
     * min(pos) per (doc_id, line) — the aggregation key CONTAINS doc_id,
     * so a line repeated across the whole corpus can never concentrate
     * on one reducer (the window-free form of "row_number over
@@ -57,17 +60,16 @@ object Dedup {
       .select(col("doc_id"), posexplode(split(col("text"), "\n"))
         .as(Seq("pos", "line")))
       .groupBy(col("doc_id"), col("line"))
-      .agg(min(col("pos")).as("pos"))
+      .agg(min(col("pos")).as("pos"),
+        count(lit(1)).cast("long").as("cnt"))
     firsts
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_kept"),
+      .agg(sum(col("cnt")).cast("long").as("n_lines"),
+        count(lit(1)).cast("long").as("n_kept"),
         array_join(
           expr("transform(array_sort(collect_list(struct(pos, line)))," +
             " x -> x.line)"),
           "\n").as("cleaned"))
-      .join(docs.select(col("doc_id"),
-        size(split(col("text"), "\n")).cast("long").as("n_lines")),
-        Seq("doc_id"))
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
   }
 
@@ -76,10 +78,16 @@ object Dedup {
     * document count, distinct-content count, duplicate count, and rate.
     * One map-side-combined aggregation over (source, sha) then one over
     * source; all integer counts plus one int/int division, hash-exact.
+    * Null-text convention (pinned cross-engine): null text coalesces to
+    * '' BEFORE hashing, so every engine counts all null-text docs as
+    * one shared empty-content group — without the coalesce, SQL
+    * `COUNT(DISTINCT sha256(text))` would silently skip nulls and the
+    * unique/dup split would diverge from the grouped form.
     */
   def dupRates(docs: DataFrame): DataFrame =
     docs
-      .groupBy(col("source"), sha2(col("text"), 256).as("sha"))
+      .groupBy(col("source"), sha2(coalesce(col("text"), lit("")), 256)
+        .as("sha"))
       .agg(count(lit(1)).cast("long").as("n"))
       .groupBy(col("source"))
       .agg(sum(col("n")).cast("long").as("n_docs"),
@@ -93,8 +101,14 @@ object Dedup {
     * (C4/CCNet dedup by canonical URL before any content pass):
     * lowercase scheme and host, strip the scheme's default port
     * (:443 https / :80 http), drop the fragment, and drop `utm_*`
-    * tracking params while preserving the rest of the query (the
-    * first-`?` repair rides an anchored group replace). Pure codegen'd
+    * tracking params while preserving the rest of the query. The
+    * path/query split happens at the FIRST `?` only — a literal `&`
+    * in the path (`/a&b`) and a literal `?` inside a query value
+    * (`?a=b?c`) both survive untouched, so distinct URLs can never
+    * canonicalize into a collision. A URL with no `scheme://host`
+    * prefix (relative path, protocol-relative `//host/p`, garbage)
+    * passes through UNCHANGED — it can only dedup against its exact
+    * twin, never into a shared sentinel group. Pure codegen'd
     * regexp chains; every regex is RE2-safe so the oracle recomputes
     * the identical canonical form (only the replacement-group SYNTAX
     * differs per engine: `$1` here, `\1` in DuckDB).
@@ -107,12 +121,17 @@ object Dedup {
       .otherwise(hostport)
     val rest = regexp_extract(url, "^[A-Za-z]+://[^/?#]+(.*)$", 1)
     val noFrag = regexp_replace(rest, "#.*$", "")
-    // '?' → '&' so every param looks alike, strip utm params, then the
-    // anchored group replace restores '?' before the first survivor
-    val q0 = regexp_replace(noFrag, "\\?", "&")
-    val q1 = regexp_replace(q0, "&utm_[^&]*", "")
-    val q2 = regexp_replace(q1, "^([^&]*)&", "$1?")
-    concat(scheme, lit("://"), host, q2)
+    // split at the FIRST '?': path is untouched; utm params strip
+    // inside the query alone (a leading '&' sentinel makes every param
+    // look alike, then the survivors' leading '&' drops)
+    val path = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
+    val qClean = regexp_replace(
+      regexp_replace(concat(lit("&"), query), "&utm_[^&]*", ""), "^&", "")
+    val tail = when(qClean === "", path)
+      .otherwise(concat(path, lit("?"), qClean))
+    when(scheme === "" || hostport === "", url)
+      .otherwise(concat(scheme, lit("://"), host, tail))
   }
 
   /** URL-keyed dedup report: one row per canonical URL with its first

@@ -3742,56 +3742,92 @@ object PipelineQueries {
              |JOIN (SELECT doc_id, len(ls) AS n_lines FROM l0) t USING (doc_id)
              |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
 
-    // Crawl-level URL dedup on injected URLs: each doc carries either a
+    // Crawl-level URL dedup on injected URLs. Even doc_ids carry a
     // NOISY url (uppercase scheme/host, default :443 port, utm params,
     // fragment) or its clean twin — both canonicalize identically, so
-    // the group count proves every rule fires. Base repeats mod 50 to
-    // create real dup groups.
+    // the group count proves every rule fires (base repeats mod 50 to
+    // create real dup groups). Odd doc_ids carry the adversarial
+    // shapes: a scheme-less relative URL (must pass through UNCHANGED,
+    // never into a shared '://' sentinel), a protocol-relative
+    // '//host/p' (ditto), a literal '&' in the path with no query
+    // (must NOT collide with the distinct '...a?b' URL), and a literal
+    // '?' inside a query value next to a utm param (value survives,
+    // utm strips).
     QueryDef(
       "pipeline_url_dedup",
       (s, d) => {
         val b = col("doc_id") % 50
         val url = when(col("doc_id") % 2 === 0,
-          concat(lit("HTTPS://WWW.Site"), b % 7, lit(".COM:443/path/"), b,
-            lit("/?utm_source=feed&id="), b, lit("&utm_campaign=x#sec")))
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTPS://WWW.Site"), b % 7, lit(".COM:443/path/"), b,
+              lit("/?utm_source=feed&id="), b, lit("&utm_campaign=x#sec")))
+            .otherwise(
+              concat(lit("https://www.site"), b % 7, lit(".com/path/"), b,
+                lit("/?id="), b)))
+          .when(col("doc_id") % 8 === 1,
+            concat(lit("/local/path?id="), b))
+          .when(col("doc_id") % 8 === 3,
+            concat(lit("//cdn.site"), b % 7, lit(".com/asset/"), b))
+          .when(col("doc_id") % 8 === 5,
+            concat(lit("https://ex"), b % 7, lit(".com/a&b"), b))
           .otherwise(
-            concat(lit("https://www.site"), b % 7, lit(".com/path/"), b,
-              lit("/?id="), b))
+            concat(lit("https://ex"), b % 7, lit(".com/p?x=a?b&utm_x=1&id="),
+              b))
         Dedup.dedupByUrl(
             Tables.documents(s, d).withColumn("url", url), col("url"))
           .orderBy(col("canonical_url"))
       },
       Some("""WITH u AS (
              |  SELECT doc_id,
-             |         CASE WHEN doc_id % 2 = 0 THEN
-             |           'HTTPS://WWW.Site' || (doc_id % 50) % 7 || '.COM:443/path/' ||
-             |           doc_id % 50 || '/?utm_source=feed&id=' || doc_id % 50 ||
-             |           '&utm_campaign=x#sec'
-             |         ELSE
-             |           'https://www.site' || (doc_id % 50) % 7 || '.com/path/' ||
-             |           doc_id % 50 || '/?id=' || doc_id % 50
+             |         CASE
+             |           WHEN doc_id % 4 = 0 THEN
+             |             'HTTPS://WWW.Site' || (doc_id % 50) % 7 || '.COM:443/path/' ||
+             |             doc_id % 50 || '/?utm_source=feed&id=' || doc_id % 50 ||
+             |             '&utm_campaign=x#sec'
+             |           WHEN doc_id % 2 = 0 THEN
+             |             'https://www.site' || (doc_id % 50) % 7 || '.com/path/' ||
+             |             doc_id % 50 || '/?id=' || doc_id % 50
+             |           WHEN doc_id % 8 = 1 THEN
+             |             '/local/path?id=' || doc_id % 50
+             |           WHEN doc_id % 8 = 3 THEN
+             |             '//cdn.site' || (doc_id % 50) % 7 || '.com/asset/' ||
+             |             doc_id % 50
+             |           WHEN doc_id % 8 = 5 THEN
+             |             'https://ex' || (doc_id % 50) % 7 || '.com/a&b' ||
+             |             doc_id % 50
+             |           ELSE
+             |             'https://ex' || (doc_id % 50) % 7 ||
+             |             '.com/p?x=a?b&utm_x=1&id=' || doc_id % 50
              |         END AS url
              |  FROM documents),
              |parts AS (
-             |  SELECT doc_id,
+             |  SELECT doc_id, url,
              |         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
              |         lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
              |         regexp_extract(url, '^[A-Za-z]+://[^/?#]+(.*)$', 1) AS rest
              |  FROM u),
+             |pq AS (
+             |  SELECT doc_id, url, scheme, hostport,
+             |         regexp_extract(regexp_replace(rest, '#.*$', ''),
+             |                        '^([^?]*)', 1) AS path,
+             |         regexp_extract(regexp_replace(rest, '#.*$', ''),
+             |                        '^[^?]*\?(.*)$', 1) AS query
+             |  FROM parts),
              |canon AS (
              |  SELECT doc_id,
-             |         scheme || '://' ||
-             |         CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-             |              WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-             |              ELSE hostport END ||
-             |         regexp_replace(
-             |           regexp_replace(
-             |             regexp_replace(
-             |               regexp_replace(rest, '#.*$', ''),
-             |               '\?', '&', 'g'),
-             |             '&utm_[^&]*', '', 'g'),
-             |           '^([^&]*)&', '\1?') AS canonical_url
-             |  FROM parts)
+             |         CASE WHEN scheme = '' OR hostport = '' THEN url ELSE
+             |           scheme || '://' ||
+             |           CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             |                WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             |                ELSE hostport END ||
+             |           CASE WHEN qclean = '' THEN path
+             |                ELSE path || '?' || qclean END
+             |         END AS canonical_url
+             |  FROM (SELECT *,
+             |          regexp_replace(
+             |            regexp_replace('&' || query, '&utm_[^&]*', '', 'g'),
+             |            '^&', '') AS qclean
+             |        FROM pq))
              |SELECT canonical_url, MIN(doc_id) AS first_doc,
              |       CAST(COUNT(*) AS BIGINT) AS n_copies
              |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin)),
@@ -3804,10 +3840,13 @@ object PipelineQueries {
         .orderBy(col("source")),
       Some("""SELECT source,
              |       CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
-             |       CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_dup,
-             |       ROUND(CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS DOUBLE)
-             |             / COUNT(*), 6) AS dup_rate
+             |       CAST(COUNT(DISTINCT sha256(coalesce(text, ''))) AS BIGINT)
+             |         AS n_unique,
+             |       CAST(COUNT(*) - COUNT(DISTINCT sha256(coalesce(text, '')))
+             |         AS BIGINT) AS n_dup,
+             |       ROUND(CAST(COUNT(*)
+             |               - COUNT(DISTINCT sha256(coalesce(text, '')))
+             |               AS DOUBLE) / COUNT(*), 6) AS dup_rate
              |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
 
     // The curation FUNNEL — per-document attrition report across the

@@ -181,6 +181,25 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     } finally graft.PlanHygiene.deleteRecursively(dir)
   }
 
+  it must "smooth unseen buckets to the uniform ratio when scoring new docs" in {
+    val s = spark
+    // history covers ONE bigram bucket; the scored doc's bigram hashes
+    // elsewhere — under the documented add-1 smoothing it must emit a
+    // row with the uniform ratio (0+1)*scale div (0+1) = scale, not
+    // silently vanish from an inner join
+    val hist = docsDf(Seq(1L -> "alpha beta")).withColumn("tgt", lit(true))
+    val fresh = docsDf(Seq(9L -> "gamma delta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-smooth")
+    try {
+      Curation.saveDsirStats(hist, col("tgt"), dir.toString)
+      val out = Curation.dsirScoresIndexed(s, fresh, dir.toString)
+        .collect()
+      out.length must be(1)
+      out(0).getAs[Long]("n_bigrams") must be(1L)
+      out(0).getAs[Long]("avg_weight") must be(1000000L)
+    } finally graft.PlanHygiene.deleteRecursively(dir)
+  }
+
   behavior of "Similarity.rangeSearch"
 
   it must "return exactly the neighbors at or above tau, and never shuffle" in {
@@ -353,7 +372,19 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
       // no query, no fragment: passthrough modulo case
       ("https://Ex.com/just/path", "https://ex.com/just/path"),
       // bare host
-      ("https://EX.COM", "https://ex.com"))
+      ("https://EX.COM", "https://ex.com"),
+      // literal '&' in the PATH (no query): untouched — must NOT
+      // collide with the distinct URL https://ex.com/a?b
+      ("https://ex.com/a&b", "https://ex.com/a&b"),
+      ("https://ex.com/a?b", "https://ex.com/a?b"),
+      // literal '?' inside a query VALUE survives; the utm param
+      // around it still strips
+      ("https://ex.com/p?x=a?b&utm_x=1&id=2", "https://ex.com/p?x=a?b&id=2"),
+      // scheme-less / protocol-relative / garbage: pass through
+      // UNCHANGED — never into a shared '://' sentinel group
+      ("/relative/path?utm_s=1", "/relative/path?utm_s=1"),
+      ("//cdn.site.com/asset/1", "//cdn.site.com/asset/1"),
+      ("not a url at all", "not a url at all"))
     val out = cases.zipWithIndex
       .map { case ((raw, _), i) => (i.toLong, raw) }
       .toDF("doc_id", "url")
@@ -380,6 +411,21 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     val books = out.find(_.getString(0) == "books").get
     books.getAs[Long]("n_dup") must be(0L)
     books.getAs[Double]("dup_rate") must be(0.0)
+  }
+
+  it must "fold null text into one empty-content group (the pinned convention)" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, null: String, "web"), (2L, null: String, "web"),
+      (3L, "", "web"), (4L, "real text", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupRates(docs).collect()
+    out.length must be(1)
+    // null, null, '' all hash as the empty content → 2 uniques, 2 dups
+    out(0).getAs[Long]("n_docs") must be(4L)
+    out(0).getAs[Long]("n_unique") must be(2L)
+    out(0).getAs[Long]("n_dup") must be(2L)
   }
 
   behavior of "Curation.ccnetBuckets"
