@@ -249,26 +249,66 @@ object Curation {
     * group by score — the DYNAMIC-threshold quality filter ("drop each
     * domain's worst decile") that complements [[qualityFilter]]'s fixed
     * rules: a fixed threshold over-prunes clean domains and under-prunes
-    * noisy ones; a per-group quantile adapts. The cut uses
-    * `percent_rank` — (rank−1)/(n−1), pure integer-derived arithmetic,
-    * so the kept SET is deterministic and cross-engine identical (a
+    * noisy ones; a per-group quantile adapts. The emitted `pr` is
+    * bit-identical to `percent_rank` over (score desc, doc_id) per
+    * group — (rank−1)/(n−1), pure integer-derived arithmetic, so the
+    * kept SET is deterministic and cross-engine identical (a
     * percentile-interpolation formulation would hinge on matching
     * interpolation arithmetic); ties break by doc_id so equal scores
-    * cut identically everywhere. One window per group — the same
-    * per-stratum sort shape as every planner here, never a whole-corpus
-    * sort.
+    * cut identically everywhere.
+    *
+    * 100 TB shape — a per-group SCORE HISTOGRAM derives the ranks,
+    * never a per-group corpus sort (a dominant group would otherwise
+    * sort on ONE task — the tokenBudgetSelect pattern): (1) count docs
+    * per (group, score) stratum — bounded by score cardinality; (2) a
+    * cumulative count over that histogram places each stratum's rank
+    * range and the group total; (3) strata whose FIRST row already
+    * fails the gate drop wholesale before any per-document work; (4)
+    * surviving rows take rank = stratum start + position among their
+    * TIES — a window partitioned by (group, score), bounded by the tie
+    * stratum, so a hot group spreads across its distinct scores. A
+    * heavily tied score column concentrates its tie stratum on one
+    * task (the documented tokenBudgetSelect caveat); every
+    * distinct-scored group never sorts more than its ties.
     */
   def quantileGate(docs: DataFrame, group: Column, score: Column,
                    keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
-    val w = Window.partitionBy(group).orderBy(score.desc, col("doc_id"))
-    val ranked = docs.withColumn("_pr", percent_rank().over(w))
-    // keepFrac = 1.0 means keep ALL — but each group's last row has
-    // percent_rank exactly 1.0, so a strict < would silently drop one
-    // doc per group
+    val base = docs.withColumn("_g", group).withColumn("_s", score)
+    val hist = base
+      .groupBy(col("_g").as("_hg"), col("_s").as("_hs"))
+      .agg(count(lit(1)).cast("long").as("_cnt"))
+    val wl = Window.partitionBy(col("_hg")).orderBy(col("_hs").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("_end", sum(col("_cnt")).over(wl))
+      .withColumn("_start", col("_end") - col("_cnt") + 1)
+      .withColumn("_n",
+        max(col("_end")).over(Window.partitionBy(col("_hg"))))
+    // null-safe keys: null groups/scores gate within their own stratum
+    val joined = base.join(cum,
+      col("_g") <=> col("_hg") && col("_s") <=> col("_hs"))
+    // strata whose first row already fails the gate drop wholesale —
+    // no per-row ranking ever touches them
+    val live =
+      if (keepFrac >= 1.0) joined
+      else joined.filter(col("_n") === 1L ||
+        (col("_start") - 1).cast("double") / (col("_n") - 1) < keepFrac)
+    val wt = Window.partitionBy(col("_hg"), col("_hs"))
+      .orderBy(col("doc_id"))
+    val ranked = live
+      .withColumn("_rk", col("_start") + row_number().over(wt) - 1)
+      .withColumn("pr",
+        when(col("_n") === 1L, lit(0.0))
+          .otherwise(
+            (col("_rk") - 1).cast("double") / (col("_n") - 1)))
+    // keepFrac = 1.0 means keep ALL — each group's last row has
+    // percent_rank exactly 1.0, so a strict < would drop one doc per
+    // group
     val kept = if (keepFrac >= 1.0) ranked
-               else ranked.filter(col("_pr") < keepFrac)
-    kept.withColumnRenamed("_pr", "pr")
+               else ranked.filter(col("pr") < keepFrac)
+    kept.drop("_g", "_s", "_hg", "_hs", "_cnt", "_end", "_start", "_n",
+      "_rk")
   }
 
   def domainCap(docs: DataFrame, domain: Column, score: Column,
@@ -733,23 +773,73 @@ object Curation {
     * ranking into head/middle/tail terciles; CCNet trains on the head,
     * audits the middle, drops the tail. The score is
     * [[TextAnalysis.bigramFluency]] (this engine's deterministic KenLM
-    * analog — higher is more fluent); the cut is `ntile(3)` over a
-    * per-language window with doc_id tie-break, so the assignment is
-    * total-ordered and hash-checks cross-engine. Docs with no bigram
-    * have no fluency and emit no row (the fluency no-row precedent).
-    * Shape: the fluency frame joins doc metadata on doc_id (both sides
-    * shuffle-partition on the key once), then one window sort per
-    * language — the quantileGate per-stratum shape, never a
-    * whole-corpus sort.
+    * analog — higher is more fluent); the assignment is bit-identical
+    * to `ntile(3)` over (fluency desc, doc_id) per language, so it
+    * hash-checks cross-engine against the window oracle. Docs with no
+    * bigram have no fluency and emit no row (the fluency no-row
+    * precedent).
+    *
+    * 100 TB shape — HISTOGRAM-derived tercile cuts, never a
+    * per-language corpus sort (a dominant language would otherwise
+    * sort on ONE task): (1) aggregate doc counts per (lang, fluency)
+    * stratum — bounded by the score grid, not the corpus: fluency is
+    * ROUND(·, 6) on [0, 1], so a language has at most 10^6 + 1 strata
+    * no matter how many documents it holds; (2) a cumulative count
+    * over that bounded histogram places each stratum's rank range and
+    * derives the two ntile cut ranks from the per-language total
+    * (exact integer ntile arithmetic: the first n%3 terciles take the
+    * extra row); (3) every stratum wholly inside one tercile assigns
+    * its bucket with NO per-document ordering at all — bucket is a
+    * constant over the stratum; (4) only the (≤2 per language)
+    * boundary strata rank per-document, under a window partitioned by
+    * (lang, fluency) — tie-stratum-bounded, so a hot language spreads
+    * across its score grid instead of one reducer. The corpus joins
+    * the stratum table on (lang, fluency) — the key CONTAINS the
+    * score, so the join itself cannot hot-key on a language either.
     */
   def ccnetBuckets(docs: DataFrame): DataFrame = {
     val fl = TextAnalysis.bigramFluency(docs)
       .select(col("doc_id"), col("fluency"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("fluency").desc, col("doc_id"))
-    docs.select(col("doc_id"), col("lang"))
+    val base = docs.select(col("doc_id"), col("lang"))
       .join(fl, Seq("doc_id"))
-      .withColumn("bucket", ntile(3).over(w))
+    val hist = base
+      .groupBy(col("lang").as("_hl"), col("fluency").as("_hf"))
+      .agg(count(lit(1)).cast("long").as("_cnt"))
+    val wl = Window.partitionBy(col("_hl")).orderBy(col("_hf").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = hist
+      .withColumn("_end", sum(col("_cnt")).over(wl))
+      .withColumn("_start", col("_end") - col("_cnt") + 1)
+      .withColumn("_n",
+        max(col("_end")).over(Window.partitionBy(col("_hl"))))
+      // exact ntile(3) cut ranks: terciles 1..(n mod 3) carry the
+      // extra row
+      .withColumn("_c1", expr("_n div 3 + least(_n % 3, 1L)"))
+      .withColumn("_c2", expr("2 * (_n div 3) + least(_n % 3, 2L)"))
+      .withColumn("_boundary",
+        (col("_start") <= col("_c1") && col("_end") > col("_c1")) ||
+          (col("_start") <= col("_c2") && col("_end") > col("_c2")))
+    // null-safe join keys: a null lang still buckets within its own
+    // partition, exactly as the window form would
+    val joined = base.join(marked,
+      col("lang") <=> col("_hl") && col("fluency") <=> col("_hf"))
+    val whole = joined.filter(!col("_boundary"))
+      .withColumn("bucket",
+        when(col("_end") <= col("_c1"), 1)
+          .when(col("_end") <= col("_c2"), 2)
+          .otherwise(3))
+    val wt = Window.partitionBy(col("_hl"), col("_hf"))
+      .orderBy(col("doc_id"))
+    val bdry = joined.filter(col("_boundary"))
+      .withColumn("_rk", col("_start") + row_number().over(wt) - 1)
+      .withColumn("bucket",
+        when(col("_rk") <= col("_c1"), 1)
+          .when(col("_rk") <= col("_c2"), 2)
+          .otherwise(3))
+    val cols = Seq(col("doc_id"), col("lang"), col("fluency"),
+      col("bucket"))
+    whole.select(cols: _*)
+      .unionByName(bdry.select(cols: _*))
       .withColumn("ppl_bucket",
         when(col("bucket") === 1, "head")
           .when(col("bucket") === 2, "middle")

@@ -24,6 +24,8 @@ class ZipfSkewSpec extends AnyFlatSpec with Matchers {
   private def flat(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
     case q: QueryStageExec => q +: flat(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      r +: flat(r.child)
     case other => other +: (other.children.flatMap(flat) ++
       other.subqueries.flatMap(flat))
   }
@@ -169,5 +171,99 @@ class ZipfSkewSpec extends AnyFlatSpec with Matchers {
       .select("doc_id", "n_bigrams", "score", "avg_weight")
       .orderBy("doc_id").collect().map(_.toString)
     preAgg must be(brute)
+  }
+
+  // ── histogram-cut rankers under a dominant stratum ──────────────────
+
+  /** Every single-key WindowExec (partitioned by the group alone) must
+    * run over the score HISTOGRAM — witnessed by a (group, score)
+    * aggregate below it — never over the corpus: the executed-plan form
+    * of "a dominant language/domain never sorts on one task". Per-row
+    * windows are allowed only when the partition key includes the
+    * score (tie-stratum-bounded).
+    */
+  private def assertHistogramWindows(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def grouping(p: SparkPlan): Int = p match {
+      case h: HashAggregateExec => h.groupingExpressions.size
+      case o: ObjectHashAggregateExec => o.groupingExpressions.size
+      case s: SortAggregateExec => s.groupingExpressions.size
+      case _ => -1
+    }
+    val nodes = flat(df.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    windows must not be empty
+    windows.filter(_.partitionSpec.size == 1).foreach { w =>
+      withClue(s"single-key window over a non-histogram input: $w") {
+        flat(w.child).exists(grouping(_) >= 2) must be(true)
+      }
+    }
+  }
+
+  /** 90% of the corpus is ONE language — the whole-language window
+    * sort the r14 verdict flagged would put all 270 zz docs on a
+    * single task. Repeated texts inject real fluency TIES so the
+    * boundary-stratum path executes too. */
+  private def langSkewDocs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L until 300L).map { id =>
+      val lang = if (id < 270L) "zz" else "en"
+      // ids ≡ 0 (mod 3) share text pairwise (ties); others unique
+      val t = if (id % 3 == 0) s"tie tok${id % 30} common words here"
+              else s"u${id}a u${id}b u${id}c common words here"
+      (id, t, lang, "web", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  behavior of "Curation.ccnetBuckets under language skew"
+
+  it must "derive tercile cuts from the histogram, never a whole-language sort" in {
+    val out = Curation.ccnetBuckets(langSkewDocs)
+    out.collect().length must be(300)
+    assertHistogramWindows(out)
+  }
+
+  it must "stay bit-identical to the ntile window formulation" in {
+    import org.apache.spark.sql.expressions.Window
+    val fl = TextAnalysis.bigramFluency(langSkewDocs)
+      .select(col("doc_id"), col("fluency"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("fluency").desc, col("doc_id"))
+    val brute = langSkewDocs.select(col("doc_id"), col("lang"))
+      .join(fl, Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(w))
+      .withColumn("ppl_bucket",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .orderBy("doc_id").collect().map(_.toString)
+    val hist = Curation.ccnetBuckets(langSkewDocs)
+      .orderBy("doc_id").collect().map(_.toString)
+    hist must be(brute)
+  }
+
+  behavior of "Curation.quantileGate under domain skew"
+
+  it must "rank through the score histogram and match percent_rank exactly" in {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    // 90% of docs in one domain, scores heavily tied (7 distinct
+    // values) — both the dominant-group and dominant-stratum shapes
+    val docs = (0L until 300L).map { id =>
+      (id, if (id < 270L) "hot.com" else s"d${id % 5}.org", id % 7)
+    }.toDF("doc_id", "grp", "score")
+    val gate = Curation.quantileGate(docs, col("grp"), col("score"), 0.6)
+    val got = gate.select("doc_id", "grp", "score", "pr")
+      .orderBy("doc_id").collect().map(_.toString)
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val brute = docs.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") < 0.6)
+      .select("doc_id", "grp", "score", "pr")
+      .orderBy("doc_id").collect().map(_.toString)
+    got must be(brute)
+    assertHistogramWindows(gate)
   }
 }
