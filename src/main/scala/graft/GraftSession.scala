@@ -73,5 +73,12 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.NfcNormalize(exprs(0))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_entity_decode"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.HtmlEntityDecode].getName,
+          "graft_entity_decode"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.HtmlEntityDecode(exprs(0))))
   }
 }

@@ -23,6 +23,11 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
+    // Builder-side iteration aid #2: when only the ORACLE SQL changed
+    // (the parquet dumps are still valid), refresh oracle_sql.json
+    // without re-running the queries.
+    val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")
+    if (!sqlOnly)
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

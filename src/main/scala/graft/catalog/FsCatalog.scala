@@ -142,15 +142,43 @@ final case class FsCatalog(inodes: Dataset[Inode]) {
     * through the client too (RenameCommand.scala:44-58); the untouched
     * branch stays a pure filter so parquet min/max pruning on the
     * path-range-partitioned layout (save/load) skips its files.
+    *
+    * BOUNDED collect (the r14 verdict's namespace-mirror guard): the
+    * round-trip is capped at [[FsCatalog.MaxCollectedRename]] inodes —
+    * `limit(cap+1)` proves or refutes the bound in the same single job
+    * the old path paid. A larger subtree takes the LOUD distributed
+    * fallback: one prefix-rewrite projection over the subtree branch
+    * unioned with the untouched-branch filter. That shape references
+    * the inode tree twice per rename (the r13 plan-growth trade), which
+    * is exactly right here — a subtree too big to round-trip the driver
+    * is also one whose rename must stay a distributed transform, and
+    * the doubling amortizes at the next save/load or shell compaction.
     */
-  private[graft] def renameFrames(src: String, dst: String): FsCatalog = {
+  private[graft] def renameFrames(src: String, dst: String,
+      maxCollected: Int = FsCatalog.MaxCollectedRename): FsCatalog = {
     val inSubtree = col("path") === src || col("path").startsWith(prefixOf(src))
-    val moved = inodes.filter(inSubtree).collect().map { n =>
-      val np = dst + n.path.drop(src.length)
-      n.copy(path = np, parentPath = PathOps.parent(np))
-    }.toSeq
-    FsCatalog(inodes.filter(!inSubtree)
-      .unionByName(spark.createDataset(moved)(FsCatalog.inodeEncoder)))
+    val collected = inodes.filter(inSubtree).limit(maxCollected + 1).collect()
+    if (collected.length > maxCollected) {
+      System.err.println(
+        s"graftfs: rename $src -> $dst moves more than $maxCollected " +
+          "inodes; taking the distributed prefix-rewrite path")
+      val cut = src.length + 1 // substring is 1-based: drop(src.length)
+      val rewritten = inodes.filter(inSubtree).select(
+        concat(lit(dst), expr(s"substring(path, $cut)")).as("path"),
+        when(col("path") === src, lit(PathOps.parent(dst)).cast("string"))
+          .otherwise(concat(lit(dst), expr(s"substring(parentPath, $cut)")))
+          .as("parentPath"),
+        col("user"), col("group"), col("permission"), col("isDir"),
+        col("mtime"), col("blocks")).as(FsCatalog.inodeEncoder)
+      FsCatalog(inodes.filter(!inSubtree).unionByName(rewritten))
+    } else {
+      val moved = collected.toSeq.map { n =>
+        val np = dst + n.path.drop(src.length)
+        n.copy(path = np, parentPath = PathOps.parent(np))
+      }
+      FsCatalog(inodes.filter(!inSubtree)
+        .unionByName(spark.createDataset(moved)(FsCatalog.inodeEncoder)))
+    }
   }
 
   // ── A9/D1: listStatus — shallow children (ListCommand.scala:33-60) ────
@@ -431,6 +459,12 @@ object FsCatalog {
     * unavailable (the session is a def, not a stable identifier).
     */
   implicit val inodeEncoder: Encoder[Inode] = Encoders.product[Inode]
+
+  /** Largest subtree `renameFrames` will round-trip through the driver
+    * (~0.4 KB/inode retained → ~40 MB at the cap); past it the rename
+    * stays a distributed prefix rewrite (see renameFrames scaladoc).
+    */
+  val MaxCollectedRename: Int = 100000
 
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): FsCatalog =
     FsCatalog(spark.read.parquet(dir).as[Inode](inodeEncoder))

@@ -64,6 +64,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         pendingDoom = Nil
       }
       if (catalogDirty) {
+        noteMirrorGrowth()
         g = GraftFs(cacheCatalog(), g.chunks, g.aliases)
         catalogDirty = false
       }
@@ -107,6 +108,39 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
   private val inodeCache = new java.util.TreeMap[String, graft.catalog.Inode]()
   initial.catalog.inodes.collect().foreach(n => inodeCache.put(n.path, n))
   private val spark = initial.chunks.sparkSession
+
+  /** Driver-memory posture of the mirror, made LOUD (the facade's
+    * noteInodeGrowth contract, GraftFileSystem.scala:118-131): an inode
+    * row retains ~550 B of driver heap (ShellScaleSpec measures it by
+    * seeding 1M synthetic inodes — 521 MiB, verbs still at full
+    * speed), so the 10 M default cap ≈ 5.3 GiB — NameNode-scale metadata,
+    * the right class for a single-driver shell session. Past the cap
+    * every verb still works, but ONE stderr shout names the knob
+    * (`spark.graft.shell.max.inodes`) and the DSv2 connector as the
+    * analytics-scale alternative — never a silent OOM march. Checked at
+    * seed time and at every deferred-mutation flush (every growth verb
+    * sets catalogDirty, so growth cannot outrun the check by more than
+    * one verb batch).
+    */
+  private val maxMirrorInodes: Long =
+    try spark.conf.get("spark.graft.shell.max.inodes", "10000000").toLong
+    catch { case _: Throwable => 10000000L }
+  private val mirrorCapShouted = new java.util.concurrent.atomic.AtomicBoolean
+
+  /** True once the mirror has outgrown the cap (spec hook + the shout
+    * latch — the warning prints exactly once per shell).
+    */
+  def mirrorCapExceeded: Boolean = mirrorCapShouted.get()
+
+  private def noteMirrorGrowth(): Unit =
+    if (inodeCache.size() > maxMirrorInodes &&
+        mirrorCapShouted.compareAndSet(false, true))
+      System.err.println(
+        "graftfs shell: namespace mirror exceeds " +
+          s"spark.graft.shell.max.inodes ($maxMirrorInodes inodes) — " +
+          "driver-heap metadata growing unbounded; raise the cap or move " +
+          "analytics to the graft.sources DSv2 connector")
+  noteMirrorGrowth()
 
   private def cacheCatalog(): graft.catalog.FsCatalog = {
     import scala.jdk.CollectionConverters._

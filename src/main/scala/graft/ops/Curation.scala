@@ -716,6 +716,104 @@ object Curation {
       dsirPerDocBuckets(docs, lit(false), buckets),
       dsirRatios(spark.read.parquet(s"$dir/stats"), scale), scale)
 
+  /** Fixed-point integer log2 at 1/8-step resolution, as a SQL string
+    * over BIGINT `e ≥ 1`: `msb*8 + mantissa_top3_bits` where
+    * `msb = ⌊log2 e⌋` comes from the binary-digit count (`conv` base-2,
+    * exact on both engines — no libm) and the three mantissa bits come
+    * from one shift-normalized division. Monotone non-decreasing in
+    * `e` (within octave m the value climbs 8m → 8m+7 in plateaus of
+    * 2^(m−3) consecutive integers; at e = 2^m it is exactly 8m), so
+    * comparisons and hash checks are
+    * deterministic cross-engine — the same libm-avoidance substitution
+    * [[dsirScores]] makes for the DSIR log-ratio, here at the precision
+    * a classifier margin needs. DuckDB twin renders `to_base(e, 2)`
+    * for `conv(e, 10, 2)` and `//`+`<<` for `div`+`shiftleft`.
+    */
+  private[graft] def fplog2Sql(e: String): String =
+    s"((length(conv($e, 10, 2)) - 1) * 8 + ($e * 8) div " +
+      s"shiftleft(cast(1 as bigint), length(conv($e, 10, 2)) - 1) - 8)"
+
+  /** Learned quality classifier — the fastText-classifier step of
+    * DCLM/LLaMA-style pipelines (Li et al. 2024 §3.4; Touvron et al.
+    * 2023's "quality classifier") as an exact-integer multinomial
+    * Naive Bayes over the SAME hashed-bigram feature space DSIR uses:
+    * the selection family's third rung (heuristics → importance
+    * weights → learned classifier).
+    *
+    * Train: documents matching `isTrain` (a doc_id predicate, so the
+    * mask rides INSIDE the stats aggregation — see below) supervise
+    * per-bucket class counts under `label` (positive = quality). The
+    * per-bucket NB weight is `fplog2(c⁺+1) − fplog2(c⁻+1)` and the
+    * class-mass correction `fplog2(T⁺+B) − fplog2(T⁻+B)` applies once
+    * per bigram token — together the fixed-point form of
+    * `log P(b|+) − log P(b|−)` with add-1 smoothing. Equal priors
+    * (decision threshold 0); a deployment picks its own threshold.
+    * Score: EVERY document (train and held-out) gets
+    * `Σ_b c_b·w_b − n·k`, predicted = score > 0; bigram-less documents
+    * survive with score 0 (totality convention).
+    *
+    * Scale shape: one corpus scan — tokenize/explode once behind a
+    * generate barrier, pre-aggregate to (doc, bucket) rows (map-side
+    * combined; the hot stopword buckets collapse per doc before any
+    * shuffle), and both consumers of that frame — the B-row stats
+    * aggregation and the scoring join — canonicalize onto ONE exchange
+    * because the train mask is a CASE inside the stats aggregate, not
+    * a filter Catalyst would push into (and thereby fork) the shared
+    * subtree. The B-row weight table broadcasts; the 1-row class-mass
+    * constant broadcasts; nothing corpus-sized shuffles twice.
+    */
+  def nbQualityScores(docs: DataFrame, label: Column, isTrain: Column,
+                      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(array(graft.ops.TextAnalysis.tokens)).as("toks"),
+        col("text"))
+      .select(col("doc_id"), label.as("tgt"),
+        explode(expr(
+          """zip_with(
+            |  slice(toks, 1, greatest(size(toks) - 1, 0)),
+            |  slice(toks, 2, greatest(size(toks) - 1, 0)),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+      .withColumn("bk",
+        expr(s"cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint)" +
+          s" % $buckets"))
+      // the dsirPerDocBuckets ReuseExchange pin: pre-apply the null
+      // filter both consumers would otherwise infer asymmetrically
+      .filter(col("bk").isNotNull)
+      .groupBy(col("doc_id"), col("tgt"), col("bk"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val stats = perDoc
+      .groupBy(col("bk"))
+      .agg(
+        sum(when(isTrain && col("tgt"), col("c")).otherwise(0L))
+          .cast("long").as("cp"),
+        sum(when(isTrain && !col("tgt"), col("c")).otherwise(0L))
+          .cast("long").as("cn"))
+    val weights = stats.select(col("bk"),
+      expr(s"${fplog2Sql("(cp + 1)")} - ${fplog2Sql("(cn + 1)")}")
+        .cast("long").as("w"))
+    val classMass = stats.agg(
+        sum(col("cp")).cast("long").as("tp"),
+        sum(col("cn")).cast("long").as("tn"))
+      .select(expr(
+        s"${fplog2Sql(s"(tp + $buckets)")} - ${fplog2Sql(s"(tn + $buckets)")}")
+        .cast("long").as("k"))
+    val scored = perDoc
+      .join(broadcast(weights), Seq("bk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        sum(col("c") * coalesce(col("w"), lit(0L))).cast("long").as("raw"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(classMass))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (coalesce(col("raw"), lit(0L)) -
+          coalesce(col("n_bigrams"), lit(0L)) * col("k")).as("score"))
+      .withColumn("predicted", col("score") > 0)
+  }
+
   /** Token-budget selection — "fill a training budget with the best
     * documents": select documents in descending `score` order until the
     * cumulative `cost` (token count) reaches `budget`, ties broken by

@@ -169,7 +169,10 @@ object PipelineQueries {
           lit("</b> "),
           array_join(slice(col("toks"), 11, 1000), " "),
           lit("</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; " +
-            "&#39;s&#39;&nbsp;and &amp;lt; stays</div></body></html>"))
+            "&#39;s&#39;&nbsp;and &amp;lt; stays " +
+            "&#x27;h&#039; &rsquo;r&#8217; &ndash;n&#x2013; " +
+            "&#8212;m&mdash; dots&hellip; &#169;&copy; " +
+            "&amp;#60; and &#038;lt; stay</div></body></html>"))
           .as("text"))
 
   /** Shared by ann_brute_topk and ann_sq8_topk — the SQ8 result
@@ -205,6 +208,31 @@ object PipelineQueries {
   }
 
   private[queries] val lehmerUSql: String = lehmerUSqlFor(42L)
+
+  /** DuckDB twin of `TextAnalysis.htmlEntityTable`'s decode chain —
+    * RENDERED from the same table the Spark side folds over, so a new
+    * entity row lands in both engines or neither. DuckDB's
+    * regexp_replace needs the explicit 'g' flag (Spark's is global by
+    * default); the apostrophe replacement renders as chr(39) so the
+    * SQL literal needs no quote escaping. Table order is preserved —
+    * the `&amp;` row stays last on both sides (the double-decode
+    * guarantee).
+    */
+  private val htmlDecodeSql: String =
+    graft.ops.TextAnalysis.htmlEntityTable.foldLeft("s") {
+      case (acc, (pat, rep)) =>
+        val repSql = if (rep == "'") "chr(39)" else s"'$rep'"
+        s"regexp_replace($acc, '$pat', $repSql, 'g')"
+    }
+
+  /** DuckDB twin of `Curation.fplog2Sql` — the fixed-point integer log2
+    * the NB-classifier channel hashes on: `to_base(e, 2)` for Spark's
+    * `conv(e, 10, 2)`, `//` + `<<` for `div` + `shiftleft`. Argument
+    * must be a parenthesized BIGINT expression ≥ 1.
+    */
+  private def fpDuck(e: String): String =
+    s"((length(to_base($e, 2)) - 1) * 8 + ($e) * 8 // " +
+      s"(CAST(1 AS BIGINT) << (length(to_base($e, 2)) - 1)) - 8)"
 
   /** The split oracle's uniform draws from the salted stream (see
     * `Curation.SplitSeedSalt`).
@@ -1233,11 +1261,20 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |  SELECT id_a, id_b,
+             |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b)
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
@@ -1261,11 +1298,20 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.35 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |  SELECT id_a, id_b,
+             |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b)
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
 
@@ -1312,13 +1358,21 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
              |p AS (
-             |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
-             |         GREATEST(a.doc_id, b.doc_id) AS id_b,
-             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-             |  FROM sh a, sh b
-             |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+             |  SELECT LEAST(c.ia, c.ib) AS id_a,
+             |         GREATEST(c.ia, c.ib) AS id_b,
+             |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+             |  FROM (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |        FROM pf a JOIN pf b ON a.tok = b.tok
+             |        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0) c
+             |  JOIN srt sa ON sa.doc_id = c.ia
+             |  JOIN srt sb ON sb.doc_id = c.ib)
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
@@ -1354,13 +1408,21 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
              |p AS (
-             |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
-             |         GREATEST(a.doc_id, b.doc_id) AS id_b,
-             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-             |  FROM sh a, sh b
-             |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+             |  SELECT LEAST(c.ia, c.ib) AS id_a,
+             |         GREATEST(c.ia, c.ib) AS id_b,
+             |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+             |  FROM (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |        FROM pf a JOIN pf b ON a.tok = b.tok
+             |        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0) c
+             |  JOIN srt sa ON sa.doc_id = c.ia
+             |  JOIN srt sb ON sb.doc_id = c.ib)
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
@@ -1386,13 +1448,21 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.35 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
              |p AS (
-             |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
-             |         GREATEST(a.doc_id, b.doc_id) AS id_b,
-             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-             |  FROM sh a, sh b
-             |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+             |  SELECT LEAST(c.ia, c.ib) AS id_a,
+             |         GREATEST(c.ia, c.ib) AS id_b,
+             |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+             |  FROM (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |        FROM pf a JOIN pf b ON a.tok = b.tok
+             |        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0) c
+             |  JOIN srt sa ON sa.doc_id = c.ia
+             |  JOIN srt sb ON sb.doc_id = c.ib)
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
 
@@ -1577,11 +1647,21 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |  SELECT id_a, id_b
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b
+             |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             |        >= 0.5),
              |edges AS (
              |  SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
@@ -1610,11 +1690,21 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |  SELECT id_a, id_b
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b
+             |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             |        >= 0.5),
              |edges AS (
              |  SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
@@ -1659,11 +1749,21 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |  SELECT id_a, id_b
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b
+             |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             |        >= 0.5),
              |edges AS (
              |  SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
@@ -1721,11 +1821,21 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |  SELECT id_a, id_b
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b
+             |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             |        >= 0.5),
              |edges AS (
              |  SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
@@ -1878,11 +1988,20 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM d2)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(1.0 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |  SELECT id_a, id_b,
+             |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b)
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 1.0 ORDER BY id_a, id_b""".stripMargin)),
 
@@ -1916,11 +2035,20 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM d2)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(1.0 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |  SELECT id_a, id_b,
+             |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b)
              |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
              |WHERE j >= 1.0 ORDER BY id_a, id_b""".stripMargin)),
 
@@ -2502,11 +2630,22 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
-             |drops AS (
-             |  SELECT DISTINCT b.doc_id AS doc_id
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+             |p AS (
+             |  SELECT id_a, id_b
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b
+             |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             |        >= 0.5),
+             |drops AS (SELECT DISTINCT id_b AS doc_id FROM p),
              |q AS (
              |  SELECT doc_id,
              |         LEN(regexp_extract_all(lower(text), '\w+')) AS n_words,
@@ -2587,11 +2726,20 @@ object PipelineQueries {
               |                        for i in range(1, len(t)-1)]) AS s
               |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
               |        FROM documents)),
+              |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+              |pf AS (
+              |  SELECT doc_id, unnest(s[1 : len(s) -
+              |         CAST(ceil(0.35 * len(s)) AS INT) + 1]) AS tok
+              |  FROM srt),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
               |p AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-              |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              |  SELECT id_a, id_b
+              |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+              |            JOIN srt sb ON sb.doc_id = cand.id_b
+              |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+              |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
               |        >= 0.35),
               |sp AS (
               |  SELECT doc_id,
@@ -2629,11 +2777,20 @@ object PipelineQueries {
              |                        for i in range(1, len(t)-1)]) AS s
              |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
              |        FROM documents)),
+             |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+             |pf AS (
+             |  SELECT doc_id, unnest(s[1 : len(s) -
+             |         CAST(ceil(0.35 * len(s)) AS INT) + 1]) AS tok
+             |  FROM srt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-             |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             |  SELECT id_a, id_b
+             |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+             |            JOIN srt sb ON sb.doc_id = cand.id_b
+             |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
              |        >= 0.35),
              |edges AS (
              |  SELECT id_a AS src, id_b AS dst FROM p
@@ -3490,7 +3647,7 @@ object PipelineQueries {
              |         coalesce(array_to_string(t[1:5], ' '), '') ||
              |         ' <b>' || coalesce(array_to_string(t[6:10], ' '), '') || '</b> ' ||
              |         coalesce(array_to_string(t[11:1010], ' '), '') ||
-             |         '</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&#39;&nbsp;and &amp;lt; stays</div></body></html>' AS text
+             |         '</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&#39;&nbsp;and &amp;lt; stays &#x27;h&#039; &rsquo;r&#8217; &ndash;n&#x2013; &#8212;m&mdash; dots&hellip; &#169;&copy; &amp;#60; and &#038;lt; stay</div></body></html>' AS text
              |  FROM tk),
              |st AS (
              |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_raw,
@@ -3504,9 +3661,7 @@ object PipelineQueries {
              |  FROM inj),
              |de AS (
              |  SELECT doc_id, n_chars_raw,
-             |         replace(replace(replace(replace(replace(replace(s,
-             |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-             |           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+             |""".stripMargin + "         " + htmlDecodeSql + """ AS s
              |  FROM st)
              |SELECT doc_id, n_chars_raw,
              |       CAST(LENGTH(trim(regexp_replace(s, '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_chars_text,
@@ -3702,6 +3857,71 @@ object PipelineQueries {
              |SELECT doc_id, n_bigrams, score,
              |       CAST(score // n_bigrams AS BIGINT) AS avg_weight
              |FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // Learned quality classifier (the DCLM/LLaMA fastText-step analog):
+    // exact-integer Naive Bayes over the DSIR hashed-bigram buckets —
+    // trained on the 90% train slice under integer-exact heuristic
+    // labels (n_words>=5 ∧ punct*10<chars ∧ stop*50>=n_words), scoring
+    // EVERY doc incl. held-out. The fplog2 fixed-point log makes the
+    // whole margin BIGINT, so weights, class-mass correction, score,
+    // and the predicted flag all hash cross-engine. Completes the
+    // selection family: heuristics → importance weights → classifier.
+    QueryDef(
+      "pipeline_nb_quality",
+      (s, d) => Curation.nbQualityScores(
+          Tables.documents(s, d),
+          label = size(col("toks")) >= 5 &&
+            expr("size(regexp_extract_all(text, '[.,!?;:]', 0))") * 10 <
+              length(col("text")) &&
+            expr("size(filter(toks, w -> w in " +
+              "('the','a','of','and','to','in','is','it')))") * 50 >=
+              size(col("toks")),
+          isTrain = col("doc_id") % 10 =!= 0)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks,
+             |         LENGTH(text) AS n_chars,
+             |         LEN(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+             |  FROM documents),
+             |lab AS (
+             |  SELECT doc_id,
+             |         (LEN(toks) >= 5 AND n_punct * 10 < n_chars AND
+             |          LEN(list_filter(toks, w -> w IN
+             |            ('the','a','of','and','to','in','is','it'))) * 50
+             |            >= LEN(toks)) AS tgt,
+             |         toks
+             |  FROM t),
+             |bg AS (SELECT doc_id, tgt,
+             |              unnest([toks[i] || ' ' || toks[i+1]
+             |                      for i in range(1, len(toks))]) AS b
+             |       FROM lab),
+             |pb AS (SELECT doc_id, tgt,
+             |              ('0x' || substring(md5(b), 1, 8))::BIGINT % 256 AS bk,
+             |              CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM bg GROUP BY 1, 2, 3),
+             |st AS (SELECT bk,
+             |              CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND tgt
+             |                            THEN c ELSE 0 END) AS BIGINT) AS cp,
+             |              CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND NOT tgt
+             |                            THEN c ELSE 0 END) AS BIGINT) AS cn
+             |       FROM pb GROUP BY 1),
+             |w AS (SELECT bk, ${fpDuck("(cp + 1)")} - ${fpDuck("(cn + 1)")} AS w
+             |      FROM st),
+             |km AS (SELECT ${fpDuck("(tp + 256)")} - ${fpDuck("(tn + 256)")} AS k
+             |       FROM (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+             |                    CAST(SUM(cn) AS BIGINT) AS tn FROM st)),
+             |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |              CAST(SUM(c * COALESCE(w.w, 0)) AS BIGINT) AS raw
+             |       FROM pb LEFT JOIN w USING (bk) GROUP BY 1)
+             |SELECT d.doc_id,
+             |       COALESCE(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+             |       CAST(COALESCE(sc.raw, 0)
+             |            - COALESCE(sc.n_bigrams, 0) * km.k AS BIGINT) AS score,
+             |       (COALESCE(sc.raw, 0)
+             |        - COALESCE(sc.n_bigrams, 0) * km.k) > 0 AS predicted
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |CROSS JOIN km
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // WITHIN-doc line self-dedup (the RefinedWeb intra-doc pass) on
     // injected within-doc repeats: the chorus (3×) and footer (2×)
@@ -4165,11 +4385,21 @@ object PipelineQueries {
        |                        for i in range(1, len(t)-1)]) AS s
        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
        |        FROM documents)),
+       |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+       |pf AS (
+       |  SELECT doc_id, unnest(s[1 : len(s) -
+       |         CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+       |  FROM srt),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
        |p AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+       |            JOIN srt sb ON sb.doc_id = cand.id_b
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+       |        >= 0.5),
        |e AS (
        |  SELECT id_a AS src, id_b AS dst FROM p
        |  UNION ALL SELECT id_b, id_a FROM p),

@@ -300,6 +300,45 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     out(0).getAs[String]("text") must be("no markup here")
   }
 
+  it must "decode identically to the sequential regex chain the oracle runs" in {
+    // the HtmlEntities scaladoc's equivalence contract, exercised: the
+    // single-scan kernel must be bit-identical to applying the table's
+    // regex rows as sequential global passes (what the DuckDB oracle
+    // does) on adversarial entity soup — truncated entities, unknown
+    // names/codepoints, zero-padding, hex case mixes, nested amp traps
+    import graft.functions.HtmlEntities
+    def viaRegexChain(s: String): String =
+      HtmlEntities.regexRows.foldLeft(s) { case (acc, (pat, rep)) =>
+        acc.replaceAll(pat, java.util.regex.Matcher.quoteReplacement(rep))
+      }
+    val frags = Seq("&", "#", ";", "x", "X", "0", "39", "amp", "lt;",
+      "&amp;", "&#038;", "&#x26;", "&#X2014;", "&#0*60;", "&unknown;",
+      "&#999;", "&#xzz;", "&copy", "&&lt;&", "a b", "&#0000169;",
+      "&#x000A9;", "&nbsp;&nbsp;", "&apos", "&;", "&#;", "&#x;")
+    val rng = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val s = (1 to (1 + rng.nextInt(12)))
+        .map(_ => frags(rng.nextInt(frags.size))).mkString
+      val got = HtmlEntities.decode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      withClue(s"input <$s>: ") { got must be(viaRegexChain(s)) }
+    }
+  }
+
+  it must "decode numeric and extended named entities, once each" in {
+    // decimal with and without leading zeros, hex in either case of
+    // both the x and the hex letters, typographic punctuation, and the
+    // numeric-amp double-decode traps (&amp;#60; / &#038;lt; must
+    // surface as the LITERALS &#60; / &lt; — one decode, never two)
+    val html = "<p>&#x27;a&#039; &rsquo;b&#8217; &#X2014;c&mdash; " +
+      "d&hellip; &#169;&copy; &ndash;&#x2013; &ldquo;q&#x201D; " +
+      "&amp;#60; &#038;lt; &#x26;gt;</p>"
+    val out = TextAnalysis.stripHtml(docsDf(Seq(3L -> html))).collect()
+    out(0).getAs[String]("text") must be(
+      "'a' ’b’ —c— d… ©© " +
+        "–– “q” &#60; &lt; &gt;")
+  }
+
   behavior of "Similarity.ivfRangeSearch"
 
   it must "never invent a neighbor and never emit a pair twice under multi-probe" in {
@@ -462,6 +501,68 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
         case 1 => "head"; case 2 => "middle"; case 3 => "tail"
       }
       r.getAs[String]("ppl_bucket") must be(expect)
+    }
+  }
+
+  behavior of "Curation.fplog2Sql"
+
+  it must "match floor(8*log2) at octave edges and stay strictly monotone" in {
+    val s = spark
+    import s.implicits._
+    val vals = (1L to 2048L) ++ Seq(1000000L, 1048575L, 1048576L,
+      1099511627776L)
+    val got = vals.toDF("v")
+      .select(col("v"), expr(Curation.fplog2Sql("v")).cast("long").as("fp"))
+      .orderBy("v").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // exact anchors: fp(2^m) = 8m always; fp(2^m - 1) = 8m - 1 once the
+    // octave holds a full 3-bit mantissa (m >= 4; below that the grid
+    // is coarser: fp(3) = 12, fp(7) = 22)
+    got.toMap.apply(1L) must be(0L)
+    Seq(1, 2, 3, 4, 10).foreach { m =>
+      got.toMap.apply(1L << m) must be(8L * m)
+    }
+    Seq(4, 10).foreach { m =>
+      got.toMap.apply((1L << m) - 1) must be(8L * m - 1)
+    }
+    got.toMap.apply(3L) must be(12L) // 8*log2(3) = 12.68 -> 12
+    got.toMap.apply(7L) must be(22L)
+    got.toMap.apply(1099511627776L) must be(320L) // 2^40
+    // never exceeds the real log, never lags by a full step, monotone
+    got.foreach { case (v, fp) =>
+      fp must be <= math.floor(8.0 * math.log(v.toDouble) / math.log(2.0))
+        .toLong
+      fp.toDouble must be >= 8.0 * math.log(v.toDouble) / math.log(2.0) - 8.0
+    }
+    got.sliding(2).foreach { case Array((_, a), (_, b)) => a must be <= b }
+  }
+
+  behavior of "Curation.nbQualityScores"
+
+  it must "separate classes on held-out docs and keep bigram-less docs total" in {
+    // quality docs share stopword-rich phrasing; junk docs share
+    // noise phrasing — the classifier must learn the distinction from
+    // the train slice (doc_id % 10 <> 0) and carry it to the held-out
+    // docs (doc_id % 10 == 0), which contribute NOTHING to training
+    val good = (0L until 40L).map(i =>
+      i * 3 -> s"the quick study of the river and the stone g$i")
+    val junk = (0L until 40L).map(i =>
+      i * 3 + 1 -> s"zzz qqq xxx kkk www $i jjj yyy n$i")
+    val lone = Seq(200L -> "solitary") // 1 token -> zero bigrams
+    val docs = docsDf(good ++ junk ++ lone)
+    val label = expr("text like 'the %'")
+    val out = Curation.nbQualityScores(docs, label,
+        isTrain = col("doc_id") % 10 =!= 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    out.size must be(docs.count().toInt) // totality: every doc emits
+    // the bigram-less doc survives with the neutral score
+    out(200L) must be((0L, 0L, false))
+    // every doc classifies to its class — INCLUDING the held-out ones
+    good.foreach { case (id, _) =>
+      withClue(s"good doc $id: ") { out(id)._3 must be(true) }
+    }
+    junk.foreach { case (id, _) =>
+      withClue(s"junk doc $id: ") { out(id)._3 must be(false) }
     }
   }
 }

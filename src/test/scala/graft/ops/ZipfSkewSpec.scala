@@ -266,4 +266,74 @@ class ZipfSkewSpec extends AnyFlatSpec with Matchers {
     got must be(brute)
     assertHistogramWindows(gate)
   }
+
+  behavior of "Curation.nbQualityScores under Zipf-extreme skew"
+
+  /** The instance-level NB formulation: every bigram occurrence rides
+    * the weight join individually (no (doc, bucket) pre-aggregation) —
+    * the shape whose hot stopword bucket WOULD concentrate on one task.
+    */
+  private def bruteNb(docs: DataFrame,
+                      label: org.apache.spark.sql.Column,
+                      isTrain: org.apache.spark.sql.Column): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens)).as("toks"), col("text"))
+      .select(col("doc_id"), label.as("tgt"),
+        explode(expr(
+          """zip_with(
+            |  slice(toks, 1, greatest(size(toks) - 1, 0)),
+            |  slice(toks, 2, greatest(size(toks) - 1, 0)),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+      .withColumn("bk",
+        expr("cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint) % 256"))
+    val stats = bg.groupBy(col("bk"))
+      .agg(sum(when(isTrain && col("tgt"), 1L).otherwise(0L))
+          .cast("long").as("cp"),
+        sum(when(isTrain && !col("tgt"), 1L).otherwise(0L))
+          .cast("long").as("cn"))
+    val weights = stats.select(col("bk"),
+      expr(s"${Curation.fplog2Sql("(cp + 1)")} - " +
+        s"${Curation.fplog2Sql("(cn + 1)")}").cast("long").as("w"))
+    val k = stats.agg(sum(col("cp")).cast("long").as("tp"),
+        sum(col("cn")).cast("long").as("tn"))
+      .select(expr(s"${Curation.fplog2Sql("(tp + 256)")} - " +
+        s"${Curation.fplog2Sql("(tn + 256)")}").cast("long").as("k"))
+    docs.select(col("doc_id"))
+      .join(bg.join(weights, Seq("bk"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            sum(coalesce(col("w"), lit(0L))).cast("long").as("raw")),
+        Seq("doc_id"), "left")
+      .crossJoin(broadcast(k))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (coalesce(col("raw"), lit(0L)) -
+          coalesce(col("n_bigrams"), lit(0L)) * col("k")).as("score"))
+      .withColumn("predicted", col("score") > 0)
+  }
+
+  it must "pre-aggregate the hot bucket and broadcast weights + class mass" in {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val out = Curation.nbQualityScores(zipfDocs,
+      label = col("doc_id") % 3 === 0, isTrain = col("doc_id") % 10 =!= 0)
+    out.collect().length must be(300)
+    val nodes = flat(out.queryExecution.executedPlan)
+    // weight table (256 rows) and class-mass constant (1 row) both
+    // broadcast; the hot "the the" bucket never shuffles as a join key
+    nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) +
+      nodes.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) must be >= 2
+    nodes.count(_.isInstanceOf[SortMergeJoinExec]) must be(0)
+  }
+
+  it must "stay bit-identical to the instance-level NB formulation" in {
+    val label = col("doc_id") % 3 === 0
+    val isTrain = col("doc_id") % 10 =!= 0
+    val preAgg = Curation.nbQualityScores(zipfDocs, label, isTrain)
+      .orderBy("doc_id").collect().map(_.toString)
+    val brute = bruteNb(zipfDocs, label, isTrain)
+      .orderBy("doc_id").collect().map(_.toString)
+    preAgg must be(brute)
+  }
 }
