@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
 import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.must.Matchers
@@ -76,6 +77,53 @@ class ScalingSpec extends AnyFlatSpec with Matchers {
       val dir = java.nio.file.Files.createTempDirectory("graft-scaling-ivfpq")
       try Similarity.saveIvfPqIndex(emb, coarse, cbs, dir.toString)
       finally graft.PlanHygiene.deleteRecursively(dir)
+    },
+    // ── the r14-surface rows the r15 verdict asked for ────────────────
+    "tokenBudgetSelect" -> { d: String =>
+      // fixed budget, scaling corpus: the histogram aggregate is the
+      // scan-proportional term; the cut itself stays cardinality-bounded
+      Curation.tokenBudgetSelect(
+          Tables.documents(spark, d).select(col("doc_id"),
+            expr("size(array_distinct(regexp_extract_all(lower(text), " +
+              "'\\\\w+', 0)))").cast("long").as("richness"),
+            expr("size(regexp_extract_all(lower(text), '\\\\w+', 0))")
+              .cast("long").as("n_tokens")),
+          col("richness"), col("n_tokens"), budget = 1000L)
+        .agg(count(lit(1)), sum(col("doc_id"))).collect(); ()
+    },
+    "ccnetBuckets" -> { d: String =>
+      // forced through the bucket column so the fluency branch and the
+      // histogram-cut join stay load-bearing (the bench-sink lesson)
+      Curation.ccnetBuckets(Tables.documents(spark, d))
+        .agg(count(lit(1)), sum(F.length(col("ppl_bucket")))).collect(); ()
+    },
+    "ivfRangeSearch" -> { d: String =>
+      val emb = Tables.embeddings(spark, d)
+      // fixed 50-query panel, scaling corpus: cost is the probed-bucket
+      // sliver, never all-pairs (count is safe — row existence needs
+      // the exact-cosine verify join)
+      Similarity.ivfRangeSearch(emb.filter(col("vec_id") < 50), emb,
+        0.45, numCentroids = 16, nprobe = 8, corpusProbe = 2).count(); ()
+    },
+    "stripHtml" -> { d: String =>
+      TextAnalysis.stripHtml(Tables.documents(spark, d))
+        .agg(sum(col("n_chars_text")), sum(F.length(col("text"))))
+        .collect(); ()
+    },
+    "c4Filters" -> { d: String =>
+      TextAnalysis.c4Filters(Tables.documents(spark, d))
+        .agg(sum(col("n_kept")), sum(F.length(col("cleaned")))).collect(); ()
+    },
+    "nbQualityScores" -> { d: String =>
+      Curation.nbQualityScores(Tables.documents(spark, d),
+          label = F.size(col("toks")) >= 5 &&
+            expr("size(regexp_extract_all(text, '[.,!?;:]', 0))") * 10 <
+              F.length(col("text")) &&
+            expr("size(filter(toks, w -> w in " +
+              "('the','a','of','and','to','in','is','it')))") * 50 >=
+              F.size(col("toks")),
+          isTrain = col("doc_id") % 10 =!= 0)
+        .agg(sum(col("score")), sum(col("n_bigrams"))).collect(); ()
     })
 
   behavior of "heavy-operator scaling (sf0.001 → sf0.01 → sf0.1)"
