@@ -102,7 +102,8 @@ object Bench {
     */
   final case class JvmSnap(gcMs: Long, gcCount: Long, jitMs: Long,
                            codegenCompiles: Long, codegenClassBytes: Long,
-                           heapUsedMb: Long, activeStreams: Int)
+                           heapUsedMb: Long, activeStreams: Int,
+                           codeCacheMb: Long)
 
   def jvmSnap(spark: SparkSession): JvmSnap = {
     import java.lang.management.ManagementFactory
@@ -115,11 +116,45 @@ object Bench {
       .map(_.getTotalCompilationTime).getOrElse(-1L)
     val cg = org.apache.spark.metrics.source.CodegenMetrics
     val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
+    // JIT code-cache occupancy (all CodeHeap segments): the r14 bench
+    // needed 15 family-shift exonerations and the suite burned 518 s of
+    // JIT time over 3,678 codegen compiles — code-cache exhaustion
+    // (240 MB default) flushes warm methods and recompiles them, so the
+    // occupancy curve is the instrument that separates "cache thrash"
+    // from box weather in a post-run read
+    val codeCache = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") ||
+        p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum
     JvmSnap(gcMs, gcCount, jit,
       cg.METRIC_COMPILATION_TIME.getCount,
       cg.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount,
       heap >> 20,
-      try spark.streams.active.length catch { case _: Throwable => -1 })
+      try spark.streams.active.length catch { case _: Throwable => -1 },
+      codeCache >> 20)
+  }
+
+  /** Bounded wait for the listener bus to shed stale per-query
+    * streaming listeners. Root-caused r15: a drained streaming query's
+    * listeners deregister ASYNCHRONOUSLY (the bus processes the
+    * termination event on its own thread), and the r14 detail file
+    * shows counts of 8–11 persisting from the stream family into the
+    * first eight text channels (baseline 5, a −4 drop landing mid
+    * text family) — every stale listener receives every task event of
+    * the queries that follow, taxing exactly the family that runs next
+    * alphabetically. The wait runs OUTSIDE the timed region, costs
+    * nothing when nothing leaked, and caps at `maxWaitMs` so a
+    * genuinely stuck listener can't hang the bench.
+    */
+  def drainListeners(spark: SparkSession, baseline: Int,
+                     maxWaitMs: Long = 2000): Int = {
+    var waited = 0L
+    var n = listenerCount(spark)
+    while (n > baseline && baseline >= 0 && waited < maxWaitMs) {
+      Thread.sleep(50); waited += 50
+      n = listenerCount(spark)
+    }
+    n
   }
 
   /** Registered listener count on the shared LiveListenerBus (leaked
@@ -193,6 +228,9 @@ object Bench {
     // whichever query happens to run first
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+    // pre-suite listener baseline: the drain target for the per-query
+    // hygiene below (see drainListeners)
+    val baselineListeners = listenerCount(spark)
     // focused A/B runs: SPARK_GRAFT_ONLY=q1,q2 restricts the query set,
     // SPARK_GRAFT_REPS=N overrides the repetition count (default 3).
     // Channel semantics (see the emission comment below): the summary
@@ -257,8 +295,11 @@ object Bench {
           // 90 queries × 3 reps and slowed 1.8× suite-wide. The sweep
           // is OUTSIDE the timed region — hygiene isn't the query's
           // cost — and runs on failure too (a failed rep can leak the
-          // checkpoints it made before throwing).
+          // checkpoints it made before throwing). Stale streaming
+          // listeners drain here too (the r14 text-family
+          // contamination — drainListeners scaladoc).
           PlanHygiene.sweepPersisted(spark)
+          drainListeners(spark, baselineListeners)
         }
       }
       val post = jvmSnap(spark)
@@ -271,7 +312,8 @@ object Bench {
           s""","codegen_classes":${post.codegenClassBytes - pre.codegenClassBytes}""" +
           s""","heap_mb":${post.heapUsedMb}""" +
           s""","listeners":$postL,"listeners_d":${postL - preL}""" +
-          s""","streams":${post.activeStreams}}"""
+          s""","streams":${post.activeStreams}""" +
+          s""","codecache_mb":${post.codeCacheMb}}"""
       name -> (if (times.contains(-1.0)) Seq(-1.0) else times)
     }
     // The driver records only the LAST 2000 chars of stdout; the r5 line
@@ -346,7 +388,10 @@ object Bench {
           evalAll(queryFns(n)(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
-        finally PlanHygiene.sweepPersisted(spark)
+        finally {
+          PlanHygiene.sweepPersisted(spark)
+          drainListeners(spark, baselineListeners)
+        }
       }
       n -> ts
     }.toMap

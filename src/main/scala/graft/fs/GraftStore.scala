@@ -1,0 +1,163 @@
+package graft.fs
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.{BlockMeta, FileLocks, FsCatalog, Inode, PathOps}
+
+/** The pluggable store seam — the engine-side analog of the reference's
+  * `FileSystemStore` trait (reference FileSystemStore.scala:29-56), the
+  * one north-star surface a Cassandra deployment would re-bind. The
+  * engine's own paths (shell, facade, DSv2) compose FsCatalog/DataPlane
+  * directly — this trait exists so the STORE CONTRACT is a named,
+  * tested interface with exactly one binding today ([[ParquetStore]])
+  * and an obvious slot for a `CassandraStore` when an environment has
+  * one (this sandbox does not — documented narrowing, SURVEY §2.2 B1).
+  *
+  * Method map (reference → here; the reference returns Thrift-async
+  * `Future`s, re-expressed as synchronous driver calls over LAZY
+  * DataFrames — laziness is where the asynchrony went):
+  *
+  * | Ref (FileSystemStore.scala) | Here | Engine impl |
+  * |---|---|---|
+  * | `createKeyspace` :31 (ThriftStore.scala:88-170) | createKeyspace() | catalog bootstrap: root inode + empty chunk plane |
+  * | `init` :33 (client pool, ThriftStore.scala:175-207) | init() | no-op BY DESIGN: Spark manages executors/connections (SURVEY §2.2 B2) |
+  * | `storeINode` :35 (ThriftStore.scala:281-327) | storeINode | FsCatalog.store (anti-join + union upsert, FsCatalog.scala:52) |
+  * | `retrieveINode` :37 (ThriftStore.scala:329-350) | retrieveINode | FsCatalog.retrieve (filter-head, FsCatalog.scala:46) |
+  * | `storeSubBlock` :39 (ThriftStore.scala:352-385) | storeFileData | DataPlane.chunk of a (path, data) leaf + BlockMeta.forLength inode commit — C1-C4 in one declarative pass |
+  * | `retrieveSubBlock` :41 (+byteRangeStart; ThriftStore.scala:387-411) | retrieveSubBlock | DataPlane.readRange (subblock-pruned positioned read) |
+  * | `retrieveBlock` :43 (BlockInputStream) | retrieveBlock | DataPlane.cat (ordered reassembly) |
+  * | `deleteINode` :45 (ThriftStore.scala:413-425) | deleteINode | FsCatalog.removePath |
+  * | `deleteBlocks` :47 (ThriftStore.scala:427-464) | deleteBlocks | chunk-plane anti-filter on the path |
+  * | `fetchSubPaths` :49 (deep flag; ThriftStore.scala:490-541) | fetchSubPaths | FsCatalog.listStatus / listStatusRecursive path projection |
+  * | `getBlockLocations` :51 (token ring → replicas, ThriftStore.scala:543-605) | getBlockLocations | FsCatalog.blockLocations (deterministic hash-ring analog, 3 replicas) |
+  * | `acquireFileLock` :53 (time-UUID column race, ThriftStore.scala:607-734) | acquireFileLock | FileLocks.acquire (driver-local analog — the documented B12 single-driver narrowing) |
+  * | `releaseFileLock` :55 | releaseFileLock | FileLocks.release |
+  * | (keyspace drop — B13) | dropKeyspace() | reset to the empty planes |
+  */
+trait GraftStore {
+  def createKeyspace(): Unit
+  def init(): Unit
+  def storeINode(inode: Inode): Unit
+  def retrieveINode(path: String): Option[Inode]
+  def storeFileData(path: String, data: Array[Byte], user: String): Unit
+  def retrieveSubBlock(path: String, byteRangeStart: Long,
+                       len: Long): Array[Byte]
+  def retrieveBlock(path: String): Array[Byte]
+  def deleteINode(path: String): Unit
+  def deleteBlocks(path: String): Unit
+  def fetchSubPaths(path: String, isDeepFetch: Boolean): Seq[String]
+  def getBlockLocations(path: String): Map[String, Seq[String]]
+  def acquireFileLock(path: String): Option[UUID]
+  def releaseFileLock(path: String, token: UUID): Boolean
+  def dropKeyspace(): Unit
+}
+
+/** The Parquet/Spark binding — today's only [[GraftStore]]: both planes
+  * are the engine's ordinary frames (catalog = Inode dataset, data =
+  * subblock rows), mutations swap an immutable snapshot behind one
+  * lock (the single-driver narrowing every store consumer already
+  * documents). A CassandraStore would replace the two frames with
+  * session-bound table scans and the swap with batch mutations; every
+  * signature above already matches that shape.
+  */
+final class ParquetStore(spark: SparkSession,
+                         subBlockSize: Int = 1 << 20,
+                         blockSize: Int = 4 << 20) extends GraftStore {
+  require(subBlockSize > 0 && blockSize % subBlockSize == 0,
+    "blockSize must be a positive multiple of subBlockSize")
+
+  private[this] var state: GraftFs = _
+
+  private def emptyFs(): GraftFs = GraftShellMain.emptyFs(spark)
+
+  override def createKeyspace(): Unit = synchronized {
+    if (state == null) state = emptyFs()
+  }
+
+  /** No-op BY DESIGN (not unimplemented): the reference's init builds a
+    * Thrift client pool; Spark owns executor lifecycles and there is no
+    * connection to pool (SURVEY §2.2 B2).
+    */
+  override def init(): Unit = ()
+
+  private def fs: GraftFs = synchronized {
+    require(state != null, "createKeyspace() first")
+    state
+  }
+
+  override def storeINode(inode: Inode): Unit = synchronized {
+    state = GraftFs(fs.catalog.store(inode), fs.chunks, fs.aliases)
+  }
+
+  override def retrieveINode(path: String): Option[Inode] =
+    fs.catalog.retrieve(path)
+
+  override def storeFileData(path: String, data: Array[Byte],
+                             user: String): Unit = synchronized {
+    val g = fs
+    import org.apache.spark.sql.{Row, types => T}
+    val leaf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(path, data)),
+      T.StructType(Seq(T.StructField("path", T.StringType),
+        T.StructField("data", T.BinaryType))))
+    val inode = Inode(path, PathOps.parent(path), user, user, 420,
+      isDir = false, new java.sql.Timestamp(0L),
+      BlockMeta.forLength(path, data.length.toLong, subBlockSize, blockSize))
+    state = GraftFs(
+      g.catalog.store(inode),
+      g.currentChunks.filter(org.apache.spark.sql.functions
+          .col("path") =!= path)
+        .unionByName(DataPlane.chunk(leaf, subBlockSize, blockSize)),
+      graft.fs.ChunkAliases.empty)
+  }
+
+  override def retrieveSubBlock(path: String, byteRangeStart: Long,
+                                len: Long): Array[Byte] =
+    DataPlane.readRange(
+        fs.currentChunks.filter(
+          org.apache.spark.sql.functions.col("path") === path),
+        byteRangeStart, len)
+      .collect().headOption
+      .map(_.getAs[Array[Byte]]("data")).getOrElse(Array.emptyByteArray)
+
+  override def retrieveBlock(path: String): Array[Byte] =
+    DataPlane.cat(fs.currentChunks, path)
+      .collect().headOption
+      .map(_.getAs[Array[Byte]]("data")).getOrElse(Array.emptyByteArray)
+
+  override def deleteINode(path: String): Unit = synchronized {
+    state = GraftFs(fs.catalog.removePath(path), fs.chunks, fs.aliases)
+  }
+
+  override def deleteBlocks(path: String): Unit = synchronized {
+    val g = fs
+    state = GraftFs(g.catalog,
+      g.currentChunks.filter(
+        org.apache.spark.sql.functions.col("path") =!= path),
+      graft.fs.ChunkAliases.empty)
+  }
+
+  override def fetchSubPaths(path: String,
+                             isDeepFetch: Boolean): Seq[String] = {
+    val frame =
+      if (isDeepFetch) fs.catalog.listStatusRecursive(path)
+      else fs.catalog.listStatus(path)
+    frame.select("path").collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  override def getBlockLocations(path: String): Map[String, Seq[String]] =
+    fs.catalog.blockLocations(path).collect().map { r =>
+      r.getAs[String]("block_id") ->
+        r.getAs[String]("replicas").split(",").toSeq
+    }.toMap
+
+  override def acquireFileLock(path: String): Option[UUID] =
+    FileLocks.acquire(path)
+
+  override def releaseFileLock(path: String, token: UUID): Boolean =
+    FileLocks.release(path, token)
+
+  override def dropKeyspace(): Unit = synchronized { state = null }
+}

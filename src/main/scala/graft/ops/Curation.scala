@@ -766,6 +766,13 @@ object Curation {
                       buckets: Int = 256): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val perDoc = docs
+      // no-op null filter, LOAD-BEARING for plan reuse (the
+      // dsirPerDocBuckets lesson): the final scored left join infers
+      // IsNotNull(doc_id) into its probe branch's scan only, which
+      // stops the scoring and stats subtrees canonicalizing equal and
+      // forks the corpus into TWO tokenize+explode chains — pre-applied
+      // here, the executed plan shows one FileScan + ReusedExchange
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         explode(array(graft.ops.TextAnalysis.tokens)).as("toks"),
         col("text"))

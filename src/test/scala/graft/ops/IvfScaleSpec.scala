@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.must.Matchers
+
+import graft.{Tables, TestSpark}
+
+/** IVF at REALISTIC centroid counts — the r14 verdict's stretch #10:
+  * every shipped ANN channel trains toy codebooks (numCentroids = 16)
+  * and the √N scale rule was stated, not exercised. This spec builds a
+  * generated 100k-vector corpus (50 perturbed replicas of the sf0.1
+  * embeddings — the ScalingSpec sf1 recipe), trains K = ⌈√N⌉ = 317
+  * centroids ONCE, and holds the SAME per-query recall gate the oracle
+  * channels use (≥4 of the true top-5) while probing 10% of the
+  * buckets. The bucket-mass assertion pins that the larger K actually
+  * PRUNES — it is derived from the real index frame (sum of the nprobe
+  * largest buckets), so a degenerate clustering that funnels the corpus
+  * into few buckets fails even if recall passes by near-brute scanning.
+  * Measured numbers print for the PLANS.md table row.
+  */
+class IvfScaleSpec extends AnyFlatSpec with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private val Replicas = 50
+
+  /** 100k generated vectors: each replica rotates/shifts the base
+    * embeddings deterministically so replicas don't collapse onto one
+    * another (a naive clone would make every true neighbor list 50
+    * exact twins and trivialize recall).
+    */
+  private lazy val bigEmb: DataFrame = {
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    (0 until Replicas).map { k =>
+      base.select(
+        (col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.0f + (k % 7) * 0.011f) + lit((k % 5) * 0.004f))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+  }
+
+  it must "hold the recall gate at K = sqrt(N) centroids with 10% probes" in {
+    val n = bigEmb.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt // 317 at 100k
+    val nprobe = math.max(1, k / 10)
+    val queries = bigEmb.filter(col("vec_id") < 20).localCheckpoint(true)
+
+    val t0 = System.nanoTime()
+    val cents = Similarity.kmeansCentroids(bigEmb, k, iters = 3)
+      .localCheckpoint(true)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    val index = Similarity.assignBuckets(bigEmb, cents).localCheckpoint(true)
+
+    val t1 = System.nanoTime()
+    val approx = Similarity.ivfTopKIndexed(queries, index, cents,
+        nprobe = nprobe, k = 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val brute = Similarity.bruteTopK(queries, bigEmb, 5)
+      .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
+    val hits = approx
+      .join(brute, col("q_id") === col("bq") &&
+        col("neighbor_id") === col("bn"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tSearch = (System.nanoTime() - t1) / 1e9
+
+    // probed mass upper bound: the nprobe LARGEST buckets, from the
+    // real index frame
+    val probedMass = index.groupBy(col("bucket")).count()
+      .orderBy(col("count").desc).limit(nprobe)
+      .agg(sum(col("count"))).head.getLong(0)
+
+    info(f"N=$n K=$k nprobe=$nprobe: train ${tTrain}%.1f s, " +
+      f"search+brute ${tSearch}%.1f s, worst-case probed mass " +
+      f"$probedMass/${n} (${100.0 * probedMass / n}%.1f%%), " +
+      f"recall hits ${hits.values.sum}/100")
+    (0L until 20L).foreach { q =>
+      withClue(s"query $q recall@5 (floor 4): ") {
+        hits.getOrElse(q, 0L) must be >= 4L
+      }
+    }
+    // pruning is real: even the heaviest nprobe buckets hold a bounded
+    // corpus share (10% of buckets -> well under a third of the mass)
+    probedMass.toDouble must be < n * 0.34
+  }
+}
