@@ -764,8 +764,26 @@ object Curation {
     */
   def nbQualityScores(docs: DataFrame, label: Column, isTrain: Column,
                       buckets: Int = 256): DataFrame = {
+    val perDoc = nbPerDocBuckets(docs, label, buckets)
+    val stats = perDoc
+      .groupBy(col("bk"))
+      .agg(
+        sum(when(isTrain && col("tgt"), col("c")).otherwise(0L))
+          .cast("long").as("cp"),
+        sum(when(isTrain && !col("tgt"), col("c")).otherwise(0L))
+          .cast("long").as("cn"))
+    nbScoreAgainst(docs, perDoc, stats, buckets)
+  }
+
+  /** One row per (doc, feature bucket) for the NB classifier — the
+    * same hashed-bigram space, generate-barrier tokenize, and map-side
+    * pre-aggregation as [[dsirPerDocBuckets]], with the label along
+    * for the ride as `tgt`.
+    */
+  private def nbPerDocBuckets(docs: DataFrame, label: Column,
+                              buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val perDoc = docs
+    docs
       // no-op null filter, LOAD-BEARING for plan reuse (the
       // dsirPerDocBuckets lesson): the final scored left join infers
       // IsNotNull(doc_id) into its probe branch's scan only, which
@@ -790,13 +808,62 @@ object Curation {
       .filter(col("bk").isNotNull)
       .groupBy(col("doc_id"), col("tgt"), col("bk"))
       .agg(count(lit(1)).cast("long").as("c"))
-    val stats = perDoc
+  }
+
+  /** The classifier's B-row (bk, cp, cn) class-count stats over the
+    * `isTrain` slice of `docs` — RAW counts, not weights, so persisted
+    * generations are PURE-ADDITIVE exactly like [[dsirStatsFrame]]'s
+    * (readers fold by summing; weight derivation happens at read time).
+    */
+  def nbStatsFrame(docs: DataFrame, label: Column, isTrain: Column,
+                   buckets: Int = 256): DataFrame =
+    nbPerDocBuckets(docs, label, buckets)
       .groupBy(col("bk"))
       .agg(
         sum(when(isTrain && col("tgt"), col("c")).otherwise(0L))
           .cast("long").as("cp"),
         sum(when(isTrain && !col("tgt"), col("c")).otherwise(0L))
           .cast("long").as("cn"))
+
+  /** Persist the classifier's stats as generation 0 (the
+    * [[saveDsirStats]] contract: raw counts, pure append). */
+  def saveNbStats(docs: DataFrame, label: Column, isTrain: Column,
+                  dir: String, buckets: Int = 256): Unit =
+    nbStatsFrame(docs, label, isTrain, buckets)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** Pure-append classifier update: one pass over the new labeled
+    * batch, zero passes over history. */
+  def appendToNbStats(newDocs: DataFrame, label: Column, isTrain: Column,
+                      dir: String, buckets: Int = 256): Unit =
+    nbStatsFrame(newDocs, label, isTrain, buckets)
+      .write.mode("append").parquet(s"$dir/stats")
+
+  /** Score `docs` against PERSISTED classifier stats — retrain-free
+    * inference: because folded generations are exactly the full train
+    * slice's class counts, scoring through the index is BIT-IDENTICAL
+    * to [[nbQualityScores]] restricted to the same docs (the
+    * [[dsirScoresIndexed]] invariant, carried to the classifier).
+    */
+  def nbScoresIndexed(spark: org.apache.spark.sql.SparkSession,
+                      docs: DataFrame, dir: String,
+                      buckets: Int = 256): DataFrame =
+    nbScoreAgainst(docs,
+      nbPerDocBuckets(docs, lit(false), buckets),
+      spark.read.parquet(s"$dir/stats"), buckets)
+
+  /** The scoring half: fold (possibly multi-generation) stats, derive
+    * fplog2 weights + the class-mass constant, and score every doc in
+    * `docs` (bigram-less docs survive at the neutral 0 — totality).
+    * `statsRaw` may be the in-plan frame (batch path — shares
+    * `perDoc`'s exchange) or a loaded generation stack.
+    */
+  private def nbScoreAgainst(docs: DataFrame, perDoc: DataFrame,
+                             statsRaw: DataFrame, buckets: Int): DataFrame = {
+    val stats = statsRaw
+      .groupBy(col("bk"))
+      .agg(sum(col("cp")).cast("long").as("cp"),
+        sum(col("cn")).cast("long").as("cn"))
     val weights = stats.select(col("bk"),
       expr(s"${fplog2Sql("(cp + 1)")} - ${fplog2Sql("(cn + 1)")}")
         .cast("long").as("w"))

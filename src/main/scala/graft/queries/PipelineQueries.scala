@@ -234,6 +234,70 @@ object PipelineQueries {
     s"((length(to_base($e, 2)) - 1) * 8 + ($e) * 8 // " +
       s"(CAST(1 AS BIGINT) << (length(to_base($e, 2)) - 1)) - 8)"
 
+  /** The NB-classifier oracle, shared by the batch, incremental, and
+    * streaming channels — identical train/feature/weight SQL, only the
+    * final row restriction differs (the retrain-free invariant: indexed
+    * and streamed scoring must be bit-identical to the batch classifier
+    * restricted to the same docs).
+    */
+  private def nbQualityOracle(finalWhere: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks,
+       |         LENGTH(text) AS n_chars,
+       |         LEN(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |         (LEN(toks) >= 5 AND n_punct * 10 < n_chars AND
+       |          LEN(list_filter(toks, w -> w IN
+       |            ('the','a','of','and','to','in','is','it'))) * 50
+       |            >= LEN(toks)) AS tgt,
+       |         toks
+       |  FROM t),
+       |bg AS (SELECT doc_id, tgt,
+       |              unnest([toks[i] || ' ' || toks[i+1]
+       |                      for i in range(1, len(toks))]) AS b
+       |       FROM lab),
+       |pb AS (SELECT doc_id, tgt,
+       |              ('0x' || substring(md5(b), 1, 8))::BIGINT % 256 AS bk,
+       |              CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM bg GROUP BY 1, 2, 3),
+       |st AS (SELECT bk,
+       |              CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND tgt
+       |                            THEN c ELSE 0 END) AS BIGINT) AS cp,
+       |              CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND NOT tgt
+       |                            THEN c ELSE 0 END) AS BIGINT) AS cn
+       |       FROM pb GROUP BY 1),
+       |w AS (SELECT bk, ${fpDuck("(cp + 1)")} - ${fpDuck("(cn + 1)")} AS w
+       |      FROM st),
+       |km AS (SELECT ${fpDuck("(tp + 256)")} - ${fpDuck("(tn + 256)")} AS k
+       |       FROM (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+       |                    CAST(SUM(cn) AS BIGINT) AS tn FROM st)),
+       |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |              CAST(SUM(c * COALESCE(w.w, 0)) AS BIGINT) AS raw
+       |       FROM pb LEFT JOIN w USING (bk) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       COALESCE(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       |       CAST(COALESCE(sc.raw, 0)
+       |            - COALESCE(sc.n_bigrams, 0) * km.k AS BIGINT) AS score,
+       |       (COALESCE(sc.raw, 0)
+       |        - COALESCE(sc.n_bigrams, 0) * km.k) > 0 AS predicted
+       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |CROSS JOIN km
+       |$finalWhere
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The channels' shared NB label (integer-exact heuristics) and
+    * train mask, pinned once so the three channels cannot drift.
+    */
+  private[graft] def nbLabel: org.apache.spark.sql.Column =
+    size(col("toks")) >= 5 &&
+      expr("size(regexp_extract_all(text, '[.,!?;:]', 0))") * 10 <
+        length(col("text")) &&
+      expr("size(filter(toks, w -> w in " +
+        "('the','a','of','and','to','in','is','it')))") * 50 >=
+        size(col("toks"))
+
   /** The split oracle's uniform draws from the salted stream (see
     * `Curation.SplitSeedSalt`).
     */
@@ -3869,59 +3933,36 @@ object PipelineQueries {
     QueryDef(
       "pipeline_nb_quality",
       (s, d) => Curation.nbQualityScores(
-          Tables.documents(s, d),
-          label = size(col("toks")) >= 5 &&
-            expr("size(regexp_extract_all(text, '[.,!?;:]', 0))") * 10 <
-              length(col("text")) &&
-            expr("size(filter(toks, w -> w in " +
-              "('the','a','of','and','to','in','is','it')))") * 50 >=
-              size(col("toks")),
+          Tables.documents(s, d), label = nbLabel,
           isTrain = col("doc_id") % 10 =!= 0)
         .orderBy(col("doc_id")),
-      Some(s"""WITH t AS (
-             |  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks,
-             |         LENGTH(text) AS n_chars,
-             |         LEN(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
-             |  FROM documents),
-             |lab AS (
-             |  SELECT doc_id,
-             |         (LEN(toks) >= 5 AND n_punct * 10 < n_chars AND
-             |          LEN(list_filter(toks, w -> w IN
-             |            ('the','a','of','and','to','in','is','it'))) * 50
-             |            >= LEN(toks)) AS tgt,
-             |         toks
-             |  FROM t),
-             |bg AS (SELECT doc_id, tgt,
-             |              unnest([toks[i] || ' ' || toks[i+1]
-             |                      for i in range(1, len(toks))]) AS b
-             |       FROM lab),
-             |pb AS (SELECT doc_id, tgt,
-             |              ('0x' || substring(md5(b), 1, 8))::BIGINT % 256 AS bk,
-             |              CAST(COUNT(*) AS BIGINT) AS c
-             |       FROM bg GROUP BY 1, 2, 3),
-             |st AS (SELECT bk,
-             |              CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND tgt
-             |                            THEN c ELSE 0 END) AS BIGINT) AS cp,
-             |              CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND NOT tgt
-             |                            THEN c ELSE 0 END) AS BIGINT) AS cn
-             |       FROM pb GROUP BY 1),
-             |w AS (SELECT bk, ${fpDuck("(cp + 1)")} - ${fpDuck("(cn + 1)")} AS w
-             |      FROM st),
-             |km AS (SELECT ${fpDuck("(tp + 256)")} - ${fpDuck("(tn + 256)")} AS k
-             |       FROM (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
-             |                    CAST(SUM(cn) AS BIGINT) AS tn FROM st)),
-             |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-             |              CAST(SUM(c * COALESCE(w.w, 0)) AS BIGINT) AS raw
-             |       FROM pb LEFT JOIN w USING (bk) GROUP BY 1)
-             |SELECT d.doc_id,
-             |       COALESCE(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
-             |       CAST(COALESCE(sc.raw, 0)
-             |            - COALESCE(sc.n_bigrams, 0) * km.k AS BIGINT) AS score,
-             |       (COALESCE(sc.raw, 0)
-             |        - COALESCE(sc.n_bigrams, 0) * km.k) > 0 AS predicted
-             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
-             |CROSS JOIN km
-             |ORDER BY d.doc_id""".stripMargin)),
+      Some(nbQualityOracle(""))),
+
+    // Retrain-free classifier inference through PERSISTED stats
+    // generations: train counts land in TWO pure-append generations
+    // (train slice split by doc_id parity), the held-out increment
+    // scores through the folded index, and the oracle is the SAME
+    // full-recompute SQL restricted to the increment — a stale weight,
+    // a lost generation, or a broken fold is a red hash (the
+    // dsir_incremental invariant carried to the classifier).
+    QueryDef(
+      "pipeline_nb_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft-nb-inc")
+        try {
+          val isTrain = col("doc_id") % 10 =!= 0
+          Curation.saveNbStats(docs, nbLabel,
+            isTrain && col("doc_id") % 2 === 0, dir.toString)
+          Curation.appendToNbStats(docs, nbLabel,
+            isTrain && col("doc_id") % 2 === 1, dir.toString)
+          Curation.nbScoresIndexed(s,
+              docs.filter(col("doc_id") % 10 === 0), dir.toString)
+            .orderBy(col("doc_id"))
+            .localCheckpoint(true)
+        } finally graft.PlanHygiene.deleteRecursively(dir)
+      },
+      Some(nbQualityOracle("WHERE d.doc_id % 10 = 0"))),
 
     // WITHIN-doc line self-dedup (the RefinedWeb intra-doc pass) on
     // injected within-doc repeats: the chorus (3×) and footer (2×)
@@ -4359,7 +4400,21 @@ object PipelineQueries {
              |       FROM pb JOIN g USING (bk) GROUP BY 1)
              |SELECT doc_id, n_bigrams, score,
              |       CAST(score // n_bigrams AS BIGINT) AS avg_weight
-             |FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin))
+             |FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // Streaming classifier inference (19th streaming channel): the NB
+    // quality classifier trains once from the train slice (persisted
+    // stats — the frozen-model contract), then the increment streams
+    // through in micro-batches, each scoring via the index and
+    // committing its rows by idempotent gen=<batchId> overwrite. The
+    // folded output must be bit-identical to the batch classifier
+    // restricted to the increment — same full-recompute oracle as
+    // pipeline_nb_incremental.
+    QueryDef(
+      "stream_nb_score",
+      (s, d) => graft.streaming.EventsStream.nbScoreAvailableNow(s, d)
+        .orderBy(col("doc_id")),
+      Some(nbQualityOracle("WHERE d.doc_id % 10 = 0")))
   )
 
   /** DuckDB twin of `Dedup.pagerankInt`: generated because it needs one

@@ -1497,6 +1497,82 @@ object EventsStream {
     }
   }
 
+  private val nbScoreIngests = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Memo[DataFrame]]()
+
+  /** Streaming classifier INFERENCE — the deployment shape of
+    * `pipeline_nb_quality`: the classifier trains ONCE (persisted
+    * stats generation from the train slice, written before the stream
+    * starts — the frozen-model contract, like the ANN ingest's frozen
+    * centroids), then arriving document chunks score through the index
+    * batch by batch. Each micro-batch writes its scored rows by
+    * OVERWRITING its own `gen=<batchId>` dir (the idempotent
+    * exactly-once foreachBatch contract: a replayed batch rewrites the
+    * same files, never double-emits). Because indexed scoring is
+    * bit-identical to the batch classifier (Curation.nbScoresIndexed
+    * invariant) and the gen-dirs partition the increment, the folded
+    * output equals batch `nbQualityScores` restricted to the increment
+    * — the same full-recompute SQL oracle, WHERE-restricted. Drained
+    * once per (applicationId, sfDir).
+    */
+  def nbScoreAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, token) = stageLandingWithToken(s"$sfDir/documents.parquet")
+    memoized(nbScoreIngests, (spark.sparkContext.applicationId, sfDir),
+        token) {
+      import java.nio.file.Files
+      val docs = graft.Tables.documents(spark, sfDir)
+      val inc = docs.filter(col("doc_id") % 10 === 0)
+      val label = graft.queries.PipelineQueries.nbLabel
+      val isTrain = col("doc_id") % 10 =!= 0
+
+      val indexDir = Files.createTempDirectory("graft-nb-stream")
+      reclaimOnExit(indexDir)
+      graft.ops.Curation.saveNbStats(docs, label, isTrain,
+        indexDir.toString)
+
+      val landing = Files.createTempDirectory("graft-nb-landing")
+      reclaimOnExit(landing)
+      inc.repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(landing.toString)
+
+      val outDir = Files.createTempDirectory("graft-nb-scores")
+      reclaimOnExit(outDir)
+
+      val ckpt = tempCheckpointDir()
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          q = spark.readStream.schema(documentsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing.toString)
+            .writeStream
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              graft.ops.Curation.nbScoresIndexed(spark, batch,
+                  indexDir.toString)
+                .write.mode("overwrite")
+                .parquet(s"$outDir/scores/gen=$batchId")
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        } finally {
+          if (q != null && q.isActive) q.stop()
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        drainHygiene(spark)
+        deleteRecursively(ckpt)
+      }
+      spark.read.parquet(s"$outDir/scores")
+        .select(col("doc_id"), col("n_bigrams"), col("score"),
+          col("predicted"))
+    }
+  }
+
   /** Streaming exact dedup — the ingest-time form of `Dedup.exactStats`
     * for a training-data pipeline: emit each content hash's FIRST
     * arrival only. `dropDuplicatesWithinWatermark` bounds the dedup
