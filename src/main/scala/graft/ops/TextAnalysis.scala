@@ -792,6 +792,75 @@ object TextAnalysis {
         col("hit.score").cast("long").as("score_num"))
   }
 
+  /** Retrieval-quality METRICS over a labeled ranking — the eval half
+    * of the search stack (recall@k, MRR, DCG/IDCG), computed entirely
+    * in exact integers so every number hash-checks cross-engine:
+    *
+    *   - ranking: [[termSearchMany]]'s top-k (integer tf·idf-fold
+    *     scores, (score DESC, doc_id) total order);
+    *   - ground truth: a doc is RELEVANT to a query iff it contains
+    *     EVERY original query term (exact containment — deterministic
+    *     on both engines; a query with an out-of-corpus term has no
+    *     relevant docs, exercising the zero paths);
+    *   - mrr_scaled = 10⁶ div first_hit_rank (0 when no hit);
+    *   - dcg_scaled = Σ_hits (8·10⁶) div fplog2(rank+1) — binary-
+    *     relevance DCG with the log2 replaced by the same fixed-point
+    *     integer log the NB classifier uses (Curation.fplog2Sql): at
+    *     rank 1 the weight is exactly 10⁶, and the weights are
+    *     IDENTICALLY defined in both engines, which is what an eval
+    *     metric needs (absolute calibration is a convention);
+    *   - idcg_scaled = the same sum over ranks 1..min(n_relevant, k),
+    *     emitted separately so nDCG stays a consumer-side division of
+    *     two exact integers.
+    *
+    * Scale shape: two corpus scans total (the ranking's own scan plus
+    * one presence scan filtered to the BROADCAST query vocabulary
+    * before its distinct); every downstream frame is query-sized.
+    */
+  def retrievalMetrics(docs: DataFrame, queries: DataFrame,
+                       k: Int): DataFrame = {
+    val fp = graft.ops.Curation.fplog2Sql _
+    val ranked = termSearchMany(docs, queries, k)
+    val qt = queries.select(col("query_id"),
+      explode(col("terms")).as("w")).distinct()
+    val qar = qt.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("arity"))
+    val qvocab = qt.select(col("w")).distinct()
+    val presence = docs.select(col("doc_id"), explode(tokens).as("w"))
+      .join(broadcast(qvocab), "w").distinct()
+    val rel = presence.join(broadcast(qt), "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("m"))
+      .join(broadcast(qar), "query_id")
+      .filter(col("m") === col("arity"))
+      .select(col("query_id"), col("doc_id"))
+    val nrel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_relevant"))
+    val m = ranked.join(rel, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("hits_at_k"),
+        min(col("rank_in_query")).cast("long").as("first_rank_raw"),
+        sum(expr("8000000L div " +
+          fp("(cast(rank_in_query as bigint) + 1)")))
+          .cast("long").as("dcg_scaled"))
+    queries.select(col("query_id")).distinct()
+      .join(nrel, Seq("query_id"), "left")
+      .join(m, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        coalesce(col("first_rank_raw"), lit(0L)).as("first_rank"),
+        when(col("first_rank_raw").isNotNull,
+          expr("1000000L div first_rank_raw")).otherwise(0L)
+          .as("mrr_scaled"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        when(coalesce(col("n_relevant"), lit(0L)) >= 1,
+          expr(s"aggregate(sequence(1, cast(least(n_relevant, $k) " +
+            "as int)), 0L, (acc, i) -> acc + 8000000L div " +
+            fp("(cast(i as bigint) + 1)") + ")"))
+          .otherwise(0L).as("idcg_scaled"))
+  }
+
   /** BATCH BM25 — [[bm25]] for a QUERIES TABLE (query_id, terms
     * array), the production fan-out shape next to [[termSearchMany]]:
     * ONE corpus scan produces the (doc, term, dl) counts for the union

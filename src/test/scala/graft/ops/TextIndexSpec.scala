@@ -159,4 +159,40 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
           .collect().map(_.toString).toSeq)
     } finally graft.PlanHygiene.deleteRecursively(dir)
   }
+
+  behavior of "TextAnalysis.retrievalMetrics"
+
+  it must "compute recall/MRR/DCG exactly on a hand-checkable fixture" in {
+    val s = spark
+    import s.implicits._
+    // 5 docs; 'rare' appears in docs 1,2,3 (the relevant set for q1).
+    // Doc 3 mentions it three times, doc 2 twice, doc 1 once, so the
+    // tf ranking is 3, 2, 1 and every metric is hand-derivable.
+    val docs = Seq(
+      (1L, "rare word filler one"),
+      (2L, "rare rare word filler two"),
+      (3L, "rare rare rare word filler"),
+      (4L, "nothing to see here"),
+      (5L, "plain filler text row")).toDF("doc_id", "text")
+    val qs = Seq(
+      (1, Seq("rare")),
+      (2, Seq("rare", "missingterm"))).toDF("query_id", "terms")
+    val out = TextAnalysis.retrievalMetrics(docs, qs, k = 2)
+      .orderBy("query_id").collect()
+
+    val q1 = out(0)
+    q1.getLong(1) must be(3L) // n_relevant: docs 1, 2, 3
+    q1.getLong(2) must be(2L) // hits@2: top-2 = docs 3, 2 — both relevant
+    q1.getLong(3) must be(1L) // first hit at rank 1
+    q1.getLong(4) must be(1000000L) // mrr = 10^6 / 1
+    // dcg = 8e6/fplog2(2) + 8e6/fplog2(3) = 1,000,000 + 666,666
+    q1.getLong(5) must be(1000000L + 8000000L / 12L)
+    // idcg over min(3, 2) = 2 ranks: identical sum (perfect ranking)
+    q1.getLong(6) must be(q1.getLong(5))
+
+    val q2 = out(1)
+    // 'missingterm' is out of corpus: nothing can contain ALL terms
+    q2.getLong(1) must be(0L)
+    Seq(2, 3, 4, 5, 6).foreach(i => q2.getLong(i) must be(0L))
+  }
 }
