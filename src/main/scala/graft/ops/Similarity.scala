@@ -1320,4 +1320,48 @@ object Similarity {
       .join(fractionGate(queries, corpus, maxCandFrac, cands,
         outCol = "cand_frac_ok"), Seq("q_id"))
   }
+
+  /** PCA projection of the embedding column — the dimensionality-
+    * reduction step a training-data pipeline runs before indexing
+    * (cheaper ANN distance kernels, smaller persisted indexes). Pure
+    * public-Spark path: `spark.ml.feature.PCA` fits the K principal
+    * components in ONE distributed pass (a treeAggregate'd Gramian;
+    * the 64×64 eigendecomposition happens on the driver — constant
+    * work, corpus-size-independent) and the transform is a per-row
+    * matrix-vector product inside the scan projection. Output keeps
+    * the (vec_id, embedding) contract — array<float> — so every
+    * downstream graft ANN op composes unchanged.
+    */
+  def pcaProject(corpus: DataFrame, dims: Int): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val vecs = corpus.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>"))
+        .as("features"))
+    val model = new PCA().setInputCol("features").setOutputCol("pca")
+      .setK(dims).fit(vecs)
+    model.transform(vecs)
+      .select(col("vec_id"),
+        vector_to_array(col("pca")).cast("array<float>").as("embedding"))
+  }
+
+  /** Neighbor-structure preservation gate for [[pcaProject]] — the
+    * claim that matters for the pipeline ("reduce dims, keep the
+    * neighbors"), turned into the channel-checkable boolean shape the
+    * ANN recall gates use: per query, ≥ `floor` of the full-space
+    * exact top-k must survive as the projected space's exact top-k.
+    * Both sides are brute exact searches, so the gate isolates the
+    * PROJECTION's quality (no index approximation in the loop), and
+    * the boolean absorbs the eigensolver's float-level run variance.
+    */
+  def pcaRecall(queries: DataFrame, corpus: DataFrame, dims: Int,
+                k: Int, floor: Int): DataFrame = {
+    val proj = pcaProject(corpus, dims)
+      .localCheckpoint(true) // one fit; both searches read the result
+    val projQueries = proj.join(
+      queries.select(col("vec_id").as("qid")),
+      col("vec_id") === col("qid"), "left_semi")
+    recallGate(queries, corpus, k, floor,
+      bruteTopK(projQueries, proj, k))
+  }
 }

@@ -86,4 +86,27 @@ class IvfScaleSpec extends AnyFlatSpec with Matchers {
     // corpus share (10% of buckets -> well under a third of the mass)
     probedMass.toDouble must be < n * 0.34
   }
+
+  behavior of "Similarity.pcaProject"
+
+  it must "keep the embedding contract and neighbor sets on low-rank data" in {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // rank-4 re-embedding (first 4 components through a fixed basis):
+    // an 8-dim PCA must capture the geometry whole
+    val lowRank = emb.select(col("vec_id"),
+      expr("""transform(sequence(0, 63), j ->
+        CAST(aggregate(sequence(0, 3), 0.0D, (acc, b) ->
+          acc + embedding[b] *
+            (CAST((b * 73 + j * 37) % 19 AS DOUBLE) - 9.0D) / 9.0D)
+          AS FLOAT))""").as("embedding"))
+    val proj = Similarity.pcaProject(lowRank, 8)
+    // output keeps the (vec_id, array<float> embedding) contract
+    proj.schema("embedding").dataType.simpleString must be("array<float>")
+    proj.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .distinct().collect().map(_.getInt(0)).toSeq must be(Seq(8))
+    // every query keeps >=4 of its true top-5 through the projection
+    Similarity.pcaRecall(lowRank.filter(col("vec_id") < 10), lowRank,
+        dims = 8, k = 5, floor = 4)
+      .collect().forall(_.getBoolean(1)) must be(true)
+  }
 }
