@@ -70,6 +70,27 @@ object Bench {
     if (s.isEmpty) 0.0 else s((s.size - 1) / 2)
   }
 
+  /** Suite-level WEATHER factor: the median cross-round ratio over all
+    * baselined queries. When the whole suite rides a host-load band
+    * (this box's documented ~1.5-2× weather), every per-query
+    * cross-round comparison inherits the same multiplier and the
+    * recheck protocol drowns in exonerations (25 in the r15
+    * instrumented run — all suite-wide, zero family-shaped). The
+    * median over ~190 queries is a robust level estimate: one genuine
+    * regression cannot move it, and a genuine whole-suite regression
+    * from a single code change is implausible across channels that
+    * share almost nothing (it would also still show in value_min and
+    * in the REPORTED factor — deflation is never silent). Clamped to
+    * [1, 2]: sub-1 medians never inflate flags, and the guard never
+    * hides more than the documented weather band. Needs ≥8 baselined
+    * queries for the median to mean anything. The deflated ratios also
+    * feed familyShifts, whose "rest of suite ≤ 1.3×" control otherwise
+    * cannot fire at all under global load.
+    */
+  def weatherFactor(ratios: Map[String, Double]): Double =
+    if (ratios.size < 8) 1.0
+    else math.min(2.0, math.max(1.0, median(ratios.values.toSeq)))
+
   /** Family-shift detector — the r12 verdict's missing instrument: a
     * WHOLE family shifting together while the interleaved rest of the
     * suite holds its baseline is in-process contamination (session
@@ -355,18 +376,29 @@ object Bench {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "/root/repo/BENCH_DETAIL.json")
     val baseline = readBaselineMins(baselinePath, sfDir)
-    val crossFlagged: Map[String, String] = results.flatMap { case (n, ts) =>
-      baseline.get(n).flatMap(b => crossRoundFlag(b, ts.min)).map(n -> _)
-    }.toMap
-    // family-shift detection over the same cross-round ratios: a whole
-    // prefix-family shifting while the rest holds is CONTAMINATION,
-    // named as such in the record (see familyShifts scaladoc)
     val ratios: Map[String, Double] = results.flatMap { case (n, ts) =>
       baseline.get(n).filter(_ > 0).collect {
         case b if ts.min >= 0 => n -> ts.min / b
       }
     }.toMap
-    val famShifts = familyShifts(ratios)
+    // suite-level load deflation (weatherFactor scaladoc): per-query
+    // comparisons run against the deflated min so a global host-load
+    // band doesn't mass-flag; the factor is always reported
+    val weather = weatherFactor(ratios)
+    if (weather > 1.0)
+      System.err.println(f"[bench] suite-median cross-round ratio " +
+        f"$weather%.2f — deflating per-query flags by it (box weather)")
+    val crossFlagged: Map[String, String] = results.flatMap { case (n, ts) =>
+      baseline.get(n)
+        .flatMap(b => crossRoundFlag(b, ts.min / weather)).map(n -> _)
+    }.toMap
+    // family-shift detection over the DEFLATED cross-round ratios: a
+    // whole prefix-family shifting while the rest holds is
+    // CONTAMINATION, named as such in the record (see familyShifts
+    // scaladoc; under global load the raw "rest ≤ 1.3×" control could
+    // never fire, so deflation restores the instrument's sensitivity)
+    val famShifts = familyShifts(
+      ratios.map { case (n, r) => n -> r / weather })
     famShifts.foreach { f =>
       val mine = ratios.filter { case (n, _) => family(n) == f }
       System.err.println(f"[bench][WARN] FAMILY SHIFT: '$f' " +
@@ -421,7 +453,9 @@ object Bench {
           case Nil => suiteMin
           case xs  => xs.min
         }
-        n -> crossRoundFlag(baseline(n), effMin)
+        // rechecks run AFTER the loaded suite pass, so they see current
+        // weather too — the final class uses the same deflation
+        n -> crossRoundFlag(baseline(n), effMin / weather)
     }
     val regressed = crossFinal.collect { case (n, Some("regressed")) => n }
       .toSeq.sorted
@@ -444,7 +478,8 @@ object Bench {
         list("regressed", regressed) + list("shifted", shifted) +
         list("shift_exonerated", shiftExonerated) +
         list("family_shift", famShifts) +
-        s""","baseline_n":${results.count(r => baseline.contains(r._1))}"""
+        s""","baseline_n":${results.count(r => baseline.contains(r._1))}""" +
+        s""","weather":${r3(weather)}"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
         s""""queries":$qs,"queries_channel":"min_of_reps"$extra$degradedJson,""" +
@@ -490,6 +525,7 @@ object Bench {
     }.mkString(
       s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMin,""" +
         s""""unit":"sec","eval":"forced_full_row","reps":$reps,"sf":"$sfDir",""" +
+        s""""weather":${r3(weather)},""" +
         famShifts.map("\"" + _ + "\"")
           .mkString("\"family_shift\":[", ",", "],") +
         s""""queries":{""",

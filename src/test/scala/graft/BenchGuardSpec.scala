@@ -239,4 +239,29 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
       "dedup_a" -> 1.0, "dedup_b" -> 1.1, "dedup_c" -> 1.0)
     Bench.familyShifts(m2) must be(empty)
   }
+
+  behavior of "Bench.weatherFactor (suite-level load deflation)"
+
+  it must "estimate the r15 1.5x weather band and neutralize its flags" in {
+    // the measured r15 shape: ~everything at 1.4-1.7x, no family pattern
+    val ratios = (1 to 60).map(i => s"q$i" -> (1.4 + (i % 4) * 0.1)).toMap
+    val w = Bench.weatherFactor(ratios)
+    w must be >= 1.4
+    w must be <= 1.7
+    // a weather-band query deflates below every flag threshold...
+    Bench.crossRoundFlag(2.0, 2.0 * 1.6 / w) must be(None)
+    // ...while a genuine 4x regression under the same weather survives
+    Bench.crossRoundFlag(2.0, 2.0 * 4.0 / w) must be(Some("regressed"))
+  }
+
+  it must "never inflate, never over-deflate, never act on thin data" in {
+    // calm suite: medians at/below 1 clamp to exactly 1 (no inflation)
+    Bench.weatherFactor((1 to 20).map(i => s"q$i" -> 0.8).toMap) must be(1.0)
+    // catastrophic global shift clamps at the documented 2x band — a
+    // true whole-suite regression past it still flags
+    Bench.weatherFactor((1 to 20).map(i => s"q$i" -> 5.0).toMap) must be(2.0)
+    Bench.crossRoundFlag(1.0, 5.0 / 2.0) must be(Some("regressed"))
+    // fewer than 8 baselined queries: medians are noise, stay at 1
+    Bench.weatherFactor(Map("a" -> 3.0, "b" -> 3.0)) must be(1.0)
+  }
 }
