@@ -794,7 +794,15 @@ object Curation {
       .select(col("doc_id"),
         explode(array(graft.ops.TextAnalysis.tokens)).as("toks"),
         col("text"))
-      .select(col("doc_id"), label.as("tgt"),
+      // SECOND generate barrier, for the LABEL: without it the label
+      // expressions land in the projection above the bigram explode
+      // and re-evaluate PER BIGRAM ROW (the CollapseProject/Generate
+      // inlining trap) — measured 5.6 s vs 1.6 s with a constant label
+      // at sf0.1, the whole gap being the per-bigram re-evaluation of
+      // two regexes and a stopword lambda that are per-DOC quantities
+      .select(col("doc_id"), col("toks"),
+        explode(array(label)).as("tgt"))
+      .select(col("doc_id"), col("tgt"),
         explode(expr(
           """zip_with(
             |  slice(toks, 1, greatest(size(toks) - 1, 0)),

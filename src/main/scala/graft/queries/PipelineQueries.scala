@@ -4058,10 +4058,16 @@ object PipelineQueries {
         val dir = java.nio.file.Files.createTempDirectory("graft-nb-inc")
         try {
           val isTrain = col("doc_id") % 10 =!= 0
-          Curation.saveNbStats(docs, nbLabel,
-            isTrain && col("doc_id") % 2 === 0, dir.toString)
-          Curation.appendToNbStats(docs, nbLabel,
-            isTrain && col("doc_id") % 2 === 1, dir.toString)
+          // generations tokenize ONLY their slice (the mask-inside-agg
+          // form is for the batch path's exchange sharing; a persisted
+          // generation's input is the slice itself — identical counts,
+          // half the corpus passes)
+          Curation.saveNbStats(
+            docs.filter(isTrain && col("doc_id") % 2 === 0), nbLabel,
+            lit(true), dir.toString)
+          Curation.appendToNbStats(
+            docs.filter(isTrain && col("doc_id") % 2 === 1), nbLabel,
+            lit(true), dir.toString)
           Curation.nbScoresIndexed(s,
               docs.filter(col("doc_id") % 10 === 0), dir.toString)
             .orderBy(col("doc_id"))
