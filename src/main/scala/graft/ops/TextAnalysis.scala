@@ -836,7 +836,13 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"))
     val nrel = rel.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("long").as("n_relevant"))
-    val m = ranked.join(rel, Seq("query_id", "doc_id"), "left_semi")
+    // the ranked sliver (k rows per query) BROADCASTS into the
+    // relevance join: `rel` is corpus-bounded (every doc containing
+    // all of a query's terms), so it must stay the streaming side
+    val m = rel.join(
+        broadcast(ranked.select(col("query_id"), col("doc_id"),
+          col("rank_in_query"))),
+        Seq("query_id", "doc_id"))
       .groupBy(col("query_id"))
       .agg(count(lit(1)).cast("long").as("hits_at_k"),
         min(col("rank_in_query")).cast("long").as("first_rank_raw"),
@@ -844,8 +850,8 @@ object TextAnalysis {
           fp("(cast(rank_in_query as bigint) + 1)")))
           .cast("long").as("dcg_scaled"))
     queries.select(col("query_id")).distinct()
-      .join(nrel, Seq("query_id"), "left")
-      .join(m, Seq("query_id"), "left")
+      .join(broadcast(nrel), Seq("query_id"), "left")
+      .join(broadcast(m), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
         coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
