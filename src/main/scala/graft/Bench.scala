@@ -91,6 +91,48 @@ object Bench {
     if (ratios.size < 8) 1.0
     else math.min(2.0, math.max(1.0, median(ratios.values.toSeq)))
 
+  /** Weather-STREAK escalation (r16 protocol hardening): weatherFactor
+    * can in principle deflate a genuine homogeneous regression — one
+    * change slowing all ~190 queries 1.5–2× (a session extension, a
+    * codegen-wide pessimization) — into silence, because the median IS
+    * the regression. The backstop: a factor above 1.3 in TWO
+    * consecutive driver rounds is no longer presumed weather (real box
+    * load is episodic; a code-level uniform slowdown persists) and
+    * forces a quiet-box re-baseline run before the next round's guard
+    * is trusted. Pure predicate so the spec can pin both edges; main()
+    * reads the previous round's committed factor and shouts when the
+    * streak fires.
+    */
+  def weatherStreak(prevFactor: Double, curFactor: Double): Boolean =
+    prevFactor > 1.3 && curFactor > 1.3
+
+  /** Engine-INDEPENDENT host-load probe: a fixed single-threaded
+    * 64-bit mix loop (splitmix64 finalizer chain) with no Spark plans,
+    * no allocation, and no I/O — its wall time moves ONLY with CPU
+    * contention/frequency, so a probe reading elevated alongside an
+    * elevated query discriminates "the box is loaded" from "the engine
+    * regressed" with evidence instead of a median heuristic (the
+    * weatherFactor ADVICE gap). The checksum is returned through a
+    * volatile sink so the loop cannot be dead-code-eliminated.
+    * ~40–80 ms nominal on this box; charged OUTSIDE every timed region.
+    */
+  @volatile private var probeSink: Long = 0L
+  def cpuProbe(iters: Int = 1 << 23): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < iters) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      x ^= z ^ (z >>> 31)
+      i += 1
+    }
+    probeSink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Family-shift detector — the r12 verdict's missing instrument: a
     * WHOLE family shifting together while the interleaved rest of the
     * suite holds its baseline is in-process contamination (session
@@ -175,6 +217,14 @@ object Bench {
       Thread.sleep(50); waited += 50
       n = listenerCount(spark)
     }
+    // a timeout exit is indistinguishable from a clean drain to the
+    // caller (the return value is ignored at both call sites), and a
+    // genuinely stuck listener re-taxes EVERY subsequent query while
+    // silently burning maxWaitMs per rep — name it in the run log
+    if (n > baseline && baseline >= 0)
+      System.err.println(s"[bench][WARN] listener drain timed out after " +
+        s"${maxWaitMs} ms: $n registered vs baseline $baseline — a stuck " +
+        "listener is taxing every query that follows")
     n
   }
 
@@ -208,6 +258,17 @@ object Bench {
     * A mismatch disarms the guard loudly (baseline_n = 0) rather than
     * flag noise.
     */
+  /** The previous round's committed suite weather factor (for the
+    * streak escalation) — tolerant of any parse failure (1.0 = no
+    * streak evidence), independent of the SF/eval gates that disarm
+    * the per-query baseline comparison.
+    */
+  def readBaselineWeather(path: String): Double =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readTree(new java.io.File(path)).path("weather").asDouble(1.0)
+    } catch { case _: Throwable => 1.0 }
+
   def readBaselineMins(path: String, sfDir: String): Map[String, Double] =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -252,6 +313,11 @@ object Bench {
     // pre-suite listener baseline: the drain target for the per-query
     // hygiene below (see drainListeners)
     val baselineListeners = listenerCount(spark)
+    // host-load probe floor: the quiet-box capability of cpuProbe on
+    // THIS box, taken before the suite applies any of its own load;
+    // per-query and per-recheck probes compare against it (cpuProbe
+    // scaladoc — the engine-independent weather instrument)
+    val probeFloor = (1 to 3).map(_ => cpuProbe()).min
     // focused A/B runs: SPARK_GRAFT_ONLY=q1,q2 restricts the query set,
     // SPARK_GRAFT_REPS=N overrides the repetition count (default 3).
     // Channel semantics (see the emission comment below): the summary
@@ -325,8 +391,14 @@ object Bench {
       }
       val post = jvmSnap(spark)
       val postL = listenerCount(spark)
+      // one probe per query, OUTSIDE the timed region: its ratio to the
+      // pre-suite floor stamps the host-load weather at this suite
+      // position into the record, so a post-run read can attribute an
+      // inflated query to box contention with a measurement
+      val probe = cpuProbe()
       jvmByQuery(name) =
-        s"""{"gc_ms":${post.gcMs - pre.gcMs}""" +
+        s"""{"probe":${"%.4f".formatLocal(java.util.Locale.ROOT, probe)}""" +
+          s""","gc_ms":${post.gcMs - pre.gcMs}""" +
           s""","gc_n":${post.gcCount - pre.gcCount}""" +
           s""","jit_ms":${post.jitMs - pre.jitMs}""" +
           s""","codegen_n":${post.codegenCompiles - pre.codegenCompiles}""" +
@@ -388,6 +460,19 @@ object Bench {
     if (weather > 1.0)
       System.err.println(f"[bench] suite-median cross-round ratio " +
         f"$weather%.2f — deflating per-query flags by it (box weather)")
+    // streak escalation (weatherStreak scaladoc): two consecutive
+    // rounds above 1.3 is no longer presumed weather — a genuine
+    // uniform regression would look exactly like this and the deflator
+    // would keep hiding it; the record carries the flag so the protocol
+    // (mandatory quiet-box re-baseline) cannot be skipped silently
+    val prevWeather = readBaselineWeather(sys.env.getOrElse(
+      "SPARK_GRAFT_BASELINE", "/root/repo/BENCH_DETAIL.json"))
+    val streak = weatherStreak(prevWeather, weather)
+    if (streak)
+      System.err.println(f"[bench][WARN] WEATHER STREAK: factor " +
+        f"$weather%.2f now after $prevWeather%.2f last round — two rounds " +
+        "above 1.3 is not weather; run a quiet-box re-baseline before " +
+        "trusting this guard again")
     val crossFlagged: Map[String, String] = results.flatMap { case (n, ts) =>
       baseline.get(n)
         .flatMap(b => crossRoundFlag(b, ts.min / weather)).map(n -> _)
@@ -413,7 +498,15 @@ object Bench {
       .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(3)
     val queryFns = SparkEntry.queries
     val toRecheck = (flagged ++ crossFlagged.keys).distinct
+    // each recheck rep carries its own host-load probe (outside the
+    // timed region): the r15 record showed recheck reps GROWING at
+    // suite end (fuzzy 3.5→14.9→8.4) with flat listeners while the same
+    // channels held their solo floors across 6 quiet-box reps — the
+    // probe pins whether such a shape is box contention at that moment
+    // or engine state, per rep, with no narrative needed
+    val recheckProbes = scala.collection.mutable.Map.empty[String, Seq[Double]]
     val rechecks: Map[String, Seq[Double]] = toRecheck.map { n =>
+      val pr = scala.collection.mutable.ArrayBuffer.empty[Double]
       val ts = (1 to recheckReps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -423,8 +516,10 @@ object Bench {
         finally {
           PlanHygiene.sweepPersisted(spark)
           drainListeners(spark, baselineListeners)
+          pr += cpuProbe()
         }
       }
+      recheckProbes(n) = pr.toSeq
       n -> ts
     }.toMap
     val (exonerated, degraded) = flagged.partition { n =>
@@ -479,7 +574,9 @@ object Bench {
         list("shift_exonerated", shiftExonerated) +
         list("family_shift", famShifts) +
         s""","baseline_n":${results.count(r => baseline.contains(r._1))}""" +
-        s""","weather":${r3(weather)}"""
+        s""","weather":${r3(weather)}""" +
+        (if (streak) s""","weather_streak":true""" else "") +
+        s""","probe_floor":${r3(probeFloor)}"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
         s""""queries":$qs,"queries_channel":"min_of_reps"$extra$degradedJson,""" +
@@ -511,6 +608,9 @@ object Bench {
     val detail = results.map { case (k, ts) =>
       val recheck = rechecks.get(k)
         .map(r => ",\"recheck\":" + r.mkString("[", ",", "]") +
+          recheckProbes.get(k).map(p =>
+            ",\"recheck_probe\":" + p.map(r3).mkString("[", ",", "]"))
+            .getOrElse("") +
           ",\"confirmed\":" + degraded.contains(k))
         .getOrElse("")
       val cross = baseline.get(k).map { b =>
@@ -525,7 +625,8 @@ object Bench {
     }.mkString(
       s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMin,""" +
         s""""unit":"sec","eval":"forced_full_row","reps":$reps,"sf":"$sfDir",""" +
-        s""""weather":${r3(weather)},""" +
+        s""""weather":${r3(weather)},"probe_floor":${r3(probeFloor)},""" +
+        (if (streak) s""""weather_streak":true,""" else "") +
         famShifts.map("\"" + _ + "\"")
           .mkString("\"family_shift\":[", ",", "],") +
         s""""queries":{""",

@@ -41,7 +41,24 @@ trait GraftStore {
   def init(): Unit
   def storeINode(inode: Inode): Unit
   def retrieveINode(path: String): Option[Inode]
-  def storeFileData(path: String, data: Array[Byte], user: String): Unit
+
+  /** Store a file's payload AND commit its inode in one verb (the
+    * reference splits these across storeSubBlock + storeINode; the
+    * fused form keeps both planes consistent under the single lock).
+    * Metadata is CALLER-OWNED like the reference's storeINode(path,
+    * iNode): `mtime` is the caller's modification time, never a
+    * binding-invented constant. Permission defaults to 420 (rw-r--r--)
+    * and group to `user` — the same defaults the facade's create path
+    * applies; a caller needing different ones follows with storeINode.
+    */
+  def storeFileData(path: String, data: Array[Byte], user: String,
+                    mtime: java.sql.Timestamp): Unit
+
+  /** Convenience overload stamping now() — the common create-path call. */
+  final def storeFileData(path: String, data: Array[Byte],
+                          user: String): Unit =
+    storeFileData(path, data, user,
+      new java.sql.Timestamp(System.currentTimeMillis()))
   def retrieveSubBlock(path: String, byteRangeStart: Long,
                        len: Long): Array[Byte]
   def retrieveBlock(path: String): Array[Byte]
@@ -95,7 +112,8 @@ final class ParquetStore(spark: SparkSession,
     fs.catalog.retrieve(path)
 
   override def storeFileData(path: String, data: Array[Byte],
-                             user: String): Unit = synchronized {
+                             user: String,
+                             mtime: java.sql.Timestamp): Unit = synchronized {
     val g = fs
     import org.apache.spark.sql.{Row, types => T}
     val leaf = spark.createDataFrame(
@@ -103,7 +121,7 @@ final class ParquetStore(spark: SparkSession,
       T.StructType(Seq(T.StructField("path", T.StringType),
         T.StructField("data", T.BinaryType))))
     val inode = Inode(path, PathOps.parent(path), user, user, 420,
-      isDir = false, new java.sql.Timestamp(0L),
+      isDir = false, mtime,
       BlockMeta.forLength(path, data.length.toLong, subBlockSize, blockSize))
     state = GraftFs(
       g.catalog.store(inode),
@@ -160,4 +178,129 @@ final class ParquetStore(spark: SparkSession,
     FileLocks.release(path, token)
 
   override def dropKeyspace(): Unit = synchronized { state = null }
+}
+
+/** A SECOND [[GraftStore]] binding — plain JVM maps, no Spark frames —
+  * proving the seam supports a real re-bind: GraftStoreSpec runs the
+  * full 14-method contract over BOTH bindings unchanged, which is
+  * exactly what a `CassandraStore` would have to pass (the reference's
+  * own store is "any key-value backend behind FileSystemStore.scala:
+  * 29-56" — Cassandra happens to be the one it ships). The mapping is
+  * the reference's, one JVM structure per column family: `inodes` ≙ the
+  * `inode` CF (path-keyed metadata, ThriftStore.scala:169-196),
+  * `payloads` ≙ the `sblock` CF (block-keyed bytes, ThriftStore.scala:
+  * 198-211), `locks` ≙ the `createlock` CF (ThriftStore.scala:213-226)
+  * — deliberately NOT the shared FileLocks singleton, so the contract
+  * is shown independent of it. Block/replica geometry derives from the
+  * same `BlockMeta.forLength` and owner-hash formula as the Parquet
+  * binding, so both bindings answer getBlockLocations identically.
+  */
+final class InMemoryStore(subBlockSize: Int = 1 << 20,
+                          blockSize: Int = 4 << 20) extends GraftStore {
+  require(subBlockSize > 0 && blockSize % subBlockSize == 0,
+    "blockSize must be a positive multiple of subBlockSize")
+
+  private[this] var inodes: java.util.TreeMap[String, Inode] = _
+  private[this] var payloads: java.util.HashMap[String, Array[Byte]] = _
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, UUID]()
+
+  override def createKeyspace(): Unit = synchronized {
+    if (inodes == null) {
+      inodes = new java.util.TreeMap[String, Inode]()
+      payloads = new java.util.HashMap[String, Array[Byte]]()
+      inodes.put("/", FsCatalog.dirInode("/", "root"))
+    }
+  }
+
+  /** No-op BY DESIGN — same rationale as [[ParquetStore.init]]. */
+  override def init(): Unit = ()
+
+  private def live(): Unit =
+    require(inodes != null, "createKeyspace() first")
+
+  override def storeINode(inode: Inode): Unit = synchronized {
+    live(); inodes.put(inode.path, inode)
+  }
+
+  override def retrieveINode(path: String): Option[Inode] = synchronized {
+    live(); Option(inodes.get(path))
+  }
+
+  override def storeFileData(path: String, data: Array[Byte],
+                             user: String,
+                             mtime: java.sql.Timestamp): Unit =
+    synchronized {
+      live()
+      inodes.put(path, Inode(path, PathOps.parent(path), user, user, 420,
+        isDir = false, mtime,
+        BlockMeta.forLength(path, data.length.toLong,
+          subBlockSize, blockSize)))
+      payloads.put(path, data.clone())
+    }
+
+  override def retrieveSubBlock(path: String, byteRangeStart: Long,
+                                len: Long): Array[Byte] = synchronized {
+    live()
+    val data = payloads.get(path)
+    if (data == null || byteRangeStart >= data.length || len <= 0)
+      Array.emptyByteArray
+    else {
+      val from = math.max(0L, byteRangeStart).toInt
+      val until = math.min(data.length.toLong, byteRangeStart + len).toInt
+      java.util.Arrays.copyOfRange(data, from, until)
+    }
+  }
+
+  override def retrieveBlock(path: String): Array[Byte] = synchronized {
+    live()
+    Option(payloads.get(path)).map(_.clone()).getOrElse(Array.emptyByteArray)
+  }
+
+  override def deleteINode(path: String): Unit = synchronized {
+    live(); inodes.remove(path); ()
+  }
+
+  override def deleteBlocks(path: String): Unit = synchronized {
+    live(); payloads.remove(path); ()
+  }
+
+  override def fetchSubPaths(path: String,
+                             isDeepFetch: Boolean): Seq[String] =
+    synchronized {
+      live()
+      val prefix = if (path == "/") "/" else path + "/"
+      import scala.jdk.CollectionConverters._
+      inodes.keySet().asScala.iterator
+        .filter(p => p != path && p.startsWith(prefix))
+        .filter(p => isDeepFetch || !p.stripPrefix(prefix).contains('/'))
+        .toSeq.sorted
+    }
+
+  override def getBlockLocations(path: String): Map[String, Seq[String]] =
+    synchronized {
+      live()
+      // same deterministic RF=3 owner hash as FsCatalog.blockLocations
+      // (ascii of the block id's first char mod 3), so the two bindings
+      // agree replica-for-replica
+      retrieveINode(path).map(_.blocks).getOrElse(Seq.empty).map { b =>
+        val owner = b.id.charAt(0).toInt % 3
+        b.id -> (0 until 3).map(i => s"node-${(owner + i) % 3}")
+      }.toMap
+    }
+
+  override def acquireFileLock(path: String): Option[UUID] = {
+    val token = UUID.randomUUID()
+    Option(locks.putIfAbsent(path, token)) match {
+      case None => Some(token)
+      case Some(_) => None
+    }
+  }
+
+  override def releaseFileLock(path: String, token: UUID): Boolean =
+    locks.remove(path, token)
+
+  override def dropKeyspace(): Unit = synchronized {
+    inodes = null; payloads = null
+  }
 }

@@ -133,6 +133,56 @@ case class IntDot(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  /** [[HtmlEntityDecode]] as a Column, built DIRECTLY (no session
+    * function registry round-trip): stripHtml is a pure DataFrame
+    * transform and must not mutate session state per call — the old
+    * register-then-expr path re-registered the whole function set on
+    * every invocation (including per-micro-batch streaming use) and
+    * could clobber a caller's own temp-function bindings.
+    *
+    * The Column ↔ Expression bridge (classic ExpressionUtils) is
+    * private[sql] at compile time but public bytecode — read through
+    * cached reflection, the same pattern as Bench.listenerCount. Any
+    * API drift falls back LOUDLY to a one-time guarded registration
+    * (never the per-call replace), so the transform stays pure in
+    * the common path either way.
+    */
+  private lazy val exprBridge: Option[(java.lang.reflect.Method,
+      java.lang.reflect.Method)] =
+    try {
+      val cls = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+      Some((
+        cls.getMethod("expression", classOf[org.apache.spark.sql.Column]),
+        cls.getMethod("column",
+          Class.forName("org.apache.spark.sql.catalyst.expressions.Expression"))))
+    } catch { case _: Throwable => None }
+
+  def entityDecode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    exprBridge match {
+      case Some((toExpr, toCol)) =>
+        val child = toExpr.invoke(null, c)
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+        toCol.invoke(null, HtmlEntityDecode(child))
+          .asInstanceOf[org.apache.spark.sql.Column]
+      case None =>
+        org.apache.spark.sql.functions.call_udf("graft_entity_decode", c)
+    }
+
+  /** Whether [[entityDecode]] builds the expression directly; when
+    * false its call_udf fallback needs [[registerIfAbsent]] first.
+    */
+  def directBridge: Boolean = exprBridge.isDefined
+
+  /** One-time registration guard: registers the function set only when
+    * `graft_entity_decode` is not already bound — never the per-call
+    * createOrReplace, so an existing binding (the caller's or a prior
+    * registration) is left untouched.
+    */
+  def registerIfAbsent(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_entity_decode")))
+      register(spark)
+
   /** Register graft extensions on a session (idempotent). Exposed both
     * here and through GraftSessionExtensions for spark.sql.extensions.
     *

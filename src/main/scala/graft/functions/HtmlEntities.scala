@@ -36,14 +36,20 @@ import org.apache.spark.unsafe.types.UTF8String
 object HtmlEntities {
 
   /** Canonical entity rows: (named form, codepoint). `amp` MUST stay
-    * last — see the class scaladoc's double-decode note.
+    * last — see the class scaladoc's double-decode note. `nbsp` keys
+    * at its TRUE codepoint 160 (so the numeric forms real crawls carry
+    * — `&#160;`/`&#xa0;` — decode) while its REPLACEMENT normalizes to
+    * plain space via [[repOverride]], the same whitespace-folding
+    * judgment the named form always applied; the synthetic `&#32;`
+    * forms (which no crawl writes — a space needs no entity) pass
+    * through undecoded.
     */
   val table: Seq[(String, Int)] = Seq(
     "lt" -> '<'.toInt,
     "gt" -> '>'.toInt,
     "quot" -> '"'.toInt,
     "apos" -> '\''.toInt,
-    "nbsp" -> ' '.toInt,
+    "nbsp" -> 0xa0,
     "rsquo" -> 0x2019,
     "lsquo" -> 0x2018,
     "rdquo" -> 0x201d,
@@ -60,16 +66,24 @@ object HtmlEntities {
     * forms: the regex rendering of the kernel's semantics, consumed by
     * the DuckDB oracle builder.
     */
+  /** Per-codepoint replacement overrides (normalizations): NBSP folds
+    * to plain space on decode. Every other row replaces with its own
+    * codepoint.
+    */
+  private val repOverride: Map[Int, String] = Map(0xa0 -> " ")
+
+  private def repFor(cp: Int): String =
+    repOverride.getOrElse(cp, new String(Character.toChars(cp)))
+
   val regexRows: Seq[(String, String)] = table.map { case (name, cp) =>
     val hexAlt = cp.toHexString.map { c =>
       if (c.isLetter) s"[$c${c.toUpper}]" else c.toString
     }.mkString
-    (s"&$name;|&#0*$cp;|&#[xX]0*$hexAlt;",
-      new String(Character.toChars(cp)))
+    (s"&$name;|&#0*$cp;|&#[xX]0*$hexAlt;", repFor(cp))
   }
 
   private val reps: Array[String] =
-    table.map { case (_, cp) => new String(Character.toChars(cp)) }.toArray
+    table.map { case (_, cp) => repFor(cp) }.toArray
   private val byName: java.util.HashMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     table.zipWithIndex.foreach { case ((n, _), i) => m.put(n, reps(i)) }

@@ -1120,7 +1120,8 @@ object TextAnalysis {
     * the full document). No UDF, one corpus scan.
     */
   def stripHtml(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    if (!graft.functions.GraftFunctions.directBridge)
+      graft.functions.GraftFunctions.registerIfAbsent(docs.sparkSession)
     val noBlocks = regexp_replace(
       regexp_replace(col(textCol), "(?is)<script[^>]*>.*?</script>", " "),
       "(?is)<style[^>]*>.*?</style>", " ")
@@ -1129,7 +1130,7 @@ object TextAnalysis {
       "<[^>]+>", " ")
     docs
       .withColumn("_nt", noTags)
-      .withColumn("_de", expr("graft_entity_decode(_nt)"))
+      .withColumn("_de", graft.functions.GraftFunctions.entityDecode(col("_nt")))
       .select(col("doc_id"),
         length(col(textCol)).cast("long").as("n_chars_raw"),
         trim(regexp_replace(col("_de"), "[ \\t\\n\\r]+", " ")).as("text"))

@@ -264,4 +264,37 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     // fewer than 8 baselined queries: medians are noise, stay at 1
     Bench.weatherFactor(Map("a" -> 3.0, "b" -> 3.0)) must be(1.0)
   }
+
+  behavior of "Bench.weatherStreak (persistent-weather escalation)"
+
+  it must "escalate two consecutive rounds above the 1.3 band" in {
+    // a genuine homogeneous regression (all ~190 queries 1.5-2x from
+    // one change) IS the median, so weatherFactor deflates it into
+    // silence every round — persistence is what separates it from real
+    // box load, which is episodic
+    Bench.weatherStreak(1.5, 1.4) must be(true)
+    Bench.weatherStreak(1.31, 1.31) must be(true)
+  }
+
+  it must "stay quiet on episodic weather and calm rounds" in {
+    Bench.weatherStreak(1.0, 1.6) must be(false) // first loaded round
+    Bench.weatherStreak(1.6, 1.0) must be(false) // load cleared
+    Bench.weatherStreak(1.3, 1.3) must be(false) // at the band edge
+    Bench.weatherStreak(1.0, 1.0) must be(false)
+  }
+
+  behavior of "Bench.cpuProbe (engine-independent host-load instrument)"
+
+  it must "do fixed work in bounded time and scale with iterations" in {
+    // warm once (JIT), then: the probe must be fast enough to charge
+    // per-query (< 1 s even cold) and slow enough to measure (> 1 ms)
+    Bench.cpuProbe()
+    val t = Bench.cpuProbe()
+    t must be > 0.001
+    t must be < 1.0
+    // 8x the iterations takes materially longer — the loop is real
+    // work, not dead-code-eliminated around the volatile sink
+    val big = Bench.cpuProbe(1 << 26)
+    big must be > (2 * t)
+  }
 }

@@ -314,7 +314,8 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     val frags = Seq("&", "#", ";", "x", "X", "0", "39", "amp", "lt;",
       "&amp;", "&#038;", "&#x26;", "&#X2014;", "&#0*60;", "&unknown;",
       "&#999;", "&#xzz;", "&copy", "&&lt;&", "a b", "&#0000169;",
-      "&#x000A9;", "&nbsp;&nbsp;", "&apos", "&;", "&#;", "&#x;")
+      "&#x000A9;", "&nbsp;&nbsp;", "&apos", "&;", "&#;", "&#x;",
+      "&#160;", "&#xa0;", "&#xA0;", "&#0160;", "&#32;", "&#x20;")
     val rng = new scala.util.Random(7)
     (1 to 300).foreach { _ =>
       val s = (1 to (1 + rng.nextInt(12)))
@@ -337,6 +338,19 @@ class SelectionOpsSpec extends AnyFlatSpec with Matchers {
     out(0).getAs[String]("text") must be(
       "'a' ’b’ —c— d… ©© " +
         "–– “q” &#60; &lt; &gt;")
+  }
+
+  it must "decode numeric NBSP to plain space and leave &#32; alone" in {
+    // the r15 ADVICE gap: nbsp keyed at codepoint 32 decoded the
+    // synthetic &#32; while the real-crawl numeric NBSP forms stayed
+    // encoded; the table now keys nbsp at 160 with a normalize-to-space
+    // replacement, so &#160;/&#xa0; fold like &nbsp; always did
+    import graft.functions.HtmlEntities
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    HtmlEntities.decode(u8("a&#160;b&#xa0;c&nbsp;d")).toString must be(
+      "a b c d")
+    HtmlEntities.decode(u8("a&#32;b&#x20;c")).toString must be(
+      "a&#32;b&#x20;c")
   }
 
   behavior of "Similarity.ivfRangeSearch"
