@@ -255,6 +255,35 @@ class GraftFileSystem extends FileSystem {
   /** Birth name → CURRENT path (live folded files only). */
   private val birthIndex = new java.util.TreeMap[String, String]()
 
+  /** Birth names whose payload still lives UNCHANGED in the mounted
+    * saved state's `chunks/` parquet — the set [[BlockCachedStream]]
+    * may serve with a SESSION-FREE pruned parquet read (SavedState
+    * .readBlock: no driver job, callable from any executor thread).
+    * Saved files seed here (and into baseFiles/birthIndex as
+    * path→path, so every structural op targets the right rows);
+    * overwrite and delete PRUNE the birth (its parquet rows are now
+    * stale), while rename is a no-op (births are immutable — the
+    * saved rows stay valid under the old name). Guarded by [[mutLock]].
+    */
+  private val savedBirths = new java.util.HashSet[String]()
+
+  /** The mounted saved state's chunks dir (null when the mount started
+    * empty). Versioned save dirs are immutable by construction (saveFs
+    * writes a fresh version dir and flips `CURRENT`), so direct reads
+    * serve a consistent generation for the mount's lifetime.
+    */
+  private var savedChunksDir: String = _
+
+  /** READ-ONLY executor mode: no SparkSession in this JVM (or forced
+    * via `graft.mount.executor.mode`) — metadata answers from the
+    * saved catalog, payload reads go through [[SavedState]], and every
+    * mutation fails loudly. This closes the SURVEY §8 narrowing one
+    * notch: a REMOTE executor can now open() and read saved payloads
+    * with zero driver involvement; only bytes written after the save
+    * (driver pending/folded state) still require the driver path.
+    */
+  private var executorMode = false
+
   private var birthGen = 0L
 
   private def baseHasSubtree(p: String): Boolean = {
@@ -481,25 +510,76 @@ class GraftFileSystem extends FileSystem {
     require(FoldBytes > 0, "graft.mount.fold.bytes must be positive")
     maxInodes = conf.getLong("graft.mount.max.inodes", 10_000_000L)
     require(maxInodes > 0, "graft.mount.max.inodes must be positive")
-    val s = spark
-    import s.implicits._
-    val root = FsCatalog.dirInode("/", ctx.cwd.split("/").last)
-    val emptyChunks = DataPlane.chunk(
-      s.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(Seq(StructField("path", StringType),
-          StructField("data", BinaryType)))),
-      subBlockSize, blockSize)
-    // compactEvery 8, not the default 64: facade sets are RARE now
-    // (one per fold or base-touching structural op, never per
-    // subblock/inode), and the base-touching rename doubles the tree
-    // — 8 sets bounds the worst pre-compaction plan at ~2^8 nodes
-    cell = new FsState(GraftFs(FsCatalog(s.createDataset(Seq(root))),
-      emptyChunks), compactEvery = 8)
+    // executor mode: forced by conf (tests, explicit read-only
+    // consumers) or implied by a JVM with no session to plan with —
+    // the remote-executor situation the §8 narrowing documents
+    executorMode = conf.getBoolean("graft.mount.executor.mode", false) ||
+      (SparkSession.getActiveSession.isEmpty &&
+        SparkSession.getDefaultSession.isEmpty)
+    val stateDir = Option(conf.get("graft.mount.state.dir"))
+      .flatMap(GraftShellMain.currentStateDir)
+    if (executorMode && stateDir.isEmpty)
+      throw new IOException(
+        "graftfs executor-mode mount (no SparkSession in this JVM) needs " +
+          "graft.mount.state.dir pointing at a persisted state — an empty " +
+          "mount has nothing an executor could read without the driver")
     inodeCache.clear()
     childIndex.clear()
-    cachePut(root)
-    startCompactor()
+    // saved-state bootstrap is SESSION-FREE (plain parquet readers):
+    // metadata seeds the cache, file births seed the direct-read set,
+    // executor JVMs stop here (read-only — no frames, no compactor)
+    stateDir.foreach { root =>
+      savedChunksDir = s"$root/chunks"
+      SavedState.readCatalog(s"$root/catalog").foreach { n =>
+        cachePut(n)
+        if (n.isFile) {
+          savedBirths.add(n.path)
+          baseFiles.put(n.path, n.path)
+          birthIndex.put(n.path, n.path)
+        }
+      }
+    }
+    if (!executorMode) {
+      val s = spark
+      import s.implicits._
+      val root = FsCatalog.dirInode("/", ctx.cwd.split("/").last)
+      if (inodeCache.get("/") == null) cachePut(root)
+      val emptyChunks = DataPlane.chunk(
+        s.createDataFrame(java.util.Collections.emptyList[Row](),
+          StructType(Seq(StructField("path", StringType),
+            StructField("data", BinaryType)))),
+        subBlockSize, blockSize)
+      // the saved chunk rows enter the BASE PLAN too (one parquet scan
+      // leaf), so every frame consumer — snapshots, structural filters,
+      // analytic verbs — sees saved payloads; the direct-read set just
+      // short-circuits byte fetches around it
+      val initialChunks = stateDir
+        .map(_ => s.read.parquet(savedChunksDir)
+          .unionByName(emptyChunks))
+        .getOrElse(emptyChunks)
+      // compactEvery 8, not the default 64: facade sets are RARE now
+      // (one per fold or base-touching structural op, never per
+      // subblock/inode), and the base-touching rename doubles the tree
+      // — 8 sets bounds the worst pre-compaction plan at ~2^8 nodes
+      val values = Seq.newBuilder[Inode]
+      inodeCache.values.forEach(values += _)
+      cell = new FsState(GraftFs(FsCatalog(s.createDataset(values.result())),
+        initialChunks), compactEvery = 8)
+      startCompactor()
+    } else if (inodeCache.get("/") == null)
+      cachePut(FsCatalog.dirInode("/", ctx.cwd.split("/").last))
   }
+
+  /** Loud single-sided failure for mutations on a read-only
+    * executor-mode mount (the supported side is reads — see
+    * [[executorMode]]).
+    */
+  private def mutGuard(): Unit =
+    if (executorMode)
+      throw new IOException(
+        "graftfs executor-mode mount is READ-ONLY — mutations must run " +
+          "on the driver (this JVM has no SparkSession; it serves the " +
+          "mounted saved generation)")
 
   /** The metadata cache, for consistency specs. */
   private[fs] def metadataSnapshot: Map[String, Inode] = {
@@ -564,7 +644,7 @@ class GraftFileSystem extends FileSystem {
   //    existence map comes from the cache; the frame half is the SAME
   //    fold (FsCatalog.mkdirsWith) minus its collect — action-free. ─────
   override def mkdirs(path: Path, permission: FsPermission): Boolean =
-    withMutLock { cachedMkdirs(abs(path)) }
+    withMutLock { mutGuard(); cachedMkdirs(abs(path)) }
 
   /** The mkdirs ancestor AND-fold against the cache alone (the catalog
     * frame derives from the cache, so there is no frame half to build
@@ -601,6 +681,7 @@ class GraftFileSystem extends FileSystem {
                       overwrite: Boolean, bufferSize: Int,
                       replication: Short, blkSize: Long,
                       progress: Progressable): FSDataOutputStream = withMutLock {
+    mutGuard()
     // the whole create transition is cache-checked and frame-lazy:
     // NO Spark action runs on this (possibly task) thread
     val p = abs(path)
@@ -627,6 +708,7 @@ class GraftFileSystem extends FileSystem {
       val birth = baseFiles.remove(p)
       if (birth != null) {
         birthIndex.remove(birth)
+        savedBirths.remove(birth) // saved parquet rows are now stale
         setState(GraftFs(state.catalog,
           state.chunks.filter(col("path") =!= birth)))
       }
@@ -837,13 +919,21 @@ class GraftFileSystem extends FileSystem {
       //    data from inside a core-saturating outer job remains the
       //    mount's documented local-mode caveat.
       if (id != cachedId) {
-        val (memRows, birth) = withMutLock {
+        val (memRows, birth, direct) = withMutLock {
           val rs = pendingChunks.filter(r =>
             r.getString(0) == p && r.getInt(1) == id.toInt)
+          val b = baseFiles.get(p)
           (rs.sortBy(_.getLong(4)).map(_.getAs[Array[Byte]](5)).toArray,
-            baseFiles.get(p))
+            b, b != null && savedBirths.contains(b))
         }
-        if (birth == null) {
+        if (direct && memRows.isEmpty) {
+          // SAVED payload, untouched since the mount: a session-free
+          // pruned parquet read — no driver job, no nested action, no
+          // lock held across I/O. THE executor-side read path (and the
+          // fastest driver-side one); see savedBirths/SavedState.
+          cached = SavedState.readBlock(savedChunksDir, birth, id)
+          cachedId = id
+        } else if (birth == null) {
           val total = memRows.iterator.map(_.length).sum
           val out = new Array[Byte](total)
           var at = 0
@@ -949,6 +1039,7 @@ class GraftFileSystem extends FileSystem {
   //    predicates (GraftFs.delete*Frames) lazily — action-free. ─────────
   override def delete(path: Path, recursive: Boolean): Boolean =
     withMutLock {
+      mutGuard()
       val p = abs(path)
       def dropChunksOf(): Unit = {
         dropPending(rowInSubtree(_, p))
@@ -957,6 +1048,7 @@ class GraftFileSystem extends FileSystem {
           val members = baseSubtree(p) // (currentPath, birthName)
           members.foreach { case (c, b) =>
             baseFiles.remove(c); birthIndex.remove(b)
+            savedBirths.remove(b)
           }
           // rows live under BIRTH names. The bulk of a subtree's rows
           // sit under the current prefix (never renamed), covered by
@@ -1014,6 +1106,7 @@ class GraftFileSystem extends FileSystem {
   //    this from task threads) — action-free. ───────────────────────────
   override def rename(src: Path, dst: Path): Boolean =
     withMutLock {
+      mutGuard()
       val s = abs(src)
       val d = abs(dst)
       if (s == d) true
@@ -1105,6 +1198,9 @@ class GraftFileSystem extends FileSystem {
     * `close()` drop every pin with the mount.
     */
   def graftFs: GraftFs = withMutLock {
+    require(cell != null,
+      "an executor-mode mount holds no frame planes (read-only, " +
+        "SavedState-served) — snapshot on the driver mount instead")
     foldPending()
     refreshCatalog()
     cell.pinCurrent()

@@ -90,7 +90,16 @@ object GraftShellMain {
     val prev = currentStateDir(dir)
     val version = s"v${System.nanoTime()}"
     flat.catalog.save(s"$dir/$version/catalog")
-    flat.chunks.write.mode("overwrite").parquet(s"$dir/$version/chunks")
+    // range-partitioned + sorted on the (path, block_id) lookup key:
+    // parquet row-group min/max statistics then prune a one-block
+    // fetch (SavedState.readBlock, the mount's executor-side read
+    // path) to one row group of one file instead of a corpus scan —
+    // the same stats-anchoring FsCatalog.save applies to the catalog
+    flat.chunks
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("block_id"))
+      .sortWithinPartitions("path", "block_id", "sub_id")
+      .write.mode("overwrite").parquet(s"$dir/$version/chunks")
     // flip the pointer atomically — the only visible commit point
     val tmp = base.resolve(s".$CurrentPtr.tmp")
     Files.write(tmp, version.getBytes("UTF-8"))

@@ -292,6 +292,188 @@ class SchemeMountSpec extends AnyFlatSpec with Matchers {
     fs.close()
   }
 
+  /** Persist a small filesystem (two multi-block files + a dir) through
+    * a scratch mount and return (stateDir, fileA bytes, fileB bytes).
+    */
+  private def buildSavedState(authority: String): (String, Array[Byte], Array[Byte]) = {
+    mountConf()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.subblock.size", 512)
+    hconf.setInt("graft.block.size", 1024)
+    val fs =
+      try FileSystem.get(new URI(s"graftfs://$authority/"), hconf)
+        .asInstanceOf[GraftFileSystem]
+      finally {
+        hconf.unset("graft.subblock.size"); hconf.unset("graft.block.size")
+      }
+    val rnd = new scala.util.Random(23)
+    def payload(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    val a = payload(3072) // 3 blocks
+    val b = payload(700)  // 1 block, partial
+    Seq("graftfs://" + authority + "/docs/a.bin" -> a,
+      "graftfs://" + authority + "/docs/sub/b.bin" -> b).foreach {
+      case (p, bytes) =>
+        val out = fs.create(new Path(p)); out.write(bytes); out.close()
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-saved-state").toString
+    val snap = fs.graftFs
+    try GraftShellMain.saveFs(snap, dir)
+    finally fs.releaseSnapshot(snap)
+    fs.close()
+    (dir, a, b)
+  }
+
+  private final class JobCounter extends org.apache.spark.scheduler.SparkListener {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      n.incrementAndGet()
+  }
+
+  it must "serve saved payloads from a state-dir mount with ZERO driver jobs" in {
+    // The §8 narrowing, one notch closed: a persisted state is plain
+    // parquet, so payload reads route through SavedState.readBlock —
+    // a session-free pruned parquet read, no nested engine job. The
+    // job-count listener is the proof: every byte below is read while
+    // the counter stays flat.
+    val (dir, a, b) = buildSavedState("savedsrc")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.subblock.size", 512)
+    hconf.setInt("graft.block.size", 1024)
+    hconf.set("graft.mount.state.dir", dir)
+    val fs =
+      try FileSystem.get(new URI("graftfs://savedread/"), hconf)
+        .asInstanceOf[GraftFileSystem]
+      finally {
+        hconf.unset("graft.subblock.size"); hconf.unset("graft.block.size")
+        hconf.unset("graft.mount.state.dir")
+      }
+    // metadata came from the saved catalog (session-free bootstrap)
+    fs.getFileStatus(new Path("graftfs://savedread/docs/a.bin"))
+      .getLen must be(3072L)
+    fs.listStatus(new Path("graftfs://savedread/docs"))
+      .map(_.getPath.getName).sorted must be(Array("a.bin", "sub"))
+    val counter = new JobCounter
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      def readFile(p: String, n: Int): Array[Byte] = {
+        val in = fs.open(new Path(p))
+        val buf = new Array[Byte](n)
+        try { in.readFully(0L, buf); buf } finally in.close()
+      }
+      readFile("graftfs://savedread/docs/a.bin", 3072) must be(a)
+      readFile("graftfs://savedread/docs/sub/b.bin", 700) must be(b)
+      // rename keeps the direct path (births are immutable)
+      fs.rename(new Path("graftfs://savedread/docs/a.bin"),
+        new Path("graftfs://savedread/docs/a2.bin")) must be(true)
+      readFile("graftfs://savedread/docs/a2.bin", 3072) must be(a)
+      // overwrite PRUNES the direct path: fresh bytes come back (from
+      // pending memory — still no job), never the stale saved rows
+      val fresh = Array.tabulate[Byte](600)(i => (i % 120).toByte)
+      val out = fs.create(new Path("graftfs://savedread/docs/sub/b.bin"),
+        true)
+      out.write(fresh); out.close()
+      readFile("graftfs://savedread/docs/sub/b.bin", 600) must be(fresh)
+      Thread.sleep(300) // let the listener bus drain
+      counter.n.get() must be(0)
+    } finally {
+      spark.sparkContext.removeSparkListener(counter)
+      fs.close()
+    }
+  }
+
+  it must "serve saved payload reads from CORE-SATURATING tasks (the previously unsupported side)" in {
+    // Before the direct-read path, 4 reading tasks on local[4] were the
+    // documented loud-failure side (a nested engine job could never get
+    // a core). With saved payloads the read is session-free parquet
+    // I/O: full saturation, no nested job — exactly one job total (the
+    // outer parallelize itself).
+    val (dir, a, _) = buildSavedState("xsrc")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.subblock.size", 512)
+    hconf.setInt("graft.block.size", 1024)
+    hconf.set("graft.mount.state.dir", dir)
+    val fs =
+      try FileSystem.get(new URI("graftfs://xtask/"), hconf)
+        .asInstanceOf[GraftFileSystem]
+      finally {
+        hconf.unset("graft.subblock.size"); hconf.unset("graft.block.size")
+        hconf.unset("graft.mount.state.dir")
+      }
+    val expected = { val c = new java.util.zip.CRC32C(); c.update(a)
+      c.getValue }
+    val counter = new JobCounter
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val crcs = spark.sparkContext.parallelize(1 to 4, 4).map { _ =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        c.set("fs.graftfs.impl", "graft.fs.GraftFileSystem")
+        val tfs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI("graftfs://xtask/"), c)
+        val in = tfs.open(new org.apache.hadoop.fs.Path(
+          "graftfs://xtask/docs/a.bin"))
+        val buf = new Array[Byte](3072)
+        try in.readFully(0L, buf) finally in.close()
+        val crc = new java.util.zip.CRC32C(); crc.update(buf); crc.getValue
+      }.collect()
+      crcs.toSeq must be(Seq.fill(4)(expected))
+      Thread.sleep(300) // let the listener bus drain
+      counter.n.get() must be(1) // the outer job, nothing nested
+    } finally {
+      spark.sparkContext.removeSparkListener(counter)
+      fs.close()
+    }
+  }
+
+  it must "run READ-ONLY in forced executor mode: reads served, mutations loud" in {
+    // graft.mount.executor.mode simulates the remote-executor JVM (no
+    // session): the mount bootstraps entirely from the saved parquet —
+    // metadata, listings, payload bytes — and every mutation names the
+    // read-only contract instead of limping into a session NPE.
+    val (dir, a, b) = buildSavedState("xmodesrc")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.subblock.size", 512)
+    hconf.setInt("graft.block.size", 1024)
+    hconf.set("graft.mount.state.dir", dir)
+    hconf.setBoolean("graft.mount.executor.mode", true)
+    val fs =
+      try FileSystem.get(new URI("graftfs://xmode/"), hconf)
+        .asInstanceOf[GraftFileSystem]
+      finally {
+        hconf.unset("graft.subblock.size"); hconf.unset("graft.block.size")
+        hconf.unset("graft.mount.state.dir")
+        hconf.unset("graft.mount.executor.mode")
+      }
+    try {
+      def readFile(p: String, n: Int): Array[Byte] = {
+        val in = fs.open(new Path(p))
+        val buf = new Array[Byte](n)
+        try { in.readFully(0L, buf); buf } finally in.close()
+      }
+      readFile("graftfs://xmode/docs/a.bin", 3072) must be(a)
+      readFile("graftfs://xmode/docs/sub/b.bin", 700) must be(b)
+      fs.getFileStatus(new Path("graftfs://xmode/docs/sub/b.bin"))
+        .getLen must be(700L)
+      val boom = intercept[java.io.IOException] {
+        fs.create(new Path("graftfs://xmode/new.bin"))
+      }
+      boom.getMessage must include("READ-ONLY")
+      intercept[java.io.IOException] {
+        fs.delete(new Path("graftfs://xmode/docs/a.bin"), false)
+      }
+      intercept[java.io.IOException] {
+        fs.rename(new Path("graftfs://xmode/docs/a.bin"),
+          new Path("graftfs://xmode/docs/a3.bin"))
+      }
+      intercept[java.io.IOException] {
+        fs.mkdirs(new Path("graftfs://xmode/d2"))
+      }
+    } finally fs.close()
+  }
+
   it must "keep the metadata cache exactly in step with the catalog frames" in {
     mountConf()
     val fs = FileSystem.get(new URI("graftfs://mountspec/"),
