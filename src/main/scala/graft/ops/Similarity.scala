@@ -255,6 +255,61 @@ object Similarity {
     centroids
   }
 
+  /** Deterministic bounded training sample: the `sampleSize`
+    * hash-first rows of the corpus (ONE TakeOrdered pass —
+    * `xxhash64(vec_id)` is a seedless pseudo-random order, ties broken
+    * by id), EAGERLY materialized so the k-means iterations that
+    * follow never re-scan the corpus. This is what bounds index-BUILD
+    * cost at 100 TB: k-means quality depends on the sample being
+    * representative, not exhaustive (the standard PQ/IVF training
+    * practice — codebooks train on a fixed-size sample, then ONE
+    * mandatory encode pass touches every vector), so training is
+    * O(sampleSize · k · iters) + one corpus pass for the sample,
+    * instead of O(N · k · iters). IvfScaleSpec holds the recall gate
+    * for sample-trained against full-trained codebooks at realistic
+    * (m, ksub) over the 100k generated corpus.
+    */
+  private def trainingSample(corpus: DataFrame, sampleSize: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+    // re-key by hash rank: every kmeansCentroids consumer seeds with
+    // `vec_id < k`, which on the ORIGINAL ids could select zero sample
+    // rows — rank keys make the first-K seeds the hash-spread head
+    rows.as[(Long, Array[Float])].rdd
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+      .toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+  }
+
+  /** [[kmeansCentroids]] trained on a bounded [[trainingSample]] —
+    * same output contract (never fewer than k centroids, deterministic
+    * first-K-of-sample seeds), training cost independent of corpus
+    * size. `samplePerCentroid` sets sample = k · that (min 1024).
+    */
+  def kmeansCentroidsSampled(corpus: DataFrame, k: Int, iters: Int,
+                             samplePerCentroid: Int = 32): DataFrame =
+    kmeansCentroids(
+      trainingSample(corpus, math.max(1024, k * samplePerCentroid)),
+      k, iters)
+
+  /** [[pqCodebooks]] trained on ONE bounded [[trainingSample]] shared
+    * by all m subspaces — a single corpus pass builds the sample, then
+    * the m trainings iterate over sample SLICES in memory. At 100 TB
+    * this is the only affordable codebook shape: the full-corpus
+    * variant pays m · iters distributed corpus scans; this pays one.
+    */
+  def pqCodebooksSampled(corpus: DataFrame, m: Int, ksub: Int,
+                         iters: Int, dim: Int,
+                         samplePerCentroid: Int = 32): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sample = trainingSample(corpus,
+      math.max(1024, ksub * samplePerCentroid))
+    pqCodebooks(sample, m, ksub, iters, dim)
+  }
+
   /** Deterministic k-means++-style seeding: a hash-ordered corpus
     * sample (ONE TakeOrdered pass — `xxhash64(vec_id)` is a seedless
     * pseudo-random order, ties broken by id), then a driver-local
