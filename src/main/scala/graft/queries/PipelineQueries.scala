@@ -2827,6 +2827,147 @@ object PipelineQueries {
              |WHERE quality_ok AND doc_id NOT IN (SELECT doc_id FROM drops)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── THE COMPOSED END-TO-END PIPELINE (pipeline_train_set widened to
+    //    the full production funnel — r15 verdict ask #2): extract →
+    //    langid(en) → NB quality → minhash-dedup → decontaminate(%10
+    //    bench) → domain mix (budget = 3/4 corpus) → pack(512) → split.
+    //    Every stage reuses its own tri-SF-gated operator; the oracle
+    //    replays the whole funnel as one CTE chain built from the SAME
+    //    idioms each stage's solo oracle uses (htmlDecodeSql, the
+    //    langid votes, nbQualityOracle's fpDuck weights, train_set's
+    //    prefix-filter dedup, the decontaminate join, the mix quotas,
+    //    the pack prefix-sum, splitUSql). Output (doc_id, source,
+    //    n_tok, pack_id, split): presence encodes stages 1-6, pack_id
+    //    encodes mix+pack, split the draw — one row hash covers the
+    //    composition. ScalingSpec runs this same operator across FOUR
+    //    scale points (sf0.001 → generated sf1) for the wall-clock
+    //    slope; this channel is its tri-SF correctness anchor.
+    QueryDef(
+      "pipeline_e2e_train_set",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val budget = (docs.count() * 3L / 4L).toInt
+        Curation.e2eTrainSet(docs, label = nbLabel, mixBudget = budget)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH st AS (
+              |  SELECT doc_id, source,
+              |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+              |           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              |           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              |           '(?s)<!--.*?-->', ' ', 'g'),
+              |           '<[^>]+>', ' ', 'g') AS s
+              |  FROM documents),
+              |ex AS (
+              |  SELECT doc_id, source,
+              |         trim(regexp_replace($htmlDecodeSql, '[ \\t\\n\\r]+', ' ', 'g')) AS text
+              |  FROM st),
+              |tok AS (
+              |  SELECT doc_id, source, text,
+              |         regexp_extract_all(lower(text), '\\w+') AS toks
+              |  FROM ex),
+              |enf AS (
+              |  SELECT * FROM (
+              |    SELECT t.*,
+              |           LEN(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
+              |           LEN(list_filter(toks, w -> w IN ('el','los','que','y','es'))) AS s_es,
+              |           LEN(list_filter(toks, w -> w IN ('der','die','und','das','ist'))) AS s_de,
+              |           LEN(list_filter(toks, w -> w IN ('le','les','et','des','une'))) AS s_fr
+              |    FROM tok t)
+              |  WHERE s_en >= GREATEST(s_es, s_de, s_fr)),
+              |lab AS (
+              |  SELECT doc_id,
+              |         (LEN(toks) >= 5 AND
+              |          LEN(regexp_extract_all(text, '[.,!?;:]')) * 10 < LENGTH(text) AND
+              |          LEN(list_filter(toks, w -> w IN
+              |            ('the','a','of','and','to','in','is','it'))) * 50
+              |            >= LEN(toks)) AS tgt,
+              |         toks
+              |  FROM enf),
+              |bg AS (SELECT doc_id, tgt,
+              |              unnest([toks[i] || ' ' || toks[i+1]
+              |                      for i in range(1, len(toks))]) AS b
+              |       FROM lab),
+              |pb AS (SELECT doc_id, tgt,
+              |              ('0x' || substring(md5(b), 1, 8))::BIGINT % 256 AS bk,
+              |              CAST(COUNT(*) AS BIGINT) AS c
+              |       FROM bg GROUP BY 1, 2, 3),
+              |nst AS (SELECT bk,
+              |               CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND tgt
+              |                             THEN c ELSE 0 END) AS BIGINT) AS cp,
+              |               CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND NOT tgt
+              |                             THEN c ELSE 0 END) AS BIGINT) AS cn
+              |        FROM pb GROUP BY 1),
+              |w AS (SELECT bk, ${fpDuck("(cp + 1)")} - ${fpDuck("(cn + 1)")} AS w
+              |      FROM nst),
+              |km AS (SELECT ${fpDuck("(tp + 256)")} - ${fpDuck("(tn + 256)")} AS k
+              |       FROM (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+              |                    CAST(SUM(cn) AS BIGINT) AS tn FROM nst)),
+              |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb,
+              |              CAST(SUM(c * COALESCE(w.w, 0)) AS BIGINT) AS raw
+              |       FROM pb LEFT JOIN w USING (bk) GROUP BY 1),
+              |keep AS (SELECT e.doc_id FROM enf e
+              |         LEFT JOIN sc ON sc.doc_id = e.doc_id CROSS JOIN km
+              |         WHERE (COALESCE(sc.raw, 0) - COALESCE(sc.nb, 0) * km.k) > 0),
+              |kd AS (SELECT e.doc_id, e.source, e.toks
+              |       FROM enf e JOIN keep USING (doc_id)),
+              |sh AS (SELECT doc_id,
+              |              list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              |                             for i in range(1, len(toks)-1)]) AS s
+              |       FROM kd),
+              |srt AS (SELECT doc_id, list_sort(s) AS s FROM sh),
+              |pf AS (SELECT doc_id, unnest(s[1 : len(s) -
+              |              CAST(ceil(0.5 * len(s)) AS INT) + 1]) AS tok
+              |       FROM srt),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+              |dup AS (SELECT DISTINCT id_b AS doc_id
+              |        FROM cand JOIN srt sa ON sa.doc_id = cand.id_a
+              |                  JOIN srt sb ON sb.doc_id = cand.id_b
+              |        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+              |              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+              |              >= 0.5),
+              |uniq AS (SELECT * FROM kd WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+              |tr AS (SELECT * FROM uniq WHERE doc_id % 10 <> 0),
+              |bsh AS (SELECT doc_id AS bench_id,
+              |               unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              |                                     for i in range(1, len(toks)-1)])) AS g
+              |        FROM tok WHERE doc_id % 10 = 0),
+              |tsh AS (SELECT doc_id,
+              |               unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              |                                     for i in range(1, len(toks)-1)])) AS g
+              |        FROM tr),
+              |cont AS (SELECT DISTINCT doc_id FROM (
+              |           SELECT t.doc_id, b.bench_id, COUNT(*) AS c
+              |           FROM tsh t JOIN bsh b USING (g) GROUP BY 1, 2)
+              |         WHERE c >= 3),
+              |cln AS (SELECT doc_id, source, LEN(toks) AS n_tok FROM tr
+              |        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+              |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+              |        FROM cln GROUP BY 1),
+              |ww AS (SELECT source,
+              |              CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS sd
+              |       FROM per),
+              |q AS (SELECT source,
+              |             CAST(FLOOR(ROUND(CAST(sd AS DOUBLE) /
+              |                  CAST((SELECT SUM(sd) FROM ww) AS DOUBLE), 6) *
+              |                  (SELECT COUNT(*) * 3 // 4 FROM documents)) AS BIGINT) AS quota
+              |      FROM ww),
+              |mx AS (SELECT doc_id, source, n_tok FROM (
+              |         SELECT cln.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              |         FROM cln)
+              |       JOIN q USING (source) WHERE rn <= quota),
+              |pk AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+              |              CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+              |                   / 512) AS BIGINT) AS pack_id
+              |       FROM mx)
+              |SELECT doc_id, source, n_tok, pack_id,
+              |       CASE WHEN $splitUSql < 0.8 THEN 'train'
+              |            WHEN $splitUSql < 0.9 THEN 'val'
+              |            ELSE 'test' END AS split
+              |FROM pk ORDER BY doc_id""".stripMargin)),
+
     // ── Curation planners: balanced downsampling + sequence packing ────
     // Deterministic stratified downsample — every 10th doc per language
     // in id order: the reproducible "1/10 sample preserving the language
