@@ -867,6 +867,72 @@ object TextAnalysis {
           .otherwise(0L).as("idcg_scaled"))
   }
 
+  /** GRADED-relevance retrieval metrics — [[retrievalMetrics]] with
+    * the binary ground truth widened to integer GRADES so nDCG
+    * discriminates partial relevance (the r15 verdict's stretch #8):
+    * grade(query, doc) = the number of DISTINCT query terms the doc
+    * contains (1..arity — exact containment of ALL terms is the top
+    * grade, a single shared term the bottom; a doc sharing nothing is
+    * irrelevant). The DCG ladder is unchanged (the fplog2 fixed-point
+    * weights), each hit now contributing grade × weight, and IDCG
+    * re-ranks the TRUE grade multiset descending (ties by doc_id —
+    * the sum is tie-order-invariant) over ranks 1..min(n_relevant,k),
+    * so nDCG < 1 whenever the ranking places a lower-grade doc above
+    * a higher-grade one — exactly what binary relevance cannot see.
+    *
+    * Scale shape: same two corpus scans as the binary op; the relevant
+    * sliver is now "docs sharing ≥1 query term" (vocabulary-filtered
+    * at the scan, still query-bounded per doc), and the one new piece
+    * of work is a per-query top-k over that sliver for the ideal
+    * ladder (row_number window on the sliver, never the corpus).
+    */
+  def retrievalMetricsGraded(docs: DataFrame, queries: DataFrame,
+                             k: Int): DataFrame = {
+    val fp = graft.ops.Curation.fplog2Sql _
+    val ranked = termSearchMany(docs, queries, k)
+    val qt = queries.select(col("query_id"),
+      explode(col("terms")).as("w")).distinct()
+    val qvocab = qt.select(col("w")).distinct()
+    val presence = docs.select(col("doc_id"), explode(tokens).as("w"))
+      .join(broadcast(qvocab), "w").distinct()
+    val rel = presence.join(broadcast(qt), "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("grade"))
+    val nrel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_relevant"))
+    val m = rel.join(
+        broadcast(ranked.select(col("query_id"), col("doc_id"),
+          col("rank_in_query"))),
+        Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("hits_at_k"),
+        min(col("rank_in_query")).cast("long").as("first_rank_raw"),
+        sum(expr("grade * (8000000L div " +
+          fp("(cast(rank_in_query as bigint) + 1)") + ")"))
+          .cast("long").as("dcg_scaled"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col("doc_id"))
+    val idcg = rel.withColumn("irk", row_number().over(wIdeal))
+      .filter(col("irk") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(expr("grade * (8000000L div " +
+        fp("(cast(irk as bigint) + 1)") + ")"))
+        .cast("long").as("idcg_scaled"))
+    queries.select(col("query_id")).distinct()
+      .join(broadcast(nrel), Seq("query_id"), "left")
+      .join(broadcast(m), Seq("query_id"), "left")
+      .join(broadcast(idcg), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        coalesce(col("first_rank_raw"), lit(0L)).as("first_rank"),
+        when(col("first_rank_raw").isNotNull,
+          expr("1000000L div first_rank_raw")).otherwise(0L)
+          .as("mrr_scaled"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        coalesce(col("idcg_scaled"), lit(0L)).as("idcg_scaled"))
+  }
+
   /** BATCH BM25 — [[bm25]] for a QUERIES TABLE (query_id, terms
     * array), the production fan-out shape next to [[termSearchMany]]:
     * ONE corpus scan produces the (doc, term, dl) counts for the union

@@ -1062,6 +1062,85 @@ object PipelineQueries {
              |LEFT JOIN nrel USING (query_id) LEFT JOIN m USING (query_id)
              |ORDER BY q.query_id""".stripMargin)),
 
+    // GRADED-relevance retrieval metrics (r15 verdict stretch #8): same
+    // query panel, ground truth widened from exact containment to
+    // integer term-overlap grades (1..arity), so queries whose ranking
+    // interleaves partial matches get nDCG < 1 — query 3's three terms
+    // make partial grades common, query 4's out-of-corpus term still
+    // leaves grade-1 docs (the binary op saw NOTHING relevant there;
+    // the graded op discriminates).
+    QueryDef(
+      "text_retrieval_graded",
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq(
+          (1, Seq("dup", "vector")),
+          (2, Seq("join", "data")),
+          (3, Seq("dup", "join", "vector")),
+          (4, Seq("dup", "zzzznotaword"))).toDF("query_id", "terms")
+        TextAnalysis.retrievalMetricsGraded(Tables.documents(s, d), qs,
+            k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH qs(query_id, w) AS (
+             |  VALUES (1,'dup'),(1,'vector'),(2,'join'),(2,'data'),
+             |         (3,'dup'),(3,'join'),(3,'vector'),
+             |         (4,'dup'),(4,'zzzznotaword')),
+             |wd AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+             |       FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM wd
+             |       WHERE w IN (SELECT DISTINCT w FROM qs) GROUP BY 1, 2),
+             |dfs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |qw AS (SELECT qs.query_id, qs.w,
+             |              (SELECT CAST(PRODUCT(d2.df) AS BIGINT)
+             |               FROM qs q2 JOIN dfs d2 ON d2.w = q2.w
+             |               WHERE q2.query_id = qs.query_id) // dfs.df AS wgt
+             |       FROM qs JOIN dfs ON dfs.w = qs.w),
+             |sc AS (SELECT qw.query_id, tf.doc_id,
+             |              CAST(SUM(tf.tf * qw.wgt) AS BIGINT) AS s
+             |       FROM tf JOIN qw ON qw.w = tf.w GROUP BY 1, 2),
+             |topk AS (SELECT query_id, doc_id, rk FROM (
+             |           SELECT query_id, doc_id,
+             |                  ROW_NUMBER() OVER (PARTITION BY query_id
+             |                                     ORDER BY s DESC, doc_id) AS rk
+             |           FROM sc) WHERE rk <= 10),
+             |rel AS (SELECT qs.query_id, t.doc_id,
+             |               CAST(COUNT(*) AS BIGINT) AS grade
+             |        FROM (SELECT DISTINCT doc_id, w FROM tf) t
+             |        JOIN qs ON qs.w = t.w GROUP BY 1, 2),
+             |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+             |         FROM rel GROUP BY 1),
+             |h AS (SELECT t.query_id, t.rk, rel.grade FROM topk t
+             |      JOIN rel ON rel.query_id = t.query_id
+             |             AND rel.doc_id = t.doc_id),
+             |m AS (SELECT query_id,
+             |             CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+             |             CAST(MIN(rk) AS BIGINT) AS first_rank,
+             |             CAST(SUM(grade * (8000000 // ${fpDuck("(rk + 1)")})) AS BIGINT)
+             |               AS dcg_scaled
+             |      FROM h GROUP BY 1),
+             |idl AS (SELECT query_id, grade,
+             |               ROW_NUMBER() OVER (PARTITION BY query_id
+             |                                  ORDER BY grade DESC, doc_id) AS irk
+             |        FROM rel),
+             |idcg AS (SELECT query_id,
+             |                CAST(SUM(grade * (8000000 // ${fpDuck("(irk + 1)")})) AS BIGINT)
+             |                  AS idcg_scaled
+             |         FROM idl WHERE irk <= 10 GROUP BY 1)
+             |SELECT q.query_id,
+             |       COALESCE(nrel.n_relevant, 0) AS n_relevant,
+             |       COALESCE(m.hits_at_k, 0) AS hits_at_k,
+             |       COALESCE(m.first_rank, 0) AS first_rank,
+             |       CAST(CASE WHEN m.first_rank IS NULL THEN 0
+             |            ELSE 1000000 // m.first_rank END AS BIGINT)
+             |         AS mrr_scaled,
+             |       COALESCE(m.dcg_scaled, 0) AS dcg_scaled,
+             |       COALESCE(idcg.idcg_scaled, 0) AS idcg_scaled
+             |FROM (SELECT DISTINCT query_id FROM qs) q
+             |LEFT JOIN nrel USING (query_id) LEFT JOIN m USING (query_id)
+             |LEFT JOIN idcg USING (query_id)
+             |ORDER BY q.query_id""".stripMargin)),
+
     // Per-doc top-3 characteristic terms by TF-IDF (linear idf: score =
     // tf·N/df — exact integers through ONE IEEE division, so ranking and
     // value are bit-identical in both engines; ln damping would hinge
