@@ -127,32 +127,157 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     catch { case _: Throwable => 10000000L }
   private val mirrorCapShouted = new java.util.concurrent.atomic.AtomicBoolean
 
-  /** True once the mirror has outgrown the cap (spec hook + the shout
-    * latch — the warning prints exactly once per shell).
+  /** True once the mirror outgrew the cap with its whole WORKING SET
+    * hot (nothing evictable — spec hook + the shout latch; the warning
+    * prints exactly once per shell). A cap overflow with cold entries
+    * present no longer shouts: it SPILLS (see [[spillCold]]).
     */
   def mirrorCapExceeded: Boolean = mirrorCapShouted.get()
 
+  // ── SPILLED namespace tier (r15 verdict stretch #9): past the cap,
+  //    cold inodes move to a frame-backed parquet generation instead of
+  //    cap-and-shout. Layout is FsCatalog.save's (path-range-
+  //    partitioned, sorted — stats-prunable), so point/subtree probes
+  //    are SavedState pruned parquet reads and the read-verb catalog
+  //    frame unions the tier in. LSM-lite, one level:
+  //      - memory ∩ spill = ∅ by construction (mutating a spilled path
+  //        tombstones its stale row and writes the fresh inode to
+  //        memory; reads do NOT promote);
+  //      - spillTombstones marks spill rows superseded by memory or
+  //        deletion — absorbed (dropped) at the next generation
+  //        rewrite, so the set is bounded by mutation volume between
+  //        spills, never namespace size;
+  //      - eviction policy is 1-bit CLOCK (approximate LRU):
+  //        touchedSinceSpill marks entries referenced this epoch;
+  //        eviction takes the untouched, then clears the epoch. A
+  //        fully-hot working set over the cap shouts (the old loud
+  //        contract) AND resets the clock so continued growth becomes
+  //        evictable at the next flush. ─────────────────────────────────
+  private var spillDir: String = _
+  private val spillTombstones = new java.util.TreeSet[String]()
+  private val touchedSinceSpill = new java.util.HashSet[String]()
+
+  /** Number of inodes resident in the spilled tier's current
+    * generation minus tombstones is not tracked exactly; this counts
+    * generations spilled (spec hook).
+    */
+  private var spillGenerations = 0
+  def spilledGenerations: Int = spillGenerations
+
   private def noteMirrorGrowth(): Unit =
-    if (inodeCache.size() > maxMirrorInodes &&
-        mirrorCapShouted.compareAndSet(false, true))
-      System.err.println(
-        "graftfs shell: namespace mirror exceeds " +
-          s"spark.graft.shell.max.inodes ($maxMirrorInodes inodes) — " +
-          "driver-heap metadata growing unbounded; raise the cap or move " +
-          "analytics to the graft.sources DSv2 connector")
+    if (inodeCache.size() > maxMirrorInodes) spillCold()
   noteMirrorGrowth()
+
+  /** Resident (hot-tier) inode count — spec hook for the spill bound. */
+  def residentInodes: Int = inodeCache.size()
+
+  private def spillCold(): Unit = {
+    import scala.jdk.CollectionConverters._
+    // evict down to HALF the cap (hysteresis: spilling to exactly the
+    // cap would re-trigger on the next growth verb), coldest-first
+    // among the untouched, lexicographic within the epoch
+    val target = math.max(0L, inodeCache.size() - maxMirrorInodes / 2)
+    val evict = inodeCache.keySet().asScala.iterator
+      .filterNot(touchedSinceSpill.contains)
+      .take(if (target > Int.MaxValue) Int.MaxValue else target.toInt)
+      .toVector
+    if (evict.isEmpty ||
+        inodeCache.size() - evict.size > maxMirrorInodes) {
+      if (mirrorCapShouted.compareAndSet(false, true))
+        System.err.println(
+          "graftfs shell: namespace mirror exceeds " +
+            s"spark.graft.shell.max.inodes ($maxMirrorInodes inodes) with " +
+            "the working set hot — cold entries spill to the frame-backed " +
+            "tier as they age; raise the cap or move analytics to the " +
+            "graft.sources DSv2 connector")
+      // new clock epoch: what is hot now can age out by the next flush
+      touchedSinceSpill.clear()
+    }
+    if (evict.nonEmpty) {
+      val enc = graft.catalog.FsCatalog.inodeEncoder
+      val evictedDs = spark.createDataset(
+        evict.map(inodeCache.get))(enc).toDF
+      // next generation = evicted ∪ (previous generation − tombstones):
+      // every tombstone is absorbed by the rewrite, so the set resets
+      val merged =
+        if (spillDir == null) evictedDs
+        else {
+          val ts = spark.createDataset(
+            spillTombstones.asScala.toSeq)(
+            org.apache.spark.sql.Encoders.STRING).toDF("path")
+          evictedDs.unionByName(
+            graft.catalog.FsCatalog.load(spark, spillDir).inodes.toDF
+              .join(ts, Seq("path"), "left_anti"))
+        }
+      val parent = try spark.conf.get("spark.graft.shell.spill.dir", null)
+        catch { case _: Throwable => null }
+      val newDir =
+        (if (parent == null)
+          java.nio.file.Files.createTempDirectory("graft-shell-spill")
+        else {
+          val base = java.nio.file.Paths.get(parent)
+          java.nio.file.Files.createDirectories(base)
+          java.nio.file.Files.createTempDirectory(base, "gen")
+        }).toString
+      graft.catalog.FsCatalog(merged.as(enc)).save(newDir)
+      val old = spillDir
+      spillDir = newDir
+      spillGenerations += 1
+      evict.foreach(inodeCache.remove)
+      spillTombstones.clear()
+      touchedSinceSpill.clear()
+      if (old != null) graft.PlanHygiene.deleteRecursively(
+        java.nio.file.Paths.get(old))
+    }
+  }
+
+  /** Memory-tier write/remove, tier-consistently: a write supersedes
+    * any spilled row (tombstone), a remove tombstones it too.
+    */
+  private def cachePutT(p: String, n: graft.catalog.Inode): Unit = {
+    inodeCache.put(p, n)
+    touchedSinceSpill.add(p)
+    if (spillDir != null) spillTombstones.add(p)
+    ()
+  }
+
+  private def cacheRemoveT(p: String): Unit = {
+    inodeCache.remove(p)
+    touchedSinceSpill.remove(p)
+    if (spillDir != null) spillTombstones.add(p)
+    ()
+  }
+
+  private def spillLookup(p: String): Option[graft.catalog.Inode] =
+    if (spillDir == null || spillTombstones.contains(p)) None
+    else SavedState.readInodes(spillDir, Some(SavedState.pathEq(p)))
+      .headOption
 
   private def cacheCatalog(): graft.catalog.FsCatalog = {
     import scala.jdk.CollectionConverters._
-    graft.catalog.FsCatalog(spark.createDataset(
-      inodeCache.values.asScala.toSeq)(
-      graft.catalog.FsCatalog.inodeEncoder))
+    val enc = graft.catalog.FsCatalog.inodeEncoder
+    val mem = spark.createDataset(inodeCache.values.asScala.toSeq)(enc)
+    if (spillDir == null) graft.catalog.FsCatalog(mem)
+    else {
+      // the read-verb catalog is memory ∪ (spill − tombstones): verbs
+      // answer from the spilled tier through the ordinary frame path
+      val ts = spark.createDataset(spillTombstones.asScala.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("path")
+      val sp = graft.catalog.FsCatalog.load(spark, spillDir).inodes.toDF
+        .join(ts, Seq("path"), "left_anti")
+      graft.catalog.FsCatalog(mem.toDF.unionByName(sp).as(enc))
+    }
   }
 
   private def cached(p: String): Option[graft.catalog.Inode] =
-    Option(inodeCache.get(p))
+    Option(inodeCache.get(p)) match {
+      case some @ Some(_) => touchedSinceSpill.add(p); some
+      case None => spillLookup(p)
+    }
 
-  /** (path, inode) of `p` and everything under it — one range walk. */
+  /** (path, inode) of `p` and everything under it — one memory range
+    * walk merged with one pruned spill range read, path-sorted.
+    */
   private def cacheSubtree(p: String): Seq[(String, graft.catalog.Inode)] = {
     val out = Seq.newBuilder[(String, graft.catalog.Inode)]
     cached(p).foreach(n => out += (p -> n))
@@ -164,13 +289,23 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       if (e.getKey.startsWith(pre)) out += (e.getKey -> e.getValue)
       else go = false
     }
-    out.result()
+    val fromSpill =
+      if (spillDir == null) Nil
+      else SavedState.readInodes(spillDir, Some(SavedState.pathRange(pre)))
+        .filterNot(n => spillTombstones.contains(n.path) ||
+          inodeCache.containsKey(n.path))
+        .map(n => n.path -> n)
+    if (fromSpill.isEmpty) out.result()
+    else (out.result() ++ fromSpill).sortBy(_._1)
   }
 
   private def cacheHasChildren(p: String): Boolean = {
     val pre = dirPrefix(p)
     val k = inodeCache.ceilingKey(pre)
-    k != null && k.startsWith(pre)
+    (k != null && k.startsWith(pre)) ||
+      (spillDir != null &&
+        SavedState.readInodes(spillDir, Some(SavedState.pathRange(pre)))
+          .exists(n => !spillTombstones.contains(n.path)))
   }
 
   /** FsCatalog.rename's precondition matrix (byte-identical error
@@ -192,10 +327,10 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         throw new IOException("A file exists with parent of destination.")
     }
     val moved = cacheSubtree(src)
-    moved.foreach { case (p, _) => inodeCache.remove(p) }
+    moved.foreach { case (p, _) => cacheRemoveT(p) }
     moved.foreach { case (p, n) =>
       val np = dst + p.drop(src.length)
-      inodeCache.put(np, n.copy(path = np, parentPath = PathOps.parent(np)))
+      cachePutT(np, n.copy(path = np, parentPath = PathOps.parent(np)))
     }
     // zero Datasets on this path: the chunks plan object is reused and
     // the catalog rebuild defers to the next read boundary
@@ -223,7 +358,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     }
     cacheSubtree(src).foreach { case (p, n) =>
       val np = dst + p.drop(src.length)
-      inodeCache.put(np, n.copy(path = np, parentPath = PathOps.parent(np)))
+      cachePutT(np, n.copy(path = np, parentPath = PathOps.parent(np)))
     }
     // row-ADDING verb: flush pending deletes first (deferred doom must
     // never swallow rows born after it), then defer the catalog
@@ -242,8 +377,8 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       case Some(n) =>
         if (n.isDir && cacheHasChildren(path)) {
           if (!recursive) throw new IOException("Directory is not empty")
-          cacheSubtree(path).foreach { case (p, _) => inodeCache.remove(p) }
-        } else inodeCache.remove(path)
+          cacheSubtree(path).foreach { case (p, _) => cacheRemoveT(p) }
+        } else cacheRemoveT(path)
         val g = cell.get
         // doom computed against the aliases BEFORE the entry cleanup,
         // deferred to the next read boundary (one filter per batch)
@@ -261,17 +396,26 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
     val re = java.util.regex.Pattern.compile(PathOps.globToRegex(pattern))
     val pre = PathOps.globLiteralPrefix(pattern)
     import scala.jdk.CollectionConverters._
-    val roots = inodeCache.keySet().asScala.iterator
+    // glob roots come from BOTH tiers: the memory walk plus a pruned
+    // spill range read on the pattern's literal prefix (an empty/root
+    // prefix degrades to a full tier scan — the glob asked for it)
+    val spillKeys =
+      if (spillDir == null) Nil
+      else SavedState.readInodes(spillDir,
+          if (pre.length > 1) Some(SavedState.pathRange(pre)) else None)
+        .iterator.map(_.path)
+        .filterNot(spillTombstones.contains).toSeq
+    val roots = (inodeCache.keySet().asScala.iterator ++ spillKeys.iterator)
       .filter(p => p.startsWith(pre) && re.matcher(p).find() &&
         (pattern == "/" || p != "/"))
-      .toSeq.sorted
+      .toSeq.distinct.sorted
     if (roots.isEmpty) return false
     if (!recursive && roots.exists(r =>
         cached(r).exists(_.isDir) && cacheHasChildren(r)))
       throw new IOException(
         s"Non-empty directory matched by $pattern; use -rmr")
     roots.foreach { r =>
-      cacheSubtree(r).foreach { case (p, _) => inodeCache.remove(p) }
+      cacheSubtree(r).foreach { case (p, _) => cacheRemoveT(p) }
     }
     val g = cell.get
     roots.foreach(r => pendingDoom ::= g.aliases.doomedColumn(r))
@@ -439,7 +583,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
         val ok = levels.forall(l => cached(l).forall(_.isDir))
         val missing = levels.filterNot(l => cached(l).isDefined)
         missing.foreach(l =>
-          inodeCache.put(l, graft.catalog.FsCatalog.dirInode(l, "graft")))
+          cachePutT(l, graft.catalog.FsCatalog.dirInode(l, "graft")))
         if (missing.nonEmpty) catalogDirty = true
         if (!ok) throw new IOException(s"cannot create directory $arg")
         Nil
@@ -455,7 +599,7 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
             throw new IOException(s"$p must be a zero-length file")
           case Some(_) => () // existing zero-length file: no-op
           case None =>
-            inodeCache.put(p, graft.catalog.Inode(p, PathOps.parent(p),
+            cachePutT(p, graft.catalog.Inode(p, PathOps.parent(p),
               "graft", "graft", 420, isDir = false,
               new java.sql.Timestamp(1704067200000L), Seq.empty))
             catalogDirty = true
@@ -585,8 +729,8 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
           throw new IOException(
             s"Parent path is not a directory: ${PathOps.parent(dst)}")
         levels.filterNot(l => cached(l).isDefined).foreach(l =>
-          inodeCache.put(l, graft.catalog.FsCatalog.dirInode(l, "graft")))
-        inodeCache.put(dst, graft.catalog.Inode(dst, PathOps.parent(dst),
+          cachePutT(l, graft.catalog.FsCatalog.dirInode(l, "graft")))
+        cachePutT(dst, graft.catalog.Inode(dst, PathOps.parent(dst),
           "graft", "graft", 420, isDir = false,
           new java.sql.Timestamp(1704067200000L),
           graft.catalog.BlockMeta.forLength(dst, len, sub, blk)))

@@ -60,13 +60,25 @@ object SavedState {
     * Spark emits (INT64 MICROS and legacy INT96) and directories'
     * null block arrays.
     */
-  def readCatalog(catalogDir: String): Seq[Inode] = {
+  def readCatalog(catalogDir: String): Seq[Inode] =
+    readInodes(catalogDir, None)
+
+  /** Inodes of a catalog-layout dir matching an optional pushed-down
+    * parquet predicate — the POINT/RANGE form the shell's spilled
+    * namespace tier probes (FsCatalog.save sorts and range-partitions
+    * on `path`, so a path-keyed predicate prunes at row-group
+    * statistics before any decode).
+    */
+  def readInodes(catalogDir: String,
+                 filter: Option[org.apache.parquet.filter2.predicate
+                   .FilterPredicate]): Seq[Inode] = {
     val out = Seq.newBuilder[Inode]
     parquetFiles(catalogDir).foreach { f =>
-      val reader = ParquetReader
+      val b = ParquetReader
         .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
         .withConf(hconf())
-        .build()
+      filter.foreach(p => b.withFilter(FilterCompat.get(p)))
+      val reader = b.build()
       try {
         var g = reader.read()
         while (g != null) {
@@ -76,6 +88,22 @@ object SavedState {
       } finally reader.close()
     }
     out.result()
+  }
+
+  /** Predicate: `path = p`. */
+  def pathEq(p: String): org.apache.parquet.filter2.predicate.FilterPredicate =
+    FilterApi.eq(FilterApi.binaryColumn("path"), Binary.fromString(p))
+
+  /** Predicate: `prefix <= path < prefix-successor` — the subtree
+    * range (parquet binary comparison is unsigned lexicographic, which
+    * matches Java String order on the ASCII paths this engine uses).
+    */
+  def pathRange(prefix: String): org.apache.parquet.filter2.predicate.FilterPredicate = {
+    val hi = prefix.init + (prefix.last + 1).toChar
+    FilterApi.and(
+      FilterApi.gtEq(FilterApi.binaryColumn("path"),
+        Binary.fromString(prefix)),
+      FilterApi.lt(FilterApi.binaryColumn("path"), Binary.fromString(hi)))
   }
 
   private def optString(g: Group, field: String): String =
