@@ -81,7 +81,8 @@ trait GraftStore {
   */
 final class ParquetStore(spark: SparkSession,
                          subBlockSize: Int = 1 << 20,
-                         blockSize: Int = 4 << 20) extends GraftStore {
+                         blockSize: Int = 4 << 20,
+                         lockRoot: Option[String] = None) extends GraftStore {
   require(subBlockSize > 0 && blockSize % subBlockSize == 0,
     "blockSize must be a positive multiple of subBlockSize")
 
@@ -171,11 +172,24 @@ final class ParquetStore(spark: SparkSession,
         r.getAs[String]("replicas").split(",").toSeq
     }.toMap
 
+  /** Lock binding selection (B12 both halves): with a `lockRoot` the
+    * store runs the CROSS-PROCESS protocol (SharedFileLocks — atomic
+    * exclusive create on shared storage, multi-driver-safe); without
+    * one it keeps the driver-local table, the documented single-driver
+    * deployment. The contract is identical either way — GraftStoreSpec
+    * runs the same matrix through both.
+    */
   override def acquireFileLock(path: String): Option[UUID] =
-    FileLocks.acquire(path)
+    lockRoot match {
+      case Some(root) => graft.catalog.SharedFileLocks.acquire(root, path)
+      case None => FileLocks.acquire(path)
+    }
 
   override def releaseFileLock(path: String, token: UUID): Boolean =
-    FileLocks.release(path, token)
+    lockRoot match {
+      case Some(root) => graft.catalog.SharedFileLocks.release(root, path, token)
+      case None => FileLocks.release(path, token)
+    }
 
   override def dropKeyspace(): Unit = synchronized { state = null }
 }

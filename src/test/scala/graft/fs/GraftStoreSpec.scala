@@ -107,6 +107,27 @@ class GraftStoreSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it must "enforce CROSS-INSTANCE exclusion when stores share a lock root" in {
+    // two ParquetStore instances with the same lockRoot model two
+    // DRIVERS over one shared store: the second contender must lose
+    // through the store contract itself (the multi-process half is
+    // proven by SharedFileLocksSpec's forked-JVM case; this pins the
+    // seam routing). Without a lockRoot the driver-local table keeps
+    // the old single-driver behavior.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-store-locks").toString
+    val a: GraftStore = new ParquetStore(spark, 8, 32, Some(root))
+    val b: GraftStore = new ParquetStore(spark, 8, 32, Some(root))
+    a.createKeyspace(); b.createKeyspace()
+    val tok = a.acquireFileLock("/shared/f")
+    tok.isDefined must be(true)
+    b.acquireFileLock("/shared/f") must be(None) // other-driver contender
+    // release by the wrong holder fails; the winner's token frees it
+    b.releaseFileLock("/shared/f", java.util.UUID.randomUUID()) must be(false)
+    a.releaseFileLock("/shared/f", tok.get) must be(true)
+    b.acquireFileLock("/shared/f").isDefined must be(true)
+  }
+
   it must "answer getBlockLocations identically across bindings" in {
     // the ring formula is part of the contract (owner = ascii of the
     // block id's first char mod 3, RF=3 successor walk): a binding
