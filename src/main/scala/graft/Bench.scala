@@ -133,6 +133,47 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Adaptive drain-target for the listener hygiene — the r16 lesson,
+    * as a testable unit. The permanent-listener set is unknown at
+    * suite start (engine guard listeners and execution listeners
+    * register lazily), and mis-estimating it is expensive in BOTH
+    * directions: too LOW burns the full drain timeout on every rep
+    * (~20 min per 194-query suite, observed); too HIGH stops draining
+    * and lets stale stream listeners tax every later query (the r14
+    * contamination vector). Rules:
+    *
+    *  - DOWNWARD is an invariant, not a heuristic: the permanent set
+    *    can never exceed ANY observed count, so an observation below
+    *    the baseline lowers it immediately.
+    *  - UPWARD needs evidence: two consecutive timed-out drains at the
+    *    SAME count adopt that count (new permanent registrations hold
+    *    steady; a growing leak never matches twice in a row). A slow
+    *    ASYNC drain can fake this signature — the downward invariant
+    *    is what heals that false adoption within a query or two.
+    *
+    * `observe` takes the post-drain count and returns the adoption
+    * message to log, if any.
+    */
+  final class DrainBaseline(initial: Int) {
+    private var base = initial
+    private var lastTimeout = -1
+    def baseline: Int = base
+    def observe(n: Int): Option[String] = {
+      if (n >= 0 && n < base) {
+        base = n; lastTimeout = -1; None
+      } else if (n > base && base >= 0) {
+        if (n == lastTimeout) {
+          val msg = s"[bench] adopting $n as the permanent-listener " +
+            s"baseline (was $base): two consecutive timed-out drains at " +
+            "the same count read as new permanent registrations " +
+            "(self-corrects downward if they later drain)"
+          base = n; lastTimeout = -1
+          Some(msg)
+        } else { lastTimeout = n; None }
+      } else None
+    }
+  }
+
   /** Family-shift detector — the r12 verdict's missing instrument: a
     * WHOLE family shifting together while the interleaved rest of the
     * suite holds its baseline is in-process contamination (session
@@ -310,45 +351,12 @@ object Bench {
     // whichever query happens to run first
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
-    // pre-suite listener baseline: the drain target for the per-query
-    // hygiene below (see drainListeners). ADAPTIVE (r16): permanent
-    // listeners can register lazily AFTER this capture (engine guard
-    // listeners, execution listeners on first query) — a fixed too-low
-    // baseline then burns the full drain timeout on EVERY rep (~20 min
-    // across a 194-query suite, observed live). Two consecutive
-    // timed-out drains at the SAME count mean the extras are not
-    // leaking — they are new permanent registrations — and the
-    // baseline adopts that count; a genuinely leaking (growing or
-    // churning) count never matches twice and keeps the loud path.
-    // SELF-CORRECTING in both directions (first-run lesson: the stream
-    // family's listeners deregister asynchronously over SECONDS — two
-    // consecutive timeouts at a stable count also match a slow drain,
-    // and a false upward adoption then disables draining for everything
-    // after; the r16 first run ratcheted 4→14 and stopped waiting).
-    // Downward correction is the invariant that heals it: the
-    // permanent-listener set can never exceed ANY observed count, so a
-    // post-drain count BELOW the baseline lowers the baseline
-    // immediately, and a slow-drained stream family pulls a false
-    // adoption back down within a query or two.
-    var baselineListeners = listenerCount(spark)
-    var lastTimeoutCount = -1
-    def drain(): Unit = {
-      val n = drainListeners(spark, baselineListeners)
-      if (n >= 0 && n < baselineListeners) {
-        baselineListeners = n
-        lastTimeoutCount = -1
-      } else if (n > baselineListeners && baselineListeners >= 0) {
-        if (n == lastTimeoutCount) {
-          System.err.println(s"[bench] adopting $n as the " +
-            s"permanent-listener baseline (was $baselineListeners): two " +
-            "consecutive timed-out drains at the same count read as new " +
-            "permanent registrations (self-corrects downward if they " +
-            "later drain)")
-          baselineListeners = n
-          lastTimeoutCount = -1
-        } else lastTimeoutCount = n
-      }
-    }
+    // pre-suite listener baseline, ADAPTIVE in both directions — the
+    // full rationale and both failure modes live on DrainBaseline
+    val drainBase = new DrainBaseline(listenerCount(spark))
+    def drain(): Unit =
+      drainBase.observe(drainListeners(spark, drainBase.baseline))
+        .foreach(System.err.println)
     // host-load probe floor: the quiet-box capability of cpuProbe on
     // THIS box, taken before the suite applies any of its own load;
     // per-query and per-recheck probes compare against it (cpuProbe

@@ -283,6 +283,45 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     Bench.weatherStreak(1.0, 1.0) must be(false)
   }
 
+  behavior of "Bench.DrainBaseline (adaptive listener-drain target)"
+
+  it must "adopt a lazily-registered permanent listener after two stable timeouts" in {
+    // the r16 first-run pathology: baseline captured at 4, a 5th
+    // permanent listener registers on the first query — without
+    // adoption every rep burns the full drain timeout (~20 min/suite)
+    val b = new Bench.DrainBaseline(4)
+    b.observe(5) must be(None) // first timeout: evidence, not adoption
+    b.observe(5).isDefined must be(true) // second at the same count
+    b.baseline must be(5)
+  }
+
+  it must "never adopt a strictly-growing leak" in {
+    val b = new Bench.DrainBaseline(5)
+    Seq(6, 7, 8, 9).foreach(n => b.observe(n) must be(None))
+    b.baseline must be(5) // the loud path stays armed
+  }
+
+  it must "self-correct a false adoption downward (the slow-drain fake)" in {
+    // stream listeners deregister asynchronously over seconds: two
+    // timeouts at a stable count fake the permanent signature, the
+    // ratchet adopts 7 — then the listeners finally drain and the
+    // observed 5 must pull the baseline straight back down (the
+    // invariant: the permanent set cannot exceed ANY observed count)
+    val b = new Bench.DrainBaseline(5)
+    b.observe(7); b.observe(7)
+    b.baseline must be(7)
+    b.observe(5) must be(None)
+    b.baseline must be(5)
+  }
+
+  it must "ignore failed counts and stay put on clean drains" in {
+    val b = new Bench.DrainBaseline(5)
+    b.observe(-1) must be(None)
+    b.baseline must be(5)
+    b.observe(5) must be(None)
+    b.baseline must be(5)
+  }
+
   behavior of "Bench.cpuProbe (engine-independent host-load instrument)"
 
   it must "do fixed work in bounded time and scale with iterations" in {

@@ -254,6 +254,32 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) must be(1)
   }
 
+  it must "plan the composed e2e funnel's live tail with no cartesian anywhere" in {
+    // the composed channel's stage INTERNALS are plan-pinned by their
+    // own channels/specs; its three materialization boundaries execute
+    // eagerly inside the operator, so the returned frame's executed
+    // plan covers the live tail (mix quotas → row_number → pack window
+    // → split hash over the checkpointed clean corpus). That tail is
+    // where an accidental non-equi join would creep in (the quota join
+    // and the unpartitioned total-window both flirt with it) — pin
+    // zero CartesianProduct AND zero nested-loop joins end to end
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => q +: flat(q.plan)
+      case other => other +: (other.children.flatMap(flat) ++
+        other.subqueries.flatMap(flat))
+    }
+    val out = graft.SparkEntry.queries("pipeline_e2e_train_set")(
+      spark, "/root/testdata/sf0.001")
+    out.collect().length must be > 0
+    val nodes = flat(out.queryExecution.executedPlan)
+    nodes.count(_.isInstanceOf[CartesianProductExec]) must be(0)
+    nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) must be(0)
+  }
+
   behavior of "Dedup.simhash"
 
   it must "give identical signatures to identical docs and different ones to disjoint docs" in {
