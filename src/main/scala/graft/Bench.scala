@@ -36,6 +36,23 @@ object Bench {
     ok.nonEmpty && ok.min <= math.max(2 * origMin, origMin + 1.0)
   }
 
+  /** The RECORDED channel value: min over suite reps ∪ recheck reps
+    * (non-negative only; all-failed stays -1). r16 verdict "What's
+    * wrong #1": the committed record used min-of-suite-reps even when
+    * the same run's recheck had already re-measured the query at its
+    * true floor with CPU-probe attribution — so every contaminated
+    * suite window left an inflated number that cross-round ratios
+    * re-inherited and a human had to exonerate narratively, round
+    * after round. The recheck IS same-JVM same-code evidence of
+    * capability; recording its min (when lower) makes the committed
+    * record self-exonerating — the raw suite series and the recheck
+    * series both stay in BENCH_DETAIL.json as the audit trail.
+    */
+  def mergedMin(reps: Seq[Double], recheck: Seq[Double]): Double = {
+    val ok = (reps ++ recheck).filter(_ >= 0)
+    if (ok.isEmpty) -1.0 else ok.min
+  }
+
   /** Cross-ROUND regression classification (the guard the in-run
     * rep-slope check cannot provide): a query's min-of-reps this run
     * vs the min recorded in the committed BENCH_DETAIL.json of the
@@ -407,31 +424,58 @@ object Bench {
     // BENCH_DETAIL.json attribute an in-suite slowdown to GC pressure,
     // JIT/codegen churn, or leaked listeners instead of narrative.
     val jvmByQuery = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // in-suite state dump AT the slow rep (r16 "What's wrong #2"): when
+    // a rep blows past the degrades guard band relative to the reps
+    // before it, snapshot listeners/heap/codegen/probe IMMEDIATELY —
+    // before the hygiene sweep and listener drain run — so the record
+    // shows the state that was loaded at the moment of the slowdown,
+    // not the cleaned-up state after it. First dump per query wins.
+    val slowRepDumps = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val pre = jvmSnap(spark)
       val preL = listenerCount(spark)
-      val times = (1 to reps).map { _ =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
-        try {
-          evalAll(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        } finally {
-          // release whatever the rep checkpointed/persisted (counted
-          // above, so nothing needs the blocks anymore): the r7 suite
-          // accumulated every query's eager localCheckpoints across
-          // 90 queries × 3 reps and slowed 1.8× suite-wide. The sweep
-          // is OUTSIDE the timed region — hygiene isn't the query's
-          // cost — and runs on failure too (a failed rep can leak the
-          // checkpoints it made before throwing). Stale streaming
-          // listeners drain here too (the r14 text-family
-          // contamination — drainListeners scaladoc).
-          PlanHygiene.sweepPersisted(spark)
-          drain()
+        val t =
+          try {
+            evalAll(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              -1.0
+          }
+        val prior = acc.filter(_ >= 0)
+        if (t >= 0 && prior.nonEmpty && t > 2 * prior.min &&
+            t > prior.min + 1.0 && !slowRepDumps.contains(name)) {
+          val s = jvmSnap(spark)
+          val p = cpuProbe()
+          slowRepDumps(name) =
+            s"""{"rep":$i,"t":${"%.3f".formatLocal(java.util.Locale.ROOT, t)}""" +
+              s""","prior_min":${"%.3f".formatLocal(java.util.Locale.ROOT, prior.min)}""" +
+              s""","probe":${"%.4f".formatLocal(java.util.Locale.ROOT, p)}""" +
+              s""","listeners":${listenerCount(spark)}""" +
+              s""","streams":${s.activeStreams}""" +
+              s""","heap_mb":${s.heapUsedMb}""" +
+              s""","codecache_mb":${s.codeCacheMb}""" +
+              s""","gc_ms_d":${s.gcMs - pre.gcMs}""" +
+              s""","jit_ms_d":${s.jitMs - pre.jitMs}""" +
+              s""","codegen_n_d":${s.codegenCompiles - pre.codegenCompiles}}"""
         }
+        // release whatever the rep checkpointed/persisted (counted
+        // above, so nothing needs the blocks anymore): the r7 suite
+        // accumulated every query's eager localCheckpoints across
+        // 90 queries × 3 reps and slowed 1.8× suite-wide. The sweep
+        // is OUTSIDE the timed region — hygiene isn't the query's
+        // cost — and runs on failure too (the catch above turns a
+        // failed rep into -1.0, so this line still runs for it).
+        // Stale streaming listeners drain here too (the r14
+        // text-family contamination — drainListeners scaladoc).
+        PlanHygiene.sweepPersisted(spark)
+        drain()
+        acc += t
+        t
       }
       val post = jvmSnap(spark)
       val postL = listenerCount(spark)
@@ -466,7 +510,6 @@ object Bench {
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val totalFirst = results.map(_._2.head).sum
-    val totalMin = results.map(_._2.min).sum
     // rep-slope guard: a query whose later reps blow past 2× rep-1 is
     // named on stderr AND in the summary line — min-of-reps must never
     // silently mask monotone in-process growth (the r6 lesson)
@@ -569,6 +612,14 @@ object Bench {
     val (exonerated, degraded) = flagged.partition { n =>
       exonerates(results.toMap.apply(n).min, rechecks(n))
     }
+    // RECORDED channel values (mergedMin scaladoc): suite reps ∪
+    // recheck reps — an exonerating recheck's floor becomes the
+    // committed number, so cross-round ratios never re-read a
+    // contamination artifact; the raw series stays in the detail file
+    val effMins: Map[String, Double] = results.map { case (n, ts) =>
+      n -> mergedMin(ts, rechecks.getOrElse(n, Nil))
+    }.toMap
+    val totalMinEff = results.map { case (n, _) => effMins(n) }.sum
     flagged.foreach { n =>
       val verdict = if (degraded.contains(n)) "CONFIRMED" else "exonerated"
       System.err.println(s"[bench][WARN] $n DEGRADES across reps: " +
@@ -623,8 +674,8 @@ object Bench {
         s""","probe_floor":${r3(probeFloor)}"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${r3(totalFirst)},"unit":"sec",""" +
-        s""""queries":$qs,"queries_channel":"min_of_reps"$extra$degradedJson,""" +
-        s""""value_min":${r3(totalMin)},"eval":"forced_full_row",""" +
+        s""""queries":$qs,"queries_channel":"min_of_reps_and_recheck"$extra$degradedJson,""" +
+        s""""value_min":${r3(totalMinEff)},"eval":"forced_full_row",""" +
         s""""reps":$reps,"sf":"$sfDir"}"""
     // degrade ADAPTIVELY if the query set outgrows the window: keep the
     // LARGEST prefix of queries by min-time (failures sort first — a
@@ -633,16 +684,17 @@ object Bench {
     // min) and "n_below_floor" counts what was cut; never a silent
     // truncation, never a cliff to zero detail when dropping one more
     // fast query would fit. The cut numbers live in BENCH_DETAIL.json.
-    val bySlowest = results.sortBy { case (_, ts) =>
-      -(if (ts.min < 0) Double.MaxValue else ts.min) }
+    val bySlowest = results.sortBy { case (n, _) =>
+      val m = effMins(n)
+      -(if (m < 0) Double.MaxValue else m) }
     val out = (results.size to 0 by -1).iterator.map { keep =>
       val kept = bySlowest.take(keep).sortBy(_._1)
-      val qs = kept.map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }
+      val qs = kept.map { case (k, _) => "\"" + k + "\":" + r3(effMins(k)) }
         .mkString("{", ",", "}")
       val extra =
         if (keep == results.size) ""
         else {
-          val realMins = kept.map(_._2.min).filter(_ >= 0)
+          val realMins = kept.map(k => effMins(k._1)).filter(_ >= 0)
           val floor = if (realMins.isEmpty) -1.0 else realMins.min
           s""","q_floor":${r3(floor)},"n_below_floor":${results.size - keep}"""
         }
@@ -662,12 +714,14 @@ object Bench {
           ",\"cross\":\"" + c.getOrElse("exonerated") + "\"").getOrElse("")
       }.getOrElse("")
       "\"" + k + "\":{\"reps\":" + ts.mkString("[", ",", "]") +
-        ",\"first\":" + ts.head + ",\"min\":" + ts.min +
+        ",\"first\":" + ts.head + ",\"min\":" + effMins(k) +
+        ",\"suite_min\":" + ts.min +
         ",\"degrades\":" + degrades(ts) +
         jvmByQuery.get(k).map(",\"jvm\":" + _).getOrElse("") +
+        slowRepDumps.get(k).map(",\"slow_rep\":" + _).getOrElse("") +
         recheck + cross + "}"
     }.mkString(
-      s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMin,""" +
+      s"""{"metric":"total","value_first":$totalFirst,"value_min":$totalMinEff,""" +
         s""""unit":"sec","eval":"forced_full_row","reps":$reps,"sf":"$sfDir",""" +
         s""""weather":${r3(weather)},"probe_floor":${r3(probeFloor)},""" +
         (if (streak) s""""weather_streak":true,""" else "") +

@@ -50,9 +50,11 @@ object SharedFileLocks {
     */
   def acquire(root: String, path: String): Option[UUID] = {
     val f = lockFile(root, path)
-    Files.createDirectories(f.getParent)
     val token = UUID.randomUUID()
     try {
+      // createDirectories INSIDE the try: an unreachable/read-only lock
+      // root must read as held (None), never throw past the contender
+      Files.createDirectories(f.getParent)
       Files.write(f, s"$token $pid\n".getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       Some(token)
@@ -62,16 +64,52 @@ object SharedFileLocks {
     }
   }
 
+  /** Blocking acquire with bounded spin — the mutation-bracket shape a
+    * store binding needs (every reference client blocks on the create
+    * lock the same way: retry until the winning column is yours,
+    * ThriftStore.scala:607-734). Polls every `pollMs` up to
+    * `timeoutMs`; None on timeout, never an exception.
+    */
+  def acquireBlocking(root: String, path: String, timeoutMs: Long = 60000,
+                      pollMs: Long = 5): Option[UUID] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var got = acquire(root, path)
+    while (got.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(pollMs)
+      got = acquire(root, path)
+    }
+    got
+  }
+
   /** Release succeeds only with the winning token (the reference's
-    * ownership check before delete).
+    * ownership check before delete). The check-then-delete is ATOMIC
+    * against contenders: the lock file is first atomically MOVED to a
+    * releaser-private name (claiming whatever file currently holds the
+    * lock name), then verified — ours deletes, someone else's moves
+    * straight back. The restore closes the old read-check-then-delete
+    * window where a breakStale + re-acquire between the two steps let
+    * a releaser delete a third process's fresh lock.
     */
   def release(root: String, path: String, token: UUID): Boolean = {
     val f = lockFile(root, path)
+    val claimed = f.resolveSibling(
+      s".${f.getFileName}.rel.${UUID.randomUUID()}")
     try {
-      val content = new String(Files.readAllBytes(f),
+      // cheap ownership pre-check (the common miss answers without a move)
+      val content = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      if (!content.startsWith(token.toString)) return false
+      Files.move(f, claimed, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val moved = new String(Files.readAllBytes(claimed),
         StandardCharsets.UTF_8)
-      if (content.startsWith(token.toString)) { Files.delete(f); true }
-      else false
+      if (moved.startsWith(token.toString)) { Files.delete(claimed); true }
+      else {
+        // the name held someone ELSE's lock by the time we moved (a
+        // breakStale broke ours and a contender re-acquired): restore it
+        try Files.move(claimed, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => Files.delete(claimed) }
+        false
+      }
     } catch { case _: java.io.IOException => false }
   }
 
@@ -80,13 +118,31 @@ object SharedFileLocks {
 
   /** Operator recovery for a crash-leaked lock: break it only when it
     * is older than `olderThanMs` (never silently steal a live lock).
+    * Same atomic move-then-verify discipline as [[release]]: the age
+    * check re-runs on the CLAIMED file (mtime travels with the atomic
+    * move), so a fresh lock acquired between the first stat and the
+    * move is detected and restored instead of deleted — the guard that
+    * makes this verb safe to automate, not only operator-driven.
     */
   def breakStale(root: String, path: String, olderThanMs: Long): Boolean = {
     val f = lockFile(root, path)
+    val claimed = f.resolveSibling(
+      s".${f.getFileName}.brk.${UUID.randomUUID()}")
+    def stale(p: Path): Boolean =
+      System.currentTimeMillis() -
+        Files.getLastModifiedTime(p).toMillis > olderThanMs
     try {
-      val age = System.currentTimeMillis() -
-        Files.getLastModifiedTime(f).toMillis
-      if (age > olderThanMs) { Files.delete(f); true } else false
+      if (!stale(f)) return false
+      Files.move(f, claimed, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (stale(claimed)) { Files.delete(claimed); true }
+      else {
+        // a contender re-acquired between the stat and the move — the
+        // claimed file is a LIVE lock; put it back
+        try Files.move(claimed, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => Files.delete(claimed) }
+        false
+      }
     } catch { case _: java.io.IOException => false }
   }
 

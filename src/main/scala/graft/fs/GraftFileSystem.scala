@@ -525,6 +525,7 @@ class GraftFileSystem extends FileSystem {
           "mount has nothing an executor could read without the driver")
     inodeCache.clear()
     childIndex.clear()
+    savedChunksDir = null
     // saved-state bootstrap is SESSION-FREE (plain parquet readers):
     // metadata seeds the cache, file births seed the direct-read set,
     // executor JVMs stop here (read-only — no frames, no compactor)
@@ -539,47 +540,75 @@ class GraftFileSystem extends FileSystem {
         }
       }
     }
-    if (!executorMode) {
-      val s = spark
-      import s.implicits._
-      val root = FsCatalog.dirInode("/", ctx.cwd.split("/").last)
-      if (inodeCache.get("/") == null) cachePut(root)
-      val emptyChunks = DataPlane.chunk(
-        s.createDataFrame(java.util.Collections.emptyList[Row](),
-          StructType(Seq(StructField("path", StringType),
-            StructField("data", BinaryType)))),
-        subBlockSize, blockSize)
-      // the saved chunk rows enter the BASE PLAN too (one parquet scan
-      // leaf), so every frame consumer — snapshots, structural filters,
-      // analytic verbs — sees saved payloads; the direct-read set just
-      // short-circuits byte fetches around it
-      val initialChunks = stateDir
-        .map(_ => s.read.parquet(savedChunksDir)
-          .unionByName(emptyChunks))
-        .getOrElse(emptyChunks)
-      // compactEvery 8, not the default 64: facade sets are RARE now
-      // (one per fold or base-touching structural op, never per
-      // subblock/inode), and the base-touching rename doubles the tree
-      // — 8 sets bounds the worst pre-compaction plan at ~2^8 nodes
-      val values = Seq.newBuilder[Inode]
-      inodeCache.values.forEach(values += _)
-      cell = new FsState(GraftFs(FsCatalog(s.createDataset(values.result())),
-        initialChunks), compactEvery = 8)
-      startCompactor()
-    } else if (inodeCache.get("/") == null)
+    if (!executorMode) bootDriverPlanes()
+    else if (inodeCache.get("/") == null)
       cachePut(FsCatalog.dirInode("/", ctx.cwd.split("/").last))
+  }
+
+  /** Driver-side plane boot: the frame planes + compactor an executor
+    * mount never builds. Called from initialize on driver mounts, and
+    * LAZILY from [[mutGuard]] when an implicitly-executor mount later
+    * sees a session (the mount-before-session caveat: Hadoop's
+    * FileSystem cache decides the mode once at initialize, so a driver
+    * JVM touching a graftfs:// URI before creating its SparkSession
+    * used to stay permanently read-only — r16 ADVICE).
+    */
+  private def bootDriverPlanes(): Unit = {
+    val s = spark
+    val root = FsCatalog.dirInode("/", ctx.cwd.split("/").last)
+    if (inodeCache.get("/") == null) cachePut(root)
+    val emptyChunks = DataPlane.chunk(
+      s.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(Seq(StructField("path", StringType),
+          StructField("data", BinaryType)))),
+      subBlockSize, blockSize)
+    // the saved chunk rows enter the BASE PLAN too (one parquet scan
+    // leaf), so every frame consumer — snapshots, structural filters,
+    // analytic verbs — sees saved payloads; the direct-read set just
+    // short-circuits byte fetches around it
+    val initialChunks = Option(savedChunksDir)
+      .map(dir => s.read.parquet(dir).unionByName(emptyChunks))
+      .getOrElse(emptyChunks)
+    // compactEvery 8, not the default 64: facade sets are RARE now
+    // (one per fold or base-touching structural op, never per
+    // subblock/inode), and the base-touching rename doubles the tree
+    // — 8 sets bounds the worst pre-compaction plan at ~2^8 nodes
+    val values = Seq.newBuilder[Inode]
+    inodeCache.values.forEach(values += _)
+    cell = new FsState(GraftFs(FsCatalog(s.createDataset(values.result())(
+      FsCatalog.inodeEncoder)), initialChunks), compactEvery = 8)
+    startCompactor()
   }
 
   /** Loud single-sided failure for mutations on a read-only
     * executor-mode mount (the supported side is reads — see
-    * [[executorMode]]).
+    * [[executorMode]]) — unless the mode was IMPLICIT (no session at
+    * initialize, not forced by conf) and a session has since appeared:
+    * then the mount upgrades in place (boot the driver planes, clear
+    * the flag) and the mutation proceeds. Callers hold [[mutLock]], so
+    * the one-time boot is race-free; the flag flips only after the
+    * planes exist, so concurrent readers never see a half-built driver
+    * mount.
     */
   private def mutGuard(): Unit =
-    if (executorMode)
-      throw new IOException(
-        "graftfs executor-mode mount is READ-ONLY — mutations must run " +
-          "on the driver (this JVM has no SparkSession; it serves the " +
-          "mounted saved generation)")
+    if (executorMode) {
+      val forced = getConf.getBoolean("graft.mount.executor.mode", false)
+      val session = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+      if (!forced && session.isDefined) {
+        bootDriverPlanes()
+        executorMode = false
+      } else
+        throw new IOException(
+          "graftfs executor-mode mount is READ-ONLY — mutations must run " +
+            "on the driver (this JVM has no SparkSession; it serves the " +
+            "mounted saved generation). If this JVM IS meant to be the " +
+            "driver: the mode is decided at initialize and cached by " +
+            "Hadoop's FileSystem cache, so create the SparkSession " +
+            "BEFORE first touching a graftfs:// URI — or simply retry " +
+            "this mutation after creating it (the mount upgrades lazily " +
+            "once a session exists)")
+    }
 
   /** The metadata cache, for consistency specs. */
   private[fs] def metadataSnapshot: Map[String, Inode] = {

@@ -89,9 +89,18 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
   def releaseSnapshot(snapshot: GraftFs): Unit = cell.unpin(snapshot)
 
   /** End-of-session cleanup: drop every pinned snapshot so retained
-    * checkpoints free (mirrors GraftFileSystem.close).
+    * checkpoints free (mirrors GraftFileSystem.close), then sweep the
+    * spill tier — the live generation AND the deferred-deletion backlog
+    * (no caller can hold a plan over them past close).
     */
-  def close(): Unit = cell.releasePins()
+  def close(): Unit = {
+    cell.releasePins()
+    (Option(spillDir).toSeq ++ staleSpillGens).foreach { d =>
+      graft.PlanHygiene.deleteRecursively(java.nio.file.Paths.get(d))
+    }
+    staleSpillGens.clear()
+    spillDir = null
+  }
 
   // ── Driver-resident mirror of the CATALOG plane — the facade's
   //    inodeCache technique (GraftFileSystem.scala:90) applied to the
@@ -156,6 +165,9 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
   private var spillDir: String = _
   private val spillTombstones = new java.util.TreeSet[String]()
   private val touchedSinceSpill = new java.util.HashSet[String]()
+
+  /** Superseded spill generations awaiting deferred deletion. */
+  private val staleSpillGens = scala.collection.mutable.ArrayBuffer.empty[String]
 
   /** Number of inodes resident in the spilled tier's current
     * generation minus tombstones is not tracked exactly; this counts
@@ -226,8 +238,17 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
       evict.foreach(inodeCache.remove)
       spillTombstones.clear()
       touchedSinceSpill.clear()
-      if (old != null) graft.PlanHygiene.deleteRecursively(
-        java.nio.file.Paths.get(old))
+      // DEFERRED deletion (r16 ADVICE): a lazy plan captured over the
+      // old generation (a cacheCatalog frame a caller still holds from
+      // an earlier read boundary) would FileNotFound if the files died
+      // now. Superseded generations are staged and swept one full spill
+      // cycle later (any plan over them predates TWO rewrites by then)
+      // with a bounded backlog; close() sweeps the rest.
+      if (old != null) staleSpillGens += old
+      while (staleSpillGens.size > 3) {
+        graft.PlanHygiene.deleteRecursively(
+          java.nio.file.Paths.get(staleSpillGens.remove(0)))
+      }
     }
   }
 

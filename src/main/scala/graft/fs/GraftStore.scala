@@ -167,10 +167,16 @@ final class ParquetStore(spark: SparkSession,
   }
 
   override def getBlockLocations(path: String): Map[String, Seq[String]] =
-    fs.catalog.blockLocations(path).collect().map { r =>
-      r.getAs[String]("block_id") ->
-        r.getAs[String]("replicas").split(",").toSeq
-    }.toMap
+    // exact-path (the reference's per-FILE verb, ThriftStore.scala:
+    // 543-605) — FsCatalog.blockLocations is a PREFIX listing, so
+    // without the filter a directory argument would answer its whole
+    // subtree's blocks while InMemoryStore answers empty (B11 parity)
+    fs.catalog.blockLocations(path)
+      .filter(org.apache.spark.sql.functions.col("path") === path)
+      .collect().map { r =>
+        r.getAs[String]("block_id") ->
+          r.getAs[String]("replicas").split(",").toSeq
+      }.toMap
 
   /** Lock binding selection (B12 both halves): with a `lockRoot` the
     * store runs the CROSS-PROCESS protocol (SharedFileLocks — atomic
@@ -296,8 +302,11 @@ final class InMemoryStore(subBlockSize: Int = 1 << 20,
       live()
       // same deterministic RF=3 owner hash as FsCatalog.blockLocations
       // (ascii of the block id's first char mod 3), so the two bindings
-      // agree replica-for-replica
-      retrieveINode(path).map(_.blocks).getOrElse(Seq.empty).map { b =>
+      // agree replica-for-replica. Directories carry blocks = null
+      // (Model.scala) — flatMap(Option(_)) folds them to the same empty
+      // map ParquetStore answers, contract parity the B11 matrix pins.
+      retrieveINode(path).flatMap(n => Option(n.blocks))
+        .getOrElse(Seq.empty).map { b =>
         val owner = b.id.charAt(0).toInt % 3
         b.id -> (0 until 3).map(i => s"node-${(owner + i) % 3}")
       }.toMap

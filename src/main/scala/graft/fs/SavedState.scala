@@ -99,25 +99,32 @@ object SavedState {
     * matches Java String order on the ASCII paths this engine uses).
     */
   def pathRange(prefix: String): org.apache.parquet.filter2.predicate.FilterPredicate = {
-    val hi = prefix.init + (prefix.last + 1).toChar
-    FilterApi.and(
-      FilterApi.gtEq(FilterApi.binaryColumn("path"),
-        Binary.fromString(prefix)),
-      FilterApi.lt(FilterApi.binaryColumn("path"), Binary.fromString(hi)))
+    val lo = FilterApi.gtEq(FilterApi.binaryColumn("path"),
+      Binary.fromString(prefix))
+    // empty prefix (whole namespace) and a Char.MaxValue tail (no
+    // successor — the range is unbounded above) both degrade to the
+    // half-open lower bound instead of throwing/wrapping
+    if (prefix.isEmpty || prefix.last == Char.MaxValue) lo
+    else FilterApi.and(lo,
+      FilterApi.lt(FilterApi.binaryColumn("path"),
+        Binary.fromString(prefix.init + (prefix.last + 1).toChar)))
   }
 
   private def optString(g: Group, field: String): String =
     if (g.getFieldRepetitionCount(field) == 0) null else g.getString(field, 0)
 
-  /** Spark's two physical timestamp forms: INT96 (julian day + nanos,
-    * the legacy default) and INT64 TIMESTAMP(MICROS).
+  /** Spark's physical timestamp forms: INT96 (julian day + nanos, the
+    * legacy default) and INT64 with a TIMESTAMP logical annotation
+    * whose UNIT is inspected, not assumed — a state written under
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS` carries
+    * MILLIS and dividing it by 1000 would silently shrink every mtime
+    * 1000× (the r16 ADVICE gap).
     */
   private def readMtime(g: Group): java.sql.Timestamp = {
     if (g.getFieldRepetitionCount("mtime") == 0)
       return new java.sql.Timestamp(0L)
-    val t = g.getType.getType("mtime").asPrimitiveType()
-      .getPrimitiveTypeName.name()
-    val millis = t match {
+    val prim = g.getType.getType("mtime").asPrimitiveType()
+    val millis = prim.getPrimitiveTypeName.name() match {
       case "INT96" =>
         val b = g.getInt96("mtime", 0).getBytes // little-endian nanos, julian day
         val buf = java.nio.ByteBuffer.wrap(b)
@@ -125,7 +132,21 @@ object SavedState {
         val nanos = buf.getLong
         val julian = buf.getInt
         (julian - 2440588).toLong * 86400000L + nanos / 1000000L
-      case "INT64" => g.getLong("mtime", 0) / 1000L // MICROS
+      case "INT64" =>
+        val v = g.getLong("mtime", 0)
+        prim.getLogicalTypeAnnotation match {
+          case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case org.apache.parquet.schema.LogicalTypeAnnotation
+                    .TimeUnit.MILLIS => v
+              case org.apache.parquet.schema.LogicalTypeAnnotation
+                    .TimeUnit.MICROS => v / 1000L
+              case org.apache.parquet.schema.LogicalTypeAnnotation
+                    .TimeUnit.NANOS => v / 1000000L
+            }
+          case _ => v / 1000L // unannotated INT64: Spark's MICROS default
+        }
       case other => sys.error(s"unsupported mtime physical type $other")
     }
     new java.sql.Timestamp(millis)

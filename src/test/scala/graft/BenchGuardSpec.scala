@@ -78,6 +78,30 @@ class BenchGuardSpec extends AnyFlatSpec with Matchers {
     Bench.exonerates(2.0, Seq.empty) must be(false)
   }
 
+  behavior of "Bench.mergedMin (exoneration evidence becomes the record)"
+
+  it must "record the recheck floor when it undercuts the suite reps" in {
+    // the r16 archaeology case: text_langid_eval printed 8.80 s in a
+    // contaminated suite window while its same-run recheck sat at the
+    // 0.37 s capability — the RECORD must carry the proven floor so
+    // next round's cross-round ratios don't re-inherit the artifact
+    Bench.mergedMin(Seq(8.80, 8.91, 9.02), Seq(0.38, 0.37, 0.40)) must be(0.37)
+  }
+
+  it must "keep the suite min when no recheck ran or the recheck is slower" in {
+    Bench.mergedMin(Seq(1.2, 1.0, 1.1), Seq.empty) must be(1.0)
+    // a CONFIRMED degradation's recheck stays slow: the suite min is
+    // still the best evidence of capability this run
+    Bench.mergedMin(Seq(1.0, 3.5, 3.6), Seq(3.4, 3.5)) must be(1.0)
+  }
+
+  it must "ignore failed reps on either side and stay -1 when all failed" in {
+    Bench.mergedMin(Seq(-1.0), Seq(2.0, 1.8)) must be(1.8)
+    Bench.mergedMin(Seq(2.5, -1.0), Seq(-1.0)) must be(2.5)
+    Bench.mergedMin(Seq(-1.0), Seq(-1.0, -1.0)) must be(-1.0)
+    Bench.mergedMin(Seq.empty, Seq.empty) must be(-1.0)
+  }
+
   behavior of "Bench.crossRoundFlag (round-over-round level-shift guard)"
 
   it must "flag the two historical escapes that motivated it" in {

@@ -39,6 +39,47 @@ class SharedFileLocksSpec extends AnyFlatSpec with Matchers {
     SharedFileLocks.release(root, "/docs/f2", tok2.get) must be(true)
   }
 
+  it must "read an unreachable lock root as held, never throw (r16 ADVICE)" in {
+    // a file where the root directory should be: createDirectories
+    // fails inside the try → None, matching the 'unreachable root reads
+    // as held' contract the scaladoc promises
+    val f = java.nio.file.Files.createTempFile("graft-lock-notadir", "")
+    SharedFileLocks.acquire(f.toString, "/p") must be(None)
+  }
+
+  it must "block-acquire until the holder releases (store mutation bracket)" in {
+    val root = newRoot()
+    val tok = SharedFileLocks.acquire(root, "/mut")
+    tok.isDefined must be(true)
+    // a short-timeout contender times out to None, no exception
+    SharedFileLocks.acquireBlocking(root, "/mut", timeoutMs = 50,
+      pollMs = 5) must be(None)
+    // release on another thread mid-wait: the blocked contender wins
+    val releaser = new Thread(() => {
+      Thread.sleep(100); SharedFileLocks.release(root, "/mut", tok.get); ()
+    })
+    releaser.start()
+    val won = SharedFileLocks.acquireBlocking(root, "/mut",
+      timeoutMs = 5000, pollMs = 5)
+    releaser.join()
+    won.isDefined must be(true)
+    SharedFileLocks.release(root, "/mut", won.get) must be(true)
+  }
+
+  it must "release atomically: a third party's fresh lock survives the race" in {
+    // the r16 TOCTOU: A holds, a breaker removes A's lock, C acquires,
+    // then A's delayed release must NOT delete C's lock — the atomic
+    // move-then-verify claims C's file, sees a foreign token, restores
+    val root = newRoot()
+    val a = SharedFileLocks.acquire(root, "/t").get
+    Thread.sleep(5) // age past the 0 ms gate
+    SharedFileLocks.breakStale(root, "/t", olderThanMs = 0) must be(true)
+    val c = SharedFileLocks.acquire(root, "/t").get
+    SharedFileLocks.release(root, "/t", a) must be(false) // A's stale release
+    SharedFileLocks.isLocked(root, "/t") must be(true)    // C still holds
+    SharedFileLocks.release(root, "/t", c) must be(true)
+  }
+
   it must "break only STALE leaked locks, never live ones" in {
     val root = newRoot()
     val tok = SharedFileLocks.acquire(root, "/leaked")

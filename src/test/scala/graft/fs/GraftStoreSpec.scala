@@ -62,6 +62,11 @@ class GraftStoreSpec extends AnyFlatSpec with Matchers {
       val locs = store.getBlockLocations("/docs/f1")
       locs.size must be(3)
       locs.values.foreach(_.length must be(3))
+      // B11 on a DIRECTORY (blocks = null, Model.scala): both bindings
+      // must answer the same empty map, never NPE (r16 ADVICE parity gap)
+      store.getBlockLocations("/docs") must be(Map.empty)
+      // ...and on a missing path
+      store.getBlockLocations("/nope") must be(Map.empty)
 
       // B12: lock protocol (driver-local analog)
       val tok = store.acquireFileLock("/docs/f1")
