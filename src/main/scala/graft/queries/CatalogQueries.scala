@@ -62,6 +62,74 @@ object CatalogQueries {
               |       'graft' AS "user", CAST(420 AS INTEGER) AS permission
               |FROM part WHERE p_brand = 'Brand#13' ORDER BY path""".stripMargin)),
 
+    // ── LIVE MULTI-DRIVER SHARED STATE (r17, the B12+B1 composition:
+    //    reference README.md:7 — every client mounts and MUTATES one
+    //    keyspace): TWO SharedStateStore instances model two drivers
+    //    interleaving creates, an overwrite, and a delete against one
+    //    persisted namespace (each mutation a cross-process-locked,
+    //    atomically-renamed wal delta); one driver then COMPACTS (fold
+    //    + WRITE-NEW-THEN-FLIP), and a THIRD cold client — fresh
+    //    instance, nothing in memory — reads the final namespace
+    //    session-free. The oracle reproduces path/len/content from
+    //    `part`; the multi-PROCESS half of the claim is proven by
+    //    SharedStateStoreSpec's four forked JVMs. ─────────────────────
+    QueryDef(
+      "fs_shared_state",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-shared-state-ch")
+        try {
+          val a = new graft.fs.SharedStateStore(dir.toString, 1024, 4096)
+          val b = new graft.fs.SharedStateStore(dir.toString, 1024, 4096)
+          a.createKeyspace(); b.createKeyspace()
+          a.storeINode(graft.catalog.FsCatalog.dirInode("/shared", "graft"))
+          // bounded driver fetch (25 distinct brands — fixture prep,
+          // the fs_snapshot_diff precedent)
+          val brands = graft.Tables.part(s, d).select("p_brand")
+            .distinct().collect().map(_.getString(0)).sorted
+          brands.zipWithIndex.foreach { case (br, i) =>
+            val w = if (i % 2 == 0) a else b // alternating drivers
+            w.storeFileData(s"/shared/$br", br.getBytes("UTF-8"), "graft")
+          }
+          // driver A overwrites the min brand (doubled payload),
+          // driver B deletes the max brand — both against files the
+          // OTHER driver wrote
+          val (mn, mx) = (brands.head, brands.last)
+          a.storeFileData(s"/shared/$mn", (mn + mn).getBytes("UTF-8"),
+            "graft")
+          b.deleteBlocks(s"/shared/$mx"); b.deleteINode(s"/shared/$mx")
+          a.compact()
+          val c = new graft.fs.SharedStateStore(dir.toString, 1024, 4096)
+          val rows = c.fetchSubPaths("/shared", isDeepFetch = false)
+            .map { p =>
+              org.apache.spark.sql.Row(p,
+                c.retrieveINode(p).get.length,
+                new String(c.retrieveBlock(p), "UTF-8"))
+            }
+          import org.apache.spark.sql.{types => T}
+          s.createDataFrame(
+            java.util.Arrays.asList(rows: _*),
+            T.StructType(Seq(
+              T.StructField("path", T.StringType),
+              T.StructField("len", T.LongType),
+              T.StructField("content", T.StringType))))
+            .orderBy(col("path"))
+        } finally {
+          graft.PlanHygiene.deleteRecursively(dir)
+        }
+      },
+      Some("""WITH b AS (SELECT DISTINCT p_brand FROM part),
+             |     mn AS (SELECT MIN(p_brand) AS v FROM b),
+             |     mx AS (SELECT MAX(p_brand) AS v FROM b)
+             |SELECT '/shared/' || p_brand AS path,
+             |       CAST(CASE WHEN p_brand = (SELECT v FROM mn)
+             |            THEN 2 * length(p_brand)
+             |            ELSE length(p_brand) END AS BIGINT) AS len,
+             |       CASE WHEN p_brand = (SELECT v FROM mn)
+             |            THEN p_brand || p_brand ELSE p_brand END AS content
+             |FROM b WHERE p_brand <> (SELECT v FROM mx)
+             |ORDER BY path""".stripMargin)),
+
     // ── Snapshot diff — the incremental-pipeline primitive: one
     //    full-outer path join between two catalog versions classifies
     //    every added / deleted / modified path with old/new lengths

@@ -21,7 +21,14 @@ class GraftStoreSpec extends AnyFlatSpec with Matchers {
     "ParquetStore" ->
       (() => new ParquetStore(spark, subBlockSize = 8, blockSize = 32)),
     "InMemoryStore" ->
-      (() => new InMemoryStore(subBlockSize = 8, blockSize = 32)))
+      (() => new InMemoryStore(subBlockSize = 8, blockSize = 32)),
+    // THIRD binding (r17): live multi-driver shared state over the
+    // persisted layout — same matrix, zero assertions changed
+    "SharedStateStore" ->
+      (() => new SharedStateStore(
+        java.nio.file.Files.createTempDirectory("graft-shared-store")
+          .toString,
+        subBlockSize = 8, blockSize = 32)))
 
   for ((label, mk) <- bindings()) {
 
