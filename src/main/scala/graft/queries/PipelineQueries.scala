@@ -2757,6 +2757,36 @@ object PipelineQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
 
+    // The SAMPLED index build through the driver gate (r17 — the
+    // production-scale API, oracle-gated instead of only spec-gated):
+    // coarse centroids AND PQ codebooks train on the bounded
+    // hash-ordered sample (Similarity.trainingSample — the 10.5×
+    // build-cost lever at 100 TB, where full-corpus codebook training
+    // is the one unaffordable term), then the corpus is encoded ONCE
+    // with the frozen quantizers and searched through the indexed path
+    // at the same clustered-fixture operating point as
+    // ann_ivfpq_clustered. recall floor=5 must hold with the sampled
+    // quantizers — the parity IvfScaleSpec measures at m=8/ksub=256
+    // over 100k vectors, asserted here tri-SF by the driver.
+    QueryDef(
+      "ann_ivfpq_sampled",
+      (s, d) => {
+        val emb = Similarity.clusteredCorpus(
+          Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+        val cand = math.max(5, math.ceil(0.04 * emb.count()).toInt)
+        val coarse = Similarity.kmeansCentroidsSampled(emb, k = 16,
+          iters = 3)
+        val cbs = Similarity.pqCodebooksSampled(emb, m = 8, ksub = 16,
+          iters = 1, dim = 64)
+        val codes = Similarity.ivfpqEncodeWith(emb, coarse, cbs)
+        Similarity.ivfpqRecallIndexed(emb.filter(col("vec_id") < 5),
+            codes, coarse, cbs, emb, nprobe = 2, k = 5, cand = cand,
+            floor = 5)
+          .orderBy(col("q_id"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
     // Embedding-cosine near-dup, recall-gated in-query against the
     // exact all-pairs twin on the bounded slice (the dedup analog of
     // ann_ivf_recall): bucket assignment is centroid-dependent, but
