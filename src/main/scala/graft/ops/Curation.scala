@@ -1063,7 +1063,63 @@ object Curation {
     */
   def e2eTrainSet(docs: DataFrame, label: Column, mixBudget: Int,
                   packBudget: Int = 512, trainFrac: Double = 0.8,
-                  valFrac: Double = 0.1, seed: Long = 42L): DataFrame = {
+                  valFrac: Double = 0.1, seed: Long = 42L): DataFrame =
+    // localCheckpoint is the in-session materialization (bench scale);
+    // the persisted-artifact form is [[e2eTrainSetResumable]]
+    funnel(docs, label, mixBudget, packBudget, trainFrac, valFrac, seed,
+      (_, df) => df().localCheckpoint(true))
+
+  /** [[e2eTrainSet]] with its three materialization boundaries
+    * PERSISTED as parquet stage artifacts under `workDir` — the 100 TB
+    * form of the funnel, where the boundaries are exactly the
+    * artifacts a production pipeline checkpoints and a RESTARTED job
+    * resumes from (the r16 verdict's restart ask; the streaming
+    * family's restart_recovery discipline applied to the batch
+    * funnel). Commit protocol per stage: write the parquet dir, then
+    * create the `<stage>.ok` marker — the marker is the commit point,
+    * so a job killed mid-write leaves no marker and the retry
+    * overwrites the partial dir, while a job killed between stages
+    * resumes by READING every committed artifact instead of
+    * recomputing it. Every stage is deterministic (hash-based
+    * decisions only), so resume-after-kill is bit-identical to a
+    * clean run — FunnelRecoverySpec kills between stages and pins
+    * equality.
+    *
+    * `failAfter`: fault-injection hook — throw immediately AFTER the
+    * named stage commits (spec-only; production passes None).
+    */
+  def e2eTrainSetResumable(docs: DataFrame, label: Column, mixBudget: Int,
+                           workDir: String, packBudget: Int = 512,
+                           trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                           seed: Long = 42L,
+                           failAfter: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    def persistStage(name: String, df: () => DataFrame): DataFrame = {
+      val dir = java.nio.file.Paths.get(workDir, name)
+      val okMarker = java.nio.file.Paths.get(workDir, s"$name.ok")
+      if (!java.nio.file.Files.exists(okMarker)) {
+        df().write.mode("overwrite").parquet(dir.toString)
+        java.nio.file.Files.createDirectories(okMarker.getParent)
+        java.nio.file.Files.write(okMarker,
+          "committed\n".getBytes("UTF-8"))
+        if (failAfter.contains(name))
+          sys.error(s"injected failure after stage $name")
+      }
+      spark.read.parquet(dir.toString)
+    }
+    funnel(docs, label, mixBudget, packBudget, trainFrac, valFrac, seed,
+      persistStage)
+  }
+
+  /** The shared 8-stage composition; `boundary` decides how the three
+    * multiply-consumed intermediates materialize (in-session
+    * localCheckpoint vs persisted stage artifact).
+    */
+  private def funnel(docs: DataFrame, label: Column, mixBudget: Int,
+                     packBudget: Int, trainFrac: Double, valFrac: Double,
+                     seed: Long,
+                     boundary: (String, () => DataFrame) => DataFrame)
+      : DataFrame = {
     // the extracted corpus is MATERIALIZED once: five downstream
     // branches (langid, NB, dedup, the bench slice, the survivor base)
     // each re-derive `ex` otherwise, re-running the extract regex/
@@ -1072,10 +1128,10 @@ object Curation {
     // cleaned corpus as an artifact (at cluster scale: write to
     // parquet once, read per stage; localCheckpoint is the in-session
     // analog at bench scale)
-    val ex = graft.ops.TextAnalysis.stripHtml(docs)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("text"))
-      .localCheckpoint(true)
+    val ex = boundary("extracted", () =>
+      graft.ops.TextAnalysis.stripHtml(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("text")))
     val en = graft.ops.TextAnalysis.langId(ex)
       .filter(col("lang_guess") === "en")
       .select(col("doc_id"))
@@ -1089,7 +1145,7 @@ object Curation {
     // decontamination train side, and the clean base — without it each
     // consumer re-runs the langid+NB chains, and the minhash banding
     // itself re-runs once per downstream action path
-    val kept = exEn.join(predicted, Seq("doc_id")).localCheckpoint(true)
+    val kept = boundary("kept", () => exEn.join(predicted, Seq("doc_id")))
     val dups = graft.ops.Dedup.minhashPairs(kept, shingleN = 3, b = 8,
         r = 4, threshold = 0.5)
       .select(col("id_b").as("doc_id")).distinct()
@@ -1101,8 +1157,8 @@ object Curation {
       .select(col("doc_id")).distinct()
     // third boundary: `clean` is consumed twice by applyMix (quota
     // aggregate + the row_number join) and once by the pack chain
-    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val clean = boundary("clean", () =>
+      train.join(contaminated, Seq("doc_id"), "left_anti"))
     val mixed = applyMix(clean, col("source"), mixBudget,
       orderKey = col("doc_id"))
     val packed = packSequences(mixed, shard = col("source"),
