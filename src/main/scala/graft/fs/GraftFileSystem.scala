@@ -274,6 +274,187 @@ class GraftFileSystem extends FileSystem {
     */
   private var savedChunksDir: String = _
 
+  // ── WRITE-THROUGH of post-mount writes (r17, the §8 facade notch):
+  //    a state-dir mount used to serve executors only the bytes saved
+  //    BEFORE the mount; anything a driver wrote after it lived solely
+  //    in driver frames. Now a closed create stream (and the rename/
+  //    delete mirrors that keep committer flows coherent) also commits
+  //    the payload as a SharedStateStore wal delta in the mounted state
+  //    dir — cross-process-locked, atomically-renamed, session-free —
+  //    so ANY mount of the same state (executor-mode JVMs live via
+  //    per-access refresh; fresh mounts via init-time overlay
+  //    application) serves the post-mount bytes with zero driver
+  //    involvement. Residue, loud and documented: a file whose pending
+  //    rows folded (> FoldBytes) before close skips write-through. ────
+  private var mountParent: String = _
+  private var writeThroughEnabled = true
+  private var mountStoreCache: SharedStateStore = _
+  private def mountStore: SharedStateStore = synchronized {
+    if (mountStoreCache == null)
+      mountStoreCache =
+        new SharedStateStore(mountParent, subBlockSize, blockSize)
+    mountStoreCache
+  }
+
+  /** CURRENT path → wal delta chunks file for overlay-served payloads
+    * (post-mount writes visible through the persisted state). Guarded
+    * by [[mutLock]].
+    */
+  private val overlayBirths = new java.util.HashMap[String, String]()
+
+  /** Base-chunk paths the frame plane must EXCLUDE (superseded or
+    * tombstoned by wal deltas) — fixed at initialize.
+    */
+  private var overlayExcluded: Seq[String] = Nil
+
+  /** Apply one wal-overlay inode entry to the metadata cache (missing
+    * ancestors synthesized — mkdirs is driver-local and not mirrored).
+    * Caller holds [[mutLock]] or is single-threaded initialize.
+    */
+  private def applyOverlayInode(p: String, entry: Option[Inode]): Unit =
+    entry match {
+      case Some(n) =>
+        PathOps.ancestors(Option(n.parentPath).getOrElse("/"))
+          .reverse.foreach { a =>
+            if (inodeCache.get(a) == null)
+              cachePut(FsCatalog.dirInode(a, "graft"))
+          }
+        cachePut(n)
+        if (n.isFile) { baseFiles.put(p, p); birthIndex.put(p, p); () }
+      case None =>
+        cacheDrop(p)
+        savedBirths.remove(p)
+        baseFiles.remove(p)
+        birthIndex.remove(p)
+        ()
+    }
+
+  /** Executor-mode freshness: before a stat/open answers, fold the
+    * CURRENT wal overlay entry for this path into the cache — this is
+    * what lets a long-lived executor JVM see files the driver wrote
+    * (write-through) AFTER the executor's mount initialized. Driver
+    * mounts skip it (their own pending/frame planes are authoritative).
+    */
+  private def executorRefresh(p: String): Unit =
+    if (executorMode && mountParent != null)
+      try {
+        val (inodes, payloads) = mountStore.overlaySnapshot()
+        withMutLock {
+          inodes.get(p).foreach(applyOverlayInode(p, _))
+          payloads.get(p) match {
+            case Some(Some(f)) =>
+              savedBirths.remove(p)
+              overlayBirths.put(p, f.toString)
+              ()
+            case Some(None) =>
+              savedBirths.remove(p)
+              overlayBirths.remove(p)
+              ()
+            case None => ()
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[graftfs] wal overlay refresh of $p " +
+            s"failed: ${e.getMessage} — serving the mounted snapshot")
+      }
+
+  /** Driver-side write-through of a freshly-closed create stream: the
+    * file's pending rows (all still in memory for ≤ FoldBytes files)
+    * commit as one storeFileData wal delta so executor mounts serve
+    * them session-free. Runs OUTSIDE [[mutLock]] (cross-process lock +
+    * parquet I/O must not block verb threads).
+    */
+  private def writeThroughOnClose(p: String, written: Long): Unit =
+    if (!executorMode && mountParent != null && writeThroughEnabled) {
+      val bytes = withMutLock {
+        val rows = pendingChunks.filter(_.getString(0) == p)
+          .sortBy(r => (r.getInt(1), r.getInt(2)))
+        val total = rows.iterator.map(_.getLong(6)).sum
+        if (total == written) {
+          val out = new Array[Byte](total.toInt)
+          var at = 0
+          rows.foreach { r =>
+            val d = r.getAs[Array[Byte]](5)
+            System.arraycopy(d, 0, out, at, d.length); at += d.length
+          }
+          Some(out)
+        } else None
+      }
+      bytes match {
+        case Some(b) =>
+          try mountStore.storeFileData(p, b, ctx.cwd.split("/").last,
+            new Timestamp(1704067200000L))
+          catch {
+            case e: Throwable => System.err.println(
+              s"[graftfs] write-through of $p failed: ${e.getMessage} — " +
+                "executor-side reads of this file need the driver")
+          }
+        case None => System.err.println(
+          s"[graftfs] $p folded past the pending buffer before close — " +
+            "write-through skipped; executor-side reads of this file " +
+            "need the driver")
+      }
+    }
+
+  /** Mirror a successful rename into the wal for every OVERLAY entry
+    * under `src` (post-mount writes only — saved base births are
+    * immutable, the documented §8 residue): payloads re-commit under
+    * the destination, sources tombstone, all under ONE namespace lock.
+    * The committer's temp-dir rename is the designed-for case — after
+    * it, executor mounts see the FINAL paths, and a later compaction
+    * folds no phantom temp files.
+    */
+  private def mirrorRename(src: String, dst: String): Unit =
+    if (!executorMode && mountParent != null && writeThroughEnabled)
+      try {
+        val (inodes, _) = mountStore.overlaySnapshot()
+        val pre = src + "/"
+        val moved = inodes.collect {
+          case (p, Some(n)) if p == src || p.startsWith(pre) => (p, n)
+        }.toSeq.sortBy(_._1)
+        if (moved.nonEmpty) mountStore.atomically {
+          moved.foreach { case (p, n) =>
+            val np = dst + p.stripPrefix(src)
+            if (n.isFile)
+              mountStore.storeFileData(np, mountStore.retrieveBlock(p),
+                n.user, n.mtime)
+            else
+              mountStore.storeINode(n.copy(path = np,
+                parentPath = PathOps.parent(np)))
+            mountStore.deleteBlocks(p)
+            mountStore.deleteINode(p)
+          }
+        }
+      } catch {
+        case e: Throwable => System.err.println(
+          s"[graftfs] wal rename mirror $src -> $dst failed: " +
+            s"${e.getMessage} — executor views of these files are stale")
+      }
+
+  /** Mirror a successful delete into the wal for every overlay entry
+    * under `p` (see [[mirrorRename]]).
+    */
+  private def mirrorDelete(p: String): Unit =
+    if (!executorMode && mountParent != null && writeThroughEnabled)
+      try {
+        val (inodes, _) = mountStore.overlaySnapshot()
+        val pre = p + "/"
+        val doomed = inodes.collect {
+          case (q, Some(_)) if q == p || q.startsWith(pre) => q
+        }.toSeq.sorted
+        if (doomed.nonEmpty) mountStore.atomically {
+          doomed.foreach { q =>
+            mountStore.deleteBlocks(q)
+            mountStore.deleteINode(q)
+          }
+        }
+      } catch {
+        case e: Throwable => System.err.println(
+          s"[graftfs] wal delete mirror of $p failed: ${e.getMessage} — " +
+            "executor views of these files are stale")
+      }
+
   /** READ-ONLY executor mode: no SparkSession in this JVM (or forced
     * via `graft.mount.executor.mode`) — metadata answers from the
     * saved catalog, payload reads go through [[SavedState]], and every
@@ -283,6 +464,12 @@ class GraftFileSystem extends FileSystem {
     * (driver pending/folded state) still require the driver path.
     */
   private var executorMode = false
+
+  /** True when `graft.mount.executor.mode` was SET at initialize —
+    * such a mount never lazily upgrades (the conf is the contract);
+    * only the implicit no-session-at-initialize case does.
+    */
+  private var executorForced = false
 
   private var birthGen = 0L
 
@@ -513,7 +700,8 @@ class GraftFileSystem extends FileSystem {
     // executor mode: forced by conf (tests, explicit read-only
     // consumers) or implied by a JVM with no session to plan with —
     // the remote-executor situation the §8 narrowing documents
-    executorMode = conf.getBoolean("graft.mount.executor.mode", false) ||
+    executorForced = conf.getBoolean("graft.mount.executor.mode", false)
+    executorMode = executorForced ||
       (SparkSession.getActiveSession.isEmpty &&
         SparkSession.getDefaultSession.isEmpty)
     val stateDir = Option(conf.get("graft.mount.state.dir"))
@@ -540,6 +728,34 @@ class GraftFileSystem extends FileSystem {
         }
       }
     }
+    // wal-overlay application (write-through scaladoc): post-mount
+    // writes committed by ANY driver of this state — earlier sessions,
+    // concurrent drivers — fold into the metadata snapshot, the
+    // direct-read routing, and (below) the frame plane, so a fresh
+    // mount sees the complete namespace, not only the last compaction
+    mountParent = Option(conf.get("graft.mount.state.dir"))
+      .filter(_ => stateDir.isDefined).orNull
+    writeThroughEnabled = conf.getBoolean("graft.mount.write.through", true)
+    mountStoreCache = null
+    overlayBirths.clear()
+    overlayExcluded = Nil
+    if (mountParent != null) {
+      val (oInodes, oPayloads) = mountStore.overlaySnapshot()
+      oInodes.toSeq.sortBy(_._1).foreach { case (p, e) =>
+        applyOverlayInode(p, e)
+      }
+      oPayloads.toSeq.sortBy(_._1).foreach {
+        case (p, Some(f)) =>
+          savedBirths.remove(p)
+          overlayBirths.put(p, f.toString)
+        case (p, None) =>
+          savedBirths.remove(p)
+      }
+      // stale base rows (superseded or tombstoned paths) must not
+      // reach the frame plane's saved-chunk scan
+      overlayExcluded = (oPayloads.keys ++
+        oInodes.collect { case (p, None) => p }).toSeq.distinct.sorted
+    }
     if (!executorMode) bootDriverPlanes()
     else if (inodeCache.get("/") == null)
       cachePut(FsCatalog.dirInode("/", ctx.cwd.split("/").last))
@@ -565,9 +781,25 @@ class GraftFileSystem extends FileSystem {
     // the saved chunk rows enter the BASE PLAN too (one parquet scan
     // leaf), so every frame consumer — snapshots, structural filters,
     // analytic verbs — sees saved payloads; the direct-read set just
-    // short-circuits byte fetches around it
+    // short-circuits byte fetches around it. Wal-overlay rows join the
+    // plan as their own parquet leaves (superseded base paths filtered
+    // out), so the frame plane shows post-mount writes too.
     val initialChunks = Option(savedChunksDir)
-      .map(dir => s.read.parquet(dir).unionByName(emptyChunks))
+      .map { dir =>
+        val base = s.read.parquet(dir)
+        val filtered =
+          if (overlayExcluded.isEmpty) base
+          else base.filter(!col("path").isin(overlayExcluded: _*))
+        val overlayFiles = {
+          val b = Seq.newBuilder[String]
+          overlayBirths.values.forEach(b += _)
+          b.result().distinct.sorted
+        }
+        (filtered +: overlayFiles.map(f =>
+          s.read.parquet(f).select(base.columns.map(col).toIndexedSeq: _*)))
+          .reduce(_ unionByName _)
+          .unionByName(emptyChunks)
+      }
       .getOrElse(emptyChunks)
     // compactEvery 8, not the default 64: facade sets are RARE now
     // (one per fold or base-touching structural op, never per
@@ -592,10 +824,12 @@ class GraftFileSystem extends FileSystem {
     */
   private def mutGuard(): Unit =
     if (executorMode) {
-      val forced = getConf.getBoolean("graft.mount.executor.mode", false)
+      // forced-at-initialize is the contract (a later conf mutation on
+      // the shared Configuration object must not flip a read-only
+      // mount); only the IMPLICIT no-session-yet case upgrades
       val session = SparkSession.getActiveSession
         .orElse(SparkSession.getDefaultSession)
-      if (!forced && session.isDefined) {
+      if (!executorForced && session.isDefined) {
         bootDriverPlanes()
         executorMode = false
       } else
@@ -653,10 +887,13 @@ class GraftFileSystem extends FileSystem {
   //    file exists at NEITHER path (spurious FileNotFound under the
   //    committer's concurrent task commits). Every lock hold is pure
   //    memory, so readers wait microseconds.
-  override def getFileStatus(path: Path): FileStatus = withMutLock {
-    cached(abs(path))
-      .map(statusRow)
-      .getOrElse(throw new FileNotFoundException("No such file exists"))
+  override def getFileStatus(path: Path): FileStatus = {
+    executorRefresh(abs(path)) // live wal view for executor mounts
+    withMutLock {
+      cached(abs(path))
+        .map(statusRow)
+        .getOrElse(throw new FileNotFoundException("No such file exists"))
+    }
   }
 
   // ── A9: listStatus — dir lists children, file lists itself (cache;
@@ -738,6 +975,7 @@ class GraftFileSystem extends FileSystem {
       if (birth != null) {
         birthIndex.remove(birth)
         savedBirths.remove(birth) // saved parquet rows are now stale
+        overlayBirths.remove(birth) // wal rows likewise (close re-commits)
         setState(GraftFs(state.catalog,
           state.chunks.filter(col("path") =!= birth)))
       }
@@ -874,6 +1112,9 @@ class GraftFileSystem extends FileSystem {
       endSubBlock()
       commitInode()
       isClosed = true
+      // post-mount bytes become executor-servable the moment the
+      // stream commits (write-through scaladoc); outside mutLock
+      writeThroughOnClose(p, written)
     }
   }
 
@@ -890,6 +1131,7 @@ class GraftFileSystem extends FileSystem {
     // inside BlockCachedStream still run engine actions — the mount's
     // remaining local-mode read caveat (see the class scaladoc)
     val p = abs(path)
+    executorRefresh(p) // live wal view for executor mounts
     val node = withMutLock(cached(p))
       .getOrElse(throw new IOException("No such file."))
     if (node.isDir) throw new IOException(s"Path $path is a directory.")
@@ -948,14 +1190,26 @@ class GraftFileSystem extends FileSystem {
       //    data from inside a core-saturating outer job remains the
       //    mount's documented local-mode caveat.
       if (id != cachedId) {
-        val (memRows, birth, direct) = withMutLock {
+        val (memRows, birth, direct, overlayFile) = withMutLock {
           val rs = pendingChunks.filter(r =>
             r.getString(0) == p && r.getInt(1) == id.toInt)
           val b = baseFiles.get(p)
           (rs.sortBy(_.getLong(4)).map(_.getAs[Array[Byte]](5)).toArray,
-            b, b != null && savedBirths.contains(b))
+            b, b != null && savedBirths.contains(b),
+            if (b != null) overlayBirths.get(b) else null)
         }
-        if (direct && memRows.isEmpty) {
+        if (overlayFile != null && memRows.isEmpty) {
+          // post-mount WRITE-THROUGH payload: one session-free read of
+          // the wal delta file (≤ FoldBytes by construction), sliced
+          // to the requested block — the executor-side path for bytes
+          // written AFTER the mount (write-through scaladoc)
+          val whole = SavedStateWriter.readPayload(overlayFile, birth)
+          val from = math.min(whole.length.toLong, id * blockSize).toInt
+          val until = math.min(whole.length.toLong,
+            (id + 1) * blockSize).toInt
+          cached = java.util.Arrays.copyOfRange(whole, from, until)
+          cachedId = id
+        } else if (direct && memRows.isEmpty) {
           // SAVED payload, untouched since the mount: a session-free
           // pruned parquet read — no driver job, no nested action, no
           // lock held across I/O. THE executor-side read path (and the
@@ -1065,8 +1319,16 @@ class GraftFileSystem extends FileSystem {
 
   // ── A7: delete — cascades to the data plane; the error matrix is
   //    settled against the cache, the cascade applies the SAME frame
-  //    predicates (GraftFs.delete*Frames) lazily — action-free. ─────────
-  override def delete(path: Path, recursive: Boolean): Boolean =
+  //    predicates (GraftFs.delete*Frames) lazily — action-free. The
+  //    wal mirror (outside the lock) keeps executor views of
+  //    write-through'd files coherent. ──────────────────────────────────
+  override def delete(path: Path, recursive: Boolean): Boolean = {
+    val ok = deleteLocked(path, recursive)
+    if (ok) mirrorDelete(abs(path))
+    ok
+  }
+
+  private def deleteLocked(path: Path, recursive: Boolean): Boolean =
     withMutLock {
       mutGuard()
       val p = abs(path)
@@ -1132,8 +1394,16 @@ class GraftFileSystem extends FileSystem {
 
   // ── A8: rename — one prefix-rewrite pass per plane; preconditions
   //    from the cache, frames lazy (the committer's commit dance runs
-  //    this from task threads) — action-free. ───────────────────────────
-  override def rename(src: Path, dst: Path): Boolean =
+  //    this from task threads) — action-free. The wal mirror (outside
+  //    the lock) moves write-through'd payloads to their final names,
+  //    so a committer's temp→final dance stays executor-visible. ────────
+  override def rename(src: Path, dst: Path): Boolean = {
+    val ok = renameLocked(src, dst)
+    if (ok) mirrorRename(abs(src), abs(dst))
+    ok
+  }
+
+  private def renameLocked(src: Path, dst: Path): Boolean =
     withMutLock {
       mutGuard()
       val s = abs(src)

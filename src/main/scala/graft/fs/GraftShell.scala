@@ -169,6 +169,18 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
   /** Superseded spill generations awaiting deferred deletion. */
   private val staleSpillGens = scala.collection.mutable.ArrayBuffer.empty[String]
 
+  /** Fault-injection hook for the spill crash-consistency spec
+    * (ShellScaleSpec): throw at the named point inside [[spillCold]] —
+    * `before-write` (nothing on disk yet) or `after-write` (new
+    * generation written, in-memory swap NOT yet performed). Both
+    * points sit BEFORE the single in-memory commit (the spillDir/
+    * cache/tombstone swap), which is the WRITE-NEW-THEN-FLIP
+    * discipline in-process: a crash anywhere leaves the PREVIOUS
+    * generation live and at worst an orphan directory no pointer
+    * names. Production never sets this.
+    */
+  private[fs] var spillFaultPoint: Option[String] = None
+
   /** Number of inodes resident in the spilled tier's current
     * generation minus tombstones is not tracked exactly; this counts
     * generations spilled (spec hook).
@@ -231,7 +243,15 @@ final class GraftShell(initial: GraftFs, context: FsContext) {
           java.nio.file.Files.createDirectories(base)
           java.nio.file.Files.createTempDirectory(base, "gen")
         }).toString
+      if (spillFaultPoint.contains("before-write"))
+        sys.error("injected spill fault: before-write")
       graft.catalog.FsCatalog(merged.as(enc)).save(newDir)
+      if (spillFaultPoint.contains("after-write"))
+        sys.error("injected spill fault: after-write")
+      // ── the in-memory COMMIT: the swap below is pure field/map
+      //    mutation (no I/O until the deferred-deletion sweep, which
+      //    is idempotent garbage pruning AFTER the commit) — the flip
+      //    half of the write-new-then-flip discipline ──────────────────
       val old = spillDir
       spillDir = newDir
       spillGenerations += 1

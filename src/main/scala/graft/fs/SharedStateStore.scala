@@ -182,6 +182,15 @@ final class SharedStateStore(stateDir: String,
     Files.move(tmp, commit, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Public wal-overlay snapshot for facade consumers (the scheme
+    * mount's write-through/refresh paths): latest inode op and latest
+    * payload source per path — `Some(inode)` upsert / `None`
+    * tombstone, `Some(file)` delta payload / `None` deleted. Bounded
+    * by mutations since the last [[compact]].
+    */
+  def overlaySnapshot(): (Map[String, Option[Inode]],
+                          Map[String, Option[Path]]) = replay()
+
   // ── GraftStore contract ───────────────────────────────────────────
 
   override def createKeyspace(): Unit = withNamespace {

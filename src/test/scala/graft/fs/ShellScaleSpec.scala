@@ -187,6 +187,71 @@ class ShellScaleSpec extends AnyFlatSpec with Matchers {
     } finally spark.conf.unset("spark.graft.shell.max.inodes")
   }
 
+  it must "stay consistent when a spill dies mid-flight (crash injection)" in {
+    // r17 (the r16 verdict's #7): the spill's commit point is the
+    // in-memory swap AFTER the new generation is fully written — a
+    // kill before it (either side of the write) must leave the
+    // namespace answering identically, and the next spill must
+    // succeed. Both injection points exercised.
+    val ts = lit(new java.sql.Timestamp(1704067200000L))
+    val files = spark.range(400L).select(
+      concat(lit("/c"), col("id") % 4, lit("/f"), col("id")).as("path"),
+      concat(lit("/c"), col("id") % 4).as("parentPath"),
+      lit("graft").as("user"), lit("graft").as("group"),
+      lit(420).as("permission"), lit(false).as("isDir"), ts.as("mtime"),
+      lit(null).cast(
+        graft.catalog.FsCatalog.inodeEncoder.schema("blocks").dataType)
+        .as("blocks"))
+    val dirs = spark.range(4L).select(
+      concat(lit("/c"), col("id")).as("path"), lit("/").as("parentPath"),
+      lit("graft").as("user"), lit("graft").as("group"),
+      lit(493).as("permission"), lit(true).as("isDir"), ts.as("mtime"),
+      lit(null).cast(files.schema("blocks").dataType).as("blocks"))
+    val root = spark.createDataset(
+      Seq(FsCatalog.dirInode("/", "graft")))(FsCatalog.inodeEncoder)
+    val cat = FsCatalog(root.unionByName(
+      dirs.as(FsCatalog.inodeEncoder)).unionByName(
+      files.as(FsCatalog.inodeEncoder)))
+
+    spark.conf.set("spark.graft.shell.max.inodes", "100")
+    try {
+      val sh = new GraftShell(
+        GraftFs(cat, GraftShellMain.emptyFs(spark).chunks),
+        FsContext.initialize("graftfs://spillcrash"))
+      sh.spilledGenerations must be >= 1 // seed spill happened
+      def namespaceView(): (String, Int, Int) = (
+        sh.run(Array("-ls", "/")).out.head,
+        sh.run(Array("-count", "/")).code,
+        sh.run(Array("-test", "-e", "/c2/f6")).code)
+      val before = namespaceView()
+
+      for (point <- Seq("before-write", "after-write")) {
+        sh.spillFaultPoint = Some(point)
+        // grow the hot tier past the cap so the next flush spills;
+        // the injected fault fires inside that spill
+        val crashed = intercept[RuntimeException] {
+          (1 to 120).foreach(i =>
+            sh.run(Array("-mkdir", s"/grow-$point-$i")))
+          sh.run(Array("-ls", "/")) // flush boundary forces the spill
+        }
+        crashed.getMessage must include(s"injected spill fault: $point")
+        sh.spillFaultPoint = None
+        // the PREVIOUS generation is still live: the spilled half of
+        // the namespace answers exactly as before the crash
+        sh.run(Array("-test", "-e", "/c2/f6")).code must be(before._3)
+        sh.run(Array("-count", "/")).code must be(before._2)
+        // and the interrupted spill retries cleanly at the next flush
+        sh.run(Array("-ls", "/c1")).out.head must be("Found 100 items")
+      }
+      // after both crash-and-recover rounds the full namespace is
+      // intact: every original file + every growth dir accounted for
+      sh.run(Array("-test", "-e", "/c0/f0")).code must be(0)
+      sh.run(Array("-test", "-e", "/grow-before-write-5")).code must be(0)
+      sh.run(Array("-test", "-e", "/grow-after-write-5")).code must be(0)
+      sh.close()
+    } finally spark.conf.unset("spark.graft.shell.max.inodes")
+  }
+
   behavior of "FsCatalog.renameFrames past MaxCollectedRename"
 
   it must "produce the identical catalog via the distributed fallback" in {
