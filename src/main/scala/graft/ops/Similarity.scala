@@ -805,6 +805,41 @@ object Similarity {
       spark.read.parquet(s"$dir/buckets")
         .select(col("vec_id"), col("embedding"), col("bucket")))
 
+  /** DELETES against a persisted append-only index (r17 — the dedup↔ANN
+    * composition gap: dedup decisions delete docs, but the persisted
+    * bucket-partitioned index never rewrites): deleted ids append to a
+    * `dir/tombstones` parquet — pure append, O(deletes), no index
+    * rewrite, mirroring the LSM discipline every mutable surface here
+    * uses.
+    */
+  def appendIndexTombstones(dir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** [[loadIvfIndex]] with tombstones applied: the index frame
+    * anti-joins the tombstone set BROADCAST (bounded by deletes since
+    * the last rebuild, never corpus size), so the filter rides the
+    * probed bucket scan with zero extra shuffle and the partition
+    * pruning is untouched. A periodic rebuild (saveIvfIndex over the
+    * surviving corpus) absorbs the tombstones — the compaction
+    * amortization, exactly like the shell's spill tier. Search results
+    * are IDENTICAL to a rebuilt index with the same centroids
+    * (assignment is per-row deterministic) — driver-gated by
+    * ann_index_delete.
+    */
+  def loadIvfIndexTombstoned(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (DataFrame, DataFrame) = {
+    val (cents, idx) = loadIvfIndex(spark, dir)
+    val tDir = s"$dir/tombstones"
+    val pruned =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tDir)))
+        idx.join(broadcast(spark.read.parquet(tDir)
+            .select(col("vec_id")).distinct()),
+          Seq("vec_id"), "left_anti")
+      else idx
+    (cents, pruned)
+  }
+
   /** Product-quantization codebooks: the embedding splits into `m`
     * contiguous `dim/m`-wide subspaces, and each subspace trains its own
     * `ksub`-centroid spherical k-means codebook (the Jégou et al. "PQ"

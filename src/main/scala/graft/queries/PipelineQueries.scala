@@ -2466,6 +2466,41 @@ object PipelineQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS identical_ok
              |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
 
+    // DELETES against the persisted append-only index (r17 stretch):
+    // dedup decisions delete docs, but the bucket-partitioned index
+    // never rewrites — deletions append to a tombstone parquet that
+    // the indexed read anti-joins out (broadcast, bounded by deletes
+    // since the last rebuild, zero extra shuffle). The gate is exact
+    // equality against a full REBUILD on the surviving corpus with the
+    // same frozen centroids — tombstone-masking must be
+    // indistinguishable from physical deletion.
+    QueryDef(
+      "ann_index_delete",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+        val cents = Similarity.kmeansCentroids(emb, 16, 3)
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del")
+        try {
+          Similarity.saveIvfIndex(emb, cents, dir.toString)
+          Similarity.appendIndexTombstones(dir.toString,
+            emb.filter(col("vec_id") % 10 === 7))
+          val (lc, lidx) = Similarity.loadIvfIndexTombstoned(s, dir.toString)
+          searchEqualityGate(qs,
+            Similarity.ivfTopKIndexed(qs, lidx, lc, nprobe = 4, k = 5),
+            Similarity.ivfTopKIndexed(qs,
+              Similarity.assignBuckets(
+                emb.filter(col("vec_id") % 10 =!= 7), cents),
+              cents, nprobe = 4, k = 5),
+            k = 5)
+            .localCheckpoint(true) // materialize before the dir dies
+        } finally {
+          graft.PlanHygiene.deleteRecursively(dir)
+        }
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS identical_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
     // Incremental ANN ingest: centroids train on HISTORY only, the new
     // batch is assigned with ONE pass over itself (zero over history),
     // and searching history ∪ assigned-increment must return the
