@@ -236,6 +236,119 @@ class ScalingSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it must "stay oracle-anchored at the FOURTH decade (sf1 restriction gates)" in {
+    // r17 (the r16 verdict's stretch #9): the driver's DuckDB oracles
+    // stop at sf0.1; these gates extend exact correctness one more
+    // decade by CONSTRUCTION of the sf1 corpus. Replica 0 rides the
+    // identity vowel map, so its documents are bit-identical to sf0.1
+    // — and the scale-critical operators, run on the FULL sf1 corpus,
+    // must reproduce the (tri-SF DuckDB-anchored) sf0.1 answer exactly
+    // when restricted to replica 0, while inventing nothing across
+    // replicas. The ANN gate is stronger still: exact brute-force
+    // top-k recomputed at sf1 is the oracle itself.
+    val R = 10000000L
+    val base = "/root/testdata/sf0.1"
+    val sf1Docs = spark.read.parquet(s"$sf1Dir/documents.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ── MinHash-LSH: replica-0 restriction is EXACT (signatures of
+    //    identical docs are identical; banding only gains co-bucket
+    //    members at scale, and the exact-Jaccard verify re-filters) ──
+    val sf1Pairs = pairSet(Dedup.minhashPairs(sf1Docs))
+    val basePairs = pairSet(Dedup.minhashPairs(Tables.documents(spark, base)))
+    withClue("minhash pairs at sf1 restricted to the identity replica: ") {
+      sf1Pairs.filter { case (a, b) => a < R && b < R } must be(basePairs)
+    }
+    // Cross-replica pairs DO exist (low-vowel documents survive the
+    // permutation near-identically — measured: ~20 at sf1). They are
+    // not inventions if their EXACT 3-gram Jaccard, recomputed here
+    // from scratch via shingle-set algebra, clears the op's threshold
+    // — an independent per-pair oracle on the cross sliver.
+    val crossPairs = sf1Pairs.filter { case (a, b) => a / R != b / R }
+    info(s"cross-replica minhash pairs at sf1: ${crossPairs.size}")
+    if (crossPairs.nonEmpty) {
+      import spark.implicits._
+      val sets = Dedup.shingleSets(sf1Docs)
+      val cp = crossPairs.toSeq.toDF("id_a", "id_b")
+      val verified = cp
+        .join(sets.select(col("doc_id").as("id_a"),
+          col("shingles").as("sa")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"),
+          col("shingles").as("sb")), "id_b")
+        .withColumn("j",
+          F.size(F.array_intersect(col("sa"), col("sb"))).cast("double") /
+            F.size(F.array_union(col("sa"), col("sb"))))
+        .filter(col("j") >= 0.5)
+      withClue("cross-replica minhash pairs failing an independent " +
+        "exact-Jaccard recheck: ") {
+        verified.count() must be(crossPairs.size.toLong)
+      }
+    }
+
+    // ── components over the sf1 pair sliver (10× base + the cross
+    //    sliver): run on the INTRA-replica subgraph, whose replica-0
+    //    restriction is provably the base graph (asserted above), so
+    //    min-id label election must reproduce the base labels exactly ──
+    def labelSet(pairs: Set[(Long, Long)]): Set[(Long, Long)] = {
+      import spark.implicits._
+      Dedup.components(pairs.toSeq.toDF("id_a", "id_b"))
+        .select(col("doc_id"), col("component")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val intra = sf1Pairs.filter { case (a, b) => a / R == b / R }
+    withClue("components at sf1 restricted to the identity replica: ") {
+      labelSet(intra).filter(_._1 < R) must be(labelSet(basePairs))
+    }
+
+    // ── n-gram Jaccard: candidates come from shared-shingle buckets
+    //    (bijection-invariant), but consonant-only shingles ARE shared
+    //    across replicas, so their buckets grow 10x and may cross the
+    //    cap — the documented LOUD taint path. The gate: nothing is
+    //    invented (restriction ⊆ base, cross-replica = 0), every
+    //    emitted pair is exact-verified, and recall against the base
+    //    truth stays high with the taint accounted ────────────────────
+    val ng1 = pairSet(Dedup.ngramJaccardPairs(sf1Docs))
+    val ngBase = pairSet(Dedup.ngramJaccardPairs(Tables.documents(spark, base)))
+    val ngRep0 = ng1.filter { case (a, b) => a < R && b < R }
+    withClue("ngram pairs at sf1 must not invent members: ") {
+      (ngRep0 -- ngBase) must be(empty)
+    }
+    info(s"cross-replica ngram pairs at sf1 (real low-vowel near-dups, " +
+      s"exact-verified by the op itself): " +
+      ng1.count { case (a, b) => a / R != b / R }.toString)
+    val ngRecall =
+      if (ngBase.isEmpty) 1.0
+      else ngRep0.intersect(ngBase).size.toDouble / ngBase.size
+    info(f"ngram replica-0 recall at sf1: $ngRecall%.3f " +
+      s"(${ngRep0.size}/${ngBase.size}; shortfall = capped boilerplate " +
+      "buckets, shouted by LshGuard)")
+    withClue("ngram replica-0 recall at sf1: ") { ngRecall must be >= 0.9 }
+
+    // ── IVF-PQ at sf1 against the EXACT oracle recomputed at sf1:
+    //    brute-force top-k over the full generated corpus (one scan, k
+    //    heap entries per partition) — sampled production-build path ──
+    val emb1 = spark.read.parquet(s"$sf1Dir/embeddings.parquet")
+    val qs = emb1.filter(col("vec_id") < 5)
+    val coarse = Similarity.kmeansCentroidsSampled(emb1, k = 16, iters = 3)
+    val cbs = Similarity.pqCodebooksSampled(emb1, m = 8, ksub = 16,
+      iters = 1, dim = 64)
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = hits(Similarity.ivfpqTopKWith(qs, emb1, coarse, cbs,
+      nprobe = 4, k = 5, cand = 100))
+    val exact = hits(Similarity.bruteTopK(qs, emb1, 5))
+    exact.keySet must be(approx.keySet)
+    exact.foreach { case (q, truth) =>
+      val got = approx(q).intersect(truth).size
+      info(s"ivfpq@sf1 q$q recall $got/5")
+      withClue(s"ivfpq recall at sf1 for query $q: ") { got must be >= 4 }
+    }
+  }
+
   it must "compose the funnel DETERMINISTICALLY at sf1 under a different shuffle plan" in {
     // the seeded-oracle gate at the generated scale (no DuckDB there —
     // the tri-SF channel pipeline_e2e_train_set is the correctness
