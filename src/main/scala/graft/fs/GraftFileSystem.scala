@@ -329,33 +329,37 @@ class GraftFileSystem extends FileSystem {
         ()
     }
 
-  /** Executor-mode freshness: before a stat/open answers, fold the
-    * CURRENT wal overlay entry for this path into the cache — this is
-    * what lets a long-lived executor JVM see files the driver wrote
-    * (write-through) AFTER the executor's mount initialized. Driver
-    * mounts skip it (their own pending/frame planes are authoritative).
+  /** Executor-mode freshness: before a stat/open/listing answers, fold
+    * the CURRENT wal overlay into the cache — this is what lets a
+    * long-lived executor JVM see files the driver wrote
+    * (write-through) AFTER the executor's mount initialized. The WHOLE
+    * overlay applies (bounded by the wal tail, OP parses cached), not
+    * just one path, so listings of directories that gained children
+    * post-mount stay consistent with stats. Driver mounts skip it
+    * (their own pending/frame planes are authoritative).
     */
-  private def executorRefresh(p: String): Unit =
+  private def executorRefresh(): Unit =
     if (executorMode && mountParent != null)
       try {
         val (inodes, payloads) = mountStore.overlaySnapshot()
         withMutLock {
-          inodes.get(p).foreach(applyOverlayInode(p, _))
-          payloads.get(p) match {
-            case Some(Some(f)) =>
+          inodes.toSeq.sortBy(_._1).foreach { case (p, e) =>
+            applyOverlayInode(p, e)
+          }
+          payloads.foreach {
+            case (p, Some(f)) =>
               savedBirths.remove(p)
               overlayBirths.put(p, f.toString)
               ()
-            case Some(None) =>
+            case (p, None) =>
               savedBirths.remove(p)
               overlayBirths.remove(p)
               ()
-            case None => ()
           }
         }
       } catch {
         case e: Throwable =>
-          System.err.println(s"[graftfs] wal overlay refresh of $p " +
+          System.err.println(s"[graftfs] wal overlay refresh " +
             s"failed: ${e.getMessage} — serving the mounted snapshot")
       }
 
@@ -888,7 +892,7 @@ class GraftFileSystem extends FileSystem {
   //    committer's concurrent task commits). Every lock hold is pure
   //    memory, so readers wait microseconds.
   override def getFileStatus(path: Path): FileStatus = {
-    executorRefresh(abs(path)) // live wal view for executor mounts
+    executorRefresh() // live wal view for executor mounts
     withMutLock {
       cached(abs(path))
         .map(statusRow)
@@ -898,12 +902,15 @@ class GraftFileSystem extends FileSystem {
 
   // ── A9: listStatus — dir lists children, file lists itself (cache;
   //    locked against mid-rename partial states, see getFileStatus) ─────
-  override def listStatus(path: Path): Array[FileStatus] = withMutLock {
-    val p = abs(path)
-    val node = cached(p)
-      .getOrElse(throw new FileNotFoundException("No such file exists"))
-    if (node.isFile) Array(statusRow(node))
-    else cacheChildren(p).sortBy(_.path).map(statusRow).toArray
+  override def listStatus(path: Path): Array[FileStatus] = {
+    executorRefresh() // live wal view for executor mounts
+    withMutLock {
+      val p = abs(path)
+      val node = cached(p)
+        .getOrElse(throw new FileNotFoundException("No such file exists"))
+      if (node.isFile) Array(statusRow(node))
+      else cacheChildren(p).sortBy(_.path).map(statusRow).toArray
+    }
   }
 
   // ── A5: mkdirs — ancestor AND-fold; exists-as-file → false. The
@@ -1131,7 +1138,7 @@ class GraftFileSystem extends FileSystem {
     // inside BlockCachedStream still run engine actions — the mount's
     // remaining local-mode read caveat (see the class scaladoc)
     val p = abs(path)
-    executorRefresh(p) // live wal view for executor mounts
+    executorRefresh() // live wal view for executor mounts
     val node = withMutLock(cached(p))
       .getOrElse(throw new IOException("No such file."))
     if (node.isDir) throw new IOException(s"Path $path is a directory.")

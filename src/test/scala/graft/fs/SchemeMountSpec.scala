@@ -520,6 +520,12 @@ class SchemeMountSpec extends AnyFlatSpec with Matchers {
       // ...and its parent materializes for listings
       exec.listStatus(new Path("graftfs://wtexec/post"))
         .map(_.getPath.getName) must be(Array("new.bin"))
+      // 1b. a dir the executor NEVER stat'd lists its post-mount
+      // children directly (the whole-overlay refresh, not per-path)
+      val o1b = driver.create(new Path("graftfs://wtdrv/post2/other.bin"))
+      o1b.write("abc".getBytes("UTF-8")); o1b.close()
+      exec.listStatus(new Path("graftfs://wtexec/post2"))
+        .map(_.getPath.getName) must be(Array("other.bin"))
       // 2. an OVERWRITE of a pre-mount saved file serves the new bytes
       val repl = Array.tabulate[Byte](900)(i => (i % 97).toByte)
       val o2 = driver.create(new Path("graftfs://wtdrv/docs/a.bin"), true)
