@@ -64,8 +64,36 @@ object GraftShellMain {
   def loadFs(spark: SparkSession, dir: String): GraftFs = {
     val root = currentStateDir(dir).getOrElse(sys.error(
       s"no complete persisted state under $dir"))
-    GraftFs(FsCatalog.load(spark, s"$root/catalog"),
-      spark.read.parquet(s"$root/chunks"))
+    val baseCat = FsCatalog.load(spark, s"$root/catalog")
+    val baseChunks = spark.read.parquet(s"$root/chunks")
+    // WAL overlay fold (r17): the persisted format is ONE format —
+    // deltas other writers committed (SharedStateStore mutations, the
+    // facade's write-through of post-mount creates) must be visible to
+    // every loader, not only to overlay-aware readers. Bounded by the
+    // wal tail; superseded base rows filter out, upserts and payload
+    // files union in as their own leaves.
+    val (oInodes, oPayloads) =
+      new SharedStateStore(dir).overlaySnapshot()
+    if (oInodes.isEmpty && oPayloads.isEmpty) GraftFs(baseCat, baseChunks)
+    else {
+      import org.apache.spark.sql.functions.col
+      val affected = (oInodes.keys ++ oPayloads.keys).toSeq.distinct
+      val upserts = oInodes.collect { case (_, Some(n)) => n }.toSeq
+      val cat = FsCatalog(
+        baseCat.inodes.filter(!col("path").isin(affected: _*))
+          .unionByName(spark.createDataset(upserts)(FsCatalog.inodeEncoder)))
+      val payloadAffected = oPayloads.keys.toSeq
+      val payloadFiles = oPayloads.values.flatten
+        .map(_.toString).toSeq.distinct.sorted
+      val chunkCols = baseChunks.columns
+      val chunks = (baseChunks.filter(
+          if (payloadAffected.isEmpty) org.apache.spark.sql.functions.lit(true)
+          else !col("path").isin(payloadAffected: _*)) +:
+        payloadFiles.map(f => spark.read.parquet(f)
+          .select(chunkCols.map(col).toIndexedSeq: _*)))
+        .reduce(_ unionByName _)
+      GraftFs(cat, chunks)
+    }
   }
 
   /** Verbs that change filesystem state — only these re-persist it
@@ -148,6 +176,52 @@ object GraftShellMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stateDir = sys.env.get("GRAFT_FS_STATE")
+    val mutating = MutatingVerbs.contains(argv(0))
+    // CONCURRENT CLI invocations (r17 — supersedes the single-driver
+    // documented contract for mutations): a mutating invocation
+    // brackets its whole load → verb → save cycle under the SHARED
+    // namespace lock (SharedStateStore.NamespaceKey — the same key
+    // every writer of this layout uses), so two processes can no
+    // longer interleave their cycles and silently drop each other's
+    // committed state. Read verbs stay lock-free: they see the
+    // committed prefix (version flips and wal-delta renames are both
+    // atomic). A crashed holder is operator-recovered with
+    // SharedFileLocks.breakStale.
+    val heldLock: Option[(String, java.util.UUID)] =
+      stateDir.filter(_ => mutating).map { d =>
+        val root = s"$d/locks"
+        graft.catalog.SharedFileLocks.acquireBlocking(root,
+            SharedStateStore.NamespaceKey, timeoutMs = 120000) match {
+          case Some(tok) => (root, tok)
+          case None =>
+            System.err.println(
+              "graftfs: timed out acquiring the shared state lock " +
+                s"under $root — another invocation holds it, or a " +
+                "crashed one leaked it (SharedFileLocks.breakStale " +
+                "is the operator recovery verb)")
+            spark.stop()
+            sys.exit(253)
+            throw new IllegalStateException("unreachable")
+        }
+      }
+    // wal deltas committed BEFORE this invocation's load are folded
+    // into the version this invocation saves (loadFs applies them), so
+    // a successful save prunes exactly those — never deltas a later
+    // writer might append (impossible while the lock is held anyway)
+    def walDeltas(d: String): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Paths.get(d, "wal")
+      if (!java.nio.file.Files.isDirectory(w)) Seq.empty
+      else {
+        val l = java.nio.file.Files.list(w)
+        try l.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("d")).toSeq
+        finally l.close()
+      }
+    }
+    val foldedDeltas: Seq[java.nio.file.Path] =
+      if (mutating) stateDir.map(walDeltas).getOrElse(Seq.empty)
+      else Seq.empty
     // Three distinguishable states, two of them safe:
     //  * complete persisted state → load it;
     //  * NO pointer (fresh dir, or the legacy flat layout's torn save
@@ -185,13 +259,22 @@ object GraftShellMain {
         val res = shell.run(argv)
         res.out.foreach(println)
         res.err.foreach(System.err.println)
-        if (res.code == 0 && MutatingVerbs.contains(argv(0)))
+        if (res.code == 0 && mutating)
           stateDir.foreach { d =>
             val snap = shell.fs
             try saveFs(snap, d) finally shell.releaseSnapshot(snap)
+            // the saved version FOLDED the pre-load wal tail (loadFs
+            // overlay): prune exactly those deltas, after the flip
+            foldedDeltas.foreach(graft.PlanHygiene.deleteRecursively)
           }
         res.code
-      } finally shell.close()
+      } finally {
+        shell.close()
+        heldLock.foreach { case (root, tok) =>
+          graft.catalog.SharedFileLocks.release(root,
+            SharedStateStore.NamespaceKey, tok)
+        }
+      }
     spark.stop()
     sys.exit(if (code == 0) 0 else 255)
   }

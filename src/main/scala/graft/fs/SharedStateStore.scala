@@ -61,10 +61,7 @@ final class SharedStateStore(stateDir: String,
   private val locksRoot = s"$stateDir/locks"
   private val walDir = Paths.get(stateDir, "wal")
 
-  /** Reserved lock key for whole-namespace mutation exclusion (path-
-    * keyed like every other lock row; no real path collides with it).
-    */
-  private val NamespaceKey = "/__graft_namespace__"
+  private def NamespaceKey = SharedStateStore.NamespaceKey
 
   // ── reentrant cross-process mutation bracket ──────────────────────
   private[this] var lockDepth = 0
@@ -442,6 +439,14 @@ final class SharedStateStore(stateDir: String,
 }
 
 object SharedStateStore {
+
+  /** Reserved lock key for whole-namespace mutation exclusion (path-
+    * keyed like every other lock row; no real path collides with it).
+    * SHARED across every writer of the persisted layout — store
+    * bindings, the facade's write-through, and the CLI's
+    * load-verb-save bracket all exclude through this one key.
+    */
+  val NamespaceKey = "/__graft_namespace__"
 
   /** Committed delta dirs are immutable — their parsed OP lines and
     * inode rows cache process-wide (stale entries for compacted-away

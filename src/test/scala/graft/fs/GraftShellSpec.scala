@@ -465,6 +465,65 @@ class GraftShellSpec extends AnyFlatSpec with Matchers {
     } finally graft.PlanHygiene.deleteRecursively(state)
   }
 
+  it must "serialize CONCURRENT mutating CLI invocations without losing updates" in {
+    // r17 (supersedes the single-driver documented contract): the
+    // reference's CLI is multi-client by nature — any number of
+    // `snackfs fs -<verb>` processes mutate one keyspace. Here four
+    // REAL bin/graftfs processes race mutating verbs against one
+    // GRAFT_FS_STATE; each brackets its load→verb→save cycle under the
+    // shared namespace lock, so the final namespace must hold EVERY
+    // invocation's dir. Without the lock this test fails: concurrent
+    // cycles load the same version and the last save wins, silently
+    // dropping the others' mkdirs.
+    val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    val script = new java.io.File(repo, "bin/graftfs")
+    assume(script.canExecute, "bin/graftfs missing or not executable")
+    val state = Files.createTempDirectory("graft-cli-concurrent")
+    try {
+      def run(args: String*): (Int, String) = {
+        val outFile = Files.createTempFile("graft-cli-out", ".txt")
+        val pb = new ProcessBuilder((script.getAbsolutePath +: args): _*)
+        pb.environment().put("GRAFT_FS_STATE", state.toString)
+        pb.environment().put("GRAFT_MASTER", "local[2]")
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(outFile.toFile)
+        val p = pb.start()
+        val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) p.destroyForcibly()
+        done must be(true)
+        val out = new String(Files.readAllBytes(outFile), "UTF-8")
+        Files.deleteIfExists(outFile)
+        (p.exitValue(), out)
+      }
+      run("-mkdir", "/seed")._1 must be(0) // bootstrap CURRENT
+      val procs = (1 to 4).map { i =>
+        val outFile = Files.createTempFile(s"graft-cli-c$i-", ".txt")
+        val pb = new ProcessBuilder(script.getAbsolutePath,
+          "-mkdir", s"/c$i")
+        pb.environment().put("GRAFT_FS_STATE", state.toString)
+        pb.environment().put("GRAFT_MASTER", "local[2]")
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(outFile.toFile)
+        (pb.start(), outFile)
+      }
+      procs.foreach { case (p, f) =>
+        val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) p.destroyForcibly()
+        withClue(new String(Files.readAllBytes(f), "UTF-8") + ": ") {
+          done must be(true)
+          p.exitValue() must be(0)
+        }
+        Files.deleteIfExists(f)
+        ()
+      }
+      // the lost-update assertion
+      val (code, out) = run("-ls", "/")
+      code must be(0)
+      out must include("/seed")
+      (1 to 4).foreach(i => out must include(s"/c$i"))
+    } finally graft.PlanHygiene.deleteRecursively(state)
+  }
+
   it must "die loudly (not silently reset) when CURRENT names a missing version" in {
     // a CURRENT pointer only ever appears after a committed save, so
     // CURRENT-without-its-version-dir means committed state vanished
