@@ -230,11 +230,12 @@ object GraftShellMain {
     //  * a CURRENT pointer naming a MISSING/incomplete version dir →
     //    die LOUDLY. A pointer only ever appears after a committed
     //    save, so this state means committed data vanished (disk
-    //    damage, manual deletion, or two concurrent CLIs pruning each
-    //    other's versions — single-driver use is the documented
-    //    contract, scaladoc above). Falling back to empty here would
-    //    let the next mutating verb re-save and PERMANENTLY discard
-    //    the committed filesystem with no error anywhere.
+    //    damage, manual deletion, or a pre-r17 unlocked writer racing
+    //    — mutating invocations now serialize under the namespace
+    //    lock, so concurrent CLIs no longer prune each other).
+    //    Falling back to empty here would let the next mutating verb
+    //    re-save and PERMANENTLY discard the committed filesystem
+    //    with no error anywhere.
     val initial = stateDir match {
       case Some(d) if currentStateDir(d).isDefined => loadFs(spark, d)
       case Some(d) if java.nio.file.Files.exists(
@@ -242,7 +243,7 @@ object GraftShellMain {
         System.err.println(
           s"graftfs: state pointer $d/$CurrentPtr names a version " +
             "directory that is missing or incomplete — committed state " +
-            "is damaged (concurrent CLI invocations? manual deletion?). " +
+            "is damaged (disk damage? manual deletion?). " +
             "Refusing to start from an empty filesystem; restore the " +
             s"version directory or remove $d/$CurrentPtr to explicitly " +
             "reset.")
