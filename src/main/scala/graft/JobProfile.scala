@@ -1,0 +1,90 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+/** Per-query measurement harness for the optimization rounds (guide §1):
+  * runs named driver queries under Bench's exact evaluation sink and
+  * reports, per rep, wall seconds plus the JOB / STAGE / TASK counts and
+  * the shuffle bytes the rep scheduled. On tiny local SFs the suite's
+  * cost is dominated by fixed per-job/per-stage overhead, so these
+  * counts are the numbers that tell which operator restructure pays —
+  * the Spark UI is disabled in the bench session, and this is the
+  * scriptable replacement for its Jobs tab.
+  *
+  *   sbt "runMain graft.JobProfile <sfDir> <reps> <query> [query ...]"
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(3)
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val shuffleRead = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        val m = t.taskMetrics
+        if (m != null) shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // Bench's forced-full-row sink, verbatim (see Bench.evalAll)
+    def evalAll(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, struct, to_json, xxhash64}
+      val all = struct(df.columns.map(col).toIndexedSeq: _*)
+      val hashed =
+        try df.select(xxhash64(all).as("h")).queryExecution.assertAnalyzed match {
+          case _ => df.select(xxhash64(all).as("h"))
+        }
+        catch { case _: Throwable => df.select(xxhash64(to_json(all)).as("h")) }
+      hashed.selectExpr("bit_xor(h)").collect()
+      ()
+    }
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable => () }
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to reps).foreach { i =>
+        val pre = Bench.jvmSnap(spark)
+        jobs.set(0); stages.set(0); tasks.set(0); shuffleRead.set(0L)
+        val t0 = System.nanoTime()
+        evalAll(fn(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        // let the listener bus drain so the counts are complete
+        // (listenerBus is private[spark]; same reflective read as
+        // Bench.listenerCount)
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          bus.getClass.getMethods.find(m =>
+              m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+            .foreach(_.invoke(bus))
+        } catch { case _: Throwable => Thread.sleep(200) }
+        val post = Bench.jvmSnap(spark)
+        println(f"[profile] $name rep=$i t=$dt%.3f jobs=${jobs.get}" +
+          f" stages=${stages.get} tasks=${tasks.get}" +
+          f" shuffleMB=${shuffleRead.get / 1e6}%.1f" +
+          f" codegen_d=${post.codegenCompiles - pre.codegenCompiles}" +
+          f" gc_ms_d=${post.gcMs - pre.gcMs}")
+        PlanHygiene.sweepPersisted(spark)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -217,42 +217,189 @@ object Similarity {
 
   /** Distributed spherical k-means over the embedding column — the real
     * centroid computation the first-K seeding was a placeholder for.
-    * Each Lloyd round: (1) assignment = one corpus scan against
-    * BROADCAST centroids (max-cosine, same primitive as search);
-    * (2) update = per-(bucket, dim) mean via posexplode + map-side
-    * partial avg — the corpus never shuffles whole vectors, only
-    * (bucket, dim, value) triples. The K×dim centroid table is tiny by
-    * construction, so each round collects it to the driver and
-    * re-broadcasts (exactly MLlib KMeans' shape) — keeping the plan
-    * bounded instead of growing a lineage per iteration. Deterministic:
-    * first-K seed, no RNG.
+    * Each Lloyd round is ONE shuffle-free job: the K×dim centroid table
+    * is tiny by construction, so it rides into the scan as a closure
+    * broadcast (exactly MLlib KMeans' shape); every task assigns its
+    * rows to their max-cosine centroid (ties to the lower centroid id —
+    * the probeAssignments rule) and folds per-(bucket, dim) SUM/COUNT
+    * partials locally, and the driver reduces the per-partition
+    * partials IN PARTITION ORDER into the new means. Nothing shuffles
+    * at all — the previous formulation paid two Exchanges (the
+    * posexplode'd (bucket, dim, v) avg plus the collect_list
+    * re-assembly), a broadcast exchange, and a left join per round, all
+    * to move the same K×dim doubles this collects directly; and the
+    * partition-ordered reduce makes the mean's double summation
+    * deterministic where the old partial-avg merge order was not.
+    * A bucket that attracted no members (possible when seed vectors
+    * duplicate) keeps its previous centroid, so the centroid count
+    * NEVER shrinks below k. Deterministic: first-K seed, no RNG.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
                       seeds: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
-    var centroids = seeds.getOrElse(
+    val seedDf = seeds.getOrElse(
       corpus.filter(col("vec_id") < k).select(col("vec_id"), col("embedding")))
-    for (_ <- 0 until iters) {
-      val means = assignBuckets(corpus, centroids)
-        .select(col("bucket"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("bucket"), col("dim"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("bucket"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("bucket").as("vec_id"),
-          expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("embedding"))
-      // a bucket that attracted no members (possible when seed vectors
-      // duplicate — ties always break to the lower centroid id) keeps
-      // its previous centroid, so the centroid count NEVER shrinks
-      // below k and callers get the bucket fan-out they asked for
-      val updated = centroids.select(col("vec_id"), col("embedding").as("prev"))
-        .join(means.select(col("vec_id"), col("embedding").as("next")),
-          Seq("vec_id"), "left_outer")
-        .select(col("vec_id"), coalesce(col("next"), col("prev")).as("embedding"))
-      centroids = spark.createDataFrame(
-        java.util.Arrays.asList(updated.collect(): _*), updated.schema)
+    var cents = collectVecs(seedDf)
+    if (cents.nonEmpty) {
+      for (_ <- 0 until iters) {
+        val agg = lloydRoundSliced(corpus,
+          Array((0, Int.MaxValue)), Array(cents)).head
+        cents = meansOrPrev(cents, agg)
+      }
     }
-    centroids
+    centroidFrame(spark, cents)
+  }
+
+  /** (vec_id, embedding) rows collected and sorted by id — the
+    * driver-held centroid shape every Lloyd round re-broadcasts. */
+  private def collectVecs(df: DataFrame): Array[(Long, Array[Float])] =
+    df.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            cents: Array[(Long, Array[Float])]): DataFrame = {
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      cents.map { case (id, v) => Row(id, v.toSeq) }.toIndexedSeq: _*)
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = true)))))
+  }
+
+  /** New-centroid fold: per centroid, the per-dim mean over the summed
+    * partials (only dims that saw a member appear, ascending — the
+    * exact gap-collapse the old collect_list(struct(dim, m)) re-assembly
+    * had), empty buckets keeping their previous vector. */
+  private def meansOrPrev(prev: Array[(Long, Array[Float])],
+                          agg: (Array[Array[Double]], Array[Array[Long]]))
+      : Array[(Long, Array[Float])] = {
+    val (sums, cnts) = agg
+    prev.indices.toArray.map { ci =>
+      val cnt = cnts(ci)
+      if (!cnt.exists(_ > 0L)) prev(ci)
+      else {
+        val out = Array.newBuilder[Float]
+        var d = 0
+        while (d < cnt.length) {
+          if (cnt(d) > 0L) out += (sums(ci)(d) / cnt(d)).toFloat
+          d += 1
+        }
+        (prev(ci)._1, out.result())
+      }
+    }
+  }
+
+  /** One Lloyd round for `cents.length` INDEPENDENT k-means problems
+    * over column slices of the embedding, in a SINGLE shuffle-free
+    * corpus pass: slices(p) = (0-based offset, length) of problem p's
+    * sub-vector, cents(p) its current centroids sorted by id. Returns,
+    * per problem, (per-centroid per-dim sums, per-centroid per-dim
+    * counts), reduced over partitions IN PARTITION ORDER so the double
+    * summation is deterministic. Assignment replicates graft_cosine
+    * (dot over min length, norms over each side's full slice, 0.0 on a
+    * zero norm) with ties to the lower centroid id. This is what lets
+    * [[pqCodebooks]] train all m subspaces in iters+1 jobs instead of
+    * m·(iters+1): the m argmax loops share one row read.
+    */
+  private def lloydRoundSliced(
+      corpus: DataFrame,
+      slices: Array[(Int, Int)],
+      cents: Array[Array[(Long, Array[Float])]])
+      : Array[(Array[Array[Double]], Array[Array[Long]])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centVecs = cents.map(_.map(_._2))
+    val bc = spark.sparkContext.broadcast(centVecs)
+    val partials = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val cs = bc.value
+        val nP = cs.length
+        // centroid norms are row-independent — compute once per task
+        val nbs = cs.map(_.map { cv =>
+          var nb = 0.0; var i = 0
+          while (i < cv.length) { val x = cv(i).toDouble; nb += x * x; i += 1 }
+          nb
+        })
+        val sums = Array.tabulate(nP)(p =>
+          Array.fill(cs(p).length)(new Array[Double](0)))
+        val cnts = Array.tabulate(nP)(p =>
+          Array.fill(cs(p).length)(new Array[Long](0)))
+        it.foreach { case (_, v) =>
+          var p = 0
+          while (p < nP) {
+            val off = slices(p)._1
+            val len = math.max(0, math.min(slices(p)._2.toLong,
+              v.length.toLong - off).toInt)
+            var na = 0.0
+            var i = 0
+            while (i < len) {
+              val x = v(off + i).toDouble; na += x * x; i += 1
+            }
+            var best = -1; var bestScore = Double.NegativeInfinity
+            var ci = 0
+            while (ci < cs(p).length) {
+              val cv = cs(p)(ci)
+              val n = math.min(len, cv.length)
+              var dot = 0.0
+              i = 0
+              while (i < n) {
+                dot += v(off + i).toDouble * cv(i).toDouble; i += 1
+              }
+              val sc =
+                if (na == 0.0 || nbs(p)(ci) == 0.0) 0.0
+                else dot / (math.sqrt(na) * math.sqrt(nbs(p)(ci)))
+              if (sc > bestScore) { best = ci; bestScore = sc }
+              ci += 1
+            }
+            if (best >= 0 && len > 0) {
+              if (sums(p)(best).length < len) {
+                sums(p)(best) = java.util.Arrays.copyOf(sums(p)(best), len)
+                cnts(p)(best) = java.util.Arrays.copyOf(cnts(p)(best), len)
+              }
+              val s = sums(p)(best); val c = cnts(p)(best)
+              var d = 0
+              while (d < len) {
+                s(d) += v(off + d).toDouble; c(d) += 1L; d += 1
+              }
+            }
+            p += 1
+          }
+        }
+        Iterator.single((pid, sums, cnts))
+      }
+      .collect()
+      .sortBy(_._1)
+    val acc = cents.map(c =>
+      (Array.fill(c.length)(new Array[Double](0)),
+        Array.fill(c.length)(new Array[Long](0))))
+    partials.foreach { case (_, sums, cnts) =>
+      var p = 0
+      while (p < acc.length) {
+        var ci = 0
+        while (ci < acc(p)._1.length) {
+          val len = sums(p)(ci).length
+          if (acc(p)._1(ci).length < len) {
+            acc(p)._1(ci) = java.util.Arrays.copyOf(acc(p)._1(ci), len)
+            acc(p)._2(ci) = java.util.Arrays.copyOf(acc(p)._2(ci), len)
+          }
+          var d = 0
+          while (d < len) {
+            acc(p)._1(ci)(d) += sums(p)(ci)(d)
+            acc(p)._2(ci)(d) += cnts(p)(ci)(d)
+            d += 1
+          }
+          ci += 1
+        }
+        p += 1
+      }
+    }
+    bc.destroy()
+    acc
   }
 
   /** Deterministic bounded training sample: the `sampleSize`
@@ -843,39 +990,52 @@ object Similarity {
   /** Product-quantization codebooks: the embedding splits into `m`
     * contiguous `dim/m`-wide subspaces, and each subspace trains its own
     * `ksub`-centroid spherical k-means codebook (the Jégou et al. "PQ"
-    * index shape). Reuses [[kmeansCentroids]] per subspace — m small
-    * driver-looped DISTRIBUTED trainings, the offline index-build pass
-    * of a production pipeline. Deterministic: first-K seeds, no RNG.
+    * index shape) — all m problems JOINTLY, one corpus pass per Lloyd
+    * round ([[lloydRoundSliced]]), the offline index-build pass of a
+    * production pipeline. Deterministic: first-K seeds, no RNG.
     * Returns (subspace, c_id, cv).
     */
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
                   dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    // the m trainings are independent job chains — submit them
-    // CONCURRENTLY so their corpus scans overlap instead of paying m
-    // sequential job round-trips (measured at sf0.1, min-of-3:
-    // ann_pq_recall 2.79 → 0.88 s, ann_ivfpq_recall 4.26 → 2.22 s);
-    // results assemble by subspace index, so completion order cannot
-    // affect the output
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val trained = (0 until m).map { s =>
-      Future {
-        kmeansCentroids(
-          corpus.select(col("vec_id"),
-            slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
-          ksub, iters)
-          .select(lit(s).as("subspace"), col("vec_id").as("c_id"),
-            col("embedding").as("cv"))
+    val spark = corpus.sparkSession
+    // the m subspace trainings are independent k-means problems over
+    // SLICES of the same row — train them JOINTLY through
+    // lloydRoundSliced so one corpus pass per Lloyd round serves all m
+    // argmax loops (iters+1 jobs total, zero shuffles), instead of m
+    // concurrent per-subspace job chains each re-scanning the corpus
+    // (m·(iters+1) jobs; this also retires the Await/Future
+    // orchestration those chains needed). Seeds are the first-ksub
+    // rows' slices — ONE pushdown-filtered pass instead of m.
+    val seedRows = collectVecs(
+      corpus.filter(col("vec_id") < ksub)
+        .select(col("vec_id"), col("embedding")))
+    val slices = Array.tabulate(m)(s => (s * dsub, dsub))
+    var cents: Array[Array[(Long, Array[Float])]] = Array.tabulate(m) { s =>
+      seedRows.map { case (id, v) =>
+        (id, v.slice(s * dsub, math.min(s * dsub + dsub, v.length)))
       }
     }
-    // finite (if generous) deadline: one wedged subspace job must
-    // surface as a TimeoutException naming this call site, not hang
-    // the caller forever with no diagnostic
-    Await.result(Future.sequence(trained), Duration(30, "min"))
-      .reduce(_ unionByName _)
+    if (seedRows.nonEmpty) {
+      for (_ <- 0 until iters) {
+        val agg = lloydRoundSliced(corpus, slices, cents)
+        cents = Array.tabulate(m)(s => meansOrPrev(cents(s), agg(s)))
+      }
+    }
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      (0 until m).flatMap(s => cents(s).map { case (id, cv) =>
+        Row(s, id, cv.toSeq)
+      }): _*)
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("subspace",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("c_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = true)))))
   }
 
   /** PQ top-k: m-byte-code candidate generation + exact float rerank —

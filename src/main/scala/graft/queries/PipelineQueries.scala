@@ -2430,6 +2430,9 @@ object PipelineQueries {
               acc + embedding[b] *
                 (CAST((b * 73 + j * 37) % 19 AS DOUBLE) - 9.0D) / 9.0D)
               AS FLOAT))""").as("embedding"))
+          // deterministic rank-12 fixture, re-scanned by the PCA fit and
+          // both brute searches — materialize once (values unchanged)
+          .localCheckpoint(true)
         Similarity.pcaRecall(emb.filter(col("vec_id") < 5), emb,
             dims = 16, k = 5, floor = 4)
           .orderBy(col("q_id"))
@@ -2638,8 +2641,13 @@ object PipelineQueries {
     QueryDef(
       "ann_lsh_clustered",
       (s, d) => {
+        // the md5-derived fixture is re-scanned by every training /
+        // encode / gate pass below — materialize it ONCE (deterministic
+        // expression, so values are unchanged; guide §5 persist-reused-
+        // frames, the e2e funnel lesson applied to the ANN fixtures)
         val emb = Similarity.clusteredCorpus(
           Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+          .localCheckpoint(true)
         Similarity.lshRecallWithFraction(emb.filter(col("vec_id") < 5), emb,
             k = 5, floor = 5, maxFrac = 0.05, tables = 8, bits = 10)
           .orderBy(col("q_id"))
@@ -2660,8 +2668,13 @@ object PipelineQueries {
     QueryDef(
       "ann_pq_clustered",
       (s, d) => {
+        // the md5-derived fixture is re-scanned by every training /
+        // encode / gate pass below — materialize it ONCE (deterministic
+        // expression, so values are unchanged; guide §5 persist-reused-
+        // frames, the e2e funnel lesson applied to the ANN fixtures)
         val emb = Similarity.clusteredCorpus(
           Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+          .localCheckpoint(true)
         val cand = math.max(5, math.ceil(0.04 * emb.count()).toInt)
         Similarity.pqRecallWithFraction(emb.filter(col("vec_id") < 5), emb,
             k = 5, cand = cand, floor = 5, maxFrac = 0.05,
@@ -2684,8 +2697,13 @@ object PipelineQueries {
     QueryDef(
       "ann_ivfpq_clustered",
       (s, d) => {
+        // the md5-derived fixture is re-scanned by every training /
+        // encode / gate pass below — materialize it ONCE (deterministic
+        // expression, so values are unchanged; guide §5 persist-reused-
+        // frames, the e2e funnel lesson applied to the ANN fixtures)
         val emb = Similarity.clusteredCorpus(
           Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+          .localCheckpoint(true)
         val cand = math.max(5, math.ceil(0.04 * emb.count()).toInt)
         Similarity.ivfpqRecallWithFraction(emb.filter(col("vec_id") < 5),
             emb, k = 5, cand = cand, floor = 5,
@@ -2779,8 +2797,13 @@ object PipelineQueries {
     QueryDef(
       "ann_ivfpq_search_indexed",
       (s, d) => {
+        // the md5-derived fixture is re-scanned by every training /
+        // encode / gate pass below — materialize it ONCE (deterministic
+        // expression, so values are unchanged; guide §5 persist-reused-
+        // frames, the e2e funnel lesson applied to the ANN fixtures)
         val emb = Similarity.clusteredCorpus(
           Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+          .localCheckpoint(true)
         val cand = math.max(5, math.ceil(0.04 * emb.count()).toInt)
         val dir = ivfpqIndexDir(s, d, emb)
         val (lc, lcb, lcodes) = Similarity.loadIvfPqIndex(s, dir)
@@ -2806,8 +2829,13 @@ object PipelineQueries {
     QueryDef(
       "ann_ivfpq_sampled",
       (s, d) => {
+        // the md5-derived fixture is re-scanned by every training /
+        // encode / gate pass below — materialize it ONCE (deterministic
+        // expression, so values are unchanged; guide §5 persist-reused-
+        // frames, the e2e funnel lesson applied to the ANN fixtures)
         val emb = Similarity.clusteredCorpus(
           Tables.embeddings(s, d).select(col("vec_id")), clusters = 32)
+          .localCheckpoint(true)
         val cand = math.max(5, math.ceil(0.04 * emb.count()).toInt)
         val coarse = Similarity.kmeansCentroidsSampled(emb, k = 16,
           iters = 3)
