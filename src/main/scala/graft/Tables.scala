@@ -42,4 +42,47 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Row-group counts per parquet file, memoized on (path, size, mtime)
+    * — one driver-side footer read, no Spark job. */
+  private val rowGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
+
+  private def rowGroups(s: SparkSession, path: String): Int = {
+    val f = new java.io.File(path)
+    rowGroupMemo.computeIfAbsent((path, f.length(), f.lastModified()), _ =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.size()
+        finally r.close()
+      } catch { case _: Throwable => Int.MaxValue })
+  }
+
+  /** Map-phase width guard for CPU-heavy aggregations over one table: a
+    * parquet ROW GROUP is the scan's split atom, so a file with fewer
+    * row groups than cores serializes the whole scan+partial-aggregate
+    * phase into that many tasks no matter how the split planner sizes
+    * byte ranges (the driver testdata ships one row group per table —
+    * every heavy relational aggregation ran single-threaded). When the
+    * footer says the layout cannot keep the session busy, insert ONE
+    * deterministic hash repartition on `key` immediately after the read
+    * (guide §2.5: "input skew — one huge unsplittable file …
+    * repartition immediately after the read"; hash on a real column,
+    * never round-robin, so retried tasks reproduce their assignment and
+    * no pre-shuffle sort is paid). On a production layout with ≥ cores
+    * row groups this is a NO-OP — the gate is one memoized driver-side
+    * footer read. Callers are aggregations whose measured cost is the
+    * serial map phase, all of whose aggregates are order-independent
+    * (DECIMAL sums / counts / min-max / HLL), so results are unchanged.
+    */
+  def widenedForAgg(s: SparkSession, d: String, name: String,
+                    key: org.apache.spark.sql.Column): DataFrame = {
+    val df = table(s, d, name)
+    val cores = s.sparkContext.defaultParallelism
+    if (rowGroups(s, s"$d/$name.parquet") >= math.max(2, cores / 2)) df
+    else df.repartition(key)
+  }
 }

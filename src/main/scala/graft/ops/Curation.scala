@@ -1132,33 +1132,47 @@ object Curation {
       graft.ops.TextAnalysis.stripHtml(docs)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("text")))
-    val en = graft.ops.TextAnalysis.langId(ex)
-      .filter(col("lang_guess") === "en")
-      .select(col("doc_id"))
-    val exEn = ex.join(en, Seq("doc_id"))
-    val predicted = nbQualityScores(exEn, label,
-        isTrain = col("doc_id") % 10 =!= 0)
-      .filter(col("predicted"))
-      .select(col("doc_id"))
     // second materialization boundary: `kept` (the post-quality
     // corpus) feeds the MinHash banding, the survivor anti-join, the
     // decontamination train side, and the clean base — without it each
     // consumer re-runs the langid+NB chains, and the minhash banding
-    // itself re-runs once per downstream action path
-    val kept = boundary("kept", () => exEn.join(predicted, Seq("doc_id")))
-    val dups = graft.ops.Dedup.minhashPairs(kept, shingleN = 3, b = 8,
-        r = 4, threshold = 0.5)
-      .select(col("id_b").as("doc_id")).distinct()
-    val unique = kept.join(dups, Seq("doc_id"), "left_anti")
-    val train = unique.filter(col("doc_id") % 10 =!= 0)
+    // itself re-runs once per downstream action path. INSIDE the thunk
+    // (so a resume that already holds the artifact pays nothing), the
+    // langid'd corpus additionally localCheckpoints: nbQualityScores
+    // consumes exEn twice (train-slice stats + the scoring pass) and
+    // the kept join a third time — one langid pass instead of three,
+    // values unchanged (deterministic chain; guide §5 persist reused
+    // frames).
+    val kept = boundary("kept", () => {
+      val en = graft.ops.TextAnalysis.langId(ex)
+        .filter(col("lang_guess") === "en")
+        .select(col("doc_id"))
+      val exEn = ex.join(en, Seq("doc_id")).localCheckpoint(true)
+      val predicted = nbQualityScores(exEn, label,
+          isTrain = col("doc_id") % 10 =!= 0)
+        .filter(col("predicted"))
+        .select(col("doc_id"))
+      exEn.join(predicted, Seq("doc_id"))
+    })
     val bench = ex.filter(col("doc_id") % 10 === 0)
-    val contaminated = graft.ops.Decontaminate.flagged(train, bench,
-        n = 3, minShared = 3, maxBenchDf = Int.MaxValue)
-      .select(col("doc_id")).distinct()
     // third boundary: `clean` is consumed twice by applyMix (quota
-    // aggregate + the row_number join) and once by the pack chain
-    val clean = boundary("clean", () =>
-      train.join(contaminated, Seq("doc_id"), "left_anti"))
+    // aggregate + the row_number join) and once by the pack chain.
+    // INSIDE the thunk, the post-dedup `train` survivors localCheckpoint
+    // first: they feed BOTH the decontamination train side and the
+    // anti-join base, and without the materialization the whole MinHash
+    // banding+verify chain re-runs once per consumer.
+    val clean = boundary("clean", () => {
+      val dups = graft.ops.Dedup.minhashPairs(kept, shingleN = 3, b = 8,
+          r = 4, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      val unique = kept.join(dups, Seq("doc_id"), "left_anti")
+      val train = unique.filter(col("doc_id") % 10 =!= 0)
+        .localCheckpoint(true)
+      val contaminated = graft.ops.Decontaminate.flagged(train, bench,
+          n = 3, minShared = 3, maxBenchDf = Int.MaxValue)
+        .select(col("doc_id")).distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+    })
     val mixed = applyMix(clean, col("source"), mixBudget,
       orderKey = col("doc_id"))
     val packed = packSequences(mixed, shard = col("source"),

@@ -58,7 +58,10 @@ object Relational {
     QueryDef(
       "q02_pricing_summary",
       (s, d) =>
-        lineitem(s, d)
+        // widenedForAgg: the distinct-expand partial aggregate is the
+        // whole cost and the scan's row-group layout serializes it —
+        // see Tables.widenedForAgg (no-op on a many-row-group layout)
+        graft.Tables.widenedForAgg(s, d, "lineitem", col("l_orderkey"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
@@ -284,7 +287,8 @@ object Relational {
     QueryDef(
       "q20_cube",
       (s, d) =>
-        lineitem(s, d)
+        // widenedForAgg: the 4-way cube Expand runs in the scan task
+        graft.Tables.widenedForAgg(s, d, "lineitem", col("l_orderkey"))
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(
             decOut(sum(dec(col("l_extendedprice")))).as("sum_price"),
@@ -572,7 +576,9 @@ object Relational {
       (s, d) => {
         val exactParts = countDistinct(col("l_partkey"))
         val exactOrders = countDistinct(col("l_orderkey"))
-        lineitem(s, d).agg(
+        // widenedForAgg: the multi-distinct Expand (x3) runs in the
+        // scan task otherwise
+        graft.Tables.widenedForAgg(s, d, "lineitem", col("l_orderkey")).agg(
           exactParts.as("exact_parts"),
           exactOrders.as("exact_orders"),
           (abs(approx_count_distinct(col("l_partkey")) - exactParts)
