@@ -142,7 +142,12 @@ object CatalogQueries {
     QueryDef(
       "fs_snapshot_diff",
       (s, d) => {
-        val v1 = CatalogBuilder.fromPart(s, d)
+        // materialize the base version once: v2 stacks three mutation
+        // layers on v1's plan and diff() reads BOTH sides, so the
+        // md5-blocked fromPart build otherwise re-derives per consumer
+        // (deterministic build — values unchanged)
+        val v1 = graft.catalog.FsCatalog(
+          CatalogBuilder.fromPart(s, d).inodes.localCheckpoint(true))
         val (v2a, _) = v1.delete("/pt/Brand#13", recursive = true)
         val (v2b, _) = v2a.rename("/pt/Brand#23", "/pt/archived")
         // deterministic modified row: the string-min Brand#21 file
