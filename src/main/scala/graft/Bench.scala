@@ -352,6 +352,33 @@ object Bench {
       b.result()
     } catch { case _: Throwable => Map.empty }
 
+  /** FULL-evaluation sink (r14 honesty fix): `.count()` let Catalyst
+    * PRUNE any final outer join whose aggregate-keyed right side only
+    * feeds output columns — the row count is knowable from the left
+    * side alone, so the joined branch (and its scans and aggregations)
+    * vanished from the measured plan. Caught when gopherRepetition
+    * benched at 0.39 s while its gram battery cost 3 s: the same
+    * elimination had silently under-measured text_repetition's bigram
+    * branch since round 6. Folding every output column into one
+    * xxhash64 per row (bit_xor-reduced to a scalar) makes every
+    * branch load-bearing; outputs are oracle-sized (≤ ~10k rows), so
+    * the added hash work is nanoseconds against the upstream cost.
+    * to_json fallback covers hash-unsupported column types (maps).
+    * Public so JobProfile measures under the EXACT same sink (r17
+    * ADVICE: a diverging copy would silently profile a different plan).
+    */
+  def evalAll(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json, xxhash64}
+    val all = struct(df.columns.map(col).toIndexedSeq: _*)
+    val hashed =
+      try df.select(xxhash64(all).as("h")).queryExecution.assertAnalyzed match {
+        case _ => df.select(xxhash64(all).as("h"))
+      }
+      catch { case _: Throwable => df.select(xxhash64(to_json(all)).as("h")) }
+    hashed.selectExpr("bit_xor(h)").collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -388,29 +415,7 @@ object Bench {
     // first member — while "value" keeps the historical single-shot
     // TOTAL for round-over-round comparability and "value_min" carries
     // the min total. Per-rep detail lives in BENCH_DETAIL.json.
-    // FULL-evaluation sink (r14 honesty fix): `.count()` let Catalyst
-    // PRUNE any final outer join whose aggregate-keyed right side only
-    // feeds output columns — the row count is knowable from the left
-    // side alone, so the joined branch (and its scans and aggregations)
-    // vanished from the measured plan. Caught when gopherRepetition
-    // benched at 0.39 s while its gram battery cost 3 s: the same
-    // elimination had silently under-measured text_repetition's bigram
-    // branch since round 6. Folding every output column into one
-    // xxhash64 per row (bit_xor-reduced to a scalar) makes every
-    // branch load-bearing; outputs are oracle-sized (≤ ~10k rows), so
-    // the added hash work is nanoseconds against the upstream cost.
-    // to_json fallback covers hash-unsupported column types (maps).
-    def evalAll(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions.{col, struct, to_json, xxhash64}
-      val all = struct(df.columns.map(col).toIndexedSeq: _*)
-      val hashed =
-        try df.select(xxhash64(all).as("h")).queryExecution.assertAnalyzed match {
-          case _ => df.select(xxhash64(all).as("h"))
-        }
-        catch { case _: Throwable => df.select(xxhash64(to_json(all)).as("h")) }
-      hashed.selectExpr("bit_xor(h)").collect()
-      ()
-    }
+    // Evaluation sink: Bench.evalAll (forced full row — see its scaladoc).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val reps = sys.env.get("SPARK_GRAFT_REPS")
@@ -743,6 +748,30 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     }
+    // Driver-parseable FULL record (r17 verdict "What's wrong #1": the
+    // stdout summary line rides under sbt's "[info] " prefix and its
+    // size-capped queries map drops every below-floor channel, so the
+    // driver's comparison machinery has parsed null since r14). The
+    // complete record — every query at its recorded min, value,
+    // value_min, weather — goes out twice more: as ONE bare line in a
+    // known file (BENCH_LINE.json; same restricted-run clobber guard as
+    // the detail file) and prefix-free on stderr. The stdout line,
+    // channels, and timing methodology are UNCHANGED.
+    val fullQs = results.sortBy(_._1)
+      .map { case (k, _) => "\"" + k + "\":" + r3(effMins(k)) }
+      .mkString("{", ",", "}")
+    val fullLine = line(fullQs, "")
+    val lineDest =
+      if (only.isEmpty) Some(sys.env.getOrElse("SPARK_GRAFT_LINE",
+        "/root/repo/BENCH_LINE.json"))
+      else sys.env.get("SPARK_GRAFT_LINE")
+    lineDest.foreach { dest =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(dest), (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] line write failed: ${e.getMessage}") }
+    }
+    System.err.println(fullLine)
     println(out)
     spark.stop()
   }

@@ -44,27 +44,21 @@ object JobProfile {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    // Bench's forced-full-row sink, verbatim (see Bench.evalAll)
-    def evalAll(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions.{col, struct, to_json, xxhash64}
-      val all = struct(df.columns.map(col).toIndexedSeq: _*)
-      val hashed =
-        try df.select(xxhash64(all).as("h")).queryExecution.assertAnalyzed match {
-          case _ => df.select(xxhash64(all).as("h"))
-        }
-        catch { case _: Throwable => df.select(xxhash64(to_json(all)).as("h")) }
-      hashed.selectExpr("bit_xor(h)").collect()
-      ()
-    }
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      // Bench's exact evaluation sink (shared, not copied — r17 ADVICE:
+      // a drifting copy would silently profile a different plan); an
+      // unknown name fails with the valid set instead of a bare
+      // NoSuchElementException
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'; valid names: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
       (1 to reps).foreach { i =>
         val pre = Bench.jvmSnap(spark)
         jobs.set(0); stages.set(0); tasks.set(0); shuffleRead.set(0L)
         val t0 = System.nanoTime()
-        evalAll(fn(spark, sfDir))
+        Bench.evalAll(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         // let the listener bus drain so the counts are complete
         // (listenerBus is private[spark]; same reflective read as

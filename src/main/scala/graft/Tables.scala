@@ -48,18 +48,26 @@ object Tables {
   private val rowGroupMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
 
-  private def rowGroups(s: SparkSession, path: String): Int = {
-    val f = new java.io.File(path)
-    rowGroupMemo.computeIfAbsent((path, f.length(), f.lastModified()), _ =>
-      try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(path),
-          s.sparkContext.hadoopConfiguration)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.size()
-        finally r.close()
-      } catch { case _: Throwable => Int.MaxValue })
-  }
+  private def rowGroups(s: SparkSession, path: String): Int =
+    // memo keyed on the Hadoop FileStatus of the SAME Path the footer
+    // read uses (r17 ADVICE: java.io.File length/mtime are 0 for
+    // non-local URIs, so a replaced hdfs://-style file never
+    // invalidated); a footer-read failure returns the "wide enough"
+    // sentinel WITHOUT memoizing, so a transient error cannot
+    // permanently disable the guard for that file
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val conf = s.sparkContext.hadoopConfiguration
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      rowGroupMemo.computeIfAbsent(
+        (path, st.getLen, st.getModificationTime), _ => {
+          val in =
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.size()
+          finally r.close()
+        })
+    } catch { case _: Throwable => Int.MaxValue }
 
   /** Map-phase width guard for CPU-heavy aggregations over one table: a
     * parquet ROW GROUP is the scan's split atom, so a file with fewer

@@ -304,6 +304,15 @@ object Similarity {
     * zero norm) with ties to the lower centroid id. This is what lets
     * [[pqCodebooks]] train all m subspaces in iters+1 jobs instead of
     * m·(iters+1): the m argmax loops share one row read.
+    *
+    * INPUT CONTRACT (r17 ADVICE): embedding arrays must be null-free —
+    * the typed decode (`as[(Long, Array[Float])]`) throws on a null
+    * element where the old posexplode/avg path silently skipped it.
+    * Every in-repo corpus satisfies this (parquet embeddings and the
+    * exact-integer fixtures never emit null dims); a caller training on
+    * an external corpus with nullable dims must filter or coalesce the
+    * null elements first. Failing loudly beats averaging a silently
+    * shorter vector.
     */
   private def lloydRoundSliced(
       corpus: DataFrame,
@@ -1428,19 +1437,33 @@ object Similarity {
   /** Shared hit-count gate: every query must recover ≥ `floor` of its
     * true top-k through the approximate path; zero-hit queries surface
     * as red rows instead of vanishing.
+    *
+    * ONE keyed aggregation pass (r18, guide §2.4 — replace a join
+    * cascade with one keyed pass): both k-sets union with a side tag
+    * and fold per q_id; hits = |approx ∩ brute| via array_intersect of
+    * the two collected sets (collect_set skips the null the other
+    * side's `when` emits). The previous shape — semi-join the two
+    * result frames on (q_id, neighbor_id), re-aggregate by q_id, then
+    * outer-join queries — paid two SortMergeJoins and three Exchanges
+    * of 25-row frames, each an AQE stage-job. Both inputs are top-k
+    * outputs (unique (q_id, neighbor_id) by construction), so set
+    * intersection counts exactly what the semi-join counted. The
+    * per-query aggregate is ≤ |queries| rows by construction — it
+    * BROADCASTS onto the queries frame.
     */
   private def recallGate(queries: DataFrame, corpus: DataFrame, k: Int,
                          floor: Int, approx: DataFrame): DataFrame = {
-    val brute = bruteTopK(queries, corpus, k)
-      .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
-    val hits = approx.select(col("q_id"), col("neighbor_id"))
-      .join(brute,
-        col("q_id") === col("bq") && col("neighbor_id") === col("bn"),
-        "left_semi")
-      .groupBy(col("q_id"))
-      .agg(count(lit(1)).as("n_hits"))
+    val tagged = approx.select(col("q_id"), col("neighbor_id"),
+        lit(false).as("is_brute"))
+      .unionByName(bruteTopK(queries, corpus, k)
+        .select(col("q_id"), col("neighbor_id"), lit(true).as("is_brute")))
+    val hits = tagged.groupBy(col("q_id"))
+      .agg(size(array_intersect(
+        collect_set(when(col("is_brute"), col("neighbor_id"))),
+        collect_set(when(!col("is_brute"), col("neighbor_id")))))
+        .cast("long").as("n_hits"))
     queries.select(col("vec_id").as("q_id"))
-      .join(hits, Seq("q_id"), "left_outer")
+      .join(broadcast(hits), Seq("q_id"), "left_outer")
       .select(col("q_id"),
         (coalesce(col("n_hits"), lit(0L)) >= floor).as("recall_ok"))
   }

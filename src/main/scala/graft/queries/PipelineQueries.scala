@@ -29,21 +29,37 @@ object PipelineQueries {
                                  a: org.apache.spark.sql.DataFrame,
                                  b: org.apache.spark.sql.DataFrame,
                                  k: Int): org.apache.spark.sql.DataFrame = {
-    val ka = a.select(col("q_id"), col("neighbor_id"))
-      .withColumn("in_a", lit(1))
-    val kb = b.select(col("q_id"), col("neighbor_id"))
-      .withColumn("in_b", lit(1))
-    val perQ = ka.join(kb, Seq("q_id", "neighbor_id"), "full_outer")
-      .groupBy(col("q_id"))
+    // ONE keyed aggregation pass (r18, guide §2.4 — replace a join
+    // cascade with one keyed pass): the two k-sets union with a side
+    // tag and fold per q_id; set equality at exactly k rows is
+    // |A| = |B| = |A ∩ B| = k (collect_set skips the null the other
+    // side's `when` emits). The previous shape — full_outer join the
+    // two result frames on (q_id, neighbor_id), re-aggregate by q_id,
+    // then outer-join queries — paid two SortMergeJoins and three
+    // Exchanges of 25-row frames, each an AQE stage-job. Both inputs
+    // are top-k outputs (unique (q_id, neighbor_id) by construction),
+    // so the set algebra counts exactly what the join counted: a pair
+    // in exactly one side shrinks the intersection below k, a short or
+    // missing result fails its own size check. The per-query aggregate
+    // is ≤ |queries| rows by construction — it BROADCASTS onto the
+    // queries frame; a q_id absent from both searches reads red via
+    // the coalesce, never vacuously equal.
+    val tagged = a.select(col("q_id"), col("neighbor_id"),
+        lit(true).as("in_a"))
+      .unionByName(b.select(col("q_id"), col("neighbor_id"),
+        lit(false).as("in_a")))
+    val perQ = tagged.groupBy(col("q_id"))
       .agg(
-        sum(when(col("in_a").isNull || col("in_b").isNull, 1)
-          .otherwise(0)).as("n_mismatch"),
-        count(lit(1)).as("n"))
-    queries.select(col("vec_id").as("q_id"))
-      .join(perQ, Seq("q_id"), "left_outer")
+        collect_set(when(col("in_a"), col("neighbor_id"))).as("sa"),
+        collect_set(when(!col("in_a"), col("neighbor_id"))).as("sb"))
       .select(col("q_id"),
-        (coalesce(col("n_mismatch"), lit(1)) === 0 &&
-          coalesce(col("n"), lit(0)) === k).as("identical_ok"))
+        (size(col("sa")) === k && size(col("sb")) === k &&
+          size(array_intersect(col("sa"), col("sb"))) === k)
+          .as("both_ok"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(broadcast(perQ), Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("both_ok"), lit(false)).as("identical_ok"))
       .orderBy(col("q_id"))
   }
 
