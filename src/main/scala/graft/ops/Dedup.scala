@@ -865,21 +865,20 @@ object Dedup {
     // (measured: the whole loop tripled). Checkpointing truncates the
     // plan to a flat LogicalRDD; the superseded round's blocks are
     // released explicitly below, so storage stays at one label table.
-    // repartition by src BEFORE the checkpoint: localCheckpoint preserves
-    // outputPartitioning, so every round's edges⋈labels join (on src) and
-    // labels⋈prop join (on id — labels inherit HashPartitioning(id) from
-    // the distinct below, prop from its own groupBy) are co-partitioned
-    // and plan ZERO exchanges; only the per-round groupBy(dst) shuffles.
-    // Was 3 exchanges/round (both join sides + the aggregate) for the
-    // same tiny label table — one setup exchange buys them all out
-    // (guide §2.4: two operations keyed the same way share one
-    // exchange). min/Long labels are order-independent, so results are
-    // bit-identical.
+    // NO pre-checkpoint repartition(src) (r17 added one; r18 A/B
+    // REVERTED it — plans/r18/jobprofile_copartition_*.txt): the
+    // claimed per-round exchange elimination never materialized in the
+    // measured record — job count was 1 HIGHER with it, total shuffle
+    // bytes identical (4.4 MB), and 6-rep mins slower (2.91 vs
+    // 2.72 s components, 3.00 vs 2.93 keep_best_incremental) — the
+    // label sliver is small enough that AQE broadcasts the per-round
+    // joins, so the setup exchange bought nothing and cost a job.
+    // min/Long labels are order-independent, so partitioning cannot
+    // move a bit either way.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .repartition(col("src"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -1114,13 +1113,13 @@ object Dedup {
     // 7.8 s -> the pair cost alone at sf0.1 once checkpointed. The
     // caller's sweep (Bench/Verify PlanHygiene.sweepPersisted) releases
     // the blocks after the result is consumed, the components() pattern.
-    // partitioned by src before the checkpoint for the same reason as
-    // components(): deg/shares/incoming then co-partition with the rank
-    // table and only the per-round groupBy(dst) shuffles — exact BIGINT
-    // arithmetic, so exchange placement cannot move a single bit
+    // NO pre-checkpoint repartition(src) (r17 added one; r18 A/B
+    // REVERTED it, same evidence as components(): +1 job, identical
+    // shuffle bytes, 6-rep min 2.37 vs 2.17 s — see
+    // plans/r18/jobprofile_copartition_*.txt). Exact BIGINT arithmetic,
+    // so exchange placement cannot move a single bit either way.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .repartition(col("src"))
       .localCheckpoint(true)
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
