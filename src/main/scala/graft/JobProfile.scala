@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
 /** Per-query measurement harness for the optimization rounds (guide §1):
   * runs named driver queries under Bench's exact evaluation sink and
@@ -32,9 +32,30 @@ object JobProfile {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val shuffleRead = new AtomicLong(0L)
+    // SPARK_GRAFT_JOBS=1 additionally prints every job's wall time and
+    // description — the attribution view for channels whose cost hides
+    // in side-effect jobs (index writes, streaming drains) that the
+    // per-rep totals cannot separate
+    val perJob = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
+    val jobStart =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (perJob) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("")
+          jobStart.put(j.jobId, (System.nanoTime(), desc))
+        }
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (perJob) Option(jobStart.remove(j.jobId)).foreach {
+          case (t0, desc) =>
+            println(f"[job] id=${j.jobId} t=${(System.nanoTime() - t0) / 1e9}%.3f $desc")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {

@@ -880,8 +880,16 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Round 1 FUSED into the label init (r18, §1.2 job-count reduction):
+    // with labels₀ = id, round 1's propagation is least(id, min incoming
+    // src) — computable in the SAME aggregation that enumerates the node
+    // set (every node appears as a dst of the symmetric edge set), so
+    // the init job IS the first Lloyd-style round and the loop starts
+    // one round ahead. Same fixpoint, bit-identical labels.
+    var labels = edges
+      .groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("ms"))
+      .select(col("id"), least(col("id"), col("ms")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -893,29 +901,37 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("label").as("l")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("l")).as("nl"))
+      // LAZY checkpoints (r18, §1.2 job-count reduction): the
+      // convergence count below is a FULL count (no limit — a limit
+      // could early-exit and leave the checkpoint partial), so that one
+      // job both materializes the round's label table AND answers
+      // convergence — the eager-checkpoint + count pair this replaces
+      // paid two scheduled jobs per round for the same work. The
+      // superseded tables are released only AFTER the count has
+      // materialized their successor.
       val stepped = labels
         .join(prop, Seq("id"))
         .select(col("id"), least(col("label"), col("nl")).as("label"),
           (col("nl") < col("label")).as("changed"))
-        .localCheckpoint(true) // eager: materialized before the release below
-      releaseCheckpoint(labels)
+        .localCheckpoint(false)
       val next =
         if (!pointerJump || iter < jumpAfter) stepped
         else {
           // doubling: label ← label(label). The self-join reads the
-          // CHECKPOINTED stepped table twice (flat LogicalRDD, no
-          // subtree recompute); every label value is itself a node id,
-          // so the inner join keeps all rows
-          val jumped = stepped
+          // checkpoint-marked stepped table twice (each partition is
+          // computed once and persisted by the checkpoint machinery,
+          // then read); every label value is itself a node id, so the
+          // inner join keeps all rows
+          stepped
             .join(stepped.select(col("id").as("label"),
               col("label").as("ll")), Seq("label"))
             .select(col("id"), col("ll").as("label"),
               (col("changed") || col("ll") < col("label")).as("changed"))
-            .localCheckpoint(true)
-          releaseCheckpoint(stepped)
-          jumped
+            .localCheckpoint(false)
         }
-      converged = next.filter(col("changed")).limit(1).count() == 0
+      converged = next.filter(col("changed")).count() == 0
+      releaseCheckpoint(labels)
+      if (!(next eq stepped)) releaseCheckpoint(stepped)
       labels = next // extra `changed` column is ignored by the next round
       iter += 1
     }
