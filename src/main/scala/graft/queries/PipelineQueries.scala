@@ -4562,14 +4562,19 @@ object PipelineQueries {
       "pipeline_curation_funnel",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // gopherRules is a row-preserving PROJECTION of docs (one row
+        // per doc_id, no aggregation), so it IS the base frame — the
+        // previous shape joined it back onto a fourth bare docs scan,
+        // paying one extra FileScan and one extra join for rows that
+        // coincide by construction (r18, §2.4). The coalesce stays —
+        // free per row — so the output schema keeps its exact shape.
         val g = TextAnalysis.gopherRules(docs)
           .select(col("doc_id"), col("gopher_ok"))
         val c = TextAnalysis.c4Filters(c4Injected(docs))
           .select(col("doc_id"), col("page_ok").as("c4_ok"))
         val p = Curation.ccnetBuckets(docs)
           .select(col("doc_id"), (col("bucket") <= 2).as("ppl_ok"))
-        docs.select(col("doc_id"))
-          .join(g, Seq("doc_id"), "left_outer")
+        g
           .join(c, Seq("doc_id"), "left_outer")
           .join(p, Seq("doc_id"), "left_outer")
           .select(col("doc_id"),

@@ -617,6 +617,12 @@ object Relational {
     //    profile hash-checks. ────────────────────────────────────────────
     QueryDef(
       "q24_profile",
+      // widenedForAgg measured and DECLINED here (r18): unlike q02/q22,
+      // the profile's per-column DISTINCT keys are near-unique
+      // (o_orderkey is every row), so the widened partial aggregate
+      // cannot shrink its exchange — measured +1 job, shuffle
+      // 3.3 → 7.5 MB, wall time tracking the untouched controls. The
+      // serial Expand stays the cheaper evil at this distinct density.
       (s, d) => graft.ops.Profile.profile(
           graft.Tables.orders(s, d),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
