@@ -648,14 +648,23 @@ object Dedup {
     */
   private def attachPairSides(candidates: DataFrame, leftCol: String,
                               rightCol: String, payload: DataFrame,
-                              payloadCol: String): DataFrame = {
+                              payloadCol: String,
+                              pinWidth: Option[Int] = None): DataFrame = {
     val sides = candidates.select(explode(array(
         struct(col(leftCol), col(rightCol), col(leftCol).as("doc_id")),
         struct(col(leftCol), col(rightCol), col(rightCol).as("doc_id")))).as("s"))
       .select(col(s"s.$leftCol").as(leftCol), col(s"s.$rightCol").as(rightCol),
         col("s.doc_id"))
-    sides
-      .join(payload, "doc_id")
+    val joined = sides.join(payload, "doc_id")
+    // pinWidth (r18, §2.4 share-one-exchange): a caller that needs an
+    // AQE-exempt output width (verifyByJaccard's per-pair set math)
+    // previously repartitioned AFTER this fold — a second exchange on
+    // the same keys. Pinning BEFORE the groupBy makes the user exchange
+    // the one the aggregation reuses: same pinned width, one exchange.
+    val pinned = pinWidth
+      .map(w => joined.repartition(w, col(leftCol), col(rightCol)))
+      .getOrElse(joined)
+    pinned
       .groupBy(col(leftCol), col(rightCol))
       .agg(
         first(when(col("doc_id") === col(leftCol), col(payloadCol)),
@@ -701,17 +710,19 @@ object Dedup {
       docs.join(pairIds(candidates, "id_a", "id_b"), Seq("doc_id"), "left_semi")
         .repartition(nVerify, col("doc_id")),
       shingleN)
-    // Explicit repartition before the per-pair set math: AQE's byte-based
-    // coalescing sees a few KB of candidate rows and collapses them to
-    // ONE partition, but each row costs an array_intersect+array_union
-    // over full shingle sets — the bench's single-task 0.5–3 s verify
-    // stage (and its JIT-sensitivity) traced exactly here. A user-
-    // specified partition count is exempt from AQE coalescing, so the
-    // verify's parallelism follows candidate count, not payload bytes —
-    // the shape a 100 TB candidate set needs anyway.
+    // Pinned width ON the fold's own exchange (pinWidth — r18): AQE's
+    // byte-based coalescing sees a few KB of candidate rows and would
+    // collapse the per-pair set math to ONE task, but each row costs an
+    // array_intersect+array_union over full shingle sets — the bench's
+    // single-task 0.5–3 s verify stage (and its JIT-sensitivity) traced
+    // exactly here. A user-specified partition count is exempt from AQE
+    // coalescing; riding it on the pair fold's aggregation exchange
+    // (instead of a second repartition AFTER the fold, as before) keeps
+    // the verify's parallelism following candidate count at one
+    // exchange instead of two.
     attachPairSides(candidates, "id_a", "id_b",
-        sets.select(col("doc_id"), col("shingles")), "shingles")
-      .repartition(nVerify, col("id_a"), col("id_b"))
+        sets.select(col("doc_id"), col("shingles")), "shingles",
+        pinWidth = Some(nVerify))
       .withColumn("jaccard",
         size(array_intersect(col("left_payload"), col("right_payload")))
           .cast("double") /
