@@ -272,7 +272,7 @@ class FsStateSpec extends AnyFlatSpec with Matchers {
     cell.compactOpportunistic() must be(false)
   }
 
-  it must "survive 100 seeded rounds of locked verbs racing two-phase compactions and pinned readers" in {
+  it must "survive 100 seeded rounds of locked verbs racing two-phase compactions and pinned readers" taggedAs graft.SlowTest in {
     // The swap-vs-verb race class (PLANS.md r11 review; fix 8c7c765)
     // regression-proofed by hammering, not reasoning: each round spins
     // up writer threads running facade-shaped LOCKED read-modify-write

@@ -62,7 +62,7 @@ class ShellScaleSpec extends AnyFlatSpec with Matchers {
 
   behavior of "GraftShell at 1M inodes"
 
-  it must "seed, answer, and mutate a 1M-inode namespace without OOM" in {
+  it must "seed, answer, and mutate a 1M-inode namespace without OOM" taggedAs graft.SlowTest in {
     val cat = bigCatalog()
     val before = usedMb()
     val sh = new GraftShell(GraftFs(cat, GraftShellMain.emptyFs(spark).chunks),
@@ -95,7 +95,7 @@ class ShellScaleSpec extends AnyFlatSpec with Matchers {
     sh.close()
   }
 
-  it must "shout once past the cap and keep working" in {
+  it must "shout once past the cap and keep working" taggedAs graft.SlowTest in {
     spark.conf.set("spark.graft.shell.max.inodes", "10")
     try {
       val sh = new GraftShell(GraftShellMain.emptyFs(spark),
@@ -112,7 +112,7 @@ class ShellScaleSpec extends AnyFlatSpec with Matchers {
     } finally spark.conf.unset("spark.graft.shell.max.inodes")
   }
 
-  it must "spill cold inodes past the cap and answer every verb from the tier (2M inodes)" in {
+  it must "spill cold inodes past the cap and answer every verb from the tier (2M inodes)" taggedAs graft.SlowTest in {
     // The r15 verdict's stretch #9: past the cap the namespace no
     // longer just shouts — cold entries move to the frame-backed
     // parquet tier (FsCatalog.save layout, SavedState pruned probes)
@@ -187,7 +187,7 @@ class ShellScaleSpec extends AnyFlatSpec with Matchers {
     } finally spark.conf.unset("spark.graft.shell.max.inodes")
   }
 
-  it must "stay consistent when a spill dies mid-flight (crash injection)" in {
+  it must "stay consistent when a spill dies mid-flight (crash injection)" taggedAs graft.SlowTest in {
     // r17 (the r16 verdict's #7): the spill's commit point is the
     // in-memory swap AFTER the new generation is fully written — a
     // kill before it (either side of the write) must leave the
@@ -254,7 +254,7 @@ class ShellScaleSpec extends AnyFlatSpec with Matchers {
 
   behavior of "FsCatalog.renameFrames past MaxCollectedRename"
 
-  it must "produce the identical catalog via the distributed fallback" in {
+  it must "produce the identical catalog via the distributed fallback" taggedAs graft.SlowTest in {
     val cat = CatalogBuilder.fromEntries(spark, Seq(
       ("/", true, 0L),
       ("/a", true, 0L),

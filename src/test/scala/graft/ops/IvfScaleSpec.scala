@@ -42,7 +42,7 @@ class IvfScaleSpec extends AnyFlatSpec with Matchers {
     }.reduce(_ unionByName _).localCheckpoint(true)
   }
 
-  it must "hold the recall gate at K = sqrt(N) centroids with 10% probes" in {
+  it must "hold the recall gate at K = sqrt(N) centroids with 10% probes" taggedAs graft.SlowTest in {
     val n = bigEmb.count()
     val k = math.ceil(math.sqrt(n.toDouble)).toInt // 317 at 100k
     val nprobe = math.max(1, k / 10)
@@ -87,7 +87,7 @@ class IvfScaleSpec extends AnyFlatSpec with Matchers {
     probedMass.toDouble must be < n * 0.34
   }
 
-  it must "hold the IVF-PQ recall gate at REALISTIC (m=8, ksub=256) with sample-bounded training" in {
+  it must "hold the IVF-PQ recall gate at REALISTIC (m=8, ksub=256) with sample-bounded training" taggedAs graft.SlowTest in {
     // The r15 verdict's missing half of the √N proof: PQ/IVF-PQ
     // codebooks shipped proven only at toy (m=4, ksub=16), and the
     // 48 s k-means build left training cost O(corpus). This trains the

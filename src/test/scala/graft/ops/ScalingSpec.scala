@@ -140,7 +140,7 @@ class ScalingSpec extends AnyFlatSpec with Matchers {
 
   behavior of "heavy-operator scaling (sf0.001 → sf0.01 → sf0.1)"
 
-  it must "grow sub-quadratically across the measured decade" in {
+  it must "grow sub-quadratically across the measured decade" taggedAs graft.SlowTest in {
     val table = heavyOps.map { case (name, run) =>
       val ts = sfs.map { case (sf, dir) => sf -> time(run(dir)) }
       name -> ts
@@ -204,7 +204,7 @@ class ScalingSpec extends AnyFlatSpec with Matchers {
     dir.toString
   }
 
-  it must "hold sub-quadratic growth on the generated sf0.1 -> sf1 decade" in {
+  it must "hold sub-quadratic growth on the generated sf0.1 -> sf1 decade" taggedAs graft.SlowTest in {
     info(f"${"operator"}%-26s ${"sf0.1"}%9s ${"sf1"}%9s " +
       f"${"x(.1->1)"}%9s ${"slope"}%7s")
     val rows = heavyOps.map { case (name, run) =>
@@ -236,7 +236,7 @@ class ScalingSpec extends AnyFlatSpec with Matchers {
     }
   }
 
-  it must "stay oracle-anchored at the FOURTH decade (sf1 restriction gates)" in {
+  it must "stay oracle-anchored at the FOURTH decade (sf1 restriction gates)" taggedAs graft.SlowTest in {
     // r17 (the r16 verdict's stretch #9): the driver's DuckDB oracles
     // stop at sf0.1; these gates extend exact correctness one more
     // decade by CONSTRUCTION of the sf1 corpus. Replica 0 rides the
@@ -349,7 +349,7 @@ class ScalingSpec extends AnyFlatSpec with Matchers {
     }
   }
 
-  it must "compose the funnel DETERMINISTICALLY at sf1 under a different shuffle plan" in {
+  it must "compose the funnel DETERMINISTICALLY at sf1 under a different shuffle plan" taggedAs graft.SlowTest in {
     // the seeded-oracle gate at the generated scale (no DuckDB there —
     // the tri-SF channel pipeline_e2e_train_set is the correctness
     // anchor): the full-output hash must be identical under a

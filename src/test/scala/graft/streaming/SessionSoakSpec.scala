@@ -37,7 +37,7 @@ class SessionSoakSpec extends AnyFlatSpec with Matchers {
 
   behavior of "a long-lived session under a mixed 10-op soak"
 
-  it must "hold per-iteration time and listener count flat across 12 iterations" in {
+  it must "hold per-iteration time and listener count flat across 12 iterations" taggedAs graft.SlowTest in {
     val s = spark
     import s.implicits._
     val sfDir = java.nio.file.Files.createTempDirectory("graft-soak-sf").toString
